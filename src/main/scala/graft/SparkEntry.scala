@@ -1,13 +1,178 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (reference parity) and the north-star
+  * extension set is registered here as a named query over the driver's
+  * test tables, each with an ANSI-SQL DuckDB oracle where the semantics
+  * are SQL-expressible.
+  *
+  * Oracle determinism rules (see SURVEY §7.4 "oracle float equality"):
+  *  - every query ends in a total ORDER BY;
+  *  - double sums/avgs go through Analytics.exactSum/exactAvg (exact
+  *    DECIMAL accumulation, order-invariant, cast back to DOUBLE) and the
+  *    oracle SQL uses the identical CAST(sum(CAST(..)) AS DOUBLE) shape;
+  *  - integer-typed outputs are cast to the same width on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped pricing summary = the reference's whole analytical
+    * surface (A1 count + A3/A4 min-max + A7 filter) in one scan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY §2.3) ----
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "a1_count"           -> ((s, d) => Analytics.countAll(s, d)),
+    "a2_topk_recent"     -> ((s, d) => Analytics.topKRecent(s, d)),
+    "a3_grouped_max"     -> ((s, d) => Analytics.groupedMax(s, d)),
+    "a4_grouped_min"     -> ((s, d) => Analytics.groupedMin(s, d)),
+    "a5_minmax_meta"     -> ((s, d) => Analytics.minMaxMeta(s, d)),
+    "a7_filter_eq"       -> ((s, d) => Analytics.filterEq(s, d)),
+    // ---- joins (north star; absent from reference) ----
+    "j1_broadcast_segment_revenue"    -> ((s, d) => Relational.revenueBySegment(s, d)),
+    "j2_shuffle_top_orders"           -> ((s, d) => Relational.topRevenueOrders(s, d)),
+    "j3_multijoin_nation_revenue"     -> ((s, d) => Relational.revenueByNation(s, d)),
+    "j4_semi_customers_with_orders"   -> ((s, d) => Relational.customersWithBigOrders(s, d)),
+    "j5_anti_customers_without_orders"-> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
+    "j6_outer_order_counts"           -> ((s, d) => Relational.orderCountPerCustomer(s, d)),
+    // ---- windows / sets / grouping ----
+    "w1_rank_top_orders"   -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
+    "w2_running_revenue"   -> ((s, d) => Relational.runningRevenue(s, d)),
+    "set1_union_nationkeys"-> ((s, d) => Relational.unionNationKeys(s, d)),
+    "g1_rollup_summary"    -> ((s, d) => Relational.rollupSummary(s, d)),
+    "h1_having_brand_price"-> ((s, d) => Relational.brandsAboveAvgPrice(s, d)),
+    "sq1_orders_above_avg" -> ((s, d) => Relational.ordersAboveAvg(s, d)),
+    "f1_scalar_expressions"-> ((s, d) => Relational.scalarExpressions(s, d)),
+    "x2_distinct_users"    -> ((s, d) => Relational.distinctUsersPerType(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a1_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "a2_topk_recent" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id ASC LIMIT 5""".stripMargin,
+    "a3_grouped_max" ->
+      """SELECT event_type, max(value) AS max_value FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a4_grouped_min" ->
+      """SELECT event_type, min(value) AS min_value FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_minmax_meta" ->
+      """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_filter_eq" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "j1_broadcast_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j2_shuffle_top_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "j3_multijoin_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "j4_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_outer_order_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "w1_rank_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "w2_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "set1_union_nationkeys" ->
+      """SELECT nationkey FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  UNION
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "g1_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "h1_having_brand_price" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS n_parts
+        |FROM part GROUP BY p_brand
+        |HAVING CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) >
+        |  (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) FROM part)
+        |ORDER BY p_brand""".stripMargin,
+    "sq1_orders_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "f1_scalar_expressions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  upper(o_orderpriority) AS priority_uc,
+        |  substring(o_orderstatus, 1, 1) AS status_c,
+        |  CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class,
+        |  round(o_totalprice * 1.07, 2) AS price_with_tax,
+        |  CAST(length(o_orderpriority) AS INT) AS prio_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x2_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }

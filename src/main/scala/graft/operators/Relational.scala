@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Analytics.{exactSum, exactAvg}
+
+/** Relational operators beyond the reference's surface (the reference has
+  * NO joins, group-bys, windows or set ops — SURVEY §2 preamble; these are
+  * north-star capabilities a complete engine needs at 100 TB).
+  *
+  * Join-strategy policy (the part that matters at scale):
+  *  - dimension tables (region/nation/supplier/customer/part) are
+  *    explicitly `broadcast()` — a 100 TB fact table never shuffles for a
+  *    MB-scale dim; each executor probes a local hash map.
+  *  - fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key and
+  *    sort-merge; AQE re-plans skewed partitions at runtime.
+  *  - semi/anti joins use `left_semi`/`left_anti` so the probe side never
+  *    materializes matched rows (EXISTS / NOT EXISTS without a distinct).
+  */
+object Relational {
+
+  /** Broadcast-hash join: orders ⋈ customer (dim). Revenue per market
+    * segment. customer is tiny relative to orders at any SF → broadcast
+    * eliminates the shuffle of the big side entirely.
+    */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        exactSum(col("o_totalprice"), 30, 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Shuffle (sort-merge) join of the two fact tables: top revenue
+    * orders (TPC-H Q3-shaped). Both sides are large at scale, so Spark
+    * shuffles on the key; AQE converts to broadcast if the filtered side
+    * turns out small at runtime.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Multi-way join with a broadcast dim chain (TPC-H Q5-shaped):
+    * revenue per nation. The dim chain nation⋈region collapses to
+    * broadcasts; only lineitem⋈orders⋈customer shuffle on keys.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join — customers WITH at least one big order (EXISTS).
+    * Semi join short-circuits on first match: no row multiplication,
+    * no distinct needed. The price predicate is pushed into the probe
+    * side's parquet scan before the join.
+    */
+  def customersWithBigOrders(spark: SparkSession, dir: String,
+                             threshold: Double = 400000.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > threshold)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join — customers WITHOUT any big order (NOT EXISTS). */
+  def customersWithoutBigOrders(spark: SparkSession, dir: String,
+                                threshold: Double = 400000.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > threshold)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join + aggregation — order count per customer including
+    * zero-order customers (the null-extension case anti-join drops).
+    */
+  def orderCountPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window ranking — top-3 orders per customer by price.
+    * One shuffle on the partition key; rank computed per-partition with
+    * no driver involvement. Deterministic tiebreak on o_orderkey.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (cumulative) sum per customer over order time — frame-bounded
+    * window aggregate, the canonical time-series pattern.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Set operations — distinct union of nation keys appearing on either
+    * side (UNION = union-all + hash-distinct in both engines).
+    */
+  def unionNationKeys(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    c.union(s).distinct().orderBy(col("nationkey"))
+  }
+
+  /** Grouping sets via ROLLUP — subtotals per (returnflag, linestatus),
+    * per returnflag, and grand total, in ONE pass (Expand + single
+    * aggregation), not three scans.
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity"), 30, 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** HAVING with a scalar subquery — brands whose average retail price
+    * exceeds the GLOBAL average. Relative threshold stays selective at
+    * every scale factor; the global average is a 1-row broadcast, not a
+    * driver round-trip.
+    */
+  def brandsAboveAvgPrice(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val globalAvg = p.agg(exactAvg(col("p_retailprice"), 30, 2).as("global_avg"))
+    p.groupBy(col("p_brand"))
+      .agg(exactAvg(col("p_retailprice"), 30, 2).as("avg_price"),
+           count(lit(1)).as("n_parts"))
+      .join(broadcast(globalAvg))
+      .filter(col("avg_price") > col("global_avg"))
+      .select(col("p_brand"), col("avg_price"), col("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Scalar subquery — orders above the global average price. The
+    * single-row aggregate becomes a broadcast value, not a driver
+    * round-trip in SQL form; here a cross-joined 1-row DF keeps the
+    * whole plan lazy and distributed.
+    */
+  def ordersAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgDf = o.agg(exactAvg(col("o_totalprice"), 30, 2).as("global_avg"))
+    o.join(broadcast(avgDf))
+      .filter(col("o_totalprice") > col("global_avg"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Scalar-expression surface — string/date/math/conditional built-ins
+    * (all codegen'd, no UDFs): the engine's scalar-function catalogue is
+    * Spark's `functions._`, demonstrated on part + orders.
+    */
+  def scalarExpressions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        upper(col("o_orderpriority")).as("priority_uc"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        when(col("o_totalprice") > 1000, lit("big"))
+          .otherwise(lit("small")).as("size_class"),
+        round(col("o_totalprice") * lit(1.07), 2).as("price_with_tax"),
+        length(col("o_orderpriority")).as("prio_len"))
+      .orderBy(col("o_orderkey"))
+
+  /** Exact distinct count per group (countDistinct shuffles expand-style;
+    * for approximate at scale see [[Approx.approxDistinct]]).
+    */
+  def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+}
