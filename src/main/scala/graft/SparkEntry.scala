@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Relational}
+import graft.operators.{Analytics, Ingest, Relational}
+import graft.streaming.EventTimeWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +53,14 @@ object SparkEntry {
     "sq1_orders_above_avg" -> ((s, d) => Relational.ordersAboveAvg(s, d)),
     "f1_scalar_expressions"-> ((s, d) => Relational.scalarExpressions(s, d)),
     "x2_distinct_users"    -> ((s, d) => Relational.distinctUsersPerType(s, d)),
+    // ---- ingest / partitioned store (SURVEY §2.2 K1-K2, §2.4 D4) ----
+    "k1_append_roundtrip"     -> ((s, d) => Ingest.appendRoundtrip(s, d)),
+    "d4_partition_prune"      -> ((s, d) => Ingest.partitionPrunedDay(s, d)),
+    "rk1_idempotent_overwrite"-> ((s, d) => Ingest.idempotentOverwrite(s, d)),
+    // ---- reactive / event-time (SURVEY §2.4 D6, §2.5) ----
+    "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
+    "st1_hourly_windows" -> ((s, d) => EventTimeWindows.hourlyByType(s, d)),
+    "st2_session_windows"-> ((s, d) => EventTimeWindows.userSessions(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -174,5 +183,40 @@ object SparkEntry {
     "x2_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "k1_append_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "d4_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rk1_idempotent_overwrite" ->
+      "SELECT count(*) AS n_rows FROM events",
+    "r1_reactive_meta" ->
+      """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st1_hourly_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st2_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_sess FROM e
+        |), s AS (
+        |  SELECT user_id, ts, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }
