@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Ingest, Relational}
+import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventTimeWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,7 +61,84 @@ object SparkEntry {
     "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
     "st1_hourly_windows" -> ((s, d) => EventTimeWindows.hourlyByType(s, d)),
     "st2_session_windows"-> ((s, d) => EventTimeWindows.userSessions(s, d)),
+    // ---- text analysis (north star) ----
+    "t1_token_stats"   -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "t2_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "t3_langid_markers"-> ((s, d) => TextAnalysis.langIdMarkers(s, d)),
+    "t4_fingerprint"   -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // ---- deduplication (north star) ----
+    "dd1_exact_dedup"   -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dd2_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dd3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dd4_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "dd5_embedding_dup" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
+    // ---- similarity search (north star) ----
+    "ss1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "ss2_lsh_ann"   -> ((s, d) => Similarity.lshNeighbors(s, d)),
+    // ---- multimodal / approx (north star) ----
+    "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
+    "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
   )
+
+  // ---- oracle SQL fragments shared across queries (kept in one place
+  // so Spark-side constants and SQL-side literals cannot drift) ----
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(", ")
+
+  /** Left-fold sum over a DOUBLE list — mirrors Spark's `aggregate`
+    * (sequential left fold) rather than DuckDB's list_sum, whose
+    * accumulation order is unspecified.
+    */
+  private def foldSum(l: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $l), (a, b) -> a + b)"
+
+  private def foldDot(a: String, b: String): String =
+    foldSum(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+
+  private def foldCosine(a: String, b: String): String =
+    s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
+      s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** Word 3-gram shingle CTEs over documents (mirrors Dedup.shingleArray:
+    * distinct shingles; docs with <3 words contribute none).
+    */
+  private val shingleCtes: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM w),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""$shingleCtes
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val langidOracle: String = {
+    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter(ws, x -> x IN (${sqlList(ms)}))) AS s_$lang"
+    }.mkString(",\n  ")
+    val best = TextAnalysis.LangMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+    val cases = TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang > 0 AND s_$lang = $best THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM w)
+       |SELECT doc_id,
+       |  CASE $cases ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -218,5 +295,66 @@ object SparkEntry {
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_measured
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      s"""WITH w AS (SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(ws) AS DOUBLE) AS n_words,
+         |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(ws, x -> x IN (${sqlList(TextAnalysis.Stopwords)}))) AS DOUBLE) AS stop
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(n_chars AS BIGINT) AS n_chars_measured,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  round(n_chars / n_words, 6) AS mean_word_len,
+         |  round(punct / n_chars, 6) AS punct_ratio,
+         |  round(stop / n_words, 6) AS stopword_ratio,
+         |  round(least(n_words / 100.0, 1.0) * 0.5
+         |    + least(stop / n_words * 5.0, 1.0) * 0.5, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t3_langid_markers" -> langidOracle,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd1_exact_dedup" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
+    "dd2_minhash_lsh" -> jaccardOracle(0.7),
+    "dd4_ngram_jaccard" -> jaccardOracle(0.5),
+    "dd5_embedding_dup" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${foldCosine("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(${foldCosine("a.v", "b.v")}, 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "ss1_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, e.vec_id,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "m1_asset_metadata" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis.words
+
+/** Deduplication operators for training-data curation (north-star
+  * extension). Five families, in increasing sophistication:
+  *
+  *  1. exact (content-hash groupBy)          — [[exactDedup]]
+  *  2. exact n-gram Jaccard (inverted index) — [[jaccardPairs]]
+  *  3. MinHash + LSH banding                 — [[minhashLshPairs]]
+  *  4. SimHash + Hamming blocking            — [[simhashPairs]]
+  *  5. embedding cosine near-dup             — [[embeddingDupPairs]]
+  *
+  * Scale design notes (the whole point of these algorithms):
+  *  - Exact dedup shuffles 64-char digests, not document bodies.
+  *  - The Jaccard inverted index is O(sum of posting-list^2) — exact but
+  *    only viable when shared shingles are rare; it is the *oracle* for
+  *    the sketch-based paths, not the 100 TB path itself.
+  *  - MinHash/LSH is the 100 TB path: per-doc signatures (96 hashes)
+  *    computed in one codegen'd pass with NO explode of shingles; only
+  *    band keys (32/doc) shuffle, so candidate generation is linear in
+  *    corpus size and the quadratic cost is confined to true-collision
+  *    buckets.
+  *  - SimHash reduces each doc to 64 bits; Hamming-≤k search uses the
+  *    pigeonhole chunk trick (k+1 chunks, join per chunk) — again
+  *    linear shuffle, quadratic only inside chunk-collision buckets.
+  *  - Embedding near-dup at this corpus size is a broadcast cross
+  *    product; the LSH-bucketed form for large corpora lives in
+  *    [[Similarity.lshNeighbors]].
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document, as (doc_id, shingle)
+    * pairs. Pure higher-order functions — no UDF, no explode until the
+    * caller asks for one.
+    */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    // Guard: sequence(0, -1) would produce a DESCENDING range in Spark,
+    // so short docs (<n words) must short-circuit to an empty set.
+    when(size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(ws) - lit(n)),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
+
+  /** 1. Exact dedup: group by SHA-256 of the body, keep the smallest
+    * doc_id per group. Hash-groupBy semantics: the shuffle key is the
+    * 32-byte digest — at 100 TB the text bodies never move, only
+    * digests and ids do (project first, then shuffle).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(sha2(col("text"), 256).as("text_sha"), col("doc_id"))
+      .groupBy(col("text_sha"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  /** 2. Exact n-gram Jaccard via inverted index: explode distinct
+    * shingles, self-join on shingle (posting-list intersection), then
+    * |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Jaccard is a ratio of two
+    * integers — bit-identical across engines, hence oracle-checkable.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // MinHash parameters: 96 permutations in 32 bands of 3 rows.
+  // For pairs at the 0.7 threshold, P(miss) = (1 - 0.7^3)^32 ≈ 2e-6;
+  // the planted near-dups in the corpus sit at J ≈ 0.95+ where
+  // P(miss) < 1e-30 — LSH recall is not the correctness bottleneck.
+  final val NumHashes = 96
+  final val Bands = 32
+  final val RowsPerBand = 3
+  final val HashPrime = 1000000007L
+
+  /** Deterministic (a,b) coefficients for the i-th minhash permutation
+    * h_i(x) = (a_i * x + b_i) mod p — splitmix64-derived, fixed seed.
+    */
+  private def perm(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var x = z0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val a = (mix(i.toLong * 2 + 1) & Long.MaxValue) % (HashPrime - 1) + 1
+    val b = (mix(i.toLong * 2 + 2) & Long.MaxValue) % HashPrime
+    (a, b)
+  }
+
+  /** MinHash signature column: for each of the 96 permutations, the
+    * minimum permuted shingle-hash. Shingle→long via crc32 (codegen'd
+    * built-in) reduced mod p. Nested transform/aggregate keeps the
+    * whole signature computation inside one codegen stage per row —
+    * no shingle explosion, no shuffle until banding.
+    */
+  def minhashSignature(text: Column): Column = {
+    val shingleHashes = transform(shingleArray(text), s => crc32(s) % HashPrime)
+    transform(sequence(lit(0), lit(NumHashes - 1)), i => {
+      val permuted = (sh: Column) => {
+        // Build (a_i*x + b_i) % p with per-index coefficients selected
+        // via element_at over literal coefficient arrays.
+        val as = array((0 until NumHashes).map(j => lit(perm(j)._1)): _*)
+        val bs = array((0 until NumHashes).map(j => lit(perm(j)._2)): _*)
+        (element_at(as, i + lit(1)) * sh + element_at(bs, i + lit(1))) % HashPrime
+      }
+      array_min(transform(shingleHashes, permuted))
+    })
+  }
+
+  /** 3. MinHash + LSH banding: signatures → 32 band keys/doc → equi-join
+    * on (band index, band hash) → distinct candidate pairs → exact
+    * Jaccard confirm ≥ threshold. Output equals the exact all-pairs
+    * answer (the oracle) with overwhelming probability; the difference
+    * is the cost curve: banding shuffles 32 small keys per doc instead
+    * of comparing N² pairs.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        minhashSignature(col("text")).as("sig"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+
+    // Band key = hash of the band's signature slice + band index
+    // (static slices → plain codegen'd expressions, no lambda).
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact confirm on the candidate set only.
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 4. SimHash: 64-bit signature where bit i is the sign of the sum of
+    * (+1/-1) votes from each word-hash's bit i. Near-dups = Hamming
+    * distance ≤ maxDist, found via the pigeonhole blocking trick: split
+    * the 64 bits into 8 chunks of 8; any pair within distance ≤7 must
+    * agree on ≥1 chunk, so an equi-join per chunk finds ALL such pairs
+    * (exact, not probabilistic, for maxDist ≤ 7).
+    */
+  def simhashSignature(text: Column): Column = {
+    val hashes = transform(words(text), w => xxhash64(w))
+    val bits = (0 until 64).map { i =>
+      val mask = lit(1L << i)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxDist: Int = 7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashSignature(col("text")).as("sig"))
+      .cache()
+    val chunked = docs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 8).map(c =>
+        shiftright(col("sig"), c * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .toDF("doc_id", "sig", "chunk_idx", "chunk_val")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx")
+          && col("x.chunk_val") === col("y.chunk_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 5. Embedding cosine near-dup: pairs with cosine ≥ threshold.
+    * Corpus-sized broadcast cross-join here; the bucketed form that
+    * scales is [[Similarity.lshNeighbors]]. Double math mirrors the
+    * oracle exactly: left-fold dot and norms, score = dot/(√na·√nb).
+    */
+  def embeddingDupPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val joined = e.as("a").join(broadcast(e.as("b")),
+      col("a.vec_id") < col("b.vec_id"))
+    joined
+      .withColumn("cos", round(
+        VectorOps.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

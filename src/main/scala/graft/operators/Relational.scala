@@ -207,11 +207,23 @@ object Relational {
       .orderBy(col("o_orderkey"))
 
   /** Exact distinct count per group (countDistinct shuffles expand-style;
-    * for approximate at scale see [[Approx.approxDistinct]]).
+    * [[approxDistinctUsers]] is the sketch-based scale path).
     */
   def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** HyperLogLog++ distinct count — constant memory per group vs
+    * countDistinct's expand-shuffle; the only viable distinct-count at
+    * 100 TB cardinalities. Sketch estimates are engine-specific, so
+    * this is checked by shape/bounds (ScalaTest), not a SQL oracle.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String,
+                          rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over embedding columns (north-star extension).
+  *
+  * Two paths, matching how ANN is actually deployed:
+  *  - [[knnBrute]] — exact brute-force top-k: broadcast the (small)
+  *    query set against the full corpus, score every pair, per-query
+  *    top-k via window rank. The BASELINE for recall; at 100 TB it is
+  *    a single corpus scan per query batch — embarrassingly parallel,
+  *    no shuffle of the corpus itself (queries broadcast; the only
+  *    shuffle is the per-query k-row reduction).
+  *  - [[lshNeighbors]] — random-hyperplane (sign) LSH: corpus and
+  *    queries bucketed by signature; candidates = same-bucket pairs
+  *    under any of several hash tables; exact re-rank of candidates.
+  *    The scale path: bucket cardinality bounds the quadratic term,
+  *    and bucketing is one linear pass + an equi-join on bucket keys.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Scores are rounded to 1e-6 BEFORE ranking, with vec_id as the
+    * total tiebreak — rank order is then insensitive to sub-1e-6
+    * engine-level float drift (the math itself is bit-exact per
+    * [[VectorOps]], the rounding is belt-and-braces).
+    */
+  def knnBrute(spark: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(VectorOps.cosine(col("q"), col("v")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // LSH parameters: 4 tables × 12 hyperplanes. 12 bits/table → ~4096
+  // buckets; 4 independent tables push recall up (a pair collides if
+  // it agrees on ALL 12 bits of ANY table).
+  final val Tables_ = 4
+  final val PlanesPerTable = 12
+  final val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component (table t, plane
+    * p, dim d) in [-1, 1) — splitmix64 mixed, fixed seed, generated as
+    * plan literals so executors never fetch side data.
+    */
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    var x = (t.toLong * 8191 + p.toLong * 131 + d.toLong + 7) * 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  /** Signature of vector `v` under table `t`: 12-bit integer whose bit
+    * p is sign(v · plane_{t,p}). Built from literal plane arrays +
+    * higher-order folds — fully codegen'd.
+    */
+  private def tableSignature(v: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until PlanesPerTable).map { p =>
+      val plane = array((0 until Dim).map(d => lit(planeComponent(t, p, d))): _*)
+      when(VectorOps.dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: LSH-bucket candidates, exact cosine re-rank.
+    * Approximate by construction → verified by rows/shape, not a SQL
+    * oracle; the ScalaTest suite checks recall against [[knnBrute]].
+    */
+  def lshNeighbors(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .cache()
+
+    def bucketed(df: DataFrame, vecCol: String): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until Tables_).map(t => tableSignature(col(vecCol), t)): _*)))
+        .toDF(df.columns :+ "table_idx" :+ "bucket" : _*)
+
+    val cb = bucketed(corpus, "v")
+    val qb = bucketed(
+      corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("q")), "q")
+
+    val cand = qb.join(cb,
+        qb("table_idx") === cb("table_idx") && qb("bucket") === cb("bucket")
+          && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q"), col("vec_id"), col("v"))
+      .distinct()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    cand
+      .withColumn("score", round(VectorOps.cosine(col("q"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PolyFingerprint
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension; the reference computes nothing over text — SURVEY §2.6).
+  *
+  * Everything here is built from codegen'd Spark built-ins (split,
+  * regexp_*, higher-order array functions) plus one native Catalyst
+  * expression ([[graft.functions.PolyFingerprintExpr]]) — no Scala
+  * closures in the hot path, so at 100 TB every operator is a single
+  * scan inside WholeStageCodegen with column pruning down to
+  * (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Word tokens: whitespace split of trimmed text. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword tokenization regex: letter runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenizer shape GPT-style
+    * BPE vocabularies assume.
+    */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Stopword list shared with the oracle SQL (must stay in sync — the
+    * SQL is generated from this constant in SparkEntry).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  /** Per-language marker words for the marker-scoring language ID.
+    * Order matters: ties resolve to the earliest entry.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "est"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2", "wo3"))
+
+  /** Token counting (query t1): whitespace word count + BPE-ish subword
+    * token count + character count, per document.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring (query t2): length, mean word length, punctuation
+    * ratio, stopword ratio, and a composite quality score — the
+    * standard cheap filters applied before expensive dedup/training.
+    * All ratios are exact integer-ratio doubles (identical across
+    * engines); the composite is rounded to 6 decimals.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct  = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double")
+    val stop   = size(filter(ws, w => w.isin(Stopwords.map(x => x: Any): _*)))
+      .cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars_measured"),
+        nWords.cast("long").as("n_words"),
+        round(nChars / nWords, 6).as("mean_word_len"),
+        round(punct / nChars, 6).as("punct_ratio"),
+        round(stop / nWords, 6).as("stopword_ratio"),
+        // Composite: long-enough docs with natural stopword density win.
+        round(least(nWords / lit(100.0), lit(1.0)) * lit(0.5)
+          + least(stop / nWords * lit(5.0), lit(1.0)) * lit(0.5), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language ID (query t3): score = count of per-language
+    * marker words; prediction = argmax with deterministic tie order
+    * (list order in [[LangMarkers]]), 'und' when no marker hits.
+    * SQL-mirrorable, so the whole decision function is oracle-checked.
+    */
+  def langIdMarkers(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => w.isin(markers.map(x => x: Any): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character n-gram profile language ID (library form; exercised in
+    * ScalaTest rather than the SQL gate — profile scoring is not
+    * reasonably SQL-expressible). Scores each document's character
+    * trigram set against small per-language profiles and returns the
+    * best-overlap language. Deterministic; one scan; the profiles
+    * broadcast as literals inside the plan.
+    */
+  def langIdNgram(spark: SparkSession, dir: String,
+                  profiles: Map[String, Seq[String]] = DefaultTrigramProfiles): DataFrame = {
+    val grams = charTrigrams(lower(col("text")))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, tris) =>
+      lang -> size(array_intersect(grams, array(tris.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct character trigrams of a string, via sequence+transform
+    * (pure codegen, no UDF).
+    */
+  def charTrigrams(c: Column): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(c) - lit(2), lit(0))),
+        i => c.substr(i, lit(3))))
+
+  /** English-ish default trigram profiles (tiny, illustrative). */
+  val DefaultTrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "ent"),
+    "es" -> Seq("que", "ión", "los", "ado", "nte"),
+    "de" -> Seq("der", "und", "ein", "ich", "sch"),
+    "fr" -> Seq("les", "ent", "que", "ion", "ais"))
+
+  /** Document fingerprint (query t4): Rabin-Karp rolling hash via the
+    * native Catalyst expression — stays inside WholeStageCodegen.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        PolyFingerprint.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely
+  * from Spark's higher-order array functions (`zip_with`, `aggregate`)
+  * so every operation is codegen'd and stays columnar — no UDF
+  * serialization per row.
+  *
+  * Determinism contract with the DuckDB oracle: all folds are LEFT
+  * folds over doubles in element order, and the cosine is computed as
+  * dot / (sqrt(na) * sqrt(nb)) — the identical IEEE-754 operation
+  * sequence on both engines, hence bit-identical results.
+  */
+object VectorOps {
+
+  /** Cast a float vector to doubles once, up front — float accumulation
+    * is lossy and engine-dependent; double accumulation of float-exact
+    * values is reproducible everywhere.
+    */
+  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-fold sum of an array<double>. */
+  def fsum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product via zip_with + left fold. */
+  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = fsum(transform(a, x => x * x))
+
+  /** Cosine similarity: dot / (sqrt(na) * sqrt(nb)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Euclidean distance (for IVF-style assignment). */
+  def l2(a: Column, b: Column): Column =
+    sqrt(fsum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
+}

@@ -56,10 +56,13 @@ class TickerStore(val tableDir: String) {
       .parquet(tableDir)
 
   /** Full-table scan (S3). Partition-date predicates applied by the
-    * caller prune directories before any file is opened.
+    * caller prune directories before any file is opened. The partition
+    * column is pinned back to string — hive-style directory values like
+    * `20221001` would otherwise be type-inferred as int on read.
     */
   def read(spark: SparkSession): DataFrame =
     spark.read.parquet(tableDir)
+      .withColumn("partition_date", col("partition_date").cast("string"))
 
   /** Partition-pruned scan of one day (D4). */
   def readPartition(spark: SparkSession, date: String): DataFrame =

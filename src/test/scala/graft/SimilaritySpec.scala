@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, VectorOps}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val one = Seq((1L, Array(0.5f, -1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .select(VectorOps.cosine(col("v"), col("v")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("brute-force knn: ranks are 1..k, scores non-increasing, no self-match") {
+    val rows = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).toSeq == (1 to 5))
+      val scores = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rs.map(_.getLong(1)).contains(q))
+    }
+  }
+
+  test("LSH ANN returns a subset of plausible neighbors with exact scores") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshNeighbors(spark, sf, nQueries = 5, k = 10).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // every LSH hit that also appears in the brute top-50 must carry
+      // the identical exact re-ranked score
+      brute.get(key).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+}
