@@ -114,25 +114,25 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature column: for each of the 96 permutations, the
-    * minimum permuted shingle-hash. Shingle→long via crc32 (codegen'd
-    * built-in) reduced mod p. Nested transform/aggregate keeps the
-    * whole signature computation inside one codegen stage per row —
-    * no shingle explosion, no shuffle until banding.
+  /** Shingle hashes: crc32 (codegen'd built-in) reduced mod p. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => crc32(s) % HashPrime)
+
+  /** MinHash signature from a MATERIALIZED shingle-hash array: for each
+    * of the 96 permutations, the minimum permuted hash. The permutations
+    * are unrolled statically (96 plain expressions over one bound array
+    * attribute), so each row does exactly 96×|shingles| multiply-mods.
+    *
+    * The input must be a projected column, not an inline expression
+    * tree: Catalyst expressions are trees, so embedding the shingle
+    * hashing inside each permutation lambda would re-evaluate the
+    * shingling 96× per row (measured 100×+ slowdown at sf0.1).
     */
-  def minhashSignature(text: Column): Column = {
-    val shingleHashes = transform(shingleArray(text), s => crc32(s) % HashPrime)
-    transform(sequence(lit(0), lit(NumHashes - 1)), i => {
-      val permuted = (sh: Column) => {
-        // Build (a_i*x + b_i) % p with per-index coefficients selected
-        // via element_at over literal coefficient arrays.
-        val as = array((0 until NumHashes).map(j => lit(perm(j)._1)): _*)
-        val bs = array((0 until NumHashes).map(j => lit(perm(j)._2)): _*)
-        (element_at(as, i + lit(1)) * sh + element_at(bs, i + lit(1))) % HashPrime
-      }
-      array_min(transform(shingleHashes, permuted))
-    })
-  }
+  def minhashSignature(hashesCol: Column): Column =
+    array((0 until NumHashes).map { j =>
+      val (a, b) = perm(j)
+      array_min(transform(hashesCol, x => (lit(a) * x + lit(b)) % HashPrime))
+    }: _*)
 
   /** 3. MinHash + LSH banding: signatures → 32 band keys/doc → equi-join
     * on (band index, band hash) → distinct candidate pairs → exact
@@ -143,10 +143,17 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        minhashSignature(col("text")).as("sig"),
-        shingleArray(col("text")).as("sh"))
+    // Stage 1: shingle sets (cached — reused by signature AND confirm).
+    // Stage 2: hash array. Stage 3: 96-way signature over the bound
+    // array attribute. The caches double as projection barriers so
+    // CollapseProject cannot re-inline the shingling into the 96
+    // permutation expressions.
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .cache()
+    val docs = shingled
+      .select(col("doc_id"), col("sh"), shingleHashes(col("sh")).as("shh"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("shh")).as("sig"))
       .cache()
 
     // Band key = hash of the band's signature slice + band index
@@ -184,11 +191,15 @@ object Dedup {
     * agree on ≥1 chunk, so an equi-join per chunk finds ALL such pairs
     * (exact, not probabilistic, for maxDist ≤ 7).
     */
-  def simhashSignature(text: Column): Column = {
-    val hashes = transform(words(text), w => xxhash64(w))
+  /** SimHash signature from a MATERIALIZED word-hash array (same
+    * projection-barrier reasoning as [[minhashSignature]]: 64 bit-vote
+    * aggregates reference one bound attribute, not 64 copies of the
+    * tokenize+hash subtree).
+    */
+  def simhashSignature(hashesCol: Column): Column = {
     val bits = (0 until 64).map { i =>
       val mask = lit(1L << i)
-      val votes = aggregate(hashes, lit(0L),
+      val votes = aggregate(hashesCol, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
       when(votes > 0, mask).otherwise(lit(0L))
     }
@@ -198,7 +209,9 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String,
                    maxDist: Int = 7): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), transform(words(col("text")), w => xxhash64(w)).as("wh"))
+      .cache()
+      .select(col("doc_id"), simhashSignature(col("wh")).as("sig"))
       .cache()
     val chunked = docs.select(
       col("doc_id"), col("sig"),
@@ -223,13 +236,18 @@ object Dedup {
     */
   def embeddingDupPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.4): DataFrame = {
+    // Norms are per-vector, so compute them ONCE before the pair join
+    // (N sqrt's instead of N²) — the pair score is then a single native
+    // dot product plus one multiply-divide.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .cache()
     val joined = e.as("a").join(broadcast(e.as("b")),
       col("a.vec_id") < col("b.vec_id"))
     joined
       .withColumn("cos", round(
-        VectorOps.cosine(col("a.v"), col("b.v")), 6))
+        VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

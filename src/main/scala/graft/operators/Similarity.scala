@@ -32,10 +32,12 @@ object Similarity {
                nQueries: Int = 5, k: Int = 10): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
     val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("q"))
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qnrm"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(VectorOps.cosine(col("q"), col("v")), 6))
+      .withColumn("score", round(
+        VectorOps.dot(col("q"), col("v")) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("vec_id"))
     scored
@@ -85,6 +87,7 @@ object Similarity {
                    nQueries: Int = 5, k: Int = 10): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
       .cache()
 
     def bucketed(df: DataFrame, vecCol: String): DataFrame =
@@ -95,18 +98,19 @@ object Similarity {
     val cb = bucketed(corpus, "v")
     val qb = bucketed(
       corpus.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("q")), "q")
+        .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qnrm")), "q")
 
     val cand = qb.join(cb,
         qb("table_idx") === cb("table_idx") && qb("bucket") === cb("bucket")
           && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q"), col("vec_id"), col("v"))
+      .select(col("query_id"), col("q"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
       .distinct()
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("vec_id"))
     cand
-      .withColumn("score", round(VectorOps.cosine(col("q"), col("v")), 6))
+      .withColumn("score", round(
+        VectorOps.dot(col("q"), col("v")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -25,11 +25,14 @@ object VectorOps {
   def fsum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product via zip_with + left fold. */
-  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+  /** Dot product — native codegen'd expression (primitive loop, no
+    * per-row allocation), same left-to-right accumulation as a fold.
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   /** Squared L2 norm. */
-  def norm2(a: Column): Column = fsum(transform(a, x => x * x))
+  def norm2(a: Column): Column = dot(a, a)
 
   /** Cosine similarity: dot / (sqrt(na) * sqrt(nb)). */
   def cosine(a: Column, b: Column): Column =
