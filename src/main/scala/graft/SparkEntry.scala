@@ -78,6 +78,13 @@ object SparkEntry {
     // ---- multimodal / approx (north star) ----
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
+    // ---- round-1 widening: as-of, pivot, cube, json, tokens, quantiles ----
+    "aj1_asof_purchase_click" -> ((s, d) => Relational.asofPurchaseClick(s, d)),
+    "p1_pivot_user_type"      -> ((s, d) => Relational.pivotUserTypeTotals(s, d)),
+    "g2_cube_summary"         -> ((s, d) => Relational.cubeSummary(s, d)),
+    "e2_json_extract"         -> ((s, d) => Relational.jsonExtract(s, d)),
+    "t5_top_tokens"           -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    "x3_price_quantiles"      -> ((s, d) => Relational.priceQuantiles(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -356,5 +363,36 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "aj1_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "p1_pivot_user_type" -> {
+      val cols = Relational.EventTypes.map(t =>
+        s"""coalesce(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(30,2))) AS DOUBLE), 0.0) AS "$t"""")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "g2_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "e2_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t5_top_tokens" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "x3_price_quantiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders""".stripMargin,
   )
 }

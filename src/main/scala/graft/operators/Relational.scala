@@ -215,6 +215,76 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** As-of join (time-series point-in-time lookup): for each purchase
+    * event, the user's most recent prior-or-simultaneous click.
+    *
+    * Spark lacks a native ASOF JOIN; the scalable composition is the
+    * union + windowed last_value trick: tag both streams, sort once per
+    * user, and carry the latest click id forward. ONE shuffle on
+    * user_id total — versus a naive range join's quadratic per-user
+    * blowup. (Preference order (a) from the build rules: composition
+    * expresses the semantics exactly, so no custom SparkPlan needed.)
+    */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("click_id"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("kind"), asc_nulls_first("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("last_click").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot — per-user value totals spread across event-type columns.
+    * Pivot values are given explicitly: at scale, letting Spark infer
+    * them costs an extra distinct-collect job before planning.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def pivotUserTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(exactSum(col("value"), 30, 2))
+      .na.fill(0.0, EventTypes)
+      .orderBy(col("user_id"))
+
+  /** CUBE — all grouping-set combinations of (returnflag, linestatus)
+    * in one Expand pass.
+    */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Semi-structured extraction: JSON path over the events props
+    * payload (schema-on-read for the dynamic part of the schema).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val"))
+      .orderBy(col("event_id"))
+
+  /** Exact interpolated quantiles (percentile). At 100 TB you would
+    * reach for approx_percentile; the exact form is the oracle-checked
+    * semantics anchor.
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+
   /** HyperLogLog++ distinct count — constant memory per group vs
     * countDistinct's expand-shuffle; the only viable distinct-count at
     * 100 TB cardinalities. Sketch estimates are engine-specific, so

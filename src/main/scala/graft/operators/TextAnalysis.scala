@@ -139,6 +139,18 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "ein", "ich", "sch"),
     "fr" -> Seq("les", "ent", "que", "ion", "ais"))
 
+  /** Corpus token frequencies (query t5): explode words, count, top-k.
+    * The explode shuffles (word, partial-count) pairs after map-side
+    * combine — vocabulary-sized shuffle, not corpus-sized.
+    */
+  def topTokens(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(k)
+
   /** Document fingerprint (query t4): Rabin-Karp rolling hash via the
     * native Catalyst expression — stays inside WholeStageCodegen.
     */
