@@ -37,8 +37,13 @@ object Dedup {
     * pairs. Pure higher-order functions — no UDF, no explode until the
     * caller asks for one.
     */
-  def shingleArray(text: Column, n: Int = 3): Column = {
-    val ws = words(text)
+  /** Shingles from a MATERIALIZED word-array column. The word array
+    * must be a bound attribute, not an inline `split(...)`: the slice
+    * lambda references it once per shingle position, and an embedded
+    * split subtree would re-tokenize the document O(positions) times
+    * (measured ~7s → ~0.5s at sf0.1).
+    */
+  def shinglesFromWords(ws: Column, n: Int = 3): Column =
     // Guard: sequence(0, -1) would produce a DESCENDING range in Spark,
     // so short docs (<n words) must short-circuit to an empty set.
     when(size(ws) >= n,
@@ -47,11 +52,22 @@ object Dedup {
           sequence(lit(0), size(ws) - lit(n)),
           i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form (tests / small inputs). For
+    * table-scale use, stage `words(text)` into its own projection and
+    * call [[shinglesFromWords]] — see the note there.
+    */
+  def shingleArray(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
+
+  /** Documents with the word array staged behind a projection. */
+  private def docWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
+    docWords(spark, dir)
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
 
   /** 1. Exact dedup: group by SHA-256 of the body, keep the smallest
     * doc_id per group. Hash-groupBy semantics: the shuffle key is the
@@ -118,21 +134,22 @@ object Dedup {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => crc32(s) % HashPrime)
 
-  /** MinHash signature from a MATERIALIZED shingle-hash array: for each
-    * of the 96 permutations, the minimum permuted hash. The permutations
-    * are unrolled statically (96 plain expressions over one bound array
-    * attribute), so each row does exactly 96×|shingles| multiply-mods.
+  /** MinHash signature from a MATERIALIZED shingle-hash array: all 96
+    * permutation minima in one native kernel call per row
+    * ([[graft.functions.MinHashSigExpr]] — single primitive loop, one
+    * output allocation, full codegen).
     *
     * The input must be a projected column, not an inline expression
     * tree: Catalyst expressions are trees, so embedding the shingle
-    * hashing inside each permutation lambda would re-evaluate the
-    * shingling 96× per row (measured 100×+ slowdown at sf0.1).
+    * hashing inside the signature expression would re-evaluate the
+    * shingling per reference (measured 100×+ slowdown at sf0.1 with
+    * the higher-order-function formulation).
     */
   def minhashSignature(hashesCol: Column): Column =
-    array((0 until NumHashes).map { j =>
-      val (a, b) = perm(j)
-      array_min(transform(hashesCol, x => (lit(a) * x + lit(b)) % HashPrime))
-    }: _*)
+    graft.functions.MinHashExpr.minhashSig(hashesCol,
+      (0 until NumHashes).map(perm(_)._1).toArray,
+      (0 until NumHashes).map(perm(_)._2).toArray,
+      HashPrime)
 
   /** 3. MinHash + LSH banding: signatures → 32 band keys/doc → equi-join
     * on (band index, band hash) → distinct candidate pairs → exact
@@ -148,8 +165,8 @@ object Dedup {
     // array attribute. The caches double as projection barriers so
     // CollapseProject cannot re-inline the shingling into the 96
     // permutation expressions.
-    val shingled = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    val shingled = docWords(spark, dir)
+      .select(col("doc_id"), shinglesFromWords(col("ws")).as("sh"))
       .cache()
     val docs = shingled
       .select(col("doc_id"), col("sh"), shingleHashes(col("sh")).as("shh"))

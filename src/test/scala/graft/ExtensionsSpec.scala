@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PolyFingerprint
+import graft.operators.Skew
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions are SQL-callable after registry injection") {
+    // The withExtensions path only applies at session construction and
+    // the suite shares one session — apply the extension to a real
+    // SparkSessionExtensions instance to validate injection wiring,
+    // then register the same builders on the live session's registry.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_fingerprint",
+      exprs => graft.functions.PolyFingerprintExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)), "built-in")
+    val fp = spark.sql("SELECT poly_fingerprint('hello world') AS fp")
+      .collect()(0).getLong(0)
+    assert(fp == PolyFingerprint.hash("hello world"))
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dp == 11.0)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toDouble))
+      .toDF("k", "x") // key 1 is hot
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("rk", "name")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "x", "name").collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(left, right, "k", "rk")
+      .select("k", "x", "name").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length > 200, "hot key must actually be hot")
+  }
+
+  test("skewed two-phase aggregation equals direct aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 50}", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val skewed = Skew.skewedSumCount(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(skewed == direct)
+  }
+}
