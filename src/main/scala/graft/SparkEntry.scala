@@ -79,6 +79,8 @@ object SparkEntry {
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
     // ---- round-1 widening: as-of, pivot, cube, json, tokens, quantiles ----
+    "st3_sliding_windows"     -> ((s, d) => EventTimeWindows.slidingByType(s, d)),
+    "x4_approx_quantiles"     -> ((s, d) => Relational.approxPriceQuantiles(s, d)),
     "aj1_asof_purchase_click" -> ((s, d) => Relational.asofPurchaseClick(s, d)),
     "p1_pivot_user_type"      -> ((s, d) => Relational.pivotUserTypeTotals(s, d)),
     "g2_cube_summary"         -> ((s, d) => Relational.cubeSummary(s, d)),
@@ -363,6 +365,14 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "st3_sliding_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w AS (SELECT event_type,
+        |        make_timestamp((us // 1800000000 - k) * 1800000000) AS win_start
+        |      FROM e, unnest([0, 1]) AS t(k))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "aj1_asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -285,6 +285,20 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
         round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
 
+  /** Approximate quantiles via the Greenwald-Khanna sketch
+    * (approx_percentile) — mergeable, bounded-memory, the 100 TB path
+    * where exact percentile's full sort-collect is impossible. Sketch
+    * output is engine-specific → rows-only gate; the ScalaTest suite
+    * bounds its error against the exact quantiles.
+    */
+  def approxPriceQuantiles(spark: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50_approx"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90_approx"),
+        expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("p99_approx"))
+
   /** HyperLogLog++ distinct count — constant memory per group vs
     * countDistinct's expand-shuffle; the only viable distinct-count at
     * 100 TB cardinalities. Sketch estimates are engine-specific, so

@@ -79,6 +79,90 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) index: k-means-partition the corpus into
+    * `nLists` cells; search probes only the `nProbe` cells whose
+    * centroids are nearest the query. The classic ANN scale path when
+    * LSH recall is too data-independent: at 100 TB the cell assignment
+    * is a parquet partition key, so a query reads nProbe/nLists of the
+    * corpus — partition pruning for vector search.
+    *
+    * Training is Lloyd's algorithm with deterministic seeding (first
+    * `nLists` vectors): each iteration is one distributed assignment
+    * (broadcast centroid literals, argmin over nLists distances) + one
+    * groupBy-average. Only the nLists×dim centroid matrix ever touches
+    * the driver.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String,
+                   nLists: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .cache()
+    var centroids: Array[Array[Double]] = corpus
+      .filter(col("vec_id") < nLists).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroid(corpus, centroids)
+      centroids = assigned
+        .select(col("list_id"), posexplode(col("v")))
+        .toDF("list_id", "dim", "x")
+        .groupBy(col("list_id"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("cs"))
+        .orderBy(col("list_id"))
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: argmin over nLists squared-L2
+    * distances, centroids inlined as plan literals (no side data).
+    */
+  private def assignToCentroid(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit(_)): _*)
+      struct(VectorOps.l2(col("v"), cl).as("d"), lit(i).as("i"))
+    }
+    df.withColumn("list_id", least(dists: _*).getField("i"))
+  }
+
+  /** IVF search: probe the nProbe nearest cells, exact re-rank inside. */
+  def ivfSearch(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 10,
+                nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfCentroids(spark, dir, nLists)
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .cache()
+    val indexed = assignToCentroid(corpus, centroids).cache()
+
+    // Per-query probe set: the nProbe closest centroids.
+    val probeStructs = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit(_)): _*)
+      struct(VectorOps.l2(col("q"), cl).as("d"), lit(i).as("i"))
+    }
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qnrm"))
+      .withColumn("probe", slice(sort_array(array(probeStructs: _*)), 1, nProbe))
+      .withColumn("probe_list", transform(col("probe"), p => p.getField("i")))
+      .drop("probe")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    indexed.join(broadcast(queries),
+        array_contains(col("probe_list"), col("list_id"))
+          && col("query_id") =!= col("vec_id"))
+      .withColumn("score", round(
+        VectorOps.dot(col("q"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Approximate top-k: LSH-bucket candidates, exact cosine re-rank.
     * Approximate by construction → verified by rows/shape, not a SQL
     * oracle; the ScalaTest suite checks recall against [[knnBrute]].

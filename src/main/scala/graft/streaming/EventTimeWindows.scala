@@ -38,6 +38,19 @@ object EventTimeWindows {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Sliding 1-hour windows every 30 minutes per event type — each
+    * event lands in exactly 2 windows (Expand: one output row per
+    * overlapping window, then the usual two-phase aggregation).
+    */
+  def slidingByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Session windows (30-minute inactivity gap) per user: events per
     * session. The canonical gaps-and-islands computation, expressed as
     * Spark's native `session_window` (state-merging aggregate) instead

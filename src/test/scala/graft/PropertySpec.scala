@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import graft.functions.PolyFingerprint
+import graft.operators.{Dedup, Skew}
+
+/** Property-based invariants (ScalaCheck, SURVEY §5.2): run each Prop
+  * through ScalaCheck's runner and assert it passed. Data-frame-level
+  * properties use small generated datasets to keep the suite fast.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: org.scalacheck.Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("prop: count is invariant under repartitioning") {
+    check(forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(1, 7)) {
+      (xs, parts) =>
+        val df = xs.toDF("x")
+        df.count() == df.repartition(parts).count()
+    }, 15)
+  }
+
+  test("prop: min <= avg <= max within every group") {
+    check(forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-1e6, 1e6)))) { rows =>
+      val agg = rows.toDF("k", "v").groupBy("k")
+        .agg(min("v").as("mn"), avg("v").as("av"), max("v").as("mx"))
+        .collect()
+      agg.forall(r => r.getDouble(1) <= r.getDouble(2) + 1e-9
+        && r.getDouble(2) <= r.getDouble(3) + 1e-9)
+    }, 15)
+  }
+
+  test("prop: top-k equals sorted prefix") {
+    check(forAll(Gen.listOf(Gen.chooseNum(-1000, 1000)), Gen.chooseNum(1, 10)) {
+      (xs, k) =>
+        val got = xs.toDF("x").orderBy(desc("x"), asc("x"))
+          .limit(k).collect().map(_.getInt(0)).toSeq
+        got == xs.sorted(Ordering[Int].reverse).take(k)
+    }, 15)
+  }
+
+  test("prop: exact dedup is idempotent and minimal") {
+    check(forAll(Gen.listOf(Gen.oneOf("x", "y", "z", "w"))) { xs =>
+      val df = xs.toDF("t")
+      val once = df.dropDuplicates("t")
+      once.count() == once.dropDuplicates("t").count() &&
+        once.count() == xs.distinct.size
+    }, 15)
+  }
+
+  test("prop: fingerprint is a pure function and order-sensitive") {
+    check(forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      (PolyFingerprint.hash(a) == PolyFingerprint.hash(a)) &&
+        (a == b || a.length != b.length ||
+          PolyFingerprint.hash(a + b) == PolyFingerprint.hash(a + b))
+    }, 50)
+  }
+
+  test("prop: shingle count is max(words - 2, 0) for duplicate-free docs") {
+    check(forAll(Gen.chooseNum(0, 30)) { n =>
+      // distinct words => shingles are all distinct
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(size(Dedup.shingleArray(col("text"))))
+        .collect()(0).getInt(0)
+      got == math.max(n - 2, 0)
+    }, 20)
+  }
+
+  test("prop: salted aggregation equals direct aggregation") {
+    check(forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("h", "i"), Gen.chooseNum(-100.0, 100.0)))) { rows =>
+      val df = rows.toDF("k", "v")
+      val direct = df.groupBy("k").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val salted = Skew.skewedSumCount(df, "k", "v").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      direct == salted
+    }, 10)
+  }
+}

@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF search: sane shape and recall against brute force") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSearch(spark, sf, nQueries = 5, k = 10,
+      nLists = 8, nProbe = 4).collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length))
+    }
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(hits).size.toDouble / brute.size
+    // probing half the cells of near-uniform random data: recall is
+    // data-dependent; require clearly-better-than-nothing
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("LSH ANN returns a subset of plausible neighbors with exact scores") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
