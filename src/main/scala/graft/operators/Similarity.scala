@@ -184,11 +184,18 @@ object Similarity {
       corpus.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qnrm")), "q")
 
+    // Dedup candidates on the id pair ONLY — distinct over rows that
+    // carry the 64-double vectors would hash/compare the arrays
+    // themselves; fetch vectors after deduplication instead.
     val cand = qb.join(cb,
         qb("table_idx") === cb("table_idx") && qb("bucket") === cb("bucket")
           && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q"), col("qnrm"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+      .join(broadcast(corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qnrm"))),
+        "query_id")
+      .join(corpus, "vec_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("score"), asc("vec_id"))
