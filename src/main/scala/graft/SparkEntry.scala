@@ -57,6 +57,7 @@ object SparkEntry {
     "k1_append_roundtrip"     -> ((s, d) => Ingest.appendRoundtrip(s, d)),
     "d4_partition_prune"      -> ((s, d) => Ingest.partitionPrunedDay(s, d)),
     "rk1_idempotent_overwrite"-> ((s, d) => Ingest.idempotentOverwrite(s, d)),
+    "k2_orc_roundtrip"        -> ((s, d) => Ingest.orcRoundtrip(s, d)),
     // ---- reactive / event-time (SURVEY §2.4 D6, §2.5) ----
     "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
     "st1_hourly_windows" -> ((s, d) => EventTimeWindows.hourlyByType(s, d)),
@@ -279,6 +280,9 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rk1_idempotent_overwrite" ->
       "SELECT count(*) AS n_rows FROM events",
+    "k2_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
     "r1_reactive_meta" ->
       """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
         |  count(*) AS n_events

@@ -55,6 +55,29 @@ object Ingest {
       .orderBy(col("event_type"))
   }
 
+  /** K1 through a columnar non-parquet format: ORC round-trip (format
+    * breadth — reader/writer symmetry proven through the oracle gate).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = freshDir("graft_orc_") + "/t"
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.FormatIO.write(src, "orc", path)
+    graft.sources.FormatIO.read(spark, "orc", path, src.schema)
+      .orderBy(col("event_id"))
+  }
+
+  /** Batch MERGE (upsert): new rows replace existing rows with the same
+    * key; unmatched existing rows survive. Composed as anti-join +
+    * union — one shuffle on the key. This is the keyed complement to
+    * TickerStore.overwritePartition's partition-level idempotency:
+    * partition overwrite when updates align with the layout, keyed
+    * merge when they don't.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    existing.join(updates, existing(key) === updates(key), "left_anti")
+      .unionByName(updates)
+
   /** D6/EP3 — the reactive meta pipeline end-to-end through the gate:
     * stream the events table (file-stream source = the "sensor"),
     * incrementally aggregate per-key min/max/count in streaming state,

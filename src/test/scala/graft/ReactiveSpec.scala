@@ -34,6 +34,21 @@ class ReactiveSpec extends SparkSpec {
     assert(m2 == Map("a" -> (-3.0, 5.0, 3L), "b" -> (2.0, 2.0, 1L), "c" -> (9.0, 9.0, 1L)))
   }
 
+  test("stream metrics listener reports per-batch row counts (K4)") {
+    val base = tmpDir("reactive_metrics_")
+    val upstream = s"$base/upstream"; val meta = s"$base/meta"; val ckpt = s"$base/ckpt"
+    writeBatch(upstream, Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+    val m = graft.streaming.StreamMetrics.attach(spark)
+    try {
+      new ReactiveMetaPipeline(upstream, meta, ckpt).runAvailableNow(spark)
+      // listener events are async; wait for delivery
+      spark.streams.awaitAnyTermination(1)
+      var tries = 0
+      while (m.totalRows < 3 && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(m.totalRows == 3, s"expected 3 input rows, got ${m.batches}")
+    } finally spark.streams.removeListener(m)
+  }
+
   test("re-running with no new data is a no-op (run_key idempotency)") {
     val base = tmpDir("reactive_idem_")
     val upstream = s"$base/upstream"; val meta = s"$base/meta"; val ckpt = s"$base/ckpt"
