@@ -208,20 +208,14 @@ object Dedup {
     * agree on ≥1 chunk, so an equi-join per chunk finds ALL such pairs
     * (exact, not probabilistic, for maxDist ≤ 7).
     */
-  /** SimHash signature from a MATERIALIZED word-hash array (same
-    * projection-barrier reasoning as [[minhashSignature]]: 64 bit-vote
-    * aggregates reference one bound attribute, not 64 copies of the
-    * tokenize+hash subtree).
+  /** SimHash signature from a MATERIALIZED word-hash array, via the
+    * native single-pass kernel ([[graft.functions.SimHashSigExpr]]) —
+    * one traversal accumulating all 64 bit counters instead of 64
+    * separate aggregate folds (same projection-barrier reasoning as
+    * [[minhashSignature]]).
     */
-  def simhashSignature(hashesCol: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val mask = lit(1L << i)
-      val votes = aggregate(hashesCol, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
-      when(votes > 0, mask).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhashSignature(hashesCol: Column): Column =
+    graft.functions.SimHashExpr.simhashSig(hashesCol)
 
   def simhashPairs(spark: SparkSession, dir: String,
                    maxDist: Int = 7): DataFrame = {
