@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream operations (north-star streaming completeness):
+  * watermarked stream-stream joins and streaming deduplication.
+  *
+  * Both are state-store operators whose memory is bounded ONLY by the
+  * watermark: the join buffers each side until the other side's
+  * watermark passes the time-bound; dedup keeps keys until their
+  * event time expires. Without the watermark both grow forever — the
+  * difference between a demo and something that survives week 3 of a
+  * production deployment.
+  */
+object StreamJoins {
+
+  /** Attribution join: purchases ⋈ clicks by user, click within 30
+    * minutes BEFORE the purchase. Time-bound condition + watermarks on
+    * both sides bound the buffered state.
+    */
+  def purchaseAttribution(spark: SparkSession,
+                          clicksDir: String, purchasesDir: String): DataFrame = {
+    val clicks = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, click_id LONG")
+      .parquet(clicksDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+    val purchases = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, purchase_id LONG, amount DOUBLE")
+      .parquet(purchasesDir)
+      .withWatermark("ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user")
+        && col("c_ts") <= col("ts")
+        && col("c_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("amount"), col("ts"), col("c_ts"))
+  }
+
+  /** Streaming exact dedup on a business key, state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): duplicates arriving
+    * within the watermark horizon are suppressed; key state is evicted
+    * once the watermark passes — O(active-horizon keys), not O(all
+    * keys ever).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.ApproxCountDistinctRewrite
+
+class ApproxRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](enabled: Boolean)(f: => T): T = {
+    spark.experimental.extraOptimizations =
+      Seq(ApproxCountDistinctRewrite)
+    spark.conf.set(ApproxCountDistinctRewrite.ConfKey, enabled.toString)
+    try f
+    finally {
+      spark.conf.unset(ApproxCountDistinctRewrite.ConfKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  private val df = (1 to 1000).map(i => ("k", i % 137)).toSeq
+
+  test("disabled (default): COUNT DISTINCT stays exact") {
+    withRule(enabled = false) {
+      val q = df.toDF("k", "x").groupBy("k").agg(countDistinct("x"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("approx_count_distinct"), plan)
+      assert(q.collect()(0).getLong(1) == 137L)
+    }
+  }
+
+  test("enabled: COUNT DISTINCT rewrites to HyperLogLog++ sketch") {
+    withRule(enabled = true) {
+      val q = df.toDF("k", "x").groupBy("k").agg(countDistinct("x").as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), plan)
+      val n = q.collect()(0).getLong(1)
+      // HLL++ at default rsd: within 5% of 137
+      assert(math.abs(n - 137L) <= 137 * 0.05, s"estimate too far: $n")
+    }
+  }
+
+  test("rewrite applies to ad-hoc SQL, not just engine call sites") {
+    withRule(enabled = true) {
+      df.toDF("k", "x").createOrReplaceTempView("approx_t")
+      val q = spark.sql("SELECT COUNT(DISTINCT x) FROM approx_t")
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+    }
+  }
+}
