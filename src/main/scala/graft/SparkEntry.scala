@@ -80,6 +80,11 @@ object SparkEntry {
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
     // ---- round-1 widening: as-of, pivot, cube, json, tokens, quantiles ----
+    "set2_intersect_nationkeys" -> ((s, d) => Relational.intersectNationKeys(s, d)),
+    "set3_except_nationkeys"    -> ((s, d) => Relational.exceptNationKeys(s, d)),
+    "sq2_correlated_max_order"  -> ((s, d) => Relational.correlatedMaxOrder(s, d)),
+    "w3_order_gaps"             -> ((s, d) => Relational.orderGaps(s, d)),
+    "f3_date_functions"         -> ((s, d) => Relational.dateFunctions(s, d)),
     "st3_sliding_windows"     -> ((s, d) => EventTimeWindows.slidingByType(s, d)),
     "x4_approx_quantiles"     -> ((s, d) => Relational.approxPriceQuantiles(s, d)),
     "aj1_asof_purchase_click" -> ((s, d) => Relational.asofPurchaseClick(s, d)),
@@ -369,6 +374,37 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "set2_intersect_nationkeys" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set3_except_nationkeys" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "sq2_correlated_max_order" ->
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "w3_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "f3_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_ref,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "st3_sliding_windows" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |w AS (SELECT event_type,

@@ -146,6 +146,65 @@ object Relational {
     c.union(s).distinct().orderBy(col("nationkey"))
   }
 
+  /** INTERSECT — nation keys present on BOTH sides (plans as a
+    * left-semi join after distinct).
+    */
+  def intersectNationKeys(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    c.intersect(s).orderBy(col("nationkey"))
+  }
+
+  /** EXCEPT — customer nations with no supplier (left-anti after
+    * distinct).
+    */
+  def exceptNationKeys(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    c.except(s).orderBy(col("nationkey"))
+  }
+
+  /** Correlated scalar subquery, through the SQL facade — Catalyst
+    * decorrelates it into an aggregate + outer join; per-row
+    * re-execution (the naive reading) never happens.
+    */
+  def correlatedMaxOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(spark, dir,
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  /** lead/lag/ntile — inter-row navigation within a window (gap
+    * analysis between consecutive orders per customer).
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Date/time scalar surface — truncation, extraction, arithmetic
+    * (kept to functions with exact DuckDB equivalents).
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_ref"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
   /** Grouping sets via ROLLUP — subtotals per (returnflag, linestatus),
     * per returnflag, and grand total, in ONE pass (Expand + single
     * aggregation), not three scans.
