@@ -46,6 +46,11 @@ object Ingest {
     val tableDir = freshDir("graft_d4_")
     Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
+      // cluster rows by their target partition before the partitioned
+      // write: one file per date instead of (tasks × dates) small files
+      // — at 100 TB the difference between a healthy table and a
+      // small-file catastrophe.
+      .repartition(col("event_date"))
       .write.partitionBy("event_date").parquet(tableDir + "/t")
     spark.read.parquet(tableDir + "/t")
       .filter(col("event_date") === lit(day))
