@@ -79,6 +79,9 @@ object SparkEntry {
     // ---- multimodal / approx (north star) ----
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
+    // ---- capstone composition + Q6-shaped pushdown ----
+    "c1_curation_pipeline" -> ((s, d) => graft.operators.Curation.curate(s, d)),
+    "q6_forecast_revenue"  -> ((s, d) => graft.operators.Curation.forecastRevenue(s, d)),
     // ---- round-1 widening: as-of, pivot, cube, json, tokens, quantiles ----
     "set2_intersect_nationkeys" -> ((s, d) => Relational.intersectNationKeys(s, d)),
     "set3_except_nationkeys"    -> ((s, d) => Relational.exceptNationKeys(s, d)),
@@ -138,7 +141,10 @@ object SparkEntry {
        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val langidOracle: String = {
+  /** langid CTE body with prefixed names (composable into larger
+    * queries without CTE-name collisions).
+    */
+  private def langidCtes(prefix: String): String = {
     val scoreCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
       s"len(list_filter(ws, x -> x IN (${sqlList(ms)}))) AS s_$lang"
     }.mkString(",\n  ")
@@ -146,14 +152,41 @@ object SparkEntry {
     val cases = TextAnalysis.LangMarkers.map { case (lang, _) =>
       s"WHEN s_$lang > 0 AND s_$lang = $best THEN '$lang'"
     }.mkString("\n    ")
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents),
-       |s AS (SELECT doc_id,
+    s"""${prefix}w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents),
+       |${prefix}s AS (SELECT doc_id,
        |  $scoreCols
-       |FROM w)
-       |SELECT doc_id,
+       |FROM ${prefix}w),
+       |${prefix}pred AS (SELECT doc_id,
        |  CASE $cases ELSE 'und' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM ${prefix}s)""".stripMargin
   }
+
+  private val langidOracle: String =
+    s"""WITH ${langidCtes("l")}
+       |SELECT doc_id, lang_pred FROM lpred ORDER BY doc_id""".stripMargin
+
+  /** Capstone curation oracle: quality >= 20 words, exact-dedup keeper,
+    * not the larger id of any near-dup pair (J >= 0.7), predicted 'en'.
+    */
+  private val curationOracle: String =
+    s"""$shingleCtes,
+       |losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |${langidCtes("l")},
+       |q AS (SELECT doc_id,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words FROM documents)
+       |SELECT q.doc_id, CAST(q.n_words AS BIGINT) AS n_words
+       |FROM q
+       |WHERE q.n_words >= 20
+       |  AND q.doc_id IN (SELECT doc_id FROM keepers)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND q.doc_id IN (SELECT doc_id FROM lpred WHERE lang_pred = 'en')
+       |ORDER BY q.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -374,6 +407,16 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c1_curation_pipeline" -> curationOracle,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "set2_intersect_nationkeys" ->
       """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
         |INTERSECT

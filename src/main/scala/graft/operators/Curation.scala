@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis.words
+
+/** The capstone composition: a training-data curation pass chaining
+  * the engine's text operators into one declarative flow —
+  *
+  *   quality gate → exact dedup (keep min doc_id) → near-dup removal
+  *   (drop the higher doc_id of each MinHash pair) → language filter
+  *
+  * Everything stays one lazy plan per stage; no driver-side loops. At
+  * 100 TB each stage is the operator analyzed in PERF.md — the
+  * composition adds two semi/anti joins on doc_id (long keys only).
+  */
+object Curation {
+
+  /** Survivors of the full curation pass, with their quality stats. */
+  def curate(spark: SparkSession, dir: String,
+             minWords: Int = 20, langs: Seq[String] = Seq("en"),
+             nearDupThreshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // 1. quality gate: long enough documents
+    val quality = docs
+      .withColumn("n_words", size(words(col("text"))))
+      .filter(col("n_words") >= minWords)
+
+    // 2. exact dedup: keep the smallest doc_id per identical body
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+    // 3. near-dup removal: for each near-dup pair, drop the larger id
+    val nearDupLosers = Dedup.minhashLshPairs(spark, dir, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    // 4. language filter (marker-scoring language ID)
+    val langOk = TextAnalysis.langIdMarkers(spark, dir)
+      .filter(col("lang_pred").isin(langs.map(x => x: Any): _*))
+      .select(col("doc_id"))
+
+    quality
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(langOk, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TPC-H-Q6-shaped forecast-revenue query: pure filter + global
+    * aggregate — the canonical "did every predicate reach the scan"
+    * pushdown check (all three filters land in PushedFilters, the
+    * aggregate is a 1-row partial+final).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 24)
+      .agg(Analytics.exactSum(col("l_extendedprice") * col("l_discount"), 30, 6)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+}
