@@ -33,38 +33,44 @@ trait QuoteSource {
   def fetch(spark: SparkSession, symbols: Seq[String]): Dataset[Quote]
 }
 
+/** Deterministic quote generator: a pure function of (symbol, seed) —
+  * splitmix64-mixed, stable across JVMs/runs. Shared by the Dataset
+  * provider and the DataSource V2 connector.
+  */
+object QuoteGen {
+  def quote(sym: String, seed: Long): Quote = {
+    var z = sym.hashCode.toLong + seed * 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val base = 50.0 + next() * 450.0
+    val open = base * (0.97 + next() * 0.06)
+    val px   = base * (0.97 + next() * 0.06)
+    val hi   = math.max(open, px) * (1.0 + next() * 0.02)
+    val lo   = math.min(open, px) * (1.0 - next() * 0.02)
+    Quote(
+      name = s"$sym Fund", quote_type = "ETF", symbol = sym,
+      nav_price = base, market_price = px, market_open = open,
+      day_high = hi, day_low = lo,
+      previous_close = base * (0.97 + next() * 0.06))
+  }
+}
+
 /** Deterministic offline provider (the container has no egress;
-  * SURVEY §7.4). Quote values are a pure function of (symbol, seed) so
-  * tests are reproducible. The `map` runs on executors: with 10k
-  * symbols this is 10k-row-parallel, the reference's loop is 1-parallel.
+  * SURVEY §7.4). The `map` runs on executors: with 10k symbols this is
+  * 10k-row-parallel, the reference's loop is 1-parallel.
   */
 class SyntheticQuoteSource(seed: Long = 42L) extends QuoteSource {
   override def fetch(spark: SparkSession, symbols: Seq[String]): Dataset[Quote] = {
     import spark.implicits._
     val s = seed
     spark.createDataset(symbols).repartition(math.max(1, symbols.length / 1000))
-      .map { sym =>
-        // splitmix64 over the symbol hash — stable across JVMs/runs.
-        var z = sym.hashCode.toLong + s * 0x9e3779b97f4a7c15L
-        def next(): Double = {
-          z += 0x9e3779b97f4a7c15L
-          var x = z
-          x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-          x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-          x = x ^ (x >>> 31)
-          (x >>> 11).toDouble / (1L << 53).toDouble
-        }
-        val base = 50.0 + next() * 450.0
-        val open = base * (0.97 + next() * 0.06)
-        val px   = base * (0.97 + next() * 0.06)
-        val hi   = math.max(open, px) * (1.0 + next() * 0.02)
-        val lo   = math.min(open, px) * (1.0 - next() * 0.02)
-        Quote(
-          name = s"$sym Fund", quote_type = "ETF", symbol = sym,
-          nav_price = base, market_price = px, market_open = open,
-          day_high = hi, day_low = lo,
-          previous_close = base * (0.97 + next() * 0.06))
-      }
+      .map(sym => QuoteGen.quote(sym, s))
   }
 }
 
