@@ -88,6 +88,9 @@ object SparkEntry {
     "sq2_correlated_max_order"  -> ((s, d) => Relational.correlatedMaxOrder(s, d)),
     "w3_order_gaps"             -> ((s, d) => Relational.orderGaps(s, d)),
     "f3_date_functions"         -> ((s, d) => Relational.dateFunctions(s, d)),
+    "f4_string_functions"       -> ((s, d) => Relational.stringFunctions(s, d)),
+    "x5_price_histogram"        -> ((s, d) => Relational.priceHistogram(s, d)),
+    "j7_range_join_tiers"       -> ((s, d) => Relational.eventValueTiers(s, d)),
     "st3_sliding_windows"     -> ((s, d) => EventTimeWindows.slidingByType(s, d)),
     "x4_approx_quantiles"     -> ((s, d) => Relational.approxPriceQuantiles(s, d)),
     "aj1_asof_purchase_click" -> ((s, d) => Relational.asofPurchaseClick(s, d)),
@@ -448,6 +451,34 @@ object SparkEntry {
         |  CAST(quarter(o_orderdate) AS INT) AS qtr,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f4_string_functions" ->
+      """SELECT p_partkey,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(p_brand, 12, '_') AS brand_padded,
+        |  regexp_replace(p_type, ' ', '-', 'g') AS type_dashed,
+        |  reverse(p_brand) AS brand_rev,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  lower(p_type) AS type_lc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x5_price_histogram" -> {
+      // width_bucket(x, 0, 600000, 10): DuckDB lacks it; mirror the
+      // definition: 1 + floor(x / 60000), clamped to [0, 11].
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |    WHEN o_totalprice >= 600000.0 THEN 11
+        |    ELSE 1 + CAST(floor(o_totalprice / 60000.0) AS INT) END AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "j7_range_join_tiers" -> {
+      val tiers = Relational.ValueTiers
+        .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+      s"""WITH tiers(tier, lo, hi) AS (VALUES $tiers)
+         |SELECT tier, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         |FROM events JOIN tiers ON value >= lo AND value < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin
+    },
     "st3_sliding_windows" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |w AS (SELECT event_type,

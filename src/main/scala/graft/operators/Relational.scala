@@ -189,6 +189,53 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** String scalar surface — concat/pad/replace/slice built-ins with
+    * exact DuckDB equivalents.
+    */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_brand"), 12, "_").as("brand_padded"),
+        regexp_replace(col("p_type"), " ", "-").as("type_dashed"),
+        reverse(col("p_brand")).as("brand_rev"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("int").as("name_len"),
+        lower(col("p_type")).as("type_lc"))
+      .orderBy(col("p_partkey"))
+
+  /** Histogram via width_bucket — the one-pass distributed histogram
+    * (each row maps to a bucket, then a groups-sized aggregation).
+    */
+  def priceHistogram(spark: SparkSession, dir: String,
+                     buckets: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(buckets))
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Theta (range) join: classify events into value tiers by interval
+    * containment — a non-equi join Spark plans as a broadcast
+    * nested-loop against the tiny tier table (the only sane physical
+    * strategy for interval predicates without an interval index).
+    */
+  val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9))
+  def eventValueTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        Analytics.exactSum(col("value"), 30, 2).as("sum_value"))
+      .orderBy(col("tier"))
+  }
+
   /** Date/time scalar surface — truncation, extraction, arithmetic
     * (kept to functions with exact DuckDB equivalents).
     */
