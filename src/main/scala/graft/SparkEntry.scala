@@ -89,6 +89,10 @@ object SparkEntry {
     "w3_order_gaps"             -> ((s, d) => Relational.orderGaps(s, d)),
     "f3_date_functions"         -> ((s, d) => Relational.dateFunctions(s, d)),
     "f4_string_functions"       -> ((s, d) => Relational.stringFunctions(s, d)),
+    "a8_compound_filter"        -> ((s, d) => Relational.compoundFilter(s, d)),
+    "g3_grouping_sets"          -> ((s, d) => Relational.groupingSets(s, d)),
+    "w4_range_frame_sum"        -> ((s, d) => Relational.rangeFrameSum(s, d)),
+    "t6_regex_extract"          -> ((s, d) => TextAnalysis.regexExtract(s, d)),
     "x5_price_histogram"        -> ((s, d) => Relational.priceHistogram(s, d)),
     "j7_range_join_tiers"       -> ((s, d) => Relational.eventValueTiers(s, d)),
     "st3_sliding_windows"     -> ((s, d) => EventTimeWindows.slidingByType(s, d)),
@@ -479,6 +483,28 @@ object SparkEntry {
          |FROM events JOIN tiers ON value >= lo AND value < hi
          |GROUP BY tier ORDER BY tier""".stripMargin
     },
+    "a8_compound_filter" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE (event_type IN ('click', 'view') OR value > 150.0)
+        |  AND props NOT LIKE '%"k": 4%'
+        |ORDER BY event_id""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "w4_range_frame_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS nearby_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "t6_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, 'the ([a-z]+)', 1) AS after_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "st3_sliding_windows" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |w AS (SELECT event_type,

@@ -236,6 +236,45 @@ object Relational {
       .orderBy(col("tier"))
   }
 
+  /** Compound predicate surface: IN-list, OR, range, LIKE — all still
+    * pushdown-eligible (In, Or, StringContains reach the scan).
+    */
+  def compoundFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter((col("event_type").isin("click", "view") || col("value") > 150.0)
+        && !col("props").like("%\"k\": 4%"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Explicit GROUPING SETS with grouping_id — partial-rollup shapes
+    * rollup/cube can't express (per-flag and per-status subtotals plus
+    * grand total, but NOT the full cross product). Via the SQL facade.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.sql(spark, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+
+  /** RANGE window frame (value-based, not row-based): for each order,
+    * the exact-decimal sum of same-customer orders priced within
+    * 10 000 below it — deterministic under ties BECAUSE the frame is
+    * value-defined, where a ROWS frame would be tie-order-sensitive.
+    */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("nearby_sum",
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("nearby_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Date/time scalar surface — truncation, extraction, arithmetic
     * (kept to functions with exact DuckDB equivalents).
     */

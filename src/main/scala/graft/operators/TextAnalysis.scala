@@ -139,6 +139,15 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "ein", "ich", "sch"),
     "fr" -> Seq("les", "ent", "que", "ion", "ais"))
 
+  /** Regex group extraction (query t6): the word following 'the' —
+    * no-match yields empty string in both engines.
+    */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "the ([a-z]+)", 1).as("after_the"))
+      .orderBy(col("doc_id"))
+
   /** Corpus token frequencies (query t5): explode words, count, top-k.
     * The explode shuffles (word, partial-count) pairs after map-side
     * combine — vocabulary-sized shuffle, not corpus-sized.
