@@ -514,9 +514,11 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "aj1_asof_purchase_click" ->
-      """SELECT p.event_id, p.user_id, c.event_id AS click_id
+      """SELECT p.event_id, p.user_id, c.cid AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS cid FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "p1_pivot_user_type" -> {

@@ -160,14 +160,16 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
-    // Stage 1: shingle sets (cached — reused by signature AND confirm).
-    // Stage 2: hash array. Stage 3: 96-way signature over the bound
-    // array attribute. The caches double as projection barriers so
-    // CollapseProject cannot re-inline the shingling into the 96
-    // permutation expressions.
+    // Stage 1: shingle sets. Stage 2: hash array. Stage 3: 96-way
+    // signature over the bound array attribute. The docs cache doubles
+    // as the projection barrier so CollapseProject cannot re-inline the
+    // shingling into the 96 permutation expressions; `shingled` itself
+    // has a single downstream consumer, so caching it would be pure
+    // storage overhead (each staged alias below is referenced once —
+    // CollapseProject keeps multiply-referenced non-cheap aliases
+    // staged, so the un-cached select chain stays a two-pass pipeline).
     val shingled = docWords(spark, dir)
       .select(col("doc_id"), shinglesFromWords(col("ws")).as("sh"))
-      .cache()
     val docs = shingled
       .select(col("doc_id"), col("sh"), shingleHashes(col("sh")).as("shh"))
       .select(col("doc_id"), col("sh"), minhashSignature(col("shh")).as("sig"))
@@ -219,9 +221,11 @@ object Dedup {
 
   def simhashPairs(spark: SparkSession, dir: String,
                    maxDist: Int = 7): DataFrame = {
+    // Single cache at the signature level (reused by both sides of the
+    // chunk self-join); the word-hash array is referenced exactly once
+    // by the signature kernel, so it needs no barrier of its own.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), transform(words(col("text")), w => xxhash64(w)).as("wh"))
-      .cache()
       .select(col("doc_id"), simhashSignature(col("wh")).as("sig"))
       .cache()
     val chunked = docs.select(

@@ -372,9 +372,16 @@ object Relational {
     */
   def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // Pre-aggregate clicks to ONE row per (user_id, ts): DuckDB's ASOF
+    // JOIN picks an unspecified row when several clicks share the
+    // latest ts <= purchase ts, so exact-ts ties would be a latent
+    // oracle mismatch. max(event_id) makes the tiebreak explicit and
+    // identical on both engines (the oracle mirrors the group-by).
     val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("cid"))
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
-        col("event_id").as("click_id"), lit(null).cast("long").as("event_id"))
+        col("cid").as("click_id"), lit(null).cast("long").as("event_id"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("kind"),
         lit(null).cast("long").as("click_id"), col("event_id"))

@@ -102,16 +102,24 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroid(corpus, centroids)
-      centroids = assigned
+      // Keyed by list_id (NOT positional): a cell with zero assigned
+      // vectors vanishes from the groupBy output; positional zipping
+      // would silently re-map every later centroid to the wrong
+      // list_id. Empty cells carry their previous centroid forward.
+      val updated = assigned
         .select(col("list_id"), posexplode(col("v")))
         .toDF("list_id", "dim", "x")
         .groupBy(col("list_id"), col("dim"))
         .agg(avg(col("x")).as("c"))
         .groupBy(col("list_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("cs"))
-        .orderBy(col("list_id"))
         .collect()
-        .map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        updated.getOrElse(i, prev)
+      }
     }
     centroids
   }

@@ -29,8 +29,13 @@ object ApproxCountDistinctRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg: Aggregate =>
         agg.transformExpressions {
+          // Single-child COUNT(DISTINCT x) only: a multi-column
+          // COUNT(DISTINCT a, b) counts distinct TUPLES (excluding rows
+          // where ANY child is null) — sketching children.head alone
+          // would estimate a semantically different quantity, so the
+          // rewrite deliberately leaves multi-child counts exact.
           case ae @ AggregateExpression(Count(children), _, true, _, _)
-              if children.nonEmpty =>
+              if children.size == 1 =>
             ae.copy(
               aggregateFunction = HyperLogLogPlusPlus(children.head),
               isDistinct = false)

@@ -32,10 +32,20 @@ class QuoteDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     QuoteDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new QuoteTable(
-      properties.getOrDefault("symbols", "").split(",").map(_.trim).filter(_.nonEmpty),
-      properties.getOrDefault("seed", "42").toLong)
+                        properties: util.Map[String, String]): Table = {
+    // Reader options arrive as a plain (case-sensitive) map here; an
+    // option spelled "Symbols" would silently plan an empty scan.
+    // Normalize through CaseInsensitiveStringMap and fail fast when no
+    // symbols are given — an empty universe is a config error, not an
+    // empty result.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val symbols = Option(opts.get("symbols")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(symbols.nonEmpty,
+      "QuoteDataSource requires a non-empty 'symbols' option, e.g. " +
+        ".option(\"symbols\", \"XT,SCHX\")")
+    new QuoteTable(symbols, opts.getLong("seed", 42L))
+  }
 }
 
 object QuoteDataSource {
