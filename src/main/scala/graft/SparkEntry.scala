@@ -138,6 +138,31 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.jaccardPairsFrom]]: candidates
+    * from df-capped postings (df in [2, cap]), exact Jaccard confirm
+    * over the full shingle sets.
+    */
+  private def cappedJaccardOracle(threshold: Double, dfCap: Int): String =
+    s"""$shingleCtes,
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING count(*) BETWEEN 2 AND $dfCap),
+       |capped AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |confirm AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+       |FROM confirm
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def jaccardOracle(threshold: Double): String =
     s"""$shingleCtes
        |SELECT doc_a, doc_b,
@@ -390,7 +415,7 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
     "dd2_minhash_lsh" -> jaccardOracle(0.7),
-    "dd4_ngram_jaccard" -> jaccardOracle(0.5),
+    "dd4_ngram_jaccard" -> cappedJaccardOracle(0.5, 1000),
     "dd5_embedding_dup" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

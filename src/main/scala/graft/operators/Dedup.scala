@@ -81,26 +81,53 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id"))
 
-  /** 2. Exact n-gram Jaccard via inverted index: explode distinct
-    * shingles, self-join on shingle (posting-list intersection), then
-    * |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Jaccard is a ratio of two
-    * integers — bit-identical across engines, hence oracle-checkable.
+  /** 2. Exact n-gram Jaccard with document-frequency-capped candidate
+    * generation: explode distinct shingles, DROP shingles whose df is
+    * outside [2, dfCap] before the posting-list self-join, then confirm
+    * candidates with the exact Jaccard over the FULL shingle sets.
+    *
+    * Why the cap: the posting self-join is O(Σ df²) — one hot shingle
+    * ("of the and" at web scale) turns a linear pass into a
+    * billion-row² bucket. Shingles with df > cap are the classic
+    * "stop shingles": they connect essentially random documents, so
+    * they generate candidates without ever being decisive for a
+    * J ≥ 0.5 pair (near-dup pairs share many RARE shingles; a pair
+    * found only through a hot shingle has J ≈ 0). df < 2 shingles
+    * cannot form a pair at all — dropping them is a pure win. The
+    * confirm step uses the full sets, so every emitted jaccard value
+    * is exact; the cap only bounds WHICH pairs are examined.
+    *
+    * Jaccard is a ratio of two integers — bit-identical across
+    * engines, hence oracle-checkable (the oracle CTE mirrors the cap).
     */
   def jaccardPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
+                   threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+    jaccardPairsFrom(docWords(spark, dir), threshold, dfCap)
+
+  /** [[jaccardPairs]] over an explicit (doc_id, ws: array<string>)
+    * frame — the seam the hot-shingle spec drives synthetically.
+    */
+  def jaccardPairsFrom(docWords: DataFrame,
+                       threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val docs = docWords
+      .select(col("doc_id"), shinglesFromWords(col("ws")).as("sh"))
+      .cache()
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val keep = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("shingle"))
+    val capped = sh.join(keep, "shingle")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        round(col("common").cast("double")
-          / (col("sz_a") + col("sz_b") - col("common")), 6))
+        round(col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -244,16 +271,77 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 5. Embedding cosine near-dup: pairs with cosine ≥ threshold.
-    * Corpus-sized broadcast cross-join here; the bucketed form that
-    * scales is [[Similarity.lshNeighbors]]. Double math mirrors the
-    * oracle exactly: left-fold dot and norms, score = dot/(√na·√nb).
+  /** 5. Embedding cosine near-dup: EXACT pairs with cosine ≥ threshold,
+    * distributed as a block-pair equi-join.
+    *
+    * Why not LSH-bucket-then-confirm here: exactness demands recall 1,
+    * and this corpus (measured at sf0.01/sf0.1) carries a dense mass
+    * of pairs in cos [0.25, 0.6) with qualifying pairs starting right
+    * at the 0.4 threshold — random-hyperplane collision probability at
+    * cos 0.4 is (1 - 66.4°/180°)^bits per table, so NO (bits, tables)
+    * parameterization reaches recall ≈ 1 without degenerating into the
+    * all-pairs join it was meant to avoid. Exact low-threshold
+    * all-pairs is irreducibly Ω(N²) score evaluations; what CAN scale
+    * is the data movement and memory profile, which is what this
+    * operator fixes (the approximate sub-quadratic path for corpora
+    * where recall < 1 is acceptable is [[Similarity.lshNeighbors]]).
+    *
+    * Block scheme: vector → block `pmod(hash(vec_id), B)`; the
+    * B(B+1)/2 unordered block pairs form the join key, so each side
+    * shuffles ~N·(B+1)/2 rows, every task holds two bounded blocks
+    * (no corpus broadcast, no executor-memory cliff, no driver
+    * involvement), and the quadratic compute spreads evenly over
+    * independently schedulable block-pair tasks. B is the knob: at
+    * 100 TB pick B so a block fits executor memory; replication grows
+    * as B/2 while per-task memory shrinks as 1/B.
+    *
+    * Double math mirrors the oracle exactly: left-fold dot and norms,
+    * score = dot/(√na·√nb); hoisted norms and the commutativity of
+    * per-term products keep the arithmetic bit-identical regardless of
+    * which side of the join a vector lands on.
     */
   def embeddingDupPairs(spark: SparkSession, dir: String,
-                        threshold: Double = 0.4): DataFrame = {
+                        threshold: Double = 0.4, blocks: Int = 8): DataFrame = {
+    import spark.implicits._
     // Norms are per-vector, so compute them ONCE before the pair join
     // (N sqrt's instead of N²) — the pair score is then a single native
     // dot product plus one multiply-divide.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+      .cache()
+    // The block-pair table is B(B+1)/2 rows — broadcasting THIS is the
+    // small-dim broadcast that is always right; the corpus never is.
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("ba", "bb"))
+    val left = e.join(blockPairs, col("blk") === col("ba"))
+      .select(col("ba"), col("bb"), col("vec_id").as("id_l"),
+        col("v").as("v_l"), col("nrm").as("nrm_l"))
+    val right = e.join(blockPairs, col("blk") === col("bb"))
+      .select(col("ba").as("ba_r"), col("bb").as("bb_r"),
+        col("vec_id").as("id_r"), col("v").as("v_r"), col("nrm").as("nrm_r"))
+    left.join(right,
+        col("ba") === col("ba_r") && col("bb") === col("bb_r")
+          // distinct blocks meet in exactly one task and one orientation;
+          // the diagonal task (ba = bb) sees both orientations → halve it.
+          && (col("ba") =!= col("bb") || col("id_l") < col("id_r")))
+      .withColumn("cos", round(
+        VectorOps.dot(col("v_l"), col("v_r")) / (col("nrm_l") * col("nrm_r")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Reference implementation of [[embeddingDupPairs]]: the broadcast
+    * nested-loop form. Correct and simple at test scale; broadcast of
+    * the whole corpus makes it a non-starter at 100 TB — kept ONLY as
+    * the equivalence oracle for the blocked form (DedupSpec).
+    */
+  def embeddingDupPairsBrute(spark: SparkSession, dir: String,
+                             threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))

@@ -56,4 +56,50 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("blocked embedding near-dup equals the broadcast brute force, without a cross join") {
+    val blocked = Dedup.embeddingDupPairs(spark, sf, 0.3)
+    val brute = Dedup.embeddingDupPairsBrute(spark, sf, 0.3)
+    val asSet = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(blocked.collect()) == asSet(brute.collect()))
+    assert(asSet(brute.collect()).nonEmpty, "threshold 0.3 must produce pairs")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"blocked form must not plan a corpus-wide nested loop:\n$plan")
+  }
+
+  test("df cap bounds posting lists but keeps rare-shingle near-dups") {
+    // 40 docs all sharing one hot 5-word prefix (every prefix shingle has
+    // df=40); docs 0/1 additionally share a rare 12-word body (J high).
+    val hot = "zz yy xx ww vv"
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "p q r s t u v w x y z aa"
+      else s"b$i c$i d$i e$i f$i g$i h$i i$i j$i k$i l$i m$i"
+      (i.toLong, s"$hot $body")
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.TextAnalysis.words(col("text")).as("ws"))
+    // Sanity: the hot shingles really exceed the cap.
+    val maxDf = docs
+      .select(explode(Dedup.shinglesFromWords(col("ws"))).as("s"))
+      .groupBy("s").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf == 40)
+    val capped = Dedup.jaccardPairsFrom(docs, 0.5, dfCap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The planted pair survives: its rare body shingles (df=2) carry it.
+    assert(capped == Set((0L, 1L)),
+      s"planted rare-shingle pair must survive the cap, got $capped")
+    // And the capped candidate set is ACTUALLY smaller: uncapped sees
+    // every doc pair via the hot shingle (40*39/2), capped only df<=10.
+    val uncapped = Dedup.jaccardPairsFrom(docs, 0.0, dfCap = Int.MaxValue).count()
+    val cappedAll = Dedup.jaccardPairsFrom(docs, 0.0, dfCap = 10).count()
+    assert(uncapped == 40L * 39 / 2 && cappedAll == 1L,
+      s"cap must prune hot-shingle candidates ($uncapped -> $cappedAll)")
+  }
+
+  test("capped jaccard equals uncapped on the test corpus (cap far above max df)") {
+    val capped = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = 1000).collect().toSeq
+    val uncapped = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = Int.MaxValue).collect().toSeq
+    assert(capped == uncapped)
+  }
 }
