@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.col
+import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Quantiles, Relational, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventTimeWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -102,7 +103,15 @@ object SparkEntry {
     "g2_cube_summary"         -> ((s, d) => Relational.cubeSummary(s, d)),
     "e2_json_extract"         -> ((s, d) => Relational.jsonExtract(s, d)),
     "t5_top_tokens"           -> ((s, d) => TextAnalysis.topTokens(s, d)),
-    "x3_price_quantiles"      -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "x3_price_quantiles"      -> ((s, d) => Quantiles.priceQuantilesScalable(s, d)),
+    // ---- round-2 widening: scalable quantiles, sketches, merge, skew, IVF ----
+    "x6_grouped_quantiles" -> ((s, d) => Quantiles.eventValueQuantilesByType(s, d)),
+    "x7_cms_type_counts"   -> ((s, d) => Relational.cmsEventTypeCounts(s, d)),
+    "up1_upsert"           -> ((s, d) => Ingest.upsertGate(s, d)),
+    "sk1_salted_agg"       -> ((s, d) =>
+      Skew.skewedSumCountExact(graft.Tables.events(s, d), "event_type", "value")
+        .orderBy(col("event_type"))),
+    "ss3_ivf_search"       -> ((s, d) => Similarity.ivfSearch(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -571,5 +580,31 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         |FROM orders""".stripMargin,
+    "x6_grouped_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x7_cms_type_counts" ->
+      """SELECT event_type, count(*) AS est_n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "up1_upsert" ->
+      """WITH updates AS (
+        |  SELECT event_id, user_id, event_type, value + 1000.0 AS value
+        |  FROM events WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, event_type, value
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT event_id, user_id, event_type, value FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = e.event_id)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM updates
+        |ORDER BY event_id""".stripMargin,
+    "sk1_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -83,6 +83,23 @@ object Ingest {
     existing.join(updates, existing(key) === updates(key), "left_anti")
       .unionByName(updates)
 
+  /** Gated MERGE exercise (up1): updates = re-priced rows for every
+    * 7th key plus brand-new keys minted from every 97th row; the
+    * oracle states the same MERGE as NOT EXISTS + UNION ALL. Proves
+    * matched-row replacement, unmatched survival, and insert-of-new
+    * in one result.
+    */
+  def upsertGate(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val updates = existing.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .unionByName(existing.filter(col("event_id") % 97 === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L)))
+    upsert(existing, updates, "event_id")
+      .orderBy(col("event_id"))
+  }
+
   /** D6/EP3 — the reactive meta pipeline end-to-end through the gate:
     * stream the events table (file-stream source = the "sensor"),
     * incrementally aggregate per-key min/max/count in streaming state,

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Exact interpolated quantiles WITHOUT the single-reducer value
+  * buffer.
+  *
+  * Spark's built-in `percentile` is a TypedImperativeAggregate that
+  * buffers every value of the group in the final reducer — a single
+  * global group at 100 TB OOMs one executor (round-1 verdict, "What's
+  * wrong" #3). This implementation computes the SAME exact
+  * interpolated order statistics by iterative histogram refinement:
+  *
+  *  1. one aggregate for (count, min, max) per group;
+  *  2. per round, ONE full scan counts rows into 256 equal-width
+  *     buckets of each still-active interval (all groups and all
+  *     quantile positions share the scan), plus per-bucket min/max so
+  *     duplicate-heavy buckets resolve immediately;
+  *  3. when an interval's row count drops below a threshold, a final
+  *     scan collects just those rows and picks the order statistic.
+  *
+  * Each round shrinks the candidate interval ~256×, so two rounds
+  * bound ~10^12 rows per group at a 100k collect threshold; the driver
+  * only ever sees bucket counters (KB-scale, like the IVF centroid
+  * matrix). No shuffle of the data at all — the scans aggregate
+  * map-side into at most (targets × 256) cells.
+  *
+  * Bucket membership across rounds is expressed by REUSING the exact
+  * floor((x - lo)/w) expression of the parent round as an equality
+  * predicate (never by re-deriving value bounds), so float rounding at
+  * bucket edges cannot re-classify a row between the counting pass and
+  * the refinement pass.
+  *
+  * Interpolation matches `percentile`/DuckDB `quantile_cont`:
+  * k = q·(n-1), v = v_floor(k) + (v_ceil(k) - v_floor(k))·(k - ⌊k⌋).
+  */
+object Quantiles {
+
+  /** Mirrors Spark SQL `round(x, 6)` on DoubleType exactly:
+    * BigDecimal.valueOf (decimal string repr), HALF_UP.
+    */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private final val Buckets = 256
+  private final val CollectThreshold = 100000L
+  private final val MaxRounds = 64
+
+  /** One order statistic still being narrowed: `pred` confines rows to
+    * the current interval (a chain of bucket-expression equalities),
+    * `lo`/`w` define this round's bucket function, `offset` is the
+    * global rank of the interval's first row.
+    */
+  private case class Target(
+      key: Seq[Any],          // group key values ([] for ungrouped)
+      basePred: Column,       // group membership
+      pos: Long,              // 0-based global rank wanted within group
+      pred: Column,           // interval membership (bucket-expr chain)
+      lo: Double, w: Double,  // current bucket function parameters
+      offset: Long,           // rank of interval start
+      n: Long)                // rows in current interval
+
+  private def bucketExpr(x: Column, lo: Double, w: Double): Column =
+    least(greatest(floor((x - lit(lo)) / lit(w)), lit(0)), lit(Buckets - 1))
+      .cast("int")
+
+  /** Resolve a set of order statistics: (groupKey, pos) → value.
+    * `df` must expose `x` (double) plus the groupBy columns.
+    */
+  private def orderStats(df: DataFrame, groupCols: Seq[String],
+                         wanted: Seq[(Seq[Any], Long, Column, Double, Double, Long)])
+      : Map[(Seq[Any], Long), Double] = {
+    val x = col("x")
+    var active: Seq[Target] = wanted.map { case (key, pos, basePred, mn, mx, n) =>
+      val w = (mx - mn) / Buckets
+      Target(key, basePred, pos, basePred, mn, w, 0L, n)
+    }
+    val resolved = scala.collection.mutable.Map[(Seq[Any], Long), Double]()
+
+    // Degenerate intervals (all one value, or width underflow) resolve
+    // without a scan; tiny intervals go to the collect list.
+    def triage(ts: Seq[Target]): (Seq[Target], Seq[Target]) = {
+      val (done, rest) = ts.partition(t => t.w == 0.0 || !(t.w > 0.0))
+      done.foreach(t => resolved((t.key, t.pos)) = t.lo)
+      rest.partition(t => t.n <= CollectThreshold)
+    }
+
+    var (toCollect, narrowing) = triage(active)
+    var round = 0
+    while (narrowing.nonEmpty && round < MaxRounds) {
+      round += 1
+      // One scan: every row contributes (targetIdx, bucket) for each
+      // active interval containing it (intervals of distinct targets
+      // are disjoint within a group; across groups preds are disjoint
+      // too, so amplification is ≤ distinct positions per group).
+      val tagged = df.select(explode(array(narrowing.zipWithIndex.map {
+        case (t, i) =>
+          when(t.pred, struct(lit(i).as("i"), bucketExpr(x, t.lo, t.w).as("b"),
+            x.as("v"))).otherwise(lit(null))
+      }: _*)).as("s"))
+        .filter(col("s").isNotNull)
+        .groupBy(col("s.i"), col("s.b"))
+        .agg(count(lit(1)).as("cnt"), min(col("s.v")).as("bmin"),
+          max(col("s.v")).as("bmax"))
+        .collect()
+        .groupBy(_.getInt(0))
+      narrowing = narrowing.zipWithIndex.map { case (t, i) =>
+        val cells = tagged.getOrElse(i, Array.empty[Row])
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+          .sortBy(_._1)
+        // Walk buckets to the one containing local rank (pos - offset).
+        var local = t.pos - t.offset
+        var chosen: Option[(Int, Long, Double, Double)] = None
+        var skipped = 0L
+        for (c <- cells if chosen.isEmpty) {
+          if (local < c._2) chosen = Some(c) else { local -= c._2; skipped += c._2 }
+        }
+        val (b, cnt, bmin, bmax) = chosen.getOrElse(cells.last)
+        if (bmin == bmax) t.copy(pred = lit(false), lo = bmin, w = 0.0, n = cnt,
+          offset = t.offset + skipped)
+        else t.copy(
+          pred = t.pred && bucketExpr(x, t.lo, t.w) === lit(b),
+          lo = bmin, w = (bmax - bmin) / Buckets,
+          offset = t.offset + skipped, n = cnt)
+      }
+      val (collectNow, keepNarrowing) = triage(narrowing)
+      toCollect = toCollect ++ collectNow
+      narrowing = keepNarrowing
+    }
+    toCollect = toCollect ++ narrowing // MaxRounds safety valve
+
+    if (toCollect.nonEmpty) {
+      // Final scan: gather the few remaining small intervals at once.
+      val rows = df.select(explode(array(toCollect.zipWithIndex.map {
+        case (t, i) => when(t.pred, struct(lit(i).as("i"), x.as("v")))
+          .otherwise(lit(null))
+      }: _*)).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("s.i"), col("s.v"))
+        .collect()
+        .groupBy(_.getInt(0))
+      toCollect.zipWithIndex.foreach { case (t, i) =>
+        val vs = rows.getOrElse(i, Array.empty[Row]).map(_.getDouble(1)).sorted
+        resolved((t.key, t.pos)) = vs((t.pos - t.offset).toInt)
+      }
+    }
+    resolved.toMap
+  }
+
+  /** Exact grouped quantiles over `df.valueCol`, one output row per
+    * group: (groupCols..., q1 name -> value, ...). Ungrouped when
+    * `groupCols` is empty (single output row).
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[(String, Double)],
+                     groupCols: Seq[String] = Nil): Seq[(Seq[Any], Seq[Double])] = {
+    val base = df.select(groupCols.map(col) :+ col(valueCol).cast("double").as("x"): _*)
+      .filter(col("x").isNotNull)
+    val heads = (if (groupCols.isEmpty) base.groupBy() else base.groupBy(groupCols.map(col): _*))
+      .agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    val groups = heads.map { r =>
+      val key = groupCols.indices.map(r.get)
+      (key, r.getAs[Long]("n"), r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+    }.filter(_._2 > 0)
+
+    val wanted = groups.flatMap { case (key, n, mn, mx) =>
+      val basePred = groupCols.indices
+        .map(i => col(groupCols(i)) === lit(key(i)))
+        .foldLeft(lit(true))(_ && _)
+      qs.flatMap { case (_, q) =>
+        val k = q * (n - 1)
+        Seq(math.floor(k).toLong, math.ceil(k).toLong).distinct
+          .map(p => (key.toSeq, p, basePred, mn, mx, n))
+      }.distinct
+    }
+    val stats = orderStats(base, groupCols, wanted.toSeq)
+
+    groups.map { case (key, n, _, _) =>
+      val vals = qs.map { case (_, q) =>
+        val k = q * (n - 1)
+        val lo = stats((key.toSeq, math.floor(k).toLong))
+        val hi = stats((key.toSeq, math.ceil(k).toLong))
+        // The exact two-sided form Spark's percentile (and DuckDB's
+        // quantile_cont under round 6) computes — lo + (hi-lo)·f
+        // differs in the last ulp.
+        if (math.floor(k) == math.ceil(k)) lo
+        else (math.ceil(k) - k) * lo + (k - math.floor(k)) * hi
+      }
+      (key.toSeq, vals)
+    }.toSeq
+  }
+
+  /** Gated x3: global p50/p90/p99 of o_totalprice — same semantics as
+    * `percentile`/`quantile_cont`, scan-bounded instead of
+    * buffer-everything.
+    */
+  def priceQuantilesScalable(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val Seq((_, vals)) =
+      exactQuantiles(Tables.orders(spark, dir), "o_totalprice", qs)
+    val schema = StructType(qs.map { case (nm, _) => StructField(nm, DoubleType) })
+    spark.createDataFrame(
+      java.util.List.of(Row(vals.map(round6): _*)), schema)
+  }
+
+  /** Gated x6: per-event-type exact p50/p90/p99 of value. */
+  def eventValueQuantilesByType(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val res = exactQuantiles(Tables.events(spark, dir), "value", qs,
+      groupCols = Seq("event_type"))
+    val schema = StructType(StructField("event_type", StringType) +:
+      qs.map { case (nm, _) => StructField(nm, DoubleType) })
+    val rows: Seq[Row] = res
+      .map { case (key, vals) => Row(key.head +: vals.map(round6): _*) }
+      .sortBy(_.getString(0))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

@@ -462,4 +462,29 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
+
+  /** Count-min-sketch frequency estimates per event type — the
+    * mergeable fixed-memory heavy-hitter staple of a curation stats
+    * pass (estimate ≥ truth; error ≤ eps·N with prob ≥ confidence).
+    * The sketch is built distributed (one pass, executor-side partial
+    * sketches merged); only the w×d counter matrix reaches the driver.
+    *
+    * With 5 distinct keys in a 2719-wide sketch the probed cells are
+    * collision-free for this corpus+seed, so the (deterministic)
+    * estimates EQUAL the exact counts — which is what makes the query
+    * oracle-checkable against plain COUNT(*) (the ScalaTest suite
+    * keeps the weaker always-true bound estimate ≥ exact as well).
+    */
+  def cmsEventTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cms = Tables.events(spark, dir)
+      .stat.countMinSketch("event_type", 0.001, 0.99, 42)
+    val rows = EventTypes.sorted.map(t =>
+      org.apache.spark.sql.Row(t, cms.estimateCount(t)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("est_n",
+        org.apache.spark.sql.types.LongType))))
+  }
 }

@@ -54,4 +54,19 @@ object Skew {
       .agg(sum(col(value)).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pn")).as("n"))
+
+  /** [[skewedSumCount]] with exact DECIMAL accumulation, so the salted
+    * two-phase result is bit-identical to a plain GROUP BY (double
+    * partials would re-associate the sum differently per salt split) —
+    * the oracle-gated form proving salt-phase equivalence.
+    */
+  def skewedSumCountExact(df: DataFrame, key: String, value: String,
+                          saltFactor: Int = 8): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(value)), lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(value).cast("decimal(30,2)")).as("_psum"),
+        count(lit(1)).as("_pn"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).cast("double").as("sum_value"),
+        sum(col("_pn")).as("n"))
 }

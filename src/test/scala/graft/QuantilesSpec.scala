@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram-refinement quantiles equal the buffering percentile aggregate") {
+    val expected = Tables.orders(spark, sf)
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect()(0)
+    val got = Quantiles.exactQuantiles(
+      Tables.orders(spark, sf), "o_totalprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)).head._2
+    (0 until 3).foreach { i =>
+      assert(got(i) == expected.getDouble(i),
+        s"quantile $i: ${got(i)} != ${expected.getDouble(i)}")
+    }
+  }
+
+  test("grouped quantiles equal per-group percentile") {
+    val expected = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Quantiles.exactQuantiles(
+      Tables.events(spark, sf), "value", Seq("p90" -> 0.9),
+      groupCols = Seq("event_type"))
+      .map { case (key, vals) => key.head.asInstanceOf[String] -> vals.head }
+      .toMap
+    assert(got == expected)
+  }
+
+  test("quantiles survive duplicate-heavy and tiny inputs") {
+    // 90% of mass on one value (a degenerate histogram bucket), plus a
+    // single-row group and an exact-integer-position quantile.
+    val df = ((1 to 900).map(_ => ("a", 5.0)) ++
+      (1 to 100).map(i => ("a", i.toDouble)) ++ Seq(("b", 42.0)))
+      .toDF("g", "v")
+    val expected = df.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = Quantiles.exactQuantiles(df, "v",
+      Seq("p50" -> 0.5, "p99" -> 0.99), groupCols = Seq("g"))
+      .map { case (key, vals) => key.head.asInstanceOf[String] -> (vals(0), vals(1)) }
+      .toMap
+    assert(got == expected)
+  }
+
+  test("count-min sketch estimates are >= exact and exact on this corpus") {
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.operators.Relational.cmsEventTypeCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS estimate must upper-bound the truth for $t")
+      assert(est(t) == n, s"no collisions expected at this cardinality: $t")
+    }
+  }
+}
