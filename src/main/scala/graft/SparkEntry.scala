@@ -112,6 +112,9 @@ object SparkEntry {
       Skew.skewedSumCountExact(graft.Tables.events(s, d), "event_type", "value")
         .orderBy(col("event_type"))),
     "ss3_ivf_search"       -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "st4_watermark_late"   -> ((s, d) => EventTimeWindows.watermarkLateGate(s, d)),
+    "st5_stream_join"      -> ((s, d) => graft.streaming.StreamJoins.attributionGate(s, d)),
+    "t7_langid_ngram"      -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -606,5 +609,43 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Late replays are dropped by the watermark, so the streaming result
+    // equals the plain batch aggregation — that equality IS the check.
+    "st4_watermark_late" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st5_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  p.value AS amount
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "t7_langid_ngram" -> {
+      val profiles = TextAnalysis.DefaultTrigramProfiles.toSeq.sortBy(_._1)
+      val scoreCols = profiles.map { case (lang, tris) =>
+        s"len(list_filter(grams, x -> list_contains([${sqlList(tris)}], x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val cases = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang > 0 AND s_$lang = $best THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH g AS (SELECT doc_id,
+         |  CASE WHEN length(lower(text)) >= 3 THEN
+         |    list_distinct(list_transform(range(1, length(lower(text)) - 1),
+         |      i -> substr(lower(text), i, 3)))
+         |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM g)
+         |SELECT doc_id, CASE
+         |    $cases
+         |  ELSE 'und' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
   )
 }

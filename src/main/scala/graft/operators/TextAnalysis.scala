@@ -128,9 +128,14 @@ object TextAnalysis {
     * (pure codegen, no UDF).
     */
   def charTrigrams(c: Column): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(c) - lit(2), lit(0))),
-        i => c.substr(i, lit(3))))
+    // Guard like shinglesFromWords: sequence(1, 0) is DESCENDING in
+    // Spark, so strings shorter than 3 chars must short-circuit to an
+    // empty set (otherwise substr(0,3)/substr(1,3) fragments leak in).
+    when(length(c) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), length(c) - lit(2)),
+          i => c.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
 
   /** English-ish default trigram profiles (tiny, illustrative). */
   val DefaultTrigramProfiles: Map[String, Seq[String]] = Map(

@@ -79,4 +79,76 @@ object EventTimeWindows {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
   }
+
+  /** Gated watermark/late-data proof (st4): an append-mode streaming
+    * hourly count where a second micro-batch REPLAYS the earliest
+    * hour's events after the watermark has passed them. If the
+    * watermark machinery is working, the replayed rows are dropped and
+    * the result equals the plain batch aggregation of the events
+    * table — which is exactly what the oracle states. If late rows
+    * leaked in, the duplicated first-hour counts would hash-mismatch.
+    *
+    * Staging (file modification times force the micro-batch order with
+    * maxFilesPerTrigger=1):
+    *   file 1: every event           → watermark advances to max(ts)-1h
+    *   file 2: one "bump" event 90min past max(ts) — measured Spark 4
+    *           semantics: a late row is only dropped if its window was
+    *           evicted in a STRICTLY EARLIER micro-batch (arrival in
+    *           the same batch as the eviction still merges), so the
+    *           replay must not ride the first eviction batch
+    *   file 3: first-hour events again → below watermark → dropped
+    *   file 4: one sentinel event 3h past max(ts) → advances the
+    *           watermark past every real window so append mode emits
+    *           them all; the bump and sentinel windows never finalize
+    *           (they sit within 1h of the final watermark), so both
+    *           stay invisible to the output.
+    */
+  def watermarkLateGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st4_").toString
+    val upstream = new java.io.File(s"$tmp/upstream"); upstream.mkdirs()
+    val e = Tables.events(spark, dir).select(col("ts"), col("event_type")).cache()
+    val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+    val (mn, mx) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+
+    def stage(df: DataFrame, n: Int): Unit = {
+      val part = s"$tmp/stage$n"
+      df.coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(upstream, f"$n%04d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + n * 60000L)
+    }
+    import spark.implicits._
+    stage(e, 1)
+    stage(Seq((new java.sql.Timestamp(mx.getTime + 90 * 60000L), "zz_bump"))
+      .toDF("ts", "event_type"), 2)
+    stage(e.filter(col("ts") < lit(new java.sql.Timestamp(mn.getTime + 3600000L))), 3)
+    stage(Seq((new java.sql.Timestamp(mx.getTime + 3 * 3600000L), "zz_sentinel"))
+      .toDF("ts", "event_type"), 4)
+
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val q = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(upstream.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    e.unpersist()
+    spark.read.parquet(out)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
 }

@@ -50,4 +50,39 @@ object StreamJoins {
       .parquet(dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gated stream-stream attribution join (st5): stage the events
+    * table's clicks and purchases as two file streams, run
+    * [[purchaseAttribution]] end-to-end under AvailableNow, and return
+    * the materialized matches. Inner time-bound joins emit on match,
+    * so the result is deterministic and equals the equivalent batch
+    * range join — which is what the oracle states in SQL.
+    */
+  def attributionGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st5_").toString
+    val e = graft.Tables.events(spark, dir)
+    e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .coalesce(1).write.parquet(s"$tmp/clicks")
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("amount"))
+      .coalesce(1).write.parquet(s"$tmp/purchases")
+
+    val out = s"$tmp/out"
+    val q = purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("amount"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 }
