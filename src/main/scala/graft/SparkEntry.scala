@@ -115,6 +115,7 @@ object SparkEntry {
     "st4_watermark_late"   -> ((s, d) => EventTimeWindows.watermarkLateGate(s, d)),
     "st5_stream_join"      -> ((s, d) => graft.streaming.StreamJoins.attributionGate(s, d)),
     "t7_langid_ngram"      -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
+    "m2_png_header_dims"   -> ((s, d) => Multimodal.pngHeaderRoundtrip(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -625,6 +626,13 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // The planted dims are doc_id arithmetic; the Spark side must
+    // recover them from the constructed PNG bytes, so equality checks
+    // the build->parse round-trip.
+    "m2_png_header_dims" ->
+      """SELECT doc_id, CAST(doc_id % 1920 + 1 AS INT) AS width,
+        |  CAST(doc_id % 1080 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t7_langid_ngram" -> {
       val profiles = TextAnalysis.DefaultTrigramProfiles.toSeq.sortBy(_._1)
       val scoreCols = profiles.map { case (lang, tris) =>

@@ -48,14 +48,57 @@ object Multimodal {
       var h = 1469598103934665603L // FNV-1a over the payload
       var i = 0
       while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
+      // REAL header parsing where the container format carries the
+      // dimensions (PNG IHDR / JPEG SOF); the fake pseudo-dims remain
+      // only for payloads that are not actually image containers.
+      val dims = HeaderParser.dims(bytes)
       MediaFeatures(
         doc_id = docId,
         n_bytes = bytes.length.toLong,
         kind = sniffKind(bytes),
-        width = math.abs(h % 1920).toInt + 1,   // STUB: fake dimensions
-        height = math.abs((h >> 16) % 1080).toInt + 1,
+        width = dims.map(_._1).getOrElse(math.abs(h % 1920).toInt + 1),
+        height = dims.map(_._2).getOrElse(math.abs((h >> 16) % 1080).toInt + 1),
         feature_hash = h)
     }
+  }
+
+  /** Pure-JVM image header parsing — no codec library needed, because
+    * dimensions live in fixed container metadata, not in the entropy-
+    * coded stream:
+    *  - PNG: the IHDR chunk is mandated to be first, so width/height
+    *    are the big-endian u32s at byte offsets 16 and 20;
+    *  - JPEG: walk the FF-marker segment chain to the first SOF marker
+    *    (C0-CF minus C4/C8/CC); height/width are the big-endian u16s
+    *    at offsets +5/+7 inside it.
+    */
+  object HeaderParser {
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (sniffKind(b) == "png" && b.length >= 24) Some((u32(b, 16), u32(b, 20)))
+      else None
+
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (sniffKind(b) != "jpeg") return None
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf
+            && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((u16(b, i + 7), u16(b, i + 5)))
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2 // standalone markers carry no length field
+        else i += 2 + u16(b, i + 2)
+      }
+      None
+    }
+
+    def dims(b: Array[Byte]): Option[(Int, Int)] =
+      pngDims(b).orElse(jpegDims(b))
   }
 
   /** Magic-byte content sniffing — real (the tiny part that needs no
@@ -85,6 +128,32 @@ object Multimodal {
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
+
+  /** Gated m2: build REAL PNG headers distributed (signature + IHDR
+    * with dimensions planted from doc_id), then parse width/height
+    * back out of the binary column — everything codegen'd built-ins
+    * (concat/unhex for construction, substring/hex/conv for parsing;
+    * zero UDFs). The planted values are pure doc_id arithmetic, which
+    * is what the DuckDB oracle states — so the gate hash-checks the
+    * whole build→parse round-trip over the binary column type.
+    */
+  def pngHeaderRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val pngSigAndIhdr: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+        0, 0, 0, 0x0d, 'I', 'H', 'D', 'R').map(_.toByte) // len=13, "IHDR"
+    val ihdrTail: Array[Byte] = Array[Byte](8, 6, 0, 0, 0) // depth/color/...
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    val payload = concat(lit(pngSigAndIhdr),
+      be32(col("doc_id") % 1920 + 1), be32(col("doc_id") % 1080 + 1),
+      lit(ihdrTail))
+    def parsed(off: Int): Column =
+      conv(hex(substring(col("payload"), off, 4)), 16, 10).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"), parsed(17).as("width"), parsed(21).as("height"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Feature-extraction pass: typed mapPartitions through the decoder
     * seam — one decoder instance per partition, rows streamed through

@@ -63,19 +63,74 @@ class QuoteTable(symbols: Array[String], seed: Long) extends Table with Supports
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new QuoteScan(symbols, seed)
+    new QuoteScanBuilder(symbols, seed)
 }
 
-class QuoteScan(symbols: Array[String], seed: Long) extends Scan with Batch {
-  override def readSchema(): StructType = QuoteDataSource.Schema
+/** Pushdown-aware scan builder. For a remote-fetch source, pushdown is
+  * where the money is:
+  *
+  *  - symbol predicates (`symbol = 'XT'`, `symbol IN (...)`) prune the
+  *    FETCH fan-out itself — a filtered read plans only the matching
+  *    InputPartitions, so the "HTTP calls" for every other symbol never
+  *    happen (partition pruning for a service, not a filesystem);
+  *  - column pruning means a `select(symbol, market_price)` ships two
+  *    fields per row from the executors instead of nine.
+  *
+  * Catalyst calls pushPredicates/pruneColumns before build(); whatever
+  * we do not accept stays as a post-scan Filter, so accepting only the
+  * clean symbol predicates is always safe.
+  */
+class QuoteScanBuilder(allSymbols: Array[String], seed: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var symbols: Array[String] = allSymbols
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = QuoteDataSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("symbol", _: String) => true
+      case In("symbol", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("symbol", v: String) => symbols = symbols.filter(_ == v)
+      case In("symbol", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        symbols = symbols.filter(set)
+      case _ => ()
+    }
+    pushed = accepted
+    // Symbol pruning is EXACT, so accepted filters need no re-check
+    // post-scan: only the rejected ones go back to Catalyst.
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Preserve source field order for a deterministic reader layout.
+    required = StructType(
+      QuoteDataSource.Schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new QuoteScan(symbols, seed, required)
+}
+
+class QuoteScan(symbols: Array[String], seed: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    symbols.map(s => QuotePartition(s, seed): InputPartition)
+    symbols.map(s => QuotePartition(s, seed, required.fieldNames): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     QuoteReaderFactory
 }
 
-case class QuotePartition(symbol: String, seed: Long) extends InputPartition
+case class QuotePartition(symbol: String, seed: Long,
+                          fields: Array[String]) extends InputPartition
 
 object QuoteReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -86,10 +141,18 @@ object QuoteReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow = {
         // Production seam: replace this line with the live API call.
         val q = QuoteGen.quote(p.symbol, p.seed)
-        InternalRow(
-          UTF8String.fromString(q.name), UTF8String.fromString(q.quote_type),
-          UTF8String.fromString(q.symbol), q.nav_price, q.market_price,
-          q.market_open, q.day_high, q.day_low, q.previous_close)
+        val byName: String => Any = {
+          case "name" => UTF8String.fromString(q.name)
+          case "quote_type" => UTF8String.fromString(q.quote_type)
+          case "symbol" => UTF8String.fromString(q.symbol)
+          case "nav_price" => q.nav_price
+          case "market_price" => q.market_price
+          case "market_open" => q.market_open
+          case "day_high" => q.day_high
+          case "day_low" => q.day_low
+          case "previous_close" => q.previous_close
+        }
+        InternalRow.fromSeq(p.fields.toIndexedSeq.map(byName))
       }
       override def close(): Unit = ()
     }

@@ -58,4 +58,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.forall(f => f.n_bytes > 0 && f.width > 0 && f.height > 0))
   }
+
+  test("header parser reads real PNG IHDR and JPEG SOF0 dimensions") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 'I', 'H', 'D', 'R').map(_.toByte) ++
+      be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.HeaderParser.dims(png).contains((640, 480)))
+
+    // FFD8, APP0 (16 bytes), then SOF0 with precision 8, h=333, w=517.
+    val jpeg = Array(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 333 >> 8, 333 & 0xff, 517 >> 8, 517 & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    assert(Multimodal.HeaderParser.dims(jpeg).contains((517, 333)))
+    // Non-image payloads fall through to None (FakeDecoder pseudo-dims).
+    assert(Multimodal.HeaderParser.dims("not an image".getBytes).isEmpty)
+    // Decoder integration: planted dims win over the fake hash dims.
+    val f = Multimodal.FakeDecoder.decode(1L, png)
+    assert(f.width == 640 && f.height == 480 && f.kind == "png")
+  }
+
+  test("png header roundtrip recovers planted dims on the binary column") {
+    val out = Multimodal.pngHeaderRoundtrip(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 1920 + 1).toInt && r.getInt(2) == (id % 1080 + 1).toInt)
+    }
+  }
 }
