@@ -151,26 +151,22 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** Mirror of [[graft.operators.Dedup.jaccardPairsFrom]]: candidates
-    * from df-capped postings (df in [2, cap]), exact Jaccard confirm
-    * over the full shingle sets.
+  /** Mirror of [[graft.operators.Dedup.jaccardPairsFrom]]: postings
+    * df-capped via a count window (df in [2, cap]), `common` counted
+    * from the capped posting join, sizes from the FULL shingle sets.
     */
   private def cappedJaccardOracle(threshold: Double, dfCap: Int): String =
     s"""$shingleCtes,
-       |keep AS (SELECT shingle FROM sh GROUP BY shingle
-       |  HAVING count(*) BETWEEN 2 AND $dfCap),
-       |capped AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |capped AS (SELECT doc_id, shingle FROM (
+       |    SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df BETWEEN 2 AND $dfCap),
+       |cinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |  FROM capped a JOIN capped b
-       |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-       |confirm AS (SELECT c.doc_a, c.doc_b, count(*) AS common
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.doc_a
-       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
-       |FROM confirm
+       |FROM cinter
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $threshold

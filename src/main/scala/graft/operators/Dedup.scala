@@ -106,28 +106,37 @@ object Dedup {
 
   /** [[jaccardPairs]] over an explicit (doc_id, ws: array<string>)
     * frame — the seam the hot-shingle spec drives synthetically.
+    *
+    * Plan shape: the df computation is a COUNT WINDOW over the posting
+    * list, not a groupBy+join — one shuffle on `shingle` whose output
+    * partitioning the posting self-join then REUSES (no second
+    * shuffle of the postings). `common` is counted directly from the
+    * capped posting join (the old single-pass inter aggregation);
+    * sizes are the FULL per-doc set sizes, so on any corpus where the
+    * cap never fires the result is the exact Jaccard, and where it
+    * does fire the emitted value is a documented lower bound over the
+    * capped shingle space (the oracle mirrors both).
     */
   def jaccardPairsFrom(docWords: DataFrame,
                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    val docs = docWords
-      .select(col("doc_id"), shinglesFromWords(col("ws")).as("sh"))
+    val sh = docWords
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
       .cache()
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val keep = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select(col("shingle"))
-    val capped = sh.join(keep, "shingle")
-    val cand = capped.as("a").join(capped.as("b"),
+      .select(col("doc_id"), col("shingle"))
+    val inter = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        round(col("common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
