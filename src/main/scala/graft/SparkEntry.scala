@@ -116,6 +116,13 @@ object SparkEntry {
     "st5_stream_join"      -> ((s, d) => graft.streaming.StreamJoins.attributionGate(s, d)),
     "t7_langid_ngram"      -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
     "m2_png_header_dims"   -> ((s, d) => Multimodal.pngHeaderRoundtrip(s, d)),
+    "w5_window_stats"      -> ((s, d) => Relational.windowStats(s, d)),
+    "x8_price_moments"     -> ((s, d) => Relational.priceMoments(s, d)),
+    "k3_csv_roundtrip"     -> ((s, d) => Ingest.csvRoundtrip(s, d)),
+    "k4_json_roundtrip"    -> ((s, d) => Ingest.jsonRoundtrip(s, d)),
+    "b1_bucketed_join"     -> ((s, d) => Relational.bucketedSegmentRevenue(s, d)),
+    "st6_stateful_sessions"-> ((s, d) =>
+      graft.streaming.StatefulSessions.sessionsGate(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -622,6 +629,52 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "w5_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "x8_price_moments" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))
+        |    * CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sx2
+        |FROM orders)
+        |SELECT n, round(sx / n, 6) AS mean_price,
+        |  round((sx2 - sx * sx / n) / (n - 1), 6) AS var_price,
+        |  round(sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS std_price
+        |FROM s""".stripMargin,
+    "k3_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "k4_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "b1_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "st6_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+        |g AS (SELECT user_id, ms,
+        |  CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |  THEN 1 ELSE 0 END AS new_sess FROM e),
+        |s AS (SELECT user_id, ms, sum(new_sess) OVER (
+        |  PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM g)
+        |SELECT user_id,
+        |  strftime(make_timestamp(min(ms) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+        |  strftime(make_timestamp(max(ms) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // The planted dims are doc_id arithmetic; the Spark side must
     // recover them from the constructed PNG bytes, so equality checks
     // the build->parse round-trip.

@@ -72,6 +72,27 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Text-format round-trips (k3/k4): CSV and JSON lines through the
+    * same FormatIO seam as ORC — proves reader/writer symmetry for the
+    * interchange formats (doubles survive via shortest-representation
+    * printing; longs and strings trivially).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    textFormatRoundtrip(spark, dir, "csv")
+
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    textFormatRoundtrip(spark, dir, "json")
+
+  private def textFormatRoundtrip(spark: SparkSession, dir: String,
+                                  format: String): DataFrame = {
+    val path = freshDir(s"graft_${format}_") + "/t"
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.FormatIO.write(src, format, path)
+    graft.sources.FormatIO.read(spark, format, path, src.schema)
+      .orderBy(col("event_id"))
+  }
+
   /** Batch MERGE (upsert): new rows replace existing rows with the same
     * key; unmatched existing rows survive. Composed as anti-join +
     * union — one shuffle on the key. This is the keyed complement to

@@ -463,6 +463,71 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Distribution-position window functions (w5): percent_rank /
+    * cume_dist are exact small-integer ratios ((rank-1)/(n-1),
+    * rank/n) so they hash-match across engines; first/nth_value run
+    * under the default RANGE-to-current-row frame on both.
+    */
+  def windowStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact first/second moments (x8) via DECIMAL power sums — the
+    * two-accumulator formulation (Σx, Σx²) is order-invariant and
+    * mergeable, so mean/variance/stddev come out bit-identical to the
+    * oracle's mirrored arithmetic without buffering anything. (Spark's
+    * stddev/var aggregates use Welford-style double accumulation whose
+    * result depends on partition order — correct, but not
+    * hash-compareable across engines.)
+    */
+  def priceMoments(spark: SparkSession, dir: String): DataFrame = {
+    val xDec = col("o_totalprice").cast("decimal(30,2)")
+    Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(xDec).cast("double").as("sx"),
+        sum(xDec * xDec).cast("double").as("sx2"))
+      .select(col("n"),
+        round(col("sx") / col("n"), 6).as("mean_price"),
+        round((col("sx2") - col("sx") * col("sx") / col("n"))
+          / (col("n") - lit(1)), 6).as("var_price"),
+        round(sqrt((col("sx2") - col("sx") * col("sx") / col("n"))
+          / (col("n") - lit(1))), 6).as("std_price"))
+  }
+
+  /** Bucketed co-located join (b1): both sides written bucketed on the
+    * join key, so the join plans with NO shuffle exchange — pay the
+    * shuffle once at ingest, never again per query (the canonical
+    * repeated-join layout at 100 TB). The merge hint pins SMJ so the
+    * bucket layout (not a broadcast) is what satisfies the join's
+    * distribution requirement; BucketingSpec asserts the no-Exchange
+    * plan property, this gate hash-checks the result.
+    */
+  def bucketedSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_b1_wh_").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_b1 LOCATION '$wh'")
+    Tables.orders(spark, dir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_b1.orders_b")
+    Tables.customer(spark, dir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_b1.customer_b")
+    spark.table("graft_b1.orders_b").hint("merge")
+      .join(spark.table("graft_b1.customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Count-min-sketch frequency estimates per event type — the
     * mergeable fixed-memory heavy-hitter staple of a curation stats
     * pass (estimate ≥ truth; error ≤ eps·N with prob ≥ confidence).

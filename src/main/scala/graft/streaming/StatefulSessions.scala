@@ -79,4 +79,38 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         updateUser(gapMs, withTimeout))
   }
+
+  /** Gated custom-state sessionization (st6): [[sessionize]] over the
+    * events table plus one per-user sentinel event 2×gap past the
+    * global max — the sentinel closes every user's final real session
+    * (its own session stays open and is never emitted), so the output
+    * is the COMPLETE session list, checkable against the
+    * gaps-and-islands SQL oracle.
+    *
+    * Emitted columns are session bounds and counts only: they are
+    * order-invariant under same-millisecond ties, whereas a
+    * double-sum's accumulation order would not be.
+    */
+  def sessionsGate(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .as[Event]
+    val sentinelMs = e.agg(max(col("ts_ms"))).head().getLong(0) + 2 * gapMs
+    val sentinels = e.toDF().select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelMs).as("ts_ms"), lit(0.0).as("value"))
+      .as[Event]
+    sessionize(spark, e.unionByName(sentinels), gapMs)
+      .select(col("user_id"),
+        date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("session_start"),
+        date_format(timestamp_millis(col("end_ms")), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 }
