@@ -123,6 +123,10 @@ object SparkEntry {
     "b1_bucketed_join"     -> ((s, d) => Relational.bucketedSegmentRevenue(s, d)),
     "st6_stateful_sessions"-> ((s, d) =>
       graft.streaming.StatefulSessions.sessionsGate(s, d)),
+    "dd6_dup_clusters"     -> ((s, d) => Dedup.duplicateClusters(s, d)),
+    "f5_array_functions"   -> ((s, d) => Relational.arrayFunctions(s, d)),
+    "f6_conditionals"      -> ((s, d) => Relational.conditionals(s, d)),
+    "ts1_resample_hourly"  -> ((s, d) => Relational.resampleHourly(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -629,6 +633,22 @@ object SparkEntry {
         |  AND p.user_id = c.user_id
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // Components via recursive closure (graph is tiny at oracle SF);
+    // Spark computes the same labels by BSP min propagation.
+    "dd6_dup_clusters" ->
+      s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |jp AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS n, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN ed e ON r.m = e.a)
+         |SELECT n AS doc_id, min(m) AS cluster_rep
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "w5_window_stats" ->
       """SELECT o_custkey, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pr,
@@ -675,6 +695,36 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "f5_array_functions" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+        |  array_to_string(list_sort(string_split(p_type, ' ')), '-') AS sorted_join,
+        |  list_sort(string_split(p_type, ' '))[1] AS first_word,
+        |  CAST(list_reduce(list_prepend(0,
+        |    list_transform(string_split(p_type, ' '), x -> CAST(length(x) AS INT))),
+        |    (a, b) -> a + b) AS INT) AS total_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f6_conditionals" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  CASE WHEN o_totalprice > 300000 THEN 'hi'
+        |    WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS band,
+        |  least(o_totalprice, 150000.0) AS capped,
+        |  greatest(o_totalprice, 1000.0) AS floored
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "ts1_resample_hourly" ->
+      """WITH h AS (SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT min(ts) FROM events)),
+        |    date_trunc('hour', (SELECT max(ts) FROM events)),
+        |    INTERVAL 1 HOUR)) AS hr),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  t.event_type, coalesce(c.cnt, 0) AS n
+        |FROM h CROSS JOIN t
+        |LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // The planted dims are doc_id arithmetic; the Spark side must
     // recover them from the constructed PNG bytes, so equality checks
     // the build->parse round-trip.

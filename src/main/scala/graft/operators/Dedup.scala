@@ -344,6 +344,54 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph, labels = min doc_id per component. THE step
+    * a curation pipeline runs after pair generation (pairs alone
+    * don't say which doc to keep when dups chain A–B–C).
+    *
+    * Algorithm: BSP min-label propagation — per round, every node
+    * takes the min of its label and its neighbors' labels; converges
+    * in O(graph diameter) rounds. Each round is one equi-join + one
+    * aggregation (both shuffle on doc_id), and the driver sees only
+    * the changed-label COUNT — this is the standard scalable CC
+    * formulation (near-dup components are shallow: dup clusters chain
+    * a handful of docs, so 2–3 rounds in practice; the iteration cap
+    * is a safety valve, not the expected path).
+    */
+  def duplicateClusters(spark: SparkSession, dir: String,
+                        threshold: Double = 0.7, maxRounds: Int = 20): DataFrame = {
+    val edges = minhashLshPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val bidir = edges.union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val neighborMin = bidir
+        .join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("rep")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .filter(col("rep") < col("prev")).limit(1).count() == 0
+      labels.unpersist()
+      labels = next
+    }
+    bidir.unpersist()
+    labels
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference implementation of [[embeddingDupPairs]]: the broadcast
     * nested-loop form. Correct and simple at test scale; broadcast of
     * the whole corpus makes it a non-starter at 100 TB — kept ONLY as

@@ -463,6 +463,62 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Array-function surface (f5): construct, sort, index, join, and
+    * fold arrays — scalar outputs only, so the oracle hash-compares
+    * plain columns (array cell encodings differ across engines).
+    */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val wordsArr = split(col("p_type"), " ")
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), wordsArr.as("ws"))
+      .select(col("p_partkey"),
+        size(col("ws")).as("n_words"),
+        array_join(sort_array(col("ws")), "-").as("sorted_join"),
+        element_at(sort_array(col("ws")), 1).as("first_word"),
+        aggregate(transform(col("ws"), x => length(x)), lit(0),
+          (a, x) => a + x).as("total_len"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Conditional / null-handling scalar surface (f6). */
+  def conditionals(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        when(col("o_totalprice") > 300000, "hi")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("lo").as("band"),
+        least(col("o_totalprice"), lit(150000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("floored"))
+      .orderBy(col("o_orderkey"))
+
+  /** Time-series resampling with gap fill (ts1): a dense hourly spine
+    * (sequence over the observed range) cross-joined with the key
+    * domain, left-joined against the sparse aggregates, zeros filled.
+    * The spine and key domain are tiny (hours × types), so the only
+    * data-sized operation is the one aggregation — the resample
+    * itself never shuffles the fact table again.
+    */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = e
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+    val types = e.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Distribution-position window functions (w5): percent_rank /
     * cume_dist are exact small-integer ratios ((rank-1)/(n-1),
     * rank/n) so they hash-match across engines; first/nth_value run

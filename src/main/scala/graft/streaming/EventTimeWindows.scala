@@ -128,7 +128,14 @@ object EventTimeWindows {
       .toDF("ts", "event_type"), 4)
 
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    val q = spark.readStream
+    // Stateful partition count is pinned by the FIRST run against a
+    // checkpoint; this gate creates a fresh checkpoint per call, so a
+    // small count is safe and cuts per-batch state-store commit
+    // overhead (32 stores × 4 batches → 8 × 4). A production stream
+    // sizes this to key cardinality, not to the session default.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try spark.readStream
       .schema("ts TIMESTAMP, event_type STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(upstream.toString)
@@ -146,6 +153,7 @@ object EventTimeWindows {
         batch.write.mode("append").parquet(out)
       }
       .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     e.unpersist()
     spark.read.parquet(out)

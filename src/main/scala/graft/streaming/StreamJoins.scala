@@ -71,7 +71,11 @@ object StreamJoins {
       .coalesce(1).write.parquet(s"$tmp/purchases")
 
     val out = s"$tmp/out"
-    val q = purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
+    // Fresh checkpoint per call → safe to shrink the stateful
+    // partition count (join state commits per partition per batch).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("amount"))
       .writeStream
       .outputMode("append")
@@ -81,6 +85,7 @@ object StreamJoins {
         batch.write.mode("append").parquet(out)
       }
       .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.read.parquet(out)
       .orderBy(col("purchase_id"), col("click_id"))

@@ -97,6 +97,24 @@ class DedupSpec extends SparkSpec {
       s"cap must prune hot-shingle candidates ($uncapped -> $cappedAll)")
   }
 
+  test("duplicate clusters: every pair edge lands in one component with the min-id rep") {
+    val reps = Dedup.duplicateClusters(spark, sf, 0.7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.minhashLshPairs(spark, sf, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"edge ($a,$b) must share a component")
+    }
+    // The rep is the component minimum: no member maps below its rep,
+    // and each rep maps to itself.
+    reps.foreach { case (id, rep) => assert(rep <= id && reps(rep) == rep) }
+    // Docs with no edges are singleton components.
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    reps.filter { case (id, _) => !inEdges.contains(id) }
+      .foreach { case (id, rep) => assert(rep == id) }
+  }
+
   test("capped jaccard equals uncapped on the test corpus (cap far above max df)") {
     val capped = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = 1000).collect().toSeq
     val uncapped = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = Int.MaxValue).collect().toSeq
