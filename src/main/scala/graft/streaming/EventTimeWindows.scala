@@ -156,7 +156,14 @@ object EventTimeWindows {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     e.unpersist()
+    // Drop the bump/sentinel instrumentation rows HERE, on the batch
+    // read-back — any filter inside the streaming plan (before or
+    // after the aggregation) gets pushed below the watermark node by
+    // Catalyst, silencing the very watermark advances the bump exists
+    // to cause. Whether the zz_ windows finalize depends on
+    // max(ts)'s minute-of-hour, so they must not leak into the output.
     spark.read.parquet(out)
+      .filter(!col("event_type").startsWith("zz_"))
       .orderBy(col("hour_start"), col("event_type"))
   }
 }
