@@ -44,10 +44,50 @@ object ApproxCountDistinctRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Extension installer for the rewrite (compose with GraftExtensions
-  * or use standalone via spark.sql.extensions).
+/** Opt-in exact→approximate percentile rewrite, same AQP contract as
+  * [[ApproxCountDistinctRewrite]]: under
+  * `spark.graft.approx.percentile=true`, `percentile(x, p)` becomes
+  * `approx_percentile(x, p, accuracy)` — swapping the
+  * buffer-every-value aggregate for the mergeable bounded-memory
+  * Greenwald-Khanna sketch. This is the session-wide guard rail for
+  * ad-hoc SQL: a user's exact global percentile at 100 TB would OOM
+  * the final reducer; with the flag set it degrades to a bounded-error
+  * sketch instead of failing.
+  *
+  * Only the frequency-1 form is rewritten (weighted percentiles have
+  * no approx counterpart with matching semantics).
+  */
+object ApproxPercentileRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+
+  final val ConfKey = "spark.graft.approx.percentile"
+  final val AccuracyKey = "spark.graft.approx.percentile.accuracy"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    val accuracy = conf.getConfString(AccuracyKey, "10000").toInt
+    plan.transformUp {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(
+              Percentile(child, percentage, frequency, _, _, reverse), _, _, _, _)
+              if !reverse && frequency.foldable
+                && frequency.eval() == 1L =>
+            ae.copy(aggregateFunction =
+              new ApproximatePercentile(child, percentage,
+                Literal(accuracy)))
+        }
+    }
+  }
+}
+
+/** Extension installer for the AQP rewrites (compose with
+  * GraftExtensions or use standalone via spark.sql.extensions).
   */
 class ApproxExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
+    ext.injectOptimizerRule(_ => ApproxPercentileRewrite)
+  }
 }

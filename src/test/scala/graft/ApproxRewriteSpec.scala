@@ -47,4 +47,42 @@ class ApproxRewriteSpec extends SparkSpec {
         .contains("approx_count_distinct"))
     }
   }
+
+  test("multi-column COUNT DISTINCT is NOT rewritten (different quantity)") {
+    withRule(enabled = true) {
+      val q = df.toDF("k", "x").groupBy("k")
+        .agg(countDistinct(col("k"), col("x")).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("approx_count_distinct"), plan)
+      assert(q.collect()(0).getLong(1) == 137L)
+    }
+  }
+
+  private def withPercentileRule[T](enabled: Boolean)(f: => T): T = {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.ApproxPercentileRewrite)
+    spark.conf.set(graft.plans.ApproxPercentileRewrite.ConfKey, enabled.toString)
+    try f
+    finally {
+      spark.conf.unset(graft.plans.ApproxPercentileRewrite.ConfKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("percentile rewrites to the GK sketch only under the flag, within error") {
+    val vals = (1 to 10000).map(_.toDouble).toDF("v")
+    withPercentileRule(enabled = false) {
+      val q = vals.agg(expr("percentile(v, 0.9)"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+      assert(math.abs(q.collect()(0).getDouble(0) - 9000.1) < 1e-6)
+    }
+    withPercentileRule(enabled = true) {
+      val q = vals.agg(expr("percentile(v, 0.9)").as("p90"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx"), plan)
+      val v = q.collect()(0).getDouble(0)
+      assert(math.abs(v - 9000.0) <= 10000.0 / 10000 * 5,
+        s"sketch estimate too far: $v")
+    }
+  }
 }
