@@ -127,6 +127,11 @@ object SparkEntry {
     "f5_array_functions"   -> ((s, d) => Relational.arrayFunctions(s, d)),
     "f6_conditionals"      -> ((s, d) => Relational.conditionals(s, d)),
     "ts1_resample_hourly"  -> ((s, d) => Relational.resampleHourly(s, d)),
+    "t8_text_clean"        -> ((s, d) => TextAnalysis.cleanText(s, d)),
+    "t9_pii_redact"        -> ((s, d) => TextAnalysis.redactPii(s, d)),
+    "s1_hash_split"        -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
+    "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -695,6 +700,40 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "t8_text_clean" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(
+        |    regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INT) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s1_hash_split" ->
+      """SELECT CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j8_nullsafe_join" ->
+      """WITH e AS (SELECT event_id, nullif(event_type, 'error') AS k FROM events),
+        |dim(k2, code) AS (VALUES ('click', 1), ('view', 2), (NULL, 99))
+        |SELECT CAST(code AS BIGINT) AS code, count(*) AS n
+        |FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k2
+        |GROUP BY code ORDER BY code""".stripMargin,
+    "l1_word_positions" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(i AS INT) AS pos, ws[i] AS word
+        |FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "f5_array_functions" ->
       """SELECT p_partkey,
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,

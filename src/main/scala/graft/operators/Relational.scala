@@ -463,6 +463,28 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Null-safe equality join (j8): `<=>` matches null keys to null
+    * keys (an equi-join Spark still hash-partitions — unlike a plain
+    * `=` that would drop null rows, or an OR-isnull form that would
+    * degrade to a nested loop). Null keys synthesized via nullif.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), nullif(col("event_type"), lit("error")).as("k"))
+    val dim = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("click", 1L), org.apache.spark.sql.Row("view", 2L),
+      org.apache.spark.sql.Row(null, 99L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k2",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.LongType))))
+    e.join(broadcast(dim), col("k") <=> col("k2"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("code"))
+  }
+
   /** Array-function surface (f5): construct, sort, index, join, and
     * fold arrays — scalar outputs only, so the oracle hash-compares
     * plain columns (array cell encodings differ across engines).

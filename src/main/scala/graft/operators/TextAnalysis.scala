@@ -160,6 +160,66 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "ein", "ich", "sch"),
     "fr" -> Seq("les", "ent", "que", "ion", "ais"))
 
+  /** Text normalization pass (t8): strip tag-like markup, collapse
+    * whitespace runs, trim, lowercase — the first stage of every web
+    * curation pipeline, as one codegen'd regex chain (single scan, no
+    * UDF).
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(
+          regexp_replace(col("text"), "<[^>]*>", " "),
+          "\\s+", " "))).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** PII redaction (t9): email and long-digit-run scrubbing with
+    * typed placeholders — the redaction counts come along so the gate
+    * also checks HOW MANY redactions fired, not just the final text.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digitsRe = "[0-9]{7,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(emailRe))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(digitsRe))).as("n_digit_runs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test assignment (s1): bucket = first hex
+    * char of md5(doc_id) — stable across engines, machines, and runs
+    * (never `rand()`: a retried task must land every row in the same
+    * split or the corpus silently leaks between train and test).
+    * 12/16 chars → train, 2/16 → val, 2/16 → test.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .select(col("doc_id"),
+        when(col("h").isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .when(col("h").isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+
+  /** Word-position lateral view (l1): one row per (doc, position,
+    * word) — the generator/flatten shape (posexplode) every
+    * tokenization pipeline leans on; capped to the first docs to keep
+    * the gate output bounded.
+    */
+  def wordPositions(spark: SparkSession, dir: String, maxDocId: Long = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Regex group extraction (query t6): the word following 'the' —
     * no-match yields empty string in both engines.
     */
