@@ -132,6 +132,10 @@ object SparkEntry {
     "s1_hash_split"        -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
+    "set4_intersect_all"   -> ((s, d) => Relational.intersectAllNationKeys(s, d)),
+    "set5_except_all"      -> ((s, d) => Relational.exceptAllNationKeys(s, d)),
+    "st7_transform_with_state" -> ((s, d) =>
+      graft.streaming.RunningStats.runningStatsGate(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -700,6 +704,20 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "set4_intersect_all" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set5_except_all" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |EXCEPT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "st7_transform_with_state" ->
+      """SELECT user_id, count(*) AS n, min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t8_text_clean" ->
       """SELECT doc_id,
         |  lower(trim(regexp_replace(

@@ -370,6 +370,7 @@ object Dedup {
       .cache()
     var converged = false
     var round = 0
+    var labelSum = Long.MinValue
     while (!converged && round < maxRounds) {
       round += 1
       val neighborMin = bidir
@@ -381,8 +382,13 @@ object Dedup {
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .filter(col("rep") < col("prev")).limit(1).count() == 0
+      // Labels only ever DECREASE, so Σrep is strictly monotone until
+      // the fixpoint: an unchanged exact long sum ⇔ converged. One
+      // scalar aggregate per round instead of a self-join diff.
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("rep")))
+        .collect()(0).getLong(0)
+      converged = labelSum == sum
+      labelSum = sum
       labels.unpersist()
       labels = next
     }

@@ -463,6 +463,25 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Bag-semantics set operations (set4/set5): INTERSECT ALL /
+    * EXCEPT ALL keep duplicate multiplicity (min / difference of
+    * per-value counts) — Spark plans both as aggregations over a
+    * counted union, no row-by-row matching.
+    */
+  def intersectAllNationKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(Tables.supplier(spark, dir)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  def exceptAllNationKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .exceptAll(Tables.supplier(spark, dir)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy(col("nationkey"))
+
   /** Null-safe equality join (j8): `<=>` matches null keys to null
     * keys (an equi-join Spark still hash-partitions — unlike a plain
     * `=` that would drop null rows, or an OR-isnull form that would

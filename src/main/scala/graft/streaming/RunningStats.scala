@@ -56,4 +56,51 @@ object RunningStats {
   def rocksdbConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Gated transformWithState run (st7): the events table streamed as
+    * one micro-batch, so each user emits exactly one update = their
+    * total stats, checkable against the batch GROUP BY oracle. The
+    * emitted columns are n/min/max — order-invariant under the
+    * nondeterministic per-key iteration order (the double running sum
+    * is not, so it stays out of the hash-compared gate).
+    */
+  def runningStatsGate(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st7_").toString
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("value"))
+      .coalesce(1).write.parquet(s"$tmp/in")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    rocksdbConf(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val stream = spark.readStream
+        .schema("user_id LONG, value DOUBLE")
+        .parquet(s"$tmp/in")
+        .as[Event]
+      runningStats(spark, stream).toDF()
+        .select(col("user_id"), col("n"),
+          col("min").as("min_value"), col("max").as("max_value"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$tmp/out")
+        }
+        .start()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out").orderBy(col("user_id"))
+  }
 }
