@@ -136,6 +136,7 @@ object SparkEntry {
     "set5_except_all"      -> ((s, d) => Relational.exceptAllNationKeys(s, d)),
     "st7_transform_with_state" -> ((s, d) =>
       graft.streaming.RunningStats.runningStatsGate(s, d)),
+    "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -704,6 +705,10 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "e3_json_typed" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
     "set4_intersect_all" ->
       """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
         |INTERSECT ALL

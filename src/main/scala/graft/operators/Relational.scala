@@ -426,6 +426,18 @@ object Relational {
         get_json_object(col("props"), "$.k").as("k_val"))
       .orderBy(col("event_id"))
 
+  /** Typed JSON parsing (e3): `from_json` with a declared schema —
+    * the structured counterpart of [[jsonExtract]]'s stringly path
+    * probe; parse once into a struct, then project typed fields.
+    */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("event_id"), col("p.k").as("k_int"))
+      .orderBy(col("event_id"))
+
   /** Exact interpolated quantiles (percentile). At 100 TB you would
     * reach for approx_percentile; the exact form is the oracle-checked
     * semantics anchor.

@@ -85,4 +85,33 @@ class PropertySpec extends SparkSpec {
       direct == salted
     }, 10)
   }
+
+  test("prop: text cleaning is idempotent") {
+    val cleanExpr = (c: org.apache.spark.sql.Column) =>
+      lower(trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " ")))
+    check(forAll(Gen.listOfN(20,
+      Gen.oneOf("a <b>B</b>  c", "  x\t\ty <i>", "plain", "<p>A</p>\n<p>B</p>", ""))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val once = df.select(col("id"), cleanExpr(col("t")).as("c"))
+      val twice = once.select(col("id"), cleanExpr(col("c")).as("c"))
+      once.collect().toSeq.map(_.toString) == twice.collect().toSeq.map(_.toString)
+    }, 5)
+  }
+
+  test("prop: redaction leaves no residual emails and split is total + deterministic") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val redacted = graft.operators.TextAnalysis.redactPii(spark, sf).collect()
+    redacted.foreach { r =>
+      assert(!r.getString(1).matches(s".*$emailRe.*"), s"residual email: ${r.getString(1).take(80)}")
+    }
+    val a = graft.operators.TextAnalysis.hashSplit(spark, sf).collect().map(_.toString).toSeq
+    val b = graft.operators.TextAnalysis.hashSplit(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, "hash split must be run-deterministic")
+    val counts = graft.operators.TextAnalysis.hashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == 500, s"split must be total: $counts")
+    assert(counts("train") > counts("val") && counts("train") > counts("test"),
+      s"12/2/2 hex buckets => train dominates: $counts")
+  }
 }
