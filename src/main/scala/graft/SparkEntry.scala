@@ -137,6 +137,7 @@ object SparkEntry {
     "st7_transform_with_state" -> ((s, d) =>
       graft.streaming.RunningStats.runningStatsGate(s, d)),
     "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
+    "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -705,6 +706,11 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "m3_wav_header_info" ->
+      """SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44100
+        |    WHEN doc_id % 3 = 1 THEN 22050 ELSE 16000 END AS INT) AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e3_json_typed" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int

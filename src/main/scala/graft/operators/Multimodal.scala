@@ -99,6 +99,28 @@ object Multimodal {
 
     def dims(b: Array[Byte]): Option[(Int, Int)] =
       pngDims(b).orElse(jpegDims(b))
+
+    /** WAV (RIFF) audio header: walk chunks to "fmt " and read the
+      * LITTLE-endian u16 channel count / u32 sample rate (RIFF is LE
+      * throughout — the mirror image of PNG's network order).
+      */
+    def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
+      if (sniffKind(b) != "riff" || b.length < 12
+          || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32le(i: Int): Int =
+        (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+          ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+        val size = u32le(i + 4)
+        if (isFmt && i + 8 + 8 <= b.length)
+          return Some((u16le(i + 10), u32le(i + 12))) // (channels, sampleRate)
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
   }
 
   /** Magic-byte content sniffing — real (the tiny part that needs no
@@ -152,6 +174,43 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), payload.as("payload"))
       .select(col("doc_id"), parsed(17).as("width"), parsed(21).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated m3: the audio twin of [[pngHeaderRoundtrip]] — build real
+    * WAV headers distributed (RIFF/WAVE + fmt chunk with planted
+    * little-endian channel count and sample rate), parse them back
+    * columnar. LE fields are assembled and re-read byte-at-a-time
+    * with hex/unhex built-ins (Spark has no LE integer codec — the
+    * per-byte form IS the LE codec, and it stays codegen'd).
+    */
+  def wavHeaderRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def byteAt(v: Column, i: Int): Column = // i-th LE byte as 1 binary byte
+      unhex(lpad(hex(shiftright(v.cast("long"), 8 * i) % 256), 2, "0"))
+    def le(v: Column, n: Int): Column = concat((0 until n).map(byteAt(v, _)): _*)
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = when(col("doc_id") % 3 === 0, 44100)
+      .when(col("doc_id") % 3 === 1, 22050).otherwise(16000)
+    val payload = concat(
+      lit("RIFF".getBytes), le(lit(36), 4), lit("WAVE".getBytes),
+      lit("fmt ".getBytes), le(lit(16), 4),
+      le(lit(1), 2),        // PCM
+      le(channels, 2), le(rate, 4),
+      le(rate * channels * lit(2), 4), // byte rate
+      le(channels * lit(2), 2), le(lit(16), 2))
+    def u16le(off: Int): Column =
+      (conv(hex(substring(col("payload"), off, 1)), 16, 10).cast("int")
+        + conv(hex(substring(col("payload"), off + 1, 1)), 16, 10).cast("int") * 256)
+    def u32le(off: Int): Column =
+      (0 until 4).map(i =>
+        conv(hex(substring(col("payload"), off + i, 1)), 16, 10).cast("long")
+          * (1L << (8 * i)) : Column).reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"),
+        u16le(23).as("n_channels"),
+        u32le(25).cast("int").as("sample_rate"))
       .orderBy(col("doc_id"))
   }
 

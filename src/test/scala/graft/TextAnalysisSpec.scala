@@ -79,6 +79,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.width == 640 && f.height == 480 && f.kind == "png")
   }
 
+  test("wav header parser reads fmt chunk through an interposed chunk") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // RIFF/WAVE with a JUNK chunk (odd size → word alignment) before fmt.
+    val junk = "JUNK".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(48000) ++
+      le32(48000 * 2 * 2) ++ le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++ junk ++ fmt
+    assert(Multimodal.HeaderParser.wavInfo(wav).contains((2, 48000)))
+    assert(Multimodal.HeaderParser.wavInfo("RIFFxxxxAVI ".getBytes).isEmpty)
+  }
+
+  test("wav header roundtrip recovers planted audio params") {
+    val out = Multimodal.wavHeaderRoundtrip(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 2 + 1).toInt)
+      val want = (id % 3) match { case 0 => 44100; case 1 => 22050; case _ => 16000 }
+      assert(r.getInt(2) == want)
+    }
+  }
+
   test("png header roundtrip recovers planted dims on the binary column") {
     val out = Multimodal.pngHeaderRoundtrip(spark, sf).collect()
     assert(out.length == 500)
