@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{DotProductExpr, PolyFingerprintExpr}
+import graft.functions.{CharTrigramsExpr, DotProductExpr, PolyFingerprintExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
+      (children: Seq[Expression]) => CharTrigramsExpr(children.head)))
   }
 }

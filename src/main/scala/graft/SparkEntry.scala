@@ -138,6 +138,7 @@ object SparkEntry {
       graft.streaming.RunningStats.runningStatsGate(s, d)),
     "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
+    "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -706,6 +707,15 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "v1_vector_stats" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id, CAST(len(v) AS INT) AS dim,
+         |  round(sqrt(${foldSum(s"list_transform(v, x -> x*x)")}), 6) AS nrm,
+         |  round(${foldSum("v")} / len(v), 6) AS mean_c,
+         |  round(list_min(v), 6) AS min_c,
+         |  round(list_max(v), 6) AS max_c
+         |FROM e ORDER BY vec_id""".stripMargin,
     "m3_wav_header_info" ->
       """SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS n_channels,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44100

@@ -134,8 +134,15 @@ object Quantiles {
     toCollect = toCollect ++ narrowing // MaxRounds safety valve
 
     if (toCollect.nonEmpty) {
-      // Final scan: gather the few remaining small intervals at once.
-      val rows = df.select(explode(array(toCollect.zipWithIndex.map {
+      // Final scan: gather the remaining small intervals at once —
+      // ONE struct per distinct interval, not per target (adjacent
+      // quantile positions usually share an interval, so collecting
+      // per target would ship the same rows several times).
+      def intervalKey(t: Target) = (t.key, t.lo, t.w, t.offset)
+      val intervals = toCollect
+        .groupBy(intervalKey).values.map(_.head).toIndexedSeq
+      val idxOf = intervals.map(intervalKey).zipWithIndex.toMap
+      val rows = df.select(explode(array(intervals.zipWithIndex.map {
         case (t, i) => when(t.pred, struct(lit(i).as("i"), x.as("v")))
           .otherwise(lit(null))
       }: _*)).as("s"))
@@ -143,8 +150,10 @@ object Quantiles {
         .select(col("s.i"), col("s.v"))
         .collect()
         .groupBy(_.getInt(0))
-      toCollect.zipWithIndex.foreach { case (t, i) =>
-        val vs = rows.getOrElse(i, Array.empty[Row]).map(_.getDouble(1)).sorted
+      val sortedVals = intervals.indices.map(i =>
+        i -> rows.getOrElse(i, Array.empty[Row]).map(_.getDouble(1)).sorted).toMap
+      toCollect.foreach { t =>
+        val vs = sortedVals(idxOf(intervalKey(t)))
         resolved((t.key, t.pos)) = vs((t.pos - t.offset).toInt)
       }
     }

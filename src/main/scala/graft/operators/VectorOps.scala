@@ -41,4 +41,20 @@ object VectorOps {
   /** Euclidean distance (for IVF-style assignment). */
   def l2(a: Column, b: Column): Column =
     sqrt(fsum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
+
+  /** Gated per-vector statistics (v1): the plain vector-function
+    * surface over the embedding column — norm, component mean/min/max
+    * — all bit-exact left folds mirrored by the oracle's list folds.
+    */
+  def vectorStats(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        size(col("v")).as("dim"),
+        round(sqrt(norm2(col("v"))), 6).as("nrm"),
+        round(fsum(col("v")) / size(col("v")), 6).as("mean_c"),
+        round(array_min(col("v")), 6).as("min_c"),
+        round(array_max(col("v")), 6).as("max_c"))
+      .orderBy(col("vec_id"))
 }

@@ -26,6 +26,14 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(dp == 11.0)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_trigrams",
+      exprs => graft.functions.CharTrigramsExpr(exprs.head), "built-in")
+    val tg = spark.sql("SELECT char_trigrams('abcdab') AS t")
+      .collect()(0).getSeq[String](0)
+    assert(tg == Seq("abc", "bcd", "cda", "dab"))
+    assert(spark.sql("SELECT char_trigrams('ab') AS t")
+      .collect()(0).getSeq[String](0).isEmpty)
   }
 
   test("salted join equals plain join on skewed data") {
