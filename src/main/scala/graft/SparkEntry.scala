@@ -139,6 +139,7 @@ object SparkEntry {
     "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
     "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
+    "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -707,6 +708,17 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "scd1_dimension_history" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, 'MACHINERY' AS c_mktsegment FROM customer
+        |  WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY')
+        |SELECT c.c_custkey, c.c_mktsegment, CAST(1 AS INT) AS version,
+        |  CAST(CASE WHEN u.c_custkey IS NOT NULL THEN 0 ELSE 1 END AS INT) AS is_current
+        |FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, CAST(2 AS INT), CAST(1 AS INT)
+        |FROM updates
+        |ORDER BY c_custkey, version""".stripMargin,
     "v1_vector_stats" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -121,6 +121,38 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** SCD Type-2 history maintenance (scd1): apply a batch of dimension
+    * updates while preserving history — matched keys get their current
+    * row CLOSED (is_current=0) and a new open row appended; unmatched
+    * rows pass through. One shuffle on the key (a left join decides
+    * close-vs-carry, a union appends the new versions) — the keyed
+    * complement of partition-overwrite idempotency, for dimensions
+    * that mutate in place at 100 TB fact scale.
+    *
+    * The gated exercise re-segments every 10th customer to
+    * 'MACHINERY'; version 1 = original rows, version 2 = new rows.
+    */
+  def scd2Gate(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(1).as("version"), lit(1).as("is_current"))
+    val updates = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .filter(col("c_mktsegment") =!= "MACHINERY")
+      .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"))
+    val updatedKeys = updates.select(col("c_custkey").as("u_key"))
+    val closedOrCarried = existing
+      .join(updatedKeys, col("c_custkey") === col("u_key"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("version"),
+        when(col("u_key").isNotNull, lit(0)).otherwise(col("is_current"))
+          .as("is_current"))
+    val newVersions = updates
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(2).as("version"), lit(1).as("is_current"))
+    closedOrCarried.unionByName(newVersions)
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
   /** D6/EP3 — the reactive meta pipeline end-to-end through the gate:
     * stream the events table (file-stream source = the "sensor"),
     * incrementally aggregate per-key min/max/count in streaming state,
