@@ -140,6 +140,8 @@ object SparkEntry {
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
     "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
     "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
+    "w6_mom_growth"        -> ((s, d) => Relational.momRevenueGrowth(s, d)),
+    "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -708,6 +710,30 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "w6_mom_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  round((revenue - lag(revenue) OVER (ORDER BY month))
+        |    / lag(revenue) OVER (ORDER BY month), 6) AS growth
+        |FROM m ORDER BY month""".stripMargin,
+    "x9_corr_exact" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+        |    * CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+        |    * CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+        |    * CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+        |FROM lineitem)
+        |SELECT n, round((sxy - sx * sy / n)
+        |  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+        |  AS corr_qty_price
+        |FROM s""".stripMargin,
     "scd1_dimension_history" ->
       """WITH updates AS (
         |  SELECT c_custkey, 'MACHINERY' AS c_mktsegment FROM customer

@@ -475,6 +475,47 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
       .orderBy(col("event_type"))
 
+  /** Month-over-month revenue growth (w6): aggregate to months, then
+    * lag + ratio over the month series — the windowed input is already
+    * one row per month, so the window stage is trivially small however
+    * large the fact table is.
+    */
+  def momRevenueGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .select(col("month"), col("revenue"),
+        lag(col("revenue"), 1).over(w).as("prev_revenue"))
+      .withColumn("growth",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6))
+      .orderBy(col("month"))
+  }
+
+  /** Exact Pearson correlation (x9) via DECIMAL power sums — same
+    * order-invariance rationale as [[priceMoments]]: Spark's `corr`
+    * accumulates co-moments in doubles whose value depends on
+    * partition order; the five-sum formulation is exact, mergeable,
+    * and mirrored verbatim by the oracle.
+    */
+  def quantityPriceCorr(spark: SparkSession, dir: String): DataFrame = {
+    val xDec = col("l_quantity").cast("decimal(30,2)")
+    val yDec = col("l_extendedprice").cast("decimal(30,2)")
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(xDec).cast("double").as("sx"),
+        sum(yDec).cast("double").as("sy"),
+        sum(xDec * xDec).cast("double").as("sxx"),
+        sum(yDec * yDec).cast("double").as("syy"),
+        sum(xDec * yDec).cast("double").as("sxy"))
+      .select(col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+            * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("corr_qty_price"))
+  }
+
   /** Bag-semantics set operations (set4/set5): INTERSECT ALL /
     * EXCEPT ALL keep duplicate multiplicity (min / difference of
     * per-value counts) — Spark plans both as aggregations over a
