@@ -30,6 +30,12 @@ import graft.operators.TextAnalysis.words
   *  - Embedding near-dup at this corpus size is a broadcast cross
   *    product; the LSH-bucketed form for large corpora lives in
   *    [[Similarity.lshNeighbors]].
+  *
+  * Caller contract: several operators `cache()` intermediates that the
+  * RETURNED DataFrame still depends on (they cannot self-unpersist
+  * before the caller's action). Long-lived sessions invoking these in
+  * a loop should `spark.catalog.clearCache()` between invocations —
+  * Verify and Bench both do.
   */
 object Dedup {
 
@@ -385,8 +391,11 @@ object Dedup {
       // Labels only ever DECREASE, so Σrep is strictly monotone until
       // the fixpoint: an unchanged exact long sum ⇔ converged. One
       // scalar aggregate per round instead of a self-join diff.
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("rep")))
-        .collect()(0).getLong(0)
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum(col("rep")))
+        .collect()(0)
+      // sum() over an empty frame is NULL — an empty corpus is already
+      // converged (and must not NPE on unboxing).
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = labelSum == sum
       labelSum = sum
       labels.unpersist()

@@ -90,8 +90,11 @@ object Multimodal {
         if (marker >= 0xc0 && marker <= 0xcf
             && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           return Some((u16(b, i + 7), u16(b, i + 5)))
-        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7))
-          i += 2 // standalone markers carry no length field
+        else if (marker == 0xd9)
+          return None // EOI: no SOF before end of stream
+        else if (marker == 0xd8 || marker == 0x01
+            || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2 // standalone markers (SOI/TEM/RSTn) carry no length
         else i += 2 + u16(b, i + 2)
       }
       None

@@ -177,8 +177,11 @@ object Quantiles {
     }.filter(_._2 > 0)
 
     val wanted = groups.flatMap { case (key, n, mn, mx) =>
+      // Null-safe equality: a null group key is a real group in the
+      // heads pass, and `===` would match no rows for it (leaving the
+      // target with an empty histogram).
       val basePred = groupCols.indices
-        .map(i => col(groupCols(i)) === lit(key(i)))
+        .map(i => col(groupCols(i)) <=> lit(key(i)))
         .foldLeft(lit(true))(_ && _)
       qs.flatMap { case (_, q) =>
         val k = q * (n - 1)

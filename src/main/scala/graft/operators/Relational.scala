@@ -661,8 +661,13 @@ object Relational {
     * plan property, this gate hash-checks the result.
     */
   def bucketedSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_b1_wh_").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_b1 LOCATION '$wh'")
+    // Create the database once per session: IF NOT EXISTS would pin the
+    // LOCATION of the first call anyway, so minting a temp dir per call
+    // would only leak empty directories.
+    if (!spark.catalog.databaseExists("graft_b1")) {
+      val wh = java.nio.file.Files.createTempDirectory("graft_b1_wh_").toString
+      spark.sql(s"CREATE DATABASE graft_b1 LOCATION '$wh'")
+    }
     Tables.orders(spark, dir)
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("graft_b1.orders_b")
@@ -693,7 +698,14 @@ object Relational {
   def cmsEventTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     val cms = Tables.events(spark, dir)
       .stat.countMinSketch("event_type", 0.001, 0.99, 42)
-    val rows = EventTypes.sorted.map(t =>
+    // Probe the types PRESENT in the data (not the static EventTypes
+    // list): the oracle's GROUP BY emits only occurring types, so a
+    // zero-count probe row would be a spurious hash mismatch at a
+    // scale factor where some type never fires.
+    val present = Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val rows = present.toSeq.map(t =>
       org.apache.spark.sql.Row(t, cms.estimateCount(t)))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(

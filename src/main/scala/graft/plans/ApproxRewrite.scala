@@ -70,10 +70,16 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg: Aggregate =>
         agg.transformExpressions {
+          // DoubleType children only: Percentile always returns
+          // DoubleType but ApproximatePercentile returns
+          // child.dataType, so rewriting an int column would change
+          // the aggregate's result type after analysis — a plan whose
+          // physical output no longer matches its declared schema.
           case ae @ AggregateExpression(
               Percentile(child, percentage, frequency, _, _, reverse), _, _, _, _)
               if !reverse && frequency.foldable
-                && frequency.eval() == 1L =>
+                && frequency.eval() == 1L
+                && child.dataType == org.apache.spark.sql.types.DoubleType =>
             ae.copy(aggregateFunction =
               new ApproximatePercentile(child, percentage,
                 Literal(accuracy)))

@@ -85,4 +85,13 @@ class ApproxRewriteSpec extends SparkSpec {
         s"sketch estimate too far: $v")
     }
   }
+
+  test("non-double percentile is NOT rewritten (approx would change the result type)") {
+    withPercentileRule(enabled = true) {
+      val q = (1 to 100).toDF("i").agg(expr("percentile(i, 0.5)").as("p"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("percentile_approx"), plan)
+      assert(q.collect()(0).getDouble(0) == 50.5)
+    }
+  }
 }

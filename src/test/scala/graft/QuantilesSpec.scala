@@ -51,6 +51,16 @@ class QuantilesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("null group keys form a real group (null-safe predicate)") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq("p50" -> 0.5),
+      groupCols = Seq("g"))
+      .map { case (key, vals) => Option(key.head).map(_.toString) -> vals.head }
+      .toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 20.0))
+  }
+
   test("count-min sketch estimates are >= exact and exact on this corpus") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").count()

@@ -72,6 +72,12 @@ class TextAnalysisSpec extends SparkSpec {
       0xff, 0xc0, 0x00, 0x11, 0x08, 333 >> 8, 333 & 0xff, 517 >> 8, 517 & 0xff,
       3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
     assert(Multimodal.HeaderParser.dims(jpeg).contains((517, 333)))
+    // TEM (0xFF01) is standalone — must be stepped over, not read as a
+    // length-bearing segment; EOI before any SOF terminates the walk.
+    val withTem = jpeg.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ jpeg.drop(2)
+    assert(Multimodal.HeaderParser.dims(withTem).contains((517, 333)))
+    val eoiOnly = Array(0xff, 0xd8, 0xff, 0xd9, 0xff, 0xc0, 0x00, 0x11).map(_.toByte)
+    assert(Multimodal.HeaderParser.jpegDims(eoiOnly).isEmpty)
     // Non-image payloads fall through to None (FakeDecoder pseudo-dims).
     assert(Multimodal.HeaderParser.dims("not an image".getBytes).isEmpty)
     // Decoder integration: planted dims win over the fake hash dims.
