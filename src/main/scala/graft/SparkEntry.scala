@@ -142,6 +142,9 @@ object SparkEntry {
     "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
     "w6_mom_growth"        -> ((s, d) => Relational.momRevenueGrowth(s, d)),
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
+    "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
+    "st8_stream_dedup"     -> ((s, d) =>
+      graft.streaming.StreamJoins.dedupStreamGate(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -710,6 +713,19 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "k5_partition_replace" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    strftime(ts, '%Y%m%d') AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM e ORDER BY day LIMIT 3),
+        |d AS (SELECT day, row_number() OVER (ORDER BY day) AS rn FROM days)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  CASE WHEN d.rn = 2 THEN e.value + 500.0 ELSE e.value END AS value,
+        |  e.day AS partition_date
+        |FROM e JOIN d ON e.day = d.day
+        |ORDER BY event_id""".stripMargin,
+    "st8_stream_dedup" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY event_id""".stripMargin,
     "w6_mom_growth" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue

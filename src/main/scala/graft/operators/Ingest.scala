@@ -121,6 +121,35 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Surgical partition replacement (k5): load three daily partitions,
+    * dynamic-partition-overwrite ONLY the middle day with re-priced
+    * rows, and read everything back — days 1 and 3 must survive
+    * untouched, day 2 must carry the replacement. This is the
+    * reference's daily re-materialization semantics (a backfill of one
+    * day must never clobber its neighbors); rk1 proves idempotency of
+    * the overwrite, this proves its SELECTIVITY.
+    */
+  def partitionReplaceGate(spark: SparkSession, dir: String): DataFrame = {
+    val store = new TickerStore(freshDir("graft_k5_"))
+    val e = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+    val days = e.select(col("day")).distinct().orderBy(col("day"))
+      .limit(3).collect().map(_.getString(0))
+    val src = e.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("day"))
+    days.foreach { d =>
+      store.append(src.filter(col("day") === d).drop("day"), d)
+    }
+    store.overwritePartition(
+      src.filter(col("day") === days(1)).drop("day")
+        .withColumn("value", col("value") + lit(500.0)),
+      days(1))
+    store.read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("partition_date"))
+      .orderBy(col("event_id"))
+  }
+
   /** SCD Type-2 history maintenance (scd1): apply a batch of dimension
     * updates while preserving history — matched keys get their current
     * row CLOSED (is_current=0) and a new open row appended; unmatched

@@ -51,6 +51,37 @@ object StreamJoins {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gated streaming dedup (st8): the events table staged TWICE-over
+    * (every 5th event re-delivered in a second file) through
+    * [[dedupStream]] — re-deliveries are suppressed by the keyed
+    * watermark state, so the result equals the plain distinct table,
+    * which is what the oracle states.
+    */
+  def dedupStreamGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st8_").toString
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    e.coalesce(1).write.parquet(s"$tmp/in")
+    e.filter(col("event_id") % 5 === 0) // re-delivered slice
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try dedupStream(spark, s"$tmp/in")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$tmp/out")
+      }
+      .start()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out").orderBy(col("event_id"))
+  }
+
   /** Gated stream-stream attribution join (st5): stage the events
     * table's clicks and purchases as two file streams, run
     * [[purchaseAttribution]] end-to-end under AvailableNow, and return
