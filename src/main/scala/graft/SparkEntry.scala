@@ -143,6 +143,7 @@ object SparkEntry {
     "w6_mom_growth"        -> ((s, d) => Relational.momRevenueGrowth(s, d)),
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
+    "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "st8_stream_dedup"     -> ((s, d) =>
       graft.streaming.StreamJoins.dedupStreamGate(s, d)),
   )
@@ -713,6 +714,20 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "v2_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INT)) AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qv, x -> CAST(x AS BIGINT))), (a, b) -> a + b) AS q_sum,
+        |  list_min(qv) AS q_min,
+        |  list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "k5_partition_replace" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |    strftime(ts, '%Y%m%d') AS day FROM events),

@@ -42,6 +42,27 @@ object VectorOps {
   def l2(a: Column, b: Column): Column =
     sqrt(fsum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
 
+  /** Gated int8 quantization (v2): per-vector symmetric quantization
+    * q_i = floor(x_i · 127/max|x| + 0.5) — the 4× storage cut every
+    * embedding store at scale applies before indexing. The explicit
+    * floor(·+0.5) rounding (instead of `round`) is the same IEEE op
+    * sequence on both engines, so the quantized integers — emitted as
+    * exact integer aggregates — hash-match the oracle. Quantization
+    * stays columnar (one transform per row; no UDF).
+    */
+  def quantizeInt8(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("int")))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+
   /** Gated per-vector statistics (v1): the plain vector-function
     * surface over the embedding column — norm, component mean/min/max
     * — all bit-exact left folds mirrored by the oracle's list folds.
