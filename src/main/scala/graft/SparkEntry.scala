@@ -144,6 +144,19 @@ object SparkEntry {
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
+    "t10_tfidf"            -> ((s, d) => TextAnalysis.tfIdf(s, d)),
+    "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
+    "sk2_salted_join"      -> ((s, d) => {
+      val e = graft.Tables.events(s, d).select(col("event_id"), col("event_type"))
+      val dim = graft.Tables.events(s, d).select(col("event_type").as("t2"))
+        .distinct().withColumn("code_str", org.apache.spark.sql.functions.upper(col("t2")))
+      Skew.saltedJoin(e, dim, "event_type", "t2")
+        .groupBy(col("code_str"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy(col("code_str"))
+    }),
     "st8_stream_dedup"     -> ((s, d) =>
       graft.streaming.StreamJoins.dedupStreamGate(s, d)),
   )
@@ -714,6 +727,31 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "t10_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
+        |FROM tf JOIN dfq USING (term) CROSS JOIN nn
+        |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "t11_top_bigrams" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "sa1_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+    "sk2_salted_join" ->
+      """SELECT upper(event_type) AS code_str, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "v2_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

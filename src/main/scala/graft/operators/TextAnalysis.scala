@@ -220,6 +220,62 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("word"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** TF-IDF (t10): the canonical sparse text-feature weighting.
+    * tf = term count in doc, idf = ln(N / df). One explode + two
+    * aggregations; the doc-frequency table joins back on the term —
+    * at corpus scale both shuffles key on the term, and the score
+    * math is a pure per-row expression. ln() is mirrored by DuckDB's
+    * ln() on identical doubles; round(6) absorbs last-ulp libm drift.
+    * Output bounded to the first docs to keep the gate small.
+    */
+  def tfIdf(spark: SparkSession, dir: String, maxDocId: Long = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Bigram frequencies (t11): the n-gram count table LM data prep
+    * builds; same explode-and-count shape as [[topTokens]] one order
+    * up.
+    */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(0), size(col("ws")) - lit(2)),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(k)
+
+  /** Deterministic Bernoulli sample (sa1): keep a row iff the md5 hex
+    * prefix of its key falls under the rate threshold — reproducible
+    * across runs, machines, and retries, unlike `rand()`-based
+    * sampling (same rationale as [[hashSplit]]). 4 hex chars → rate
+    * granularity 1/65536.
+    */
+  def hashSample(spark: SparkSession, dir: String, rate: Double = 0.25): DataFrame = {
+    // Fixed-width lowercase hex compares lexicographically == numerically,
+    // so the threshold is just a hex string — no base conversion on
+    // either engine.
+    val threshold = f"${(rate * 65536).toInt}%04x"
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < threshold)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Regex group extraction (query t6): the word following 'the' —
     * no-match yields empty string in both engines.
     */
