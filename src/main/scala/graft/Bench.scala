@@ -3,19 +3,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query seconds.
   *
-  * Methodology (changed in round 2, see PERF.md):
+  * Methodology (round 2 + round 3, see PERF.md):
   *  - every query is materialized through the `noop` sink, not
   *    `.count()`: count() lets Catalyst prune every column the
   *    aggregate doesn't need, so projection-heavy queries were being
   *    timed as little more than the scan. The noop sink evaluates the
   *    full result rows and discards them — write-path overhead without
   *    disk I/O.
-  *  - each query runs 3 times and the MEDIAN is reported (min also
+  *  - each query runs one UNTIMED warm-up pass before its timed reps
+  *    (round 3): the first execution of a plan pays whole-stage-codegen
+  *    Janino compilation and JVM JIT of any native kernel expression
+  *    (round 2's t7 driver outlier was exactly this landing in the
+  *    median); warming per-query keeps every timed rep steady-state.
+  *  - each query then runs 3 times and the MEDIAN is reported (min also
   *    emitted), so round-over-round comparisons sit above the ±15%
   *    run-to-run noise observed in round 1.
   *  - the cache catalog is cleared between repetitions: several
   *    operators cache() intermediates internally, and a warm cache
   *    would turn rep-2/3 into a different (smaller) computation.
+  *  - a failing query is NEVER folded into the statistics (round 2
+  *    returned a -1.0 sentinel that shrank the total): failures are
+  *    reported per-query under "errors", excluded from every stat, and
+  *    flip the exit code so a regression cannot pass silently.
   */
 object Bench {
   private final val Reps = 3
@@ -34,23 +43,50 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
 
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to Reps).map(_ => timeOnce(fn)).sorted
-      name -> (runs(Reps / 2), runs.head) // (median, min)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runOnce(fn) match { // untimed warm-up; its failure fails the query
+        case Left(err) => name -> Left(err)
+        case Right(_) =>
+          val reps = (1 to Reps).map(_ => runOnce(fn))
+          reps.collectFirst { case Left(err) => err } match {
+            case Some(err) => name -> Left(err)
+            case None =>
+              val ts = reps.collect { case Right(t) => t }.sorted
+              name -> Right((ts(ts.length / 2), ts.head)) // (median, min)
+          }
+      }
     }
+    val timed = results.collect { case (n, Right(v)) => n -> v }
+    val errors = results.collect { case (n, Left(e)) => n -> e }
     def jsonMap(sel: ((Double, Double)) => Double): String =
-      timed.map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+      timed.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val total = timed.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
-      s""""queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}""")
+      s""""queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},""" +
+      s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+      sys.exit(1)
+    }
   }
 }

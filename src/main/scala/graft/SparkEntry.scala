@@ -138,6 +138,8 @@ object SparkEntry {
       graft.streaming.RunningStats.runningStatsGate(s, d)),
     "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
+    "m4_image_decode_stats"-> ((s, d) => Multimodal.imageDecodeStats(s, d)),
+    "m5_audio_decode_stats"-> ((s, d) => Multimodal.audioDecodeStats(s, d)),
     "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
     "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
     "w6_mom_growth"        -> ((s, d) => Relational.momRevenueGrowth(s, d)),
@@ -828,6 +830,41 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44100
         |    WHEN doc_id % 3 = 1 THEN 22050 ELSE 16000 END AS INT) AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The Spark side must inflate a real PNG's IDAT (javax.imageio) to
+    // recover the planted two-tone pixel statistics; the oracle states
+    // them as the doc_id arithmetic they were planted from.
+    "m4_image_decode_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 4 AS INT) AS width,
+        |    CAST(doc_id % 12 + 4 AS INT) AS height,
+        |    (doc_id % 16 + 4) // 2 AS wl,
+        |    doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+        |    (doc_id*31) % 256 AS rb, (doc_id*37) % 256 AS gb, (doc_id*41) % 256 AS bb
+        |  FROM documents),
+        |m AS (SELECT doc_id, width, height,
+        |    CAST(height*(wl*ra + (width-wl)*rb) AS DOUBLE) / (width*height) AS mr,
+        |    CAST(height*(wl*ga + (width-wl)*gb) AS DOUBLE) / (width*height) AS mg,
+        |    CAST(height*(wl*ba + (width-wl)*bb) AS DOUBLE) / (width*height) AS mb
+        |  FROM p)
+        |SELECT doc_id, width, height, CAST(3 AS INT) AS n_channels,
+        |  round(mr, 6) AS mean_r, round(mg, 6) AS mean_g, round(mb, 6) AS mean_b,
+        |  round(CAST(0.299 AS DOUBLE)*mr + CAST(0.587 AS DOUBLE)*mg
+        |    + CAST(0.114 AS DOUBLE)*mb, 6) AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Likewise m5: the planted 16-bit PCM waveform lives only in the WAV
+    // data chunk — the Spark side decodes real frames via javax.sound.
+    "m5_audio_decode_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS INT) AS n_samples,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    list_transform(range(0, doc_id % 50 + 10),
+        |      i -> abs((doc_id*31 + i*17) % 2003 - 1001)) AS sa
+        |  FROM documents)
+        |SELECT doc_id, n_samples, sample_rate,
+        |  round(CAST(n_samples AS DOUBLE) * 1000 / sample_rate, 6) AS duration_ms,
+        |  round(CAST(list_sum(sa) AS DOUBLE) / n_samples, 6) AS mean_abs,
+        |  CAST(list_max(sa) AS INT) AS peak_abs
+        |FROM p ORDER BY doc_id""".stripMargin,
     "e3_json_typed" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int

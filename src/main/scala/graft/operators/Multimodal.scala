@@ -8,12 +8,12 @@ import graft.Tables
   * payloads as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as a typed `mapPartitions` stage.
   *
-  * The Spark-side shape is the real deliverable here — schema, batch
-  * iteration, partitioning — while the codec itself is STUBBED
-  * (`FakeDecoder`): this container has no image/audio libraries, so
-  * the decoder is a deterministic fake with the exact signature a real
-  * one (JNI/FFI to a codec, or an Arrow-batched Python worker) would
-  * plug into.
+  * Decode is REAL for the formats the JDK ships codecs for:
+  * [[ImageIODecoder]] (javax.imageio — PNG/JPEG/BMP/GIF, headless) and
+  * [[WavDecoder]] (javax.sound.sampled — PCM WAV). [[FakeDecoder]]
+  * remains only for payloads with no JVM codec (opaque `bin`), where it
+  * derives deterministic pseudo-features so the distributed plumbing
+  * stays testable on any payload.
   *
   * Scale notes: binary payloads stay columnar in parquet; metadata
   * extraction prunes to (id, len, magic) without materializing bodies
@@ -34,10 +34,10 @@ object Multimodal {
       height: Int,
       feature_hash: Long)
 
-  /** The decoder seam. A production implementation decodes the payload
-    * (libjpeg/ffmpeg/...); the fake derives deterministic pseudo
-    * features from the bytes so the distributed plumbing is testable
-    * offline. STUB — the decode math is intentionally fake.
+  /** The decoder seam. [[HybridDecoder]] (the default) decodes real
+    * image containers with javax.imageio and falls back to
+    * [[FakeDecoder]]'s deterministic pseudo-features for payloads that
+    * are not decodable media (the test corpus is UTF-8 text).
     */
   trait Decoder extends Serializable {
     def decode(docId: Long, bytes: Array[Byte]): MediaFeatures
@@ -60,6 +60,69 @@ object Multimodal {
         height = dims.map(_._2).getOrElse(math.abs((h >> 16) % 1080).toInt + 1),
         feature_hash = h)
     }
+  }
+
+  /** Decoded raster statistics — what [[ImageIODecoder]] extracts from
+    * real pixel data (unrounded means; presentation rounding happens in
+    * the DataFrame so Spark's `round` semantics apply).
+    */
+  case class ImageStats(
+      width: Int,
+      height: Int,
+      n_channels: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decoder: javax.imageio (JDK built-in, headless-safe —
+    * no external library needed for PNG/JPEG/BMP/GIF). Returns None for
+    * payloads ImageIO has no codec for.
+    */
+  object ImageIODecoder extends Serializable {
+    // One-time per-JVM codec config: headless AWT, and no disk-backed
+    // ImageInputStream cache (executors would otherwise hit /tmp per row).
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(bytes: Array[Byte]): Option[ImageStats] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y) // sRGB, exact for 8-bit lossless input
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageStats(w, h, im.getRaster.getNumBands,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /** Default decoder for [[extractFeatures]]: real ImageIO decode when
+    * the payload is a decodable image, [[FakeDecoder]] pseudo-features
+    * otherwise (the corpus payloads are UTF-8 text, kind `bin`).
+    */
+  object HybridDecoder extends Decoder {
+    override def decode(docId: Long, bytes: Array[Byte]): MediaFeatures =
+      ImageIODecoder.decode(bytes) match {
+        case Some(s) =>
+          val fake = FakeDecoder.decode(docId, bytes)
+          fake.copy(width = s.width, height = s.height)
+        case None => FakeDecoder.decode(docId, bytes)
+      }
   }
 
   /** Pure-JVM image header parsing — no codec library needed, because
@@ -217,13 +280,176 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Planted media fixtures: REAL encoded files built distributed, with
+  // every pixel/sample value a pure function of doc_id — so a DuckDB
+  // oracle can state the expected decode statistics as arithmetic while
+  // the Spark side must run a genuine codec round-trip to recover them.
+  // ------------------------------------------------------------------
+
+  /** Per-doc planted image parameters (all doc_id arithmetic; the m4
+    * oracle SQL mirrors these formulas exactly). The image is two-tone
+    * — left `width/2` columns colour A, the rest colour B — so the mean
+    * depends on actual pixel traversal, not any header field.
+    */
+  private[graft] final case class PlantedImage(id: Long) {
+    val width: Int = (id % 16 + 4).toInt
+    val height: Int = (id % 12 + 4).toInt
+    val wLeft: Int = width / 2
+    val rA: Int = (id % 256).toInt
+    val gA: Int = (id * 7 % 256).toInt
+    val bA: Int = (id * 13 % 256).toInt
+    val rB: Int = (id * 31 % 256).toInt
+    val gB: Int = (id * 37 % 256).toInt
+    val bB: Int = (id * 41 % 256).toInt
+  }
+
+  /** Encode the planted image as a REAL PNG via ImageIO (zlib'd IDAT,
+    * CRCs — the genuine container, not a hand-built header).
+    */
+  private[graft] def encodePlantedPng(id: Long): Array[Byte] = {
+    val p = PlantedImage(id)
+    val im = new java.awt.image.BufferedImage(
+      p.width, p.height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < p.height) {
+      var x = 0
+      while (x < p.width) {
+        val (r, g, b) = if (x < p.wLeft) (p.rA, p.gA, p.bA) else (p.rB, p.gB, p.bB)
+        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Gated m4: encode planted PNGs distributed, decode them back with
+    * the REAL ImageIO decoder, and emit per-image pixel statistics.
+    * Recovering the means requires inflating the IDAT stream and
+    * walking the raster — header parsing cannot answer this query. The
+    * oracle states the same statistics as doc_id arithmetic.
+    *
+    * Determinism: per-image sums are exact integers (< 2^53); one IEEE
+    * double division each side of the gate is correctly rounded to the
+    * identical double; `round(_, 6)` applied by Spark itself.
+    */
+  def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val s = ImageIODecoder.decode(encodePlantedPng(id))
+            .getOrElse(sys.error(s"ImageIO failed to decode planted PNG for doc $id"))
+          (id, s.width, s.height, s.n_channels, s.mean_r, s.mean_g, s.mean_b)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_channels", "mr", "mg", "mb")
+    decoded.select(
+        col("doc_id"), col("width"), col("height"), col("n_channels"),
+        round(col("mr"), 6).as("mean_r"),
+        round(col("mg"), 6).as("mean_g"),
+        round(col("mb"), 6).as("mean_b"),
+        round(lit(0.299) * col("mr") + lit(0.587) * col("mg")
+          + lit(0.114) * col("mb"), 6).as("mean_luma"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc planted audio parameters (mirrored by the m5 oracle).
+    * Sample i of n is `(id*31 + i*17) % 2003 - 1001` — a deterministic
+    * integer waveform in [-1001, 1001].
+    */
+  private[graft] final case class PlantedAudio(id: Long) {
+    val nSamples: Int = (id % 50 + 10).toInt
+    val sampleRate: Int = (8000 + (id % 3) * 4000).toInt
+    def sample(i: Int): Int = ((id * 31 + i * 17) % 2003 - 1001).toInt
+  }
+
+  /** Encode the planted waveform as a REAL 16-bit PCM mono WAV. */
+  private[graft] def encodePlantedWav(id: Long): Array[Byte] = {
+    val p = PlantedAudio(id)
+    val dataBytes = p.nSamples * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(p.sampleRate)
+      .putInt(p.sampleRate * 2)          // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes).putInt(dataBytes)
+    var i = 0
+    while (i < p.nSamples) { buf.putShort(p.sample(i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** REAL audio decoder: javax.sound.sampled (JDK built-in). Parses the
+    * container via AudioSystem, streams the PCM frames, and reduces to
+    * (n_samples, sample_rate, Σ|s|, max|s|) — the per-file shape a
+    * distributed audio-QA pass needs (exact integers, order-invariant).
+    */
+  object WavDecoder extends Serializable {
+    case class AudioStats(nSamples: Int, sampleRate: Int, sumAbs: Long, peakAbs: Int)
+
+    def decode(bytes: Array[Byte]): AudioStats = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val pcm = in.readAllBytes()
+        var i = 0; var sum = 0L; var peak = 0
+        while (i + 1 < pcm.length) {
+          val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          sum += a
+          if (a > peak) peak = a
+          i += 2
+        }
+        AudioStats(pcm.length / 2, fmt.getSampleRate.toInt, sum, peak)
+      } finally in.close()
+    }
+  }
+
+  /** Gated m5: encode planted WAVs distributed, decode them back with
+    * the REAL javax.sound decoder, emit duration/amplitude statistics.
+    * The sample values live only in the data chunk — recovering mean
+    * |amplitude| and peak requires actually reading PCM frames.
+    */
+  def audioDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val s = WavDecoder.decode(encodePlantedWav(id))
+          (id, s.nSamples, s.sampleRate, s.sumAbs, s.peakAbs)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "sum_abs", "peak_abs")
+    decoded.select(
+        col("doc_id"), col("n_samples"), col("sample_rate"),
+        round(col("n_samples").cast("double") * lit(1000) / col("sample_rate"), 6)
+          .as("duration_ms"),
+        round(col("sum_abs").cast("double") / col("n_samples"), 6).as("mean_abs"),
+        col("peak_abs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature-extraction pass: typed mapPartitions through the decoder
     * seam — one decoder instance per partition, rows streamed through
-    * it. Exercised by ScalaTest (the fake decoder's output is
-    * deterministic but not SQL-expressible).
+    * it. Exercised by ScalaTest (the decoder's output on non-media
+    * payloads is deterministic but not SQL-expressible).
     */
   def extractFeatures(spark: SparkSession, dir: String,
-                      decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
+                      decoder: Decoder = HybridDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     assetTable(spark, dir)
       .select(col("doc_id"), col("payload"))

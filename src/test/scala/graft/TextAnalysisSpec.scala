@@ -85,6 +85,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.width == 640 && f.height == 480 && f.kind == "png")
   }
 
+  test("ImageIO decoder recovers exact planted pixel statistics from a real PNG") {
+    val id = 137L
+    val p = Multimodal.PlantedImage(id)
+    val stats = Multimodal.ImageIODecoder.decode(Multimodal.encodePlantedPng(id)).get
+    assert(stats.width == p.width && stats.height == p.height && stats.n_channels == 3)
+    val n = p.width.toLong * p.height
+    def mean(a: Int, b: Int): Double =
+      (p.height.toLong * (p.wLeft.toLong * a + (p.width - p.wLeft).toLong * b)).toDouble / n
+    assert(stats.mean_r == mean(p.rA, p.rB))
+    assert(stats.mean_g == mean(p.gA, p.gB))
+    assert(stats.mean_b == mean(p.bA, p.bB))
+    // Non-image payload → None (the hybrid decoder falls back to fake).
+    assert(Multimodal.ImageIODecoder.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("hybrid decoder uses real decoded dims for decodable images") {
+    val bytes = Multimodal.encodePlantedPng(42L)
+    val p = Multimodal.PlantedImage(42L)
+    val f = Multimodal.HybridDecoder.decode(42L, bytes)
+    assert(f.width == p.width && f.height == p.height && f.kind == "png")
+  }
+
+  test("javax.sound decoder recovers exact planted PCM statistics from a real WAV") {
+    val id = 261L
+    val p = Multimodal.PlantedAudio(id)
+    val s = Multimodal.WavDecoder.decode(Multimodal.encodePlantedWav(id))
+    assert(s.nSamples == p.nSamples && s.sampleRate == p.sampleRate)
+    val samples = (0 until p.nSamples).map(p.sample)
+    assert(s.sumAbs == samples.map(v => math.abs(v).toLong).sum)
+    assert(s.peakAbs == samples.map(math.abs).max)
+  }
+
   test("wav header parser reads fmt chunk through an interposed chunk") {
     def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
