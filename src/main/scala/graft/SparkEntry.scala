@@ -200,22 +200,26 @@ object SparkEntry {
     * df-capped via a count window (df in [2, cap]), `common` counted
     * from the capped posting join, sizes from the FULL shingle sets.
     */
+  // df-capped CANDIDATE generation + exact full-set confirm: `inter`
+  // (full posting intersection counts, from shingleCtes) restricted to
+  // pairs that share at least one df-in-[2,cap] shingle — the same
+  // two-phase semantics as Dedup.jaccardPairsFrom.
   private def cappedJaccardOracle(threshold: Double, dfCap: Int): String =
     s"""$shingleCtes,
        |capped AS (SELECT doc_id, shingle FROM (
        |    SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
        |  WHERE df BETWEEN 2 AND $dfCap),
-       |cinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b
-       |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
+       |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+       |SELECT i.doc_a, i.doc_b,
        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
-       |FROM cinter
-       |JOIN sz sa ON sa.doc_id = doc_a
-       |JOIN sz sb ON sb.doc_id = doc_b
+       |FROM inter i
+       |JOIN cand ON cand.doc_a = i.doc_a AND cand.doc_b = i.doc_b
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
   private def jaccardOracle(threshold: Double): String =
     s"""$shingleCtes

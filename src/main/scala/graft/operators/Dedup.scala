@@ -100,11 +100,22 @@ object Dedup {
     * J ≥ 0.5 pair (near-dup pairs share many RARE shingles; a pair
     * found only through a hot shingle has J ≈ 0). df < 2 shingles
     * cannot form a pair at all — dropping them is a pure win. The
-    * confirm step uses the full sets, so every emitted jaccard value
-    * is exact; the cap only bounds WHICH pairs are examined.
+    * confirm step counts the intersection over the FULL posting lists,
+    * so every emitted jaccard value is exact; the cap only bounds WHICH
+    * pairs are examined.
+    *
+    * RECALL BLIND SPOT (inherent to df-capped generation, stated
+    * honestly): a pair whose shared shingles ALL have df > dfCap — e.g.
+    * boilerplate duplicated more than dfCap times — produces no
+    * candidate and is never emitted regardless of its true J. Exact
+    * byte-identical mass duplication is covered by [[exactDedup]];
+    * NEAR-dup boilerplate beyond the cap needs [[minhashLshPairs]],
+    * whose banding does not depend on df. For pairs that ARE emitted,
+    * the value is the true Jaccard.
     *
     * Jaccard is a ratio of two integers — bit-identical across
-    * engines, hence oracle-checkable (the oracle CTE mirrors the cap).
+    * engines, hence oracle-checkable (the oracle CTE mirrors the
+    * capped generation and the full-set confirm).
     */
   def jaccardPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
@@ -116,12 +127,14 @@ object Dedup {
     * Plan shape: the df computation is a COUNT WINDOW over the posting
     * list, not a groupBy+join — one shuffle on `shingle` whose output
     * partitioning the posting self-join then REUSES (no second
-    * shuffle of the postings). `common` is counted directly from the
-    * capped posting join (the old single-pass inter aggregation);
-    * sizes are the FULL per-doc set sizes, so on any corpus where the
-    * cap never fires the result is the exact Jaccard, and where it
-    * does fire the emitted value is a documented lower bound over the
-    * capped shingle space (the oracle mirrors both).
+    * shuffle of the postings). The capped join yields CANDIDATE pairs
+    * only; `common` is then counted exactly by joining the candidates
+    * back to the FULL posting lists (two equi-joins linear in
+    * |candidates| × avg set size — no arrays are shipped, unlike the
+    * round-1 array-fetch confirm). Sizes are the full per-doc set
+    * sizes, so every emitted jaccard is the true set Jaccard; the cap
+    * only limits which pairs reach the confirm (see the blind-spot note
+    * on [[jaccardPairs]]).
     */
   def jaccardPairsFrom(docWords: DataFrame,
                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
@@ -133,9 +146,16 @@ object Dedup {
     val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("doc_id"), col("shingle"))
-    val inter = capped.as("a").join(capped.as("b"),
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact confirm: intersection size over the FULL postings of each
+    // candidate pair (not the df-capped subset the candidates came from).
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -365,13 +385,29 @@ object Dedup {
     * is a safety valve, not the expected path).
     */
   def duplicateClusters(spark: SparkSession, dir: String,
-                        threshold: Double = 0.7, maxRounds: Int = 20): DataFrame = {
-    val edges = minhashLshPairs(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
+                        threshold: Double = 0.7, maxRounds: Int = 20): DataFrame =
+    duplicateClustersFrom(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b")),
+      maxRounds)
+
+  /** How often the BSP loop truncates lineage: without it the plan
+    * nests one join per round, and a high-diameter graph (a 50-doc
+    * duplication chain) would hand Catalyst a 50-join tree to
+    * re-analyze every round. `localCheckpoint(eager)` materializes the
+    * label RDD and cuts the logical plan back to a scan.
+    */
+  private final val CheckpointEvery = 5
+
+  /** [[duplicateClusters]] over explicit node/edge frames — the seam
+    * the high-diameter chain test drives synthetically.
+    */
+  def duplicateClustersFrom(nodes: DataFrame, edges: DataFrame,
+                            maxRounds: Int = 20): DataFrame = {
     val bidir = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .cache()
-    var labels = Tables.documents(spark, dir)
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("rep"))
       .cache()
     var converged = false
@@ -383,11 +419,17 @@ object Dedup {
         .join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min(col("rep")).as("nmin"))
-      val next = labels
+      val step = labels
         .join(neighborMin, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .cache()
+      // Periodic lineage truncation: the convergence sum below already
+      // materializes every round, so the eager checkpoint adds no extra
+      // pass — it only swaps the nested-join plan for a scan of the
+      // materialized labels.
+      val next =
+        if (round % CheckpointEvery == 0) step.localCheckpoint(true)
+        else step.cache()
       // Labels only ever DECREASE, so Σrep is strictly monotone until
       // the fixpoint: an unchanged exact long sum ⇔ converged. One
       // scalar aggregate per round instead of a self-join diff.

@@ -10,11 +10,12 @@ import graft.sources.TickerStore
   * store's append/read round-trip (K1/K2) and daily-partitioned layout
   * with partition pruning (D4), driven by the `events` test table.
   *
-  * Each run writes to a fresh temp directory (side effect is scoped to
-  * the call, so Verify and Bench can invoke the query repeatedly
-  * without accumulating state — the reference's `run_key` idempotency
-  * concern, sensors.py:15, solved by construction here and by dynamic
-  * partition overwrite in [[graft.sources.TickerStore]]).
+  * Each run writes to a fresh temp directory and deletes it after the
+  * eager read-back (TmpIO.collectAndClean), so Verify and Bench can
+  * invoke the query repeatedly without accumulating state OR disk —
+  * the reference's `run_key` idempotency concern, sensors.py:15,
+  * solved by construction here and by dynamic partition overwrite in
+  * [[graft.sources.TickerStore]].
   */
 object Ingest {
 
@@ -27,12 +28,14 @@ object Ingest {
     * sink neither drops, duplicates, nor mutates rows.
     */
   def appendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val store = new TickerStore(freshDir("graft_k1_"))
+    val storeDir = freshDir("graft_k1_")
+    val store = new TickerStore(storeDir)
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     store.append(src, "20240101")
-    store.read(spark)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.TmpIO.collectAndClean(spark, storeDir)(
+        store.read(spark)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
       .orderBy(col("event_id"))
   }
 
@@ -52,11 +55,12 @@ object Ingest {
       // small-file catastrophe.
       .repartition(col("event_date"))
       .write.partitionBy("event_date").parquet(tableDir + "/t")
-    spark.read.parquet(tableDir + "/t")
-      .filter(col("event_date") === lit(day))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           Analytics.exactSum(col("value"), 30, 2).as("sum_value"))
+    graft.TmpIO.collectAndClean(spark, tableDir)(
+        spark.read.parquet(tableDir + "/t")
+          .filter(col("event_date") === lit(day))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               Analytics.exactSum(col("value"), 30, 2).as("sum_value")))
       .orderBy(col("event_type"))
   }
 
@@ -64,11 +68,12 @@ object Ingest {
     * breadth — reader/writer symmetry proven through the oracle gate).
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = freshDir("graft_orc_") + "/t"
+    val root = freshDir("graft_orc_")
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    graft.sources.FormatIO.write(src, "orc", path)
-    graft.sources.FormatIO.read(spark, "orc", path, src.schema)
+    graft.sources.FormatIO.write(src, "orc", root + "/t")
+    graft.TmpIO.collectAndClean(spark, root)(
+        graft.sources.FormatIO.read(spark, "orc", root + "/t", src.schema))
       .orderBy(col("event_id"))
   }
 
@@ -85,11 +90,12 @@ object Ingest {
 
   private def textFormatRoundtrip(spark: SparkSession, dir: String,
                                   format: String): DataFrame = {
-    val path = freshDir(s"graft_${format}_") + "/t"
+    val root = freshDir(s"graft_${format}_")
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    graft.sources.FormatIO.write(src, format, path)
-    graft.sources.FormatIO.read(spark, format, path, src.schema)
+    graft.sources.FormatIO.write(src, format, root + "/t")
+    graft.TmpIO.collectAndClean(spark, root)(
+        graft.sources.FormatIO.read(spark, format, root + "/t", src.schema))
       .orderBy(col("event_id"))
   }
 
@@ -130,7 +136,8 @@ object Ingest {
     * the overwrite, this proves its SELECTIVITY.
     */
   def partitionReplaceGate(spark: SparkSession, dir: String): DataFrame = {
-    val store = new TickerStore(freshDir("graft_k5_"))
+    val storeDir = freshDir("graft_k5_")
+    val store = new TickerStore(storeDir)
     val e = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
     val days = e.select(col("day")).distinct().orderBy(col("day"))
@@ -140,13 +147,17 @@ object Ingest {
     days.foreach { d =>
       store.append(src.filter(col("day") === d).drop("day"), d)
     }
-    store.overwritePartition(
+    // Graceful at probe scale: if the events table spans fewer than two
+    // distinct days there is no "middle day" to replace — mirror the
+    // oracle's row_number()=2 CASE, which then re-prices nothing.
+    if (days.length >= 2) store.overwritePartition(
       src.filter(col("day") === days(1)).drop("day")
         .withColumn("value", col("value") + lit(500.0)),
       days(1))
-    store.read(spark)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("partition_date"))
+    graft.TmpIO.collectAndClean(spark, storeDir)(
+        store.read(spark)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("partition_date")))
       .orderBy(col("event_id"))
   }
 
@@ -202,8 +213,10 @@ object Ingest {
     val pipeline = new graft.streaming.ReactiveMetaPipeline(
       s"$tmp/upstream", s"$tmp/meta", s"$tmp/ckpt")
     pipeline.runAvailableNow(spark)
-    spark.read.parquet(s"$tmp/meta")
-      .select(col("event_type"), col("min_value"), col("max_value"), col("n_events"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        spark.read.parquet(s"$tmp/meta")
+          .select(col("event_type"), col("min_value"), col("max_value"),
+            col("n_events")))
       .orderBy(col("event_type"))
   }
 
@@ -212,11 +225,13 @@ object Ingest {
     * copy. Returned as a 1-row DataFrame for the gate.
     */
   def idempotentOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val store = new TickerStore(freshDir("graft_rk_"))
+    val storeDir = freshDir("graft_rk_")
+    val store = new TickerStore(storeDir)
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     store.overwritePartition(src, "20240101")
     store.overwritePartition(src, "20240101") // re-delivery of the same partition
-    store.read(spark).agg(count(lit(1)).as("n_rows"))
+    graft.TmpIO.collectAndClean(spark, storeDir)(
+      store.read(spark).agg(count(lit(1)).as("n_rows")))
   }
 }

@@ -47,8 +47,8 @@ object Quantiles {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private final val Buckets = 256
-  private final val CollectThreshold = 100000L
-  private final val MaxRounds = 64
+  final val DefaultCollectThreshold = 100000L
+  final val DefaultMaxRounds = 64
 
   /** One order statistic still being narrowed: `pred` confines rows to
     * the current interval (a chain of bucket-expression equalities),
@@ -72,7 +72,9 @@ object Quantiles {
     * `df` must expose `x` (double) plus the groupBy columns.
     */
   private def orderStats(df: DataFrame, groupCols: Seq[String],
-                         wanted: Seq[(Seq[Any], Long, Column, Double, Double, Long)])
+                         wanted: Seq[(Seq[Any], Long, Column, Double, Double, Long)],
+                         collectThreshold: Long = DefaultCollectThreshold,
+                         maxRounds: Int = DefaultMaxRounds)
       : Map[(Seq[Any], Long), Double] = {
     val x = col("x")
     var active: Seq[Target] = wanted.map { case (key, pos, basePred, mn, mx, n) =>
@@ -86,12 +88,12 @@ object Quantiles {
     def triage(ts: Seq[Target]): (Seq[Target], Seq[Target]) = {
       val (done, rest) = ts.partition(t => t.w == 0.0 || !(t.w > 0.0))
       done.foreach(t => resolved((t.key, t.pos)) = t.lo)
-      rest.partition(t => t.n <= CollectThreshold)
+      rest.partition(t => t.n <= collectThreshold)
     }
 
     var (toCollect, narrowing) = triage(active)
     var round = 0
-    while (narrowing.nonEmpty && round < MaxRounds) {
+    while (narrowing.nonEmpty && round < maxRounds) {
       round += 1
       // One scan: every row contributes (targetIdx, bucket) for each
       // active interval containing it (intervals of distinct targets
@@ -131,7 +133,17 @@ object Quantiles {
       toCollect = toCollect ++ collectNow
       narrowing = keepNarrowing
     }
-    toCollect = toCollect ++ narrowing // MaxRounds safety valve
+    // MaxRounds safety valve — BOUNDED: each round shrinks an interval
+    // ~256×, so any interval still holding more than the collect
+    // threshold after maxRounds means a broken invariant (NaN-poisoned
+    // bounds, adversarial float clustering). Refuse the unbounded
+    // driver collect loudly instead of silently shipping the interval.
+    val stuck = narrowing.filter(_.n > collectThreshold)
+    require(stuck.isEmpty,
+      s"quantile refinement did not converge after $maxRounds rounds: " +
+        s"${stuck.size} interval(s) still hold > $collectThreshold rows " +
+        s"(largest ${stuck.map(_.n).max}); refusing unbounded driver collect")
+    toCollect = toCollect ++ narrowing
 
     if (toCollect.nonEmpty) {
       // Final scan: gather the remaining small intervals at once —
@@ -165,7 +177,9 @@ object Quantiles {
     * `groupCols` is empty (single output row).
     */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[(String, Double)],
-                     groupCols: Seq[String] = Nil): Seq[(Seq[Any], Seq[Double])] = {
+                     groupCols: Seq[String] = Nil,
+                     collectThreshold: Long = DefaultCollectThreshold,
+                     maxRounds: Int = DefaultMaxRounds): Seq[(Seq[Any], Seq[Double])] = {
     val base = df.select(groupCols.map(col) :+ col(valueCol).cast("double").as("x"): _*)
       .filter(col("x").isNotNull)
     val heads = (if (groupCols.isEmpty) base.groupBy() else base.groupBy(groupCols.map(col): _*))
@@ -189,7 +203,7 @@ object Quantiles {
           .map(p => (key.toSeq, p, basePred, mn, mx, n))
       }.distinct
     }
-    val stats = orderStats(base, groupCols, wanted.toSeq)
+    val stats = orderStats(base, groupCols, wanted.toSeq, collectThreshold, maxRounds)
 
     groups.map { case (key, n, _, _) =>
       val vals = qs.map { case (_, q) =>
@@ -228,7 +242,9 @@ object Quantiles {
       qs.map { case (nm, _) => StructField(nm, DoubleType) })
     val rows: Seq[Row] = res
       .map { case (key, vals) => Row(key.head +: vals.map(round6): _*) }
-      .sortBy(_.getString(0))
+      // Null-safe sort key: exactQuantiles deliberately supports null
+      // group keys (<=> predicate), so the gate must not NPE on one.
+      .sortBy(r => Option(r.getString(0)).getOrElse(""))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
   }

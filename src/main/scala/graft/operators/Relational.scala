@@ -666,6 +666,9 @@ object Relational {
     // would only leak empty directories.
     if (!spark.catalog.databaseExists("graft_b1")) {
       val wh = java.nio.file.Files.createTempDirectory("graft_b1_wh_").toString
+      // The bucketed tables live for the whole session (later calls
+      // overwrite in place), so the dir can only be reclaimed at exit.
+      sys.addShutdownHook(graft.TmpIO.deleteRecursively(new java.io.File(wh)))
       spark.sql(s"CREATE DATABASE graft_b1 LOCATION '$wh'")
     }
     Tables.orders(spark, dir)

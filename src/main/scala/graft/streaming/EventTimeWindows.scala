@@ -133,9 +133,7 @@ object EventTimeWindows {
     // small count is safe and cuts per-batch state-store commit
     // overhead (32 stores × 4 batches → 8 × 4). A production stream
     // sizes this to key cardinality, not to the session default.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try spark.readStream
+    GateIO.runPinned(spark, 8)(spark.readStream
       .schema("ts TIMESTAMP, event_type STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(upstream.toString)
@@ -152,9 +150,7 @@ object EventTimeWindows {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
       }
-      .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
+      .start())
     e.unpersist()
     // Drop the bump/sentinel instrumentation rows HERE, on the batch
     // read-back — any filter inside the streaming plan (before or
@@ -162,8 +158,8 @@ object EventTimeWindows {
     // Catalyst, silencing the very watermark advances the bump exists
     // to cause. Whether the zz_ windows finalize depends on
     // max(ts)'s minute-of-hour, so they must not leak into the output.
-    spark.read.parquet(out)
-      .filter(!col("event_type").startsWith("zz_"))
+    GateIO.collectAndClean(spark, tmp)(
+        spark.read.parquet(out).filter(!col("event_type").startsWith("zz_")))
       .orderBy(col("hour_start"), col("event_type"))
   }
 }

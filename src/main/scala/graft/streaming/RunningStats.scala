@@ -72,35 +72,37 @@ object RunningStats {
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
+    // Provider + partition configs stay set for the query's whole
+    // lifetime (the first micro-batch is planned async on the stream
+    // thread) and are restored only after awaitTermination.
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     rocksdbConf(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      val stream = spark.readStream
-        .schema("user_id LONG, value DOUBLE")
-        .parquet(s"$tmp/in")
-        .as[Event]
-      runningStats(spark, stream).toDF()
-        .select(col("user_id"), col("n"),
-          col("min").as("min_value"), col("max").as("max_value"))
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(s"$tmp/out")
-        }
-        .start()
+    try {
+      GateIO.runPinned(spark, 8) {
+        val stream = spark.readStream
+          .schema("user_id LONG, value DOUBLE")
+          .parquet(s"$tmp/in")
+          .as[Event]
+        runningStats(spark, stream).toDF()
+          .select(col("user_id"), col("n"),
+            col("min").as("min_value"), col("max").as("max_value"))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$tmp/out")
+          }
+          .start()
+      }
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    q.awaitTermination()
-    spark.read.parquet(s"$tmp/out").orderBy(col("user_id"))
+    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(s"$tmp/out"))
+      .orderBy(col("user_id"))
   }
 }

@@ -65,9 +65,7 @@ object StreamJoins {
     e.coalesce(1).write.parquet(s"$tmp/in")
     e.filter(col("event_id") % 5 === 0) // re-delivered slice
       .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try dedupStream(spark, s"$tmp/in")
+    GateIO.runPinned(spark, 8)(dedupStream(spark, s"$tmp/in")
       .select(col("event_id"), col("user_id"), col("value"))
       .writeStream
       .outputMode("append")
@@ -76,10 +74,9 @@ object StreamJoins {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.mode("append").parquet(s"$tmp/out")
       }
-      .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    spark.read.parquet(s"$tmp/out").orderBy(col("event_id"))
+      .start())
+    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(s"$tmp/out"))
+      .orderBy(col("event_id"))
   }
 
   /** Gated stream-stream attribution join (st5): stage the events
@@ -104,9 +101,7 @@ object StreamJoins {
     val out = s"$tmp/out"
     // Fresh checkpoint per call → safe to shrink the stateful
     // partition count (join state commits per partition per batch).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
+    GateIO.runPinned(spark, 8)(purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("amount"))
       .writeStream
       .outputMode("append")
@@ -115,10 +110,8 @@ object StreamJoins {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
       }
-      .start()
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    spark.read.parquet(out)
+      .start())
+    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
       .orderBy(col("purchase_id"), col("click_id"))
   }
 }

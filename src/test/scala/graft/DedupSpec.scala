@@ -84,11 +84,16 @@ class DedupSpec extends SparkSpec {
       .select(explode(Dedup.shinglesFromWords(col("ws"))).as("s"))
       .groupBy("s").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxDf == 40)
-    val capped = Dedup.jaccardPairsFrom(docs, 0.5, dfCap = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedRows = Dedup.jaccardPairsFrom(docs, 0.5, dfCap = 10).collect()
+    val capped = cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     // The planted pair survives: its rare body shingles (df=2) carry it.
     assert(capped == Set((0L, 1L)),
       s"planted rare-shingle pair must survive the cap, got $capped")
+    // And the confirm is over the FULL sets: docs 0/1 are byte-identical,
+    // so the emitted value must be the true J = 1.0 even though their hot
+    // prefix shingles (df=40 > cap) were dropped from candidate generation.
+    assert(cappedRows.head.getDouble(2) == 1.0,
+      s"confirm must use full shingle sets, got J=${cappedRows.head.getDouble(2)}")
     // And the capped candidate set is ACTUALLY smaller: uncapped sees
     // every doc pair via the hot shingle (40*39/2), capped only df<=10.
     val uncapped = Dedup.jaccardPairsFrom(docs, 0.0, dfCap = Int.MaxValue).count()
@@ -113,6 +118,22 @@ class DedupSpec extends SparkSpec {
     val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
     reps.filter { case (id, _) => !inEdges.contains(id) }
       .foreach { case (id, rep) => assert(rep == id) }
+  }
+
+  test("high-diameter chain converges with bounded plan depth (lineage checkpointing)") {
+    // 50 docs in one duplication chain 0-1-2-...-49: min-label
+    // propagation needs ~49 BSP rounds, which without lineage
+    // truncation would nest 49 joins into the final plan.
+    val nodes = (0L until 50L).toDF("doc_id")
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClustersFrom(nodes, edges, maxRounds = 60)
+    val reps = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(reps.length == 50 && reps.forall(_._2 == 0L),
+      s"whole chain must collapse to rep 0, got ${reps.filter(_._2 != 0L).take(5).toSeq}")
+    // The returned plan must not carry one join per round: the last
+    // checkpoint bounds it to < CheckpointEvery joins.
+    val joins = "(?i)join".r.findAllIn(out.queryExecution.optimizedPlan.toString).size
+    assert(joins <= 5, s"lineage must be truncated, plan still has $joins joins")
   }
 
   test("capped jaccard equals uncapped on the test corpus (cap far above max df)") {
