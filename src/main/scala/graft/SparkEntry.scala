@@ -42,6 +42,8 @@ object SparkEntry {
     "j1_broadcast_segment_revenue"    -> ((s, d) => Relational.revenueBySegment(s, d)),
     "j2_shuffle_top_orders"           -> ((s, d) => Relational.topRevenueOrders(s, d)),
     "j3_multijoin_nation_revenue"     -> ((s, d) => Relational.revenueByNation(s, d)),
+    "q3_shipping_priority"            -> ((s, d) => Relational.shippingPriority(s, d)),
+    "q5_local_supplier_volume"        -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "j4_semi_customers_with_orders"   -> ((s, d) => Relational.customersWithBigOrders(s, d)),
     "j5_anti_customers_without_orders"-> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
     "j6_outer_order_counts"           -> ((s, d) => Relational.orderCountPerCustomer(s, d)),
@@ -146,6 +148,7 @@ object SparkEntry {
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
+    "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
     "t10_tfidf"            -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -331,6 +334,33 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "j4_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -820,6 +850,40 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment, CAST(2 AS INT), CAST(1 AS INT)
         |FROM updates
         |ORDER BY c_custkey, version""".stripMargin,
+    // The typed CentroidAggregator sums float-exact doubles whose
+    // exponent span keeps every partial sum exact (spec-proved), so the
+    // merge-order-free result hash-matches the posexplode+avg SQL.
+    "v3_cluster_centroids" ->
+      """WITH e AS (SELECT CAST(vec_id % 10 AS INT) AS cluster,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |u AS (SELECT cluster, CAST(unnest(range(len(v))) AS INT) AS dim,
+        |    unnest(v) AS x FROM e)
+        |SELECT cluster, dim, round(sum(x) / count(*), 6) AS mean_c
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // SimHash over the cross-engine md5 word hash: the oracle rebuilds
+    // the 60-bit hashes (hex-char fold), takes per-bit majority votes,
+    // and compares ALL pairs by Hamming distance — equivalent to the
+    // Spark side's pigeonhole chunk blocking, which is exact for
+    // maxDist 7 < 8 chunks.
+    "dd3_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', md5(w)[i]) - 1 AS BIGINT))),
+        |    (a, c) -> a * 16 + c) AS h
+        |  FROM w),
+        |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bs GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM v GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "v1_vector_stats" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

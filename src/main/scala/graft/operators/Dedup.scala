@@ -281,13 +281,26 @@ object Dedup {
   def simhashSignature(hashesCol: Column): Column =
     graft.functions.SimHashExpr.simhashSig(hashesCol)
 
+  /** Cross-engine 60-bit word hash: the first 15 hex chars of md5,
+    * parsed as an integer. md5 is bit-identical in Spark and DuckDB
+    * (xxhash64 is not), which is what moves the dd3 gate from
+    * rows-only to full hash-checking; 60 bits keep the parse inside a
+    * signed long on both engines (sig bits 60–63 vote unanimously
+    * negative and stay 0 on both sides). At 100 TB, swap in
+    * `xxhash64(_)` via the `wordHash` parameter for a ~5× cheaper
+    * hash — the signature kernel and join shape are identical.
+    */
+  def md5WordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxDist: Int = 7): DataFrame = {
+                   maxDist: Int = 7,
+                   wordHash: Column => Column = md5WordHash): DataFrame = {
     // Single cache at the signature level (reused by both sides of the
     // chunk self-join); the word-hash array is referenced exactly once
     // by the signature kernel, so it needs no barrier of its own.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), transform(words(col("text")), w => xxhash64(w)).as("wh"))
+      .select(col("doc_id"), transform(words(col("text")), w => wordHash(w)).as("wh"))
       .select(col("doc_id"), simhashSignature(col("wh")).as("sig"))
       .cache()
     val chunked = docs.select(

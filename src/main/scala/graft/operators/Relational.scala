@@ -652,6 +652,83 @@ object Relational {
           / (col("n") - lit(1))), 6).as("std_price"))
   }
 
+  /** TPC-H Q3-shaped shipping priority (q3): which un-shipped orders of
+    * one market segment carry the most open revenue. The realistic
+    * 3-table analytics headliner: segment-filtered customer dimension
+    * BROADCAST into orders, the o⋈li join shuffling once on orderkey,
+    * two-phase aggregation on (orderkey, date, priority), and a top-10
+    * that plans as TakeOrderedAndProject (never a global sort).
+    *
+    * Both date predicates reach their parquet scans as PushedFilters —
+    * at 100 TB the shipdate filter alone excludes most of lineitem
+    * before the join sees a row.
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-06-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local supplier volume (q5): revenue per nation for
+    * one region and one order year, counting only lineitems whose
+    * supplier sits in the customer's own nation. The widest gated join
+    * chain (6 tables); the plan the shape wants at 100 TB:
+    * region⋈nation⋈supplier BROADCAST (tiny after the region filter),
+    * the fact shuffling on l_orderkey against date-pruned orders, the
+    * customer join left to AQE (broadcast at test scale; at 100 TB
+    * customer is too big to broadcast and correctly shuffles on
+    * custkey), and the s_nationkey = c_nationkey locality predicate
+    * applied inside the supplier broadcast join (no extra exchange).
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+                          region: String = "ASIA",
+                          yearStart: String = "1996-01-01",
+                          yearEnd: String = "1997-01-01"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    // Region-local nations/suppliers: tiny after the region filter.
+    val localNations = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(localNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp")
+        && col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Bucketed co-located join (b1): both sides written bucketed on the
     * join key, so the join plans with NO shuffle exchange — pay the
     * shuffle once at ingest, never again per query (the canonical

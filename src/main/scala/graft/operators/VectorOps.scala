@@ -78,4 +78,35 @@ object VectorOps {
         round(array_min(col("v")), 6).as("min_c"),
         round(array_max(col("v")), 6).as("max_c"))
       .orderBy(col("vec_id"))
+
+  /** Gated per-cluster centroids (v3) through the typed
+    * [[graft.functions.CentroidAggregator]]: element-wise mean vectors
+    * with NO row explosion — the Aggregator merges fixed-size double
+    * arrays in place, so the shuffle carries one partial per
+    * cluster×partition instead of dim× the row count that a
+    * posexplode+avg plan would ship.
+    *
+    * Oracle determinism: the aggregator accumulates float-exact values
+    * into doubles. This corpus's components span < 53 bits of exponent
+    * between the smallest contribution's lowest mantissa bit and the
+    * largest per-cluster |sum| (CentroidAggregatorSpec proves the
+    * bound), so every partial sum is EXACT and the result is
+    * independent of partition/merge order — the posexplode+avg SQL the
+    * oracle runs lands on bit-identical doubles.
+    */
+  def clusterCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       nClusters: Int = 10): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ds = graft.Tables.embeddings(spark, dir)
+      .select((col("vec_id") % nClusters).cast("int").as("cluster"),
+        col("embedding"))
+      .as[(Int, Array[Float])]
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.CentroidAggregator.toColumn.name("centroid"))
+      .toDF("cluster", "centroid")
+      .select(col("cluster"), posexplode(col("centroid")).as(Seq("dim", "mean_c")))
+      .select(col("cluster"), col("dim"), round(col("mean_c"), 6).as("mean_c"))
+      .orderBy(col("cluster"), col("dim"))
+  }
 }
