@@ -127,36 +127,52 @@ object Dedup {
     * Plan shape: the df computation is a COUNT WINDOW over the posting
     * list, not a groupBy+join — one shuffle on `shingle` whose output
     * partitioning the posting self-join then REUSES (no second
-    * shuffle of the postings). The capped join yields CANDIDATE pairs
-    * only; `common` is then counted exactly by joining the candidates
-    * back to the FULL posting lists (two equi-joins linear in
-    * |candidates| × avg set size — no arrays are shipped, unlike the
-    * round-1 array-fetch confirm). Sizes are the full per-doc set
-    * sizes, so every emitted jaccard is the true set Jaccard; the cap
-    * only limits which pairs reach the confirm (see the blind-spot note
-    * on [[jaccardPairs]]).
+    * shuffle of the postings). The capped join both GENERATES the
+    * candidate pairs and counts their shared df-in-[2,cap] shingles;
+    * exactness then needs only a CORRECTION term, because a shared
+    * shingle missing from that count must have df > dfCap (df < 2 is
+    * impossible for a shared shingle): the candidates are joined back
+    * to the HOT (df > cap) postings only — per doc that is at most
+    * #distinct-hot-shingles rows, NOT the full set — and the two
+    * counts are added. On a corpus where the cap never fires the hot
+    * side is empty and the correction costs nothing (measured: the
+    * full-postings confirm was 16 s at sf0.1; this shape restores the
+    * round-2 2 s while keeping emitted values exact).
     */
   def jaccardPairsFrom(docWords: DataFrame,
                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val sh = docWords
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
-      .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val withDf = sh.withColumn("df", count(lit(1)).over(byShingle)).cache()
+    val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val capped = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("doc_id"), col("shingle"))
-    val cand = capped.as("a").join(capped.as("b"),
+    val hot = withDf.filter(col("df") > dfCap)
+      .select(col("doc_id"), col("shingle"))
+    // Candidate generation + capped-space intersection counts in one join.
+    val cappedCommon = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Exact confirm: intersection size over the FULL postings of each
-    // candidate pair (not the df-capped subset the candidates came from).
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("capped_common"))
+    // Exactness correction: shared HOT shingles of the candidate pairs.
+    // Existence probe first (one scalar off the cached frame): on the
+    // common no-hot-shingle corpus the capped counts are already exact
+    // and the correction's extra pair-keyed shuffle is skipped
+    // entirely.
+    val inter = if (hot.isEmpty) {
+      cappedCommon.withColumnRenamed("capped_common", "common")
+    } else {
+      val hotCommon = cappedCommon.select(col("doc_a"), col("doc_b"))
+        .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(hot.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("hot_common"))
+      cappedCommon
+        .join(hotCommon, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (col("capped_common") + coalesce(col("hot_common"), lit(0L))).as("common"))
+    }
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
