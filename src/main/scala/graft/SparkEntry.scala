@@ -149,6 +149,11 @@ object SparkEntry {
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
+    "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
+    "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
+    "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
+    "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
+    "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "t10_tfidf"            -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -850,6 +855,63 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment, CAST(2 AS INT), CAST(1 AS INT)
         |FROM updates
         |ORDER BY c_custkey, version""".stripMargin,
+    // Funnel stage times are compared as integer micros on both sides
+    // (events.ts is ns in parquet; Spark floors to us on read).
+    "fn1_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END) AS t1
+        |  FROM e GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t2.t2 GROUP BY e.user_id),
+        |u AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3 FROM t1
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT count(t1) AS n_signup, count(t2) AS n_click_after,
+        |  count(t3) AS n_purchase_after,
+        |  round(CAST(count(t3) AS DOUBLE) / count(t1), 6) AS conversion
+        |FROM u""".stripMargin,
+    "ct1_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w7_spend_quartiles" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend,
+        |  CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS quartile
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    // Winnowing over positional 3-gram md5-60bit hashes; emitted stats
+    // are order-invariant so the engines' distinct orders don't matter.
+    "t12_winnowing" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams FROM w),
+        |h AS (SELECT doc_id, list_transform(grams, g ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', md5(g)[i]) - 1 AS BIGINT))),
+        |    (a, c) -> a * 16 + c)) AS hs FROM g),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |    THEN list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_min(hs[j:j+3])))
+        |    ELSE list_distinct(hs) END AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // Oracle confirms the banding is recall-complete by brute-forcing
+    // all pairs (gate scale only).
+    "dd7_editdist_pairs" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // The typed CentroidAggregator sums float-exact doubles whose
     // exponent span keeps every partial sum exact (spec-proved), so the
     // merge-order-free result hash-matches the posexplode+avg SQL.

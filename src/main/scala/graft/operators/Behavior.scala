@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** User-behavior analytics over the events table: ordered funnels and
+  * cohort retention — the two aggregation shapes every product/growth
+  * pipeline runs at fact-table scale.
+  *
+  * Both are single-shuffle plans: everything per-user is computed with
+  * window functions over one `user_id` partitioning (consecutive
+  * Window nodes over the SAME key reuse one Exchange), then the tiny
+  * per-user frame aggregates globally.
+  *
+  * Timestamps are compared as integer MICROS on both engines: events.ts
+  * is parquet TIMESTAMP(NANOS), Spark floors it to micros on read, so
+  * the oracle mirrors with epoch_ns(ts)//1000 — comparing raw ns
+  * against floored µs could flip an ordering within a microsecond.
+  */
+object Behavior {
+
+  /** Gated fn1: strictly-ordered signup → click → purchase funnel.
+    * Stage k's entry time is the user's earliest stage-k event AT OR
+    * AFTER their stage-(k-1) entry time; the output is the per-stage
+    * user count plus the end-to-end conversion rate.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1"),
+          col("us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+          col("us"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    staged.agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        round(col("n_purchase_after").cast("double") / col("n_signup"), 6)
+          .as("conversion"))
+  }
+
+  /** Gated ct1: daily cohort retention — users keyed by first-seen day,
+    * counted per (cohort day, day offset) they were active on. The
+    * triangular table every retention curve is drawn from.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct() // collapse to active-days FIRST: the window and the
+      .withColumn("cohort", min(col("day")).over(byUser)) // final agg then
+      .groupBy( // shuffle |user x day| rows, not the fact table
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Gated w7: customer spend quartiles via ntile — the bucketed-rank
+    * window the reference's "top customers" reporting would need.
+    * The global-order window runs over the AGGREGATED per-customer
+    * frame (|customers| rows), never the fact table; a key space too
+    * big for one sort partition would switch to exact quantile
+    * cut-points (the x3 histogram machinery) joined back as bucket
+    * bounds.
+    */
+  def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("spend"))
+    spend
+      .select(col("o_custkey"), col("spend"),
+        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey")))
+          .as("quartile"))
+      .orderBy(col("o_custkey"))
+  }
+}

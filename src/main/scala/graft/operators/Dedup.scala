@@ -335,6 +335,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Gated dd7: edit-distance near-dup over 40-char document prefixes —
+    * pairs with Levenshtein ≤ d, found WITHOUT the all-pairs matrix via
+    * length banding: |len(a) − len(b)| > d implies dist > d, so
+    * partitioning lengths into bands of width d+1 and joining each doc
+    * against its own and the two adjacent bands is recall-complete.
+    * Each doc ships 3 band keys (linear), candidates confirm with one
+    * levenshtein call; a pair meets in at most one band, so no
+    * dedup pass is needed. The length filter inside the join condition
+    * prunes most of each band before the O(d·len) confirm runs.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        maxDist: Int = 10, prefixLen: Int = 40): DataFrame = {
+    val width = maxDist + 1
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+      .withColumn("len", length(col("p")))
+      .withColumn("band", floor(col("len") / width))
+    val left = p.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+        col("len").as("la"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val right = p.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      col("len").as("lb"), col("band"))
+    left.join(right,
+        col("doc_a") < col("doc_b")
+          && left("band") === right("band")
+          && abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 5. Embedding cosine near-dup: EXACT pairs with cosine ≥ threshold,
     * distributed as a block-pair equi-join.
     *

@@ -305,4 +305,52 @@ object TextAnalysis {
       .select(col("doc_id"),
         PolyFingerprint.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Gated t12: winnowing fingerprints (the MOSS scheme) — hash every
+    * POSITIONAL word 3-gram (no dedup; position matters), slide a
+    * window of `w` hashes, keep each window's minimum, dedup the
+    * selected set. Winnowing guarantees any shared run of
+    * w+k-1 words between two documents shares a fingerprint, at ~2/(w+1)
+    * the density of full shingling — the standard sub-linear dedup
+    * sketch when MinHash's fixed signature width is too coarse.
+    *
+    * The word hash is the cross-engine md5-60bit prefix (same as dd3),
+    * so the whole selection pipeline is hash-checked against the
+    * oracle's list-fold mirror. Emitted per doc: fingerprint count +
+    * min/max fingerprint (order-invariant aggregates of the set).
+    */
+  def winnowingFingerprints(spark: SparkSession, dir: String,
+                            w: Int = 4): DataFrame =
+    winnowFrom(Tables.documents(spark, dir)
+        .select(col("doc_id"), words(col("text")).as("ws")), w)
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing over a (doc_id, ws: array<string>) frame, as STAGED
+    * projections — grams and hashes land as their own bound columns
+    * before the selection references them repeatedly (an inline
+    * expression tree would recompute the md5 array once per reference;
+    * CollapseProject keeps non-cheap multiply-referenced aliases
+    * staged). Adds a `fps` column: positional 3-gram md5-60bit hashes
+    * → per-window minima → distinct; fewer hashes than one window
+    * keeps them all (standard winnowing behavior for short docs).
+    */
+  def winnowFrom(docWords: DataFrame, w: Int = 4): DataFrame =
+    docWords
+      .withColumn("grams",
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(0), size(col("ws")) - lit(3)),
+            i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(3)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("hs", transform(col("grams"),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+      .withColumn("fps",
+        when(size(col("hs")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("hs")) - lit(w)),
+            j => array_min(slice(col("hs"), j + lit(1), lit(w))))))
+          .otherwise(array_distinct(col("hs"))))
+      .drop("grams", "hs")
 }

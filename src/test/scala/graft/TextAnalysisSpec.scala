@@ -45,6 +45,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.forall { case (_, l) => (TextAnalysis.DefaultTrigramProfiles.keySet + "und").contains(l) })
   }
 
+  test("winnowing guarantee: docs sharing a w+k-1 word run share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    // w=4 windows over 3-gram hashes: any shared run of 4+3-1 = 6 words
+    // spans a full window of shared grams, so its minimum is selected
+    // in both documents.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven twelve $shared thirteen fourteen"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+    val fps = TextAnalysis.winnowFrom(docs)
+      .select(col("doc_id"), col("fps"), size(col("ws")).as("n_words"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getInt(2))))
+      .toMap
+    assert((fps(1L)._1 intersect fps(2L)._1).nonEmpty,
+      "shared 6-word run must contribute a common fingerprint")
+    assert((fps(1L)._1 intersect fps(3L)._1).isEmpty,
+      "disjoint vocabularies must not collide")
+    // Density: winnowing must select strictly fewer than all gram positions.
+    assert(fps(1L)._1.size < fps(1L)._2 - 2,
+      "winnowing must be sparser than full shingling")
+  }
+
   test("multimodal: magic-byte sniffing recognizes media headers") {
     assert(Multimodal.sniffKind(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)) == "jpeg")
     assert(Multimodal.sniffKind(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) == "png")
