@@ -903,14 +903,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f ORDER BY doc_id""".stripMargin,
-    // Oracle confirms the banding is recall-complete by brute-forcing
-    // all pairs (gate scale only).
+    // Oracle confirms the PassJoin segment blocking is recall-complete
+    // by brute-forcing all pairs (gate scale only).
     "dd7_editdist_pairs" ->
-      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+      """WITH p AS (SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS p FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.p, b.p) <= 10
+        |WHERE levenshtein(a.p, b.p) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // The typed CentroidAggregator sums float-exact doubles whose
     // exponent span keeps every partial sum exact (spec-proved), so the

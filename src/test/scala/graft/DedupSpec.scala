@@ -120,6 +120,37 @@ class DedupSpec extends SparkSpec {
       .foreach { case (id, rep) => assert(rep == id) }
   }
 
+  test("PassJoin edit-distance blocking finds indel-shifted pairs (recall vs brute)") {
+    val base = "the quick brown fox jumps over the lazy dog melon"
+    val docs = Seq(
+      0L -> base,
+      1L -> base.replace("quick ", ""),           // 6-char deletion
+      2L -> ("xy " + base),                       // 3-char insertion (shifts all)
+      3L -> base.replace("brown", "green"),       // substitutions
+      4L -> "a completely unrelated string with other words here")
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsFrom(docs, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // Brute-force truth over the padded prefixes.
+    val p = docs.select(col("doc_id"),
+      rpad(substring(col("text"), 1, 40), 40, " ").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- p.keys; b <- p.keys; if a < b
+      d = lev(p(a), p(b)); if d <= 6
+    } yield (a, b) -> d).toMap
+    assert(want.nonEmpty && want.keySet.exists(_._2 == 2L),
+      s"fixture must include a shifted (insertion) pair, got $want")
+    assert(got == want, s"blocking must be recall-complete: got $got want $want")
+  }
+
   test("high-diameter chain converges with bounded plan depth (lineage checkpointing)") {
     // 50 docs in one duplication chain 0-1-2-...-49: min-label
     // propagation needs ~49 BSP rounds, which without lineage
