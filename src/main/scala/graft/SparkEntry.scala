@@ -147,6 +147,7 @@ object SparkEntry {
     "w6_mom_growth"        -> ((s, d) => Relational.momRevenueGrowth(s, d)),
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
+    "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
@@ -819,6 +820,10 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "st8_stream_dedup" ->
       """SELECT event_id, user_id, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    // Compaction must be a no-op on content: oracle = the source table.
+    "k6_compaction" ->
+      """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
     "w6_mom_growth" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

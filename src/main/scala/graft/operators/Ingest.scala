@@ -161,6 +161,41 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Gated k6: small-file compaction — the maintenance pass every
+    * streaming-ingested table needs at scale (each micro-batch appends
+    * a file per partition; a week of 1-minute batches is 10k files and
+    * the scan planner drowns in footers). Rewrite with a row-count
+    * target per output file derived from the table's own count —
+    * content byte-identical, file count collapsed. The gate stages the
+    * events table as 40 deliberate file shards, compacts, and returns
+    * the read-back (oracle = the source table: compaction must neither
+    * drop, duplicate, nor mutate); the file-count collapse itself is
+    * asserted in FormatIOSpec.
+    */
+  def compactionGate(spark: SparkSession, dir: String): DataFrame = {
+    val root = freshDir("graft_k6_")
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.repartition(40).write.parquet(root + "/fragmented")
+    val frag = spark.read.parquet(root + "/fragmented")
+    compact(frag, root + "/compacted", targetRowsPerFile = 2000000)
+    graft.TmpIO.collectAndClean(spark, root)(
+        spark.read.parquet(root + "/compacted"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
+    * output files. One adaptive count decides the width — the same
+    * scalar the planner reads from parquet footers anyway; rows stay
+    * distributed throughout (round-robin repartition, no sort, no
+    * driver data).
+    */
+  def compact(df: DataFrame, outPath: String, targetRowsPerFile: Long): Unit = {
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nFiles).write.parquet(outPath)
+  }
+
   /** SCD Type-2 history maintenance (scd1): apply a batch of dimension
     * updates while preserving history — matched keys get their current
     * row CLOSED (is_current=0) and a new open row appended; unmatched

@@ -39,6 +39,23 @@ class FormatIOSpec extends SparkSpec {
     assert(merged == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
   }
 
+  test("compaction collapses file count without touching content") {
+    val root = java.nio.file.Files.createTempDirectory("graft_test_k6_").toString
+    try {
+      val src = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+      src.repartition(25).write.parquet(root + "/frag")
+      val frag = spark.read.parquet(root + "/frag")
+      def parquetFiles(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(root + "/frag") == 25)
+      Ingest.compact(frag, root + "/compact", targetRowsPerFile = 4000)
+      assert(parquetFiles(root + "/compact") == 3) // ceil(10000/4000)
+      val back = spark.read.parquet(root + "/compact")
+      assert(back.count() == 10000)
+      assert(back.orderBy("k").collect().map(_.getLong(0)).toSeq == (1L to 10000L))
+    } finally TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("upsert is idempotent: re-applying the same updates is a no-op") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val updates = Seq((2L, "b2")).toDF("k", "v")
