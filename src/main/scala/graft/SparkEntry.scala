@@ -148,6 +148,7 @@ object SparkEntry {
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
+    "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
@@ -823,6 +824,11 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     // Compaction must be a no-op on content: oracle = the source table.
     "k6_compaction" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    // The V2 sink's commit protocol must publish exactly one copy of
+    // every row: oracle = the source table.
+    "k7_v2_sink_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
     "w6_mom_growth" ->

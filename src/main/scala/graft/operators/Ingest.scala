@@ -184,6 +184,26 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Gated k7: the DataSource V2 SINK end-to-end — write the events
+    * slice through [[graft.sources.v2.LocalFileSink]]'s batch-write
+    * commit protocol (executor staging files → task commit messages →
+    * driver publish), read the published files back by schema. Oracle
+    * = the source table: the protocol must publish exactly one copy of
+    * every row, no more (duplicate attempts), no less (torn commits).
+    */
+  def v2SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = freshDir("graft_k7_")
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.write.format("graft.sources.v2.LocalFileSink")
+      .option("path", root + "/out").mode("append").save()
+    graft.TmpIO.collectAndClean(spark, root)(
+        spark.read
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .csv(root + "/out"))
+      .orderBy(col("event_id"))
+  }
+
   /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
     * output files. One adaptive count decides the width — the same
     * scalar the planner reads from parquet footers anyway; rows stay

@@ -7,6 +7,31 @@ class QuoteDataSourceSpec extends SparkSpec {
 
   private val symbols = Seq("XT", "SCHX", "IXJ", "WCLD")
 
+  test("DSv2 sink: append accumulates, overwrite truncates, staging is swept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_test_k7_").toString
+    try {
+      val out = s"$root/out"
+      val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c,not", 3.5)).toDF("k", "s", "v")
+        .filter(col("s") =!= "c,not") // sink contract: no delimiter in strings
+      def writeOnce(mode: String): Unit =
+        df.write.format("graft.sources.v2.LocalFileSink")
+          .option("path", out).mode(mode).save()
+      val schema = "k LONG, s STRING, v DOUBLE"
+      writeOnce("append")
+      assert(spark.read.schema(schema).csv(out).count() == 2)
+      writeOnce("append")
+      assert(spark.read.schema(schema).csv(out).count() == 4)
+      writeOnce("overwrite") // -> SupportsTruncate
+      val back = spark.read.schema(schema).csv(out)
+      assert(back.count() == 2)
+      assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        == Set((1L, "a", 1.5), (2L, "b", 2.5)))
+      // Exactly-once publish hygiene: no staging residue after commit.
+      assert(!new java.io.File(s"$out/_staging").exists())
+    } finally TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("DSv2 source loads via spark.read.format with one partition per symbol") {
     val df = spark.read.format("graft.sources.v2.QuoteDataSource")
       .option("symbols", symbols.mkString(","))
