@@ -149,6 +149,8 @@ object SparkEntry {
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
+    "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
+    "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
@@ -831,6 +833,36 @@ object SparkEntry {
     "k7_v2_sink_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    "dp1_profile_events" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |  count(*) - count(event_id) AS eid_nulls, count(DISTINCT event_id) AS eid_d,
+        |  CAST(min(event_id) AS DOUBLE) AS eid_min, CAST(max(event_id) AS DOUBLE) AS eid_max,
+        |  count(*) - count(user_id) AS uid_nulls, count(DISTINCT user_id) AS uid_d,
+        |  CAST(min(user_id) AS DOUBLE) AS uid_min, CAST(max(user_id) AS DOUBLE) AS uid_max,
+        |  count(*) - count(event_type) AS et_nulls, count(DISTINCT event_type) AS et_d,
+        |  min(event_type) AS et_min, max(event_type) AS et_max,
+        |  count(*) - count(value) AS v_nulls, count(DISTINCT value) AS v_d,
+        |  min(value) AS v_min, max(value) AS v_max
+        | FROM events)
+        |SELECT 'event_id' AS col_name, n_rows, eid_nulls AS n_nulls, eid_d AS n_distinct,
+        |  eid_min AS min_num, eid_max AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+        |UNION ALL SELECT 'event_type', n_rows, et_nulls, et_d, NULL, NULL, et_min, et_max FROM s
+        |UNION ALL SELECT 'user_id', n_rows, uid_nulls, uid_d, uid_min, uid_max, NULL, NULL FROM s
+        |UNION ALL SELECT 'value', n_rows, v_nulls, v_d, v_min, v_max, NULL, NULL FROM s
+        |ORDER BY col_name""".stripMargin,
+    "dq1_expectations" ->
+      """WITH s AS (SELECT count(*) - count(DISTINCT event_id) AS dup_ids,
+        |  count(*) - count(event_type) AS null_type,
+        |  count(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+        |    THEN 1 END) AS bad_type,
+        |  count(CASE WHEN value IS NULL OR value <= 0.0 THEN 1 END) AS bad_value
+        | FROM events)
+        |SELECT 'event_id_unique' AS check_name, dup_ids AS n_violations, dup_ids = 0 AS passed FROM s
+        |UNION ALL SELECT 'event_type_accepted', bad_type, bad_type = 0 FROM s
+        |UNION ALL SELECT 'event_type_not_null', null_type, null_type = 0 FROM s
+        |UNION ALL SELECT 'value_positive', bad_value, bad_value = 0 FROM s
+        |ORDER BY check_name""".stripMargin,
     "w6_mom_growth" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue

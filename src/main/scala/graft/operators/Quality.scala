@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Data-quality surface: table profiling and declarative expectation
+  * checks — the asset-check layer a Dagster-style pipeline (the
+  * reference's ecosystem) hangs off every materialization
+  * (`dagster_repository/assets.py` materializes with no checks; this
+  * is the missing guardrail, done Spark-side).
+  *
+  * Both run as ONE aggregation pass over the table (every stat is an
+  * ordinary aggregate with map-side partials), and only the single
+  * stats row reaches the driver — profiling 100 TB costs one scan.
+  */
+object Quality {
+
+  /** Gated dp1: per-column profile of the events slice — row count,
+    * nulls, exact distincts, numeric min/max (as double; exact for
+    * these longs) and string min/max. The reshape from one wide stats
+    * row to per-column rows is driver-side over ONE row.
+    */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val numCols = Seq("event_id", "user_id", "value")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        e.columns.toSeq.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct")) ++
+            (if (numCols.contains(c))
+              Seq(min(col(c)).cast("double").as(s"${c}__min"),
+                max(col(c)).cast("double").as(s"${c}__max"))
+            else
+              Seq(min(col(c)).as(s"${c}__smin"),
+                max(col(c)).as(s"${c}__smax")))
+        }
+    val r = e.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(name: String): java.lang.Double =
+      if (r.isNullAt(r.fieldIndex(name))) null
+      else Double.box(r.getDouble(r.fieldIndex(name)))
+    def s(name: String): String =
+      if (r.isNullAt(r.fieldIndex(name))) null else r.getString(r.fieldIndex(name))
+    val rows = e.columns.toSeq.sorted.map { c =>
+      Row(c, r.getAs[Long]("n_rows"),
+        r.getAs[Long](s"${c}__nulls"), r.getAs[Long](s"${c}__distinct"),
+        if (numCols.contains(c)) d(s"${c}__min") else null,
+        if (numCols.contains(c)) d(s"${c}__max") else null,
+        if (numCols.contains(c)) null else s(s"${c}__smin"),
+        if (numCols.contains(c)) null else s(s"${c}__smax"))
+    }
+    val schema = StructType(Seq(
+      StructField("col_name", StringType), StructField("n_rows", LongType),
+      StructField("n_nulls", LongType), StructField("n_distinct", LongType),
+      StructField("min_num", DoubleType), StructField("max_num", DoubleType),
+      StructField("min_str", StringType), StructField("max_str", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).orderBy(col("col_name"))
+  }
+
+  /** Gated dq1: declarative expectations over events — uniqueness,
+    * non-null, accepted values, range — each reduced to a violation
+    * count in the same single pass. The shape every dbt-test /
+    * Dagster-asset-check suite compiles down to.
+    */
+  def expectationsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val accepted = Seq("click", "error", "purchase", "signup", "view")
+    val r = e.agg(
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_type"),
+        sum(when(!col("event_type").isin(accepted.map(lit): _*), 1L)
+          .otherwise(0L)).as("bad_type"),
+        sum(when(col("value").isNull || col("value") <= 0.0, 1L).otherwise(0L))
+          .as("bad_value"))
+      .collect()(0)
+    val checks = Seq(
+      ("event_id_unique", r.getAs[Long]("dup_ids")),
+      ("event_type_accepted", r.getAs[Long]("bad_type")),
+      ("event_type_not_null", r.getAs[Long]("null_type")),
+      ("value_positive", r.getAs[Long]("bad_value")))
+    val schema = StructType(Seq(
+      StructField("check_name", StringType),
+      StructField("n_violations", LongType),
+      StructField("passed", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      checks.map { case (n, v) => Row(n, v, v == 0L) }.asJava, schema)
+      .orderBy(col("check_name"))
+  }
+}
