@@ -46,4 +46,49 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS bdb")
     }
   }
+
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // The scale feature that turns "join then filter" into "read 1/365
+    // of the fact table": the dim-side filter becomes a runtime subquery
+    // that prunes fact partitions before any fact file is opened.
+    val root = tmpDir("dpp_")
+    val events = Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+    events.repartition(col("event_date"))
+      .write.partitionBy("event_date").parquet(root + "/fact")
+    val dim = events.select(col("event_date")).distinct().limit(1)
+      .withColumn("tag", lit("keep"))
+    dim.write.parquet(root + "/dim")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val fact = spark.read.parquet(root + "/fact")
+      val d = spark.read.parquet(root + "/dim").filter(col("tag") === "keep")
+      val joined = fact.join(d, Seq("event_date"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"fact scan must carry a dynamicpruning subquery filter:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
+      TmpIO.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  test("observe() exposes per-query data-quality metrics without a second scan") {
+    // Production observability: named aggregates ride the main query's
+    // single pass and surface via the observation handle — the hook a
+    // pipeline uses to alert on row counts / null rates per run.
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val out = Tables.events(spark, sf)
+      .observe(obs,
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"))
+      .filter(col("value") > 0)
+    val kept = out.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] >= kept && kept > 0)
+    assert(m("n_null_value").asInstanceOf[Long] == 0L)
+  }
 }
