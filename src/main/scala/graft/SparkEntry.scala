@@ -151,6 +151,7 @@ object SparkEntry {
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
+    "sa2_stratified_sample"-> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
@@ -851,6 +852,15 @@ object SparkEntry {
         |UNION ALL SELECT 'user_id', n_rows, uid_nulls, uid_d, uid_min, uid_max, NULL, NULL FROM s
         |UNION ALL SELECT 'value', n_rows, v_nulls, v_d, v_min, v_max, NULL, NULL FROM s
         |ORDER BY col_name""".stripMargin,
+    // Deterministic stratified sample: md5-rank within stratum is
+    // engine-independent (md5 identical; hex strings sort the same).
+    "sa2_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "dq1_expectations" ->
       """WITH s AS (SELECT count(*) - count(DISTINCT event_id) AS dup_ids,
         |  count(*) - count(event_type) AS null_type,

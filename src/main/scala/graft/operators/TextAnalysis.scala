@@ -276,6 +276,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated sa2: deterministic STRATIFIED sampling — exactly n docs per
+    * language, chosen by md5-hash rank within the stratum (not by
+    * position or randomness, so the sample is stable across runs,
+    * partitionings, and engines). The per-stratum window ranks inside
+    * one shuffle on the stratum key; ties cannot occur (md5 of distinct
+    * ids collides nowhere at these cardinalities, and doc_id breaks any
+    * residual tie). The balanced-per-class sample every training-data
+    * curation run draws.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, nPerStratum: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nPerStratum)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Regex group extraction (query t6): the word following 'the' —
     * no-match yields empty string in both engines.
     */
