@@ -174,6 +174,11 @@ object SparkEntry {
     }),
     "st8_stream_dedup"     -> ((s, d) =>
       graft.streaming.StreamJoins.dedupStreamGate(s, d)),
+    // ---- round-4 widening: corpus curation at the span/benchmark level ----
+    "dc1_decontamination"  -> ((s, d) => graft.operators.Decontamination.ngramOverlap(s, d)),
+    "dd8_segment_dedup"    -> ((s, d) => Dedup.segmentDedup(s, d)),
+    "t13_repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "pk1_sequence_pack"    -> ((s, d) => graft.operators.Packing.chunkedTokenStream(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -1159,5 +1164,83 @@ object SparkEntry {
          |  ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // Decontamination: held-out docs (md5 bucket e-f) probed against the
+    // distinct 8-gram set of the training split (buckets 0-b); gram key =
+    // 16-hex md5 prefix on both engines.
+    "dc1_decontamination" ->
+      """WITH w AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS h1,
+        |    regexp_split_to_array(trim(text),'\s+') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, h1,
+        |    substr(md5(array_to_string(ws[i:i+7],' ')),1,16) AS g
+        |  FROM w, unnest(range(1, greatest(len(ws)-6,1))) AS t(i)),
+        |tg AS (SELECT DISTINCT g FROM g WHERE h1 NOT IN ('c','d','e','f')),
+        |te AS (SELECT doc_id, g.g, tg.g AS hit FROM g LEFT JOIN tg USING(g)
+        |  WHERE h1 IN ('e','f')),
+        |a AS (SELECT doc_id, count(*) AS n_grams, count(hit) AS n_contaminated
+        |  FROM te GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+        |  round(CAST(n_contaminated AS DOUBLE)/CAST(n_grams AS DOUBLE),6)
+        |    AS contaminated_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Aligned 8-token segment dedup, keep-first by (doc_id, seg_idx).
+    "dd8_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, i AS seg_idx, array_to_string(ws[1+8*i:8+8*i],' ') AS seg
+        |  FROM w, unnest(range(0, len(ws)//8)) AS t(i)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY seg
+        |    ORDER BY doc_id, seg_idx) AS rn FROM s),
+        |kept AS (SELECT doc_id, seg_idx, seg FROM k WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(tot.n_segs,0) AS BIGINT) AS n_segs,
+        |  CAST(coalesce(agg.n_kept,0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.cleaned,'') AS cleaned_text
+        |FROM documents d LEFT JOIN tot USING(doc_id) LEFT JOIN agg USING(doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Gopher-style repetition signals; top bigram tiebreaks (count desc,
+    // gram asc) identically on both engines.
+    "t13_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT doc_id, 1 AS kind, unnest(ws) AS gram FROM w),
+        |bi AS (SELECT doc_id, 2 AS kind, array_to_string(ws[i:i+1],' ') AS gram
+        |  FROM w, unnest(range(1, greatest(len(ws),1))) AS t(i)),
+        |cnt AS (SELECT doc_id, kind, gram, count(*) AS c
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1,2,3),
+        |agg AS (SELECT doc_id,
+        |    sum(CASE WHEN kind=1 THEN c END) AS n_words,
+        |    count(CASE WHEN kind=1 THEN 1 END) AS n_distinct_words,
+        |    sum(CASE WHEN kind=2 THEN c END) AS n_bi,
+        |    count(CASE WHEN kind=2 THEN 1 END) AS n_distinct_bi
+        |  FROM cnt GROUP BY doc_id),
+        |top AS (SELECT doc_id, gram AS top_bigram, c AS top_n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |  FROM cnt WHERE kind=2)
+        |SELECT a.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(CAST(n_distinct_words AS DOUBLE)/CAST(n_words AS DOUBLE),6) AS ttr,
+        |  round(CAST(n_bi - n_distinct_bi AS DOUBLE)/CAST(n_bi AS DOUBLE),6)
+        |    AS dup_bigram_frac,
+        |  t.top_bigram,
+        |  round(CAST(t.top_n AS DOUBLE)/CAST(n_bi AS DOUBLE),6) AS top_bigram_frac
+        |FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY a.doc_id""".stripMargin,
+    // Concat-and-chunk packing: global token prefix sum in pack order
+    // (doc_id), 256-token context windows.
+    "pk1_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(floor(start_offset/256.0) AS BIGINT) AS start_chunk,
+        |  CAST(floor((start_offset+n_tokens-1)/256.0) AS BIGINT) AS end_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

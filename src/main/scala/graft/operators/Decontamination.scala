@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Benchmark decontamination — the n-gram overlap check every LLM
+  * training-data pipeline runs before releasing a corpus: does any
+  * held-out (eval/test) document share a long word n-gram with the
+  * training split? (The reference computes nothing over text — this is
+  * a north-star extension; split semantics mirror
+  * [[TextAnalysis.hashSplit]].)
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - The training side is reduced to DISTINCT gram keys before the
+  *    join — one row per gram, no doc payload. A gram duplicated
+  *    across millions of training docs (boilerplate) collapses to a
+  *    single join row, so the probe join can never go quadratic: each
+  *    held-out gram matches at most one key row.
+  *  - Grams become fixed-width 16-hex md5 keys (64 bits) at the source,
+  *    so the shuffle carries 16-byte keys, never 8-word strings.
+  *  - Both shuffles key on the gram hash; the held-out side is a small
+  *    fraction of the corpus (2/16 buckets) by construction.
+  *  - Per-doc dedup (`distinct` on (doc, gram)) happens before the
+  *    join, map-side combinable.
+  */
+object Decontamination {
+
+  /** Hex buckets (first md5 char of doc_id) forming the training split:
+    * 0-b, 12/16 of the corpus — identical to TextAnalysis.hashSplit.
+    * Held-out test split = e-f; val (c-d) takes no part here.
+    */
+  private val TestBuckets = Seq("e", "f")
+  private val ValBuckets  = Seq("c", "d")
+
+  /** Per-held-out-doc contamination report (gate dc1): total distinct
+    * word `n`-grams, how many also occur anywhere in the training
+    * split, and the contaminated fraction. A doc with
+    * contaminated_frac near 1 is a verbatim/near copy of training
+    * data and must be dropped from the benchmark.
+    */
+  def ngramOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h1"),
+        TextAnalysis.words(col("text")).as("ws"))
+    // Distinct positional n-grams per doc, keyed by 64-bit md5 prefix.
+    val grams = docs
+      .select(col("doc_id"), col("h1"),
+        explode(when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - lit(n)),
+            i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), col("h1"),
+        substring(md5(col("gram")), 1, 16).as("g"))
+      .distinct()
+    val trainGrams = grams
+      .filter(!col("h1").isin((TestBuckets ++ ValBuckets).map(x => x: Any): _*))
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1))
+    grams
+      .filter(col("h1").isin(TestBuckets.map(x => x: Any): _*))
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6)
+          .as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+}

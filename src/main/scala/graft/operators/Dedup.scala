@@ -568,4 +568,58 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Sub-document (paragraph-level) exact dedup (gate dd8): web-scale
+    * corpora repeat SPANS (boilerplate, licence blocks, navigation
+    * chrome) far more than whole documents, so pipelines dedup at the
+    * paragraph level and keep only the first occurrence of each span
+    * corpus-wide. The fixture corpus has no newlines, so the
+    * deterministic span unit is the aligned `segLen`-token segment
+    * (non-overlapping); a real corpus would split on blank lines and
+    * reuse everything below unchanged.
+    *
+    * Scale design:
+    *  - keep-first is a `min(struct(doc_id, seg_idx))` AGGREGATION on
+    *    the segment hash, not a row_number window: partial aggregation
+    *    combines map-side, so a segment duplicated across millions of
+    *    docs (the hot case this operator exists for) reduces to one
+    *    row per map partition before the shuffle — a window would haul
+    *    every copy to one reducer;
+    *  - segments shuffle as fixed-width md5 keys plus the (tiny)
+    *    winner struct; document text rides only the doc_id-keyed
+    *    reassembly shuffle.
+    */
+  def segmentDedup(spark: SparkSession, dir: String, segLen: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(when(size(col("ws")) >= segLen,
+          transform(sequence(lit(0), floor(size(col("ws")) / segLen).cast("int") - lit(1)),
+            i => concat_ws(" ", slice(col("ws"), i * segLen + lit(1), lit(segLen)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"), col("col").as("seg"))
+      .withColumn("h", md5(col("seg")))
+    val keepers = segs
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("k_doc"), col("first.seg_idx").as("k_idx"))
+    val kept = segs.join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("k_doc") && col("seg_idx") === col("k_idx"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("cleaned_text"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
 }

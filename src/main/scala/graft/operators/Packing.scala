@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sequence packing — the concat-and-chunk layout LLM training uses:
+  * all documents are concatenated in a stable order into one token
+  * stream, which is then cut into fixed-length context windows. Each
+  * doc needs its global token start offset, i.e. a corpus-wide
+  * cumulative sum. (North-star extension; nothing like this exists in
+  * the reference.)
+  *
+  * Scale design: a naive `sum over (order by doc_id)` window is ONE
+  * partition — a non-starter at 100 TB. This implements the standard
+  * two-level distributed prefix sum instead:
+  *   1. docs are grouped into ordered blocks (`doc_id div blockSize`);
+  *      per-block token sums aggregate map-side (one shuffle, fine keys);
+  *   2. block offsets are a prefix sum over the BLOCK table — docs/64
+  *      rows, so the single-partition window there is over a table 64×
+  *      smaller (recurse the same trick for another 64× if ever needed);
+  *   3. block offsets broadcast-join back, and the intra-block prefix
+  *      sum is a window PARTITIONED BY block — fully parallel, each
+  *      partition at most blockSize rows.
+  */
+object Packing {
+
+  /** Gate pk1: per-doc token count, global start offset, and the
+    * first/last context-window chunk ids the doc lands in
+    * (`ctx`-token windows). Deterministic: pack order is doc_id.
+    */
+  def chunkedTokenStream(spark: SparkSession, dir: String,
+                         ctx: Int = 256, blockSize: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / blockSize))
+    val blockOffsets = docs
+      .groupBy(col("block")).agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("block"), col("boff"))
+    val intra = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(blockOffsets), Seq("block"))
+      .withColumn("start_offset",
+        col("boff") + coalesce(sum(col("n_tokens")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / ctx).as("start_chunk"),
+        floor((col("start_offset") + col("n_tokens") - lit(1)) / ctx).as("end_chunk"))
+      .orderBy(col("doc_id"))
+  }
+}

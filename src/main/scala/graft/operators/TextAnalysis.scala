@@ -375,4 +375,57 @@ object TextAnalysis {
             j => array_min(slice(col("hs"), j + lit(1), lit(w))))))
           .otherwise(array_distinct(col("hs"))))
       .drop("grams", "hs")
+
+  /** Repetition quality signals (gate t13) — the Gopher-style
+    * within-document repetition filters: type-token ratio, fraction of
+    * bigram occurrences that are repeats, and the dominant bigram with
+    * its occurrence share. Docs scoring high on repetition are
+    * degenerate (keyboard mash, SEO spam, template loops) and get
+    * filtered before training.
+    *
+    * Scale design: computing a per-doc mode with array higher-order
+    * functions is O(len²) per doc (HOFs are interpreted, and counting
+    * each element rescans the array) — unusable on long web docs.
+    * Instead unigrams and bigrams EXPLODE into one row stream in a
+    * single pass (one generator, kind-tagged), count by
+    * (doc, kind, gram) with map-side partial aggregation, then reduce
+    * per doc. Keys are fine-grained, so no skew; text never shuffles.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(concat(
+        transform(ws, w => struct(lit(1).as("kind"), w.as("gram"))),
+        when(size(ws) >= 2,
+          transform(sequence(lit(0), size(ws) - lit(2)),
+            i => struct(lit(2).as("kind"),
+              concat_ws(" ", slice(ws, i + lit(1), lit(2))).as("gram"))))
+          .otherwise(array().cast("array<struct<kind:int,gram:string>>")))).as("g"))
+      .select(col("doc_id"), col("g.kind").as("kind"), col("g.gram").as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kind") === 1, col("c"))).as("n_words"),
+        count(when(col("kind") === 1, lit(1))).as("n_distinct_words"),
+        sum(when(col("kind") === 2, col("c"))).as("n_bi"),
+        count(when(col("kind") === 2, lit(1))).as("n_distinct_bi"))
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("c"), asc("gram"))
+    val top = counts.filter(col("kind") === 2)
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"), col("c").as("top_n"))
+    perDoc.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_distinct_words").cast("double") / col("n_words").cast("double"), 6)
+          .as("ttr"),
+        round((col("n_bi") - col("n_distinct_bi")).cast("double") / col("n_bi").cast("double"), 6)
+          .as("dup_bigram_frac"),
+        col("top_bigram"),
+        round(col("top_n").cast("double") / col("n_bi").cast("double"), 6)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontamination, Dedup, Packing, TextAnalysis}
+
+/** Round-4 corpus-curation operators: decontamination (dc1), segment
+  * dedup (dd8), repetition stats (t13), sequence packing (pk1).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags the planted near-copy held-out doc") {
+    // The fixture corpus plants near-dups; doc 211 (md5 bucket e/f) is a
+    // shifted copy of a training doc — every one of its 8-grams occurs in
+    // the training split.
+    val out = Decontamination.ngramOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every held-out doc appears exactly once, fractions in [0,1]
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    assert(out.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0 &&
+        r.getLong(2) <= r.getLong(1)
+    })
+    val full = out.filter(_.getDouble(3) == 1.0)
+    assert(full.nonEmpty, "expected at least one fully contaminated held-out doc")
+  }
+
+  test("decontamination held-out set matches the hashSplit test bucket") {
+    val testDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .filter(col("h").isin("e", "f"))
+      .select("doc_id").as[Long].collect().toSet
+    val reported = Decontamination.ngramOverlap(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // all fixture docs have >= 8 words, so the report is total over the split
+    assert(reported == testDocs)
+  }
+
+  test("segment dedup keeps first occurrence and drops later copies") {
+    val docs = Seq(
+      (0L, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"),   // segs: [a..h], [x1..x8]
+      (1L, "a b c d e f g h y1 y2 y3 y4 y5 y6 y7 y8"),   // first seg duplicates doc 0
+      (2L, "short doc")                                   // < 8 words: no segments
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("segdedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.segmentDedup(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(1) == 2 && byId(0L).getLong(2) == 2)
+    assert(byId(1L).getLong(1) == 2 && byId(1L).getLong(2) == 1)
+    assert(byId(1L).getString(3) == "y1 y2 y3 y4 y5 y6 y7 y8")
+    assert(byId(2L).getLong(1) == 0 && byId(2L).getString(3) == "")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("segment dedup is idempotent on already-deduped corpus output") {
+    val first = Dedup.segmentDedup(spark, sf)
+    // n_kept <= n_segs everywhere; global kept-segment hashes are unique
+    val bad = first.filter(col("n_kept") > col("n_segs")).count()
+    assert(bad == 0)
+    val keptSegs = first.filter(length(col("cleaned_text")) > 0)
+      .select(explode(split(col("cleaned_text"), " ")).as("w")).count()
+    assert(keptSegs > 0)
+  }
+
+  test("repetition stats: degenerate repeated doc scores near 1 on dup fraction") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"),
+      (1L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("repstats")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spammy = out(0L)
+    assert(spammy.getDouble(2) < 0.2)                   // ttr = 1/6
+    assert(spammy.getDouble(3) == 0.8)                  // 5 bigram occurrences, 1 distinct
+    assert(spammy.getString(4) == "spam spam")
+    assert(spammy.getDouble(5) == 1.0)                  // all bigrams identical
+    val clean = out(1L)
+    assert(clean.getDouble(2) == 1.0 && clean.getDouble(3) == 0.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("sequence packing offsets are the exact prefix sum in doc order") {
+    val out = Packing.chunkedTokenStream(spark, sf).orderBy("doc_id").collect()
+    var acc = 0L
+    out.foreach { r =>
+      assert(r.getLong(2) == acc, s"offset mismatch at doc ${r.getLong(0)}")
+      acc += r.getLong(1)
+      assert(r.getLong(3) <= r.getLong(4))              // start_chunk <= end_chunk
+      assert(r.getLong(3) == r.getLong(2) / 256)
+    }
+  }
+
+  test("sequence packing is invariant to block size (pure algebra, not layout)") {
+    val a = Packing.chunkedTokenStream(spark, sf, blockSize = 64).collect()
+    val b = Packing.chunkedTokenStream(spark, sf, blockSize = 7).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
