@@ -179,6 +179,11 @@ object SparkEntry {
     "dd8_segment_dedup"    -> ((s, d) => Dedup.segmentDedup(s, d)),
     "t13_repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "pk1_sequence_pack"    -> ((s, d) => graft.operators.Packing.chunkedTokenStream(s, d)),
+    // ---- round-4 widening: relational surface ----
+    "p2_unpivot"           -> ((s, d) => Relational.unpivotPartMetrics(s, d)),
+    "f7_map_functions"     -> ((s, d) => Relational.mapTypeCounts(s, d)),
+    "ts2_interpolate"      -> ((s, d) => Relational.interpolateHourly(s, d)),
+    "x10_mode_quantity"    -> ((s, d) => Relational.modeQuantityPerFlag(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -1242,5 +1247,54 @@ object SparkEntry {
         |  CAST(floor(start_offset/256.0) AS BIGINT) AS start_chunk,
         |  CAST(floor((start_offset+n_tokens-1)/256.0) AS BIGINT) AS end_chunk
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Unpivot = UNION ALL of one SELECT per metric (engine-neutral melt).
+    "p2_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS metric,
+        |    CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |) ORDER BY p_partkey, metric""".stripMargin,
+    // The map round-trip (map_from_entries -> explode) is lossless, so
+    // the oracle is the plain group count.
+    "f7_map_functions" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "ts2_interpolate" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |j AS (SELECT spine.hr, h.v FROM spine LEFT JOIN h USING (hr)),
+        |f AS (SELECT hr, v,
+        |    last_value(v IGNORE NULLS) OVER (ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+        |      ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(CAST(epoch(hr) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE) /
+        |       CAST(CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT) AS DOUBLE))
+        |    END, 6) AS value
+        |FROM f ORDER BY hour_start""".stripMargin,
+    "x10_mode_quantity" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity ASC) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -794,4 +794,99 @@ object Relational {
       org.apache.spark.sql.types.StructField("est_n",
         org.apache.spark.sql.types.LongType))))
   }
+
+  /** Wide→long reshape (gate p2): `Dataset.unpivot` — the MELT
+    * operation feature stores and metric tables lean on. A pure
+    * per-row generator (one scan, no shuffle; output = rows ×
+    * metrics), so it scales trivially.
+    */
+  def unpivotPartMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** MapType surface (gate f7): per-user event-type counts carried as
+    * a MAP column (map_from_entries over sorted entries) and exploded
+    * back to rows. The map construction/explosion round-trip is the
+    * point — feature pipelines ship per-key feature maps exactly this
+    * way. Bounded to a small user set so the gate output stays small;
+    * the shape is one groupBy + one per-row generator.
+    */
+  def mapTypeCounts(spark: SparkSession, dir: String, maxUserId: Long = 20): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < maxUserId)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"), explode(col("m")))
+      .select(col("user_id"), col("key").as("event_type"), col("value").as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Time-series linear interpolation (gate ts2): hourly means with
+    * gaps filled by linear interpolation between the nearest known
+    * hours (edges clamp to the nearest known value). The global-order
+    * windows run over the dense hour SPINE — calendar-bounded (~10⁵
+    * rows for a decade), not data-bounded, so the single sort
+    * partition is fine at any corpus scale; the data-sized work is
+    * the hourly aggregation, which shuffles on the hour key.
+    * Hourly means are exact (DECIMAL sum → double ÷ count) so the
+    * interpolation arithmetic is bit-mirrorable.
+    */
+  def interpolateHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg((sum(col("value").cast("decimal(30,6)")).cast("double") /
+        count(lit(1))).as("v"))
+    val spine = e
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+    val wB = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.orderBy(col("hr"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(hourly, Seq("hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wF))
+      .select(
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        when(col("v").isNotNull, 0).otherwise(1).as("interpolated"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_timestamp(col("hr")) - unix_timestamp(col("ph"))).cast("double") /
+               (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double"))),
+          6).as("value"))
+      .orderBy(col("hour_start"))
+  }
+
+  /** Exact grouped mode (gate x10): most frequent value per group with
+    * a deterministic tiebreak (count desc, value asc). Count shuffle
+    * is partial-aggregated map-side; the per-group argmax window runs
+    * over the already-aggregated (group, value) frame, which is
+    * distinct-cardinality-sized, not data-sized.
+    */
+  def modeQuantityPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("n"), asc("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
 }
