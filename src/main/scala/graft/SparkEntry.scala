@@ -184,6 +184,9 @@ object SparkEntry {
     "f7_map_functions"     -> ((s, d) => Relational.mapTypeCounts(s, d)),
     "ts2_interpolate"      -> ((s, d) => Relational.interpolateHourly(s, d)),
     "x10_mode_quantity"    -> ((s, d) => Relational.modeQuantityPerFlag(s, d)),
+    // rows-only by contract (approximate by construction; recall vs the
+    // exact brute-force path is bounded in SimilaritySpec)
+    "ss4_pq_search"        -> ((s, d) => Similarity.pqSearch(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place

@@ -216,4 +216,136 @@ object Similarity {
         col("rank"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ---- Product quantization (PQ + ADC) ----
+  // 64-dim vectors → PqM=8 subspaces × PqSubDim=8 dims; each subvector
+  // quantized to one of PqK=16 per-subspace centroids. A vector
+  // compresses to 8 code bytes (64× smaller than 64 doubles) — the
+  // memory story that lets a 100 TB embedding corpus fit an in-memory
+  // ANN index. Search is ADC (asymmetric distance computation): the
+  // QUERY stays exact, corpus distance is approximated from codes.
+  final val PqM = 8
+  final val PqK = 16
+  final val PqSubDim = Dim / PqM
+
+  /** Squared L2 (no sqrt): ranking-equivalent for distance and cheaper
+    * inside the per-subspace loops.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    VectorOps.fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  /** Per-subspace nearest-code assignment for the subvector column
+    * `sv` tagged with subspace column `m` — a when-chain over
+    * subspaces, each an argmin over that subspace's codebook inlined
+    * as plan literals (executors never fetch side data).
+    */
+  private def pqAssign(cbs: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val perM = cbs.zipWithIndex.map { case (cb, m) =>
+      val dists = cb.zipWithIndex.map { case (c, ki) =>
+        struct(l2sq(col("sv"), array(c.map(lit(_)): _*)).as("d"), lit(ki).as("i"))
+      }
+      m -> least(dists: _*).getField("i")
+    }
+    perM.tail.foldLeft(when(col("m") === perM.head._1, perM.head._2)) {
+      case (acc, (m, e)) => acc.when(col("m") === m, e)
+    }
+  }
+
+  /** Train the PqM per-subspace codebooks: deterministic Lloyd's
+    * (seeded by the first PqK vectors' subvectors), all subspaces in
+    * ONE distributed pass per iteration — subvectors explode with a
+    * subspace tag, assignment is the [[pqAssign]] when-chain, and the
+    * update is a single (m, code, dim) aggregation. Only the
+    * PqM×PqK×PqSubDim codebook tensor (1024 doubles) touches the
+    * driver per iteration.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String, iters: Int = 3): Array[Array[Array[Double]]] = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val seed = corpus.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(PqM)(m =>
+      seed.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val subs = corpus
+      .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => slice(col("v"), m * PqSubDim + lit(1), lit(PqSubDim)))))
+      .toDF("vec_id", "m", "sv")
+      .cache()
+    for (_ <- 1 to iters) {
+      val updated = subs.withColumn("code", pqAssign(cbs))
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .toDF("m", "code", "dim", "x")
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("cs"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(1)).toArray)
+        .toMap
+      // Keyed carry-forward: an empty cell keeps its previous centroid.
+      cbs = Array.tabulate(PqM)(m => Array.tabulate(PqK)(ki =>
+        updated.getOrElse((m, ki), cbs(m)(ki))))
+    }
+    subs.unpersist()
+    cbs
+  }
+
+  /** PQ/ADC top-k search (gate ss4): encode the corpus to code arrays
+    * (the only corpus payload the candidate scan touches), compute
+    * approximate distances code-side against the exact query
+    * subvectors, keep the top `rerank` candidates per query, then
+    * exact-cosine re-rank the survivors — the standard two-stage PQ
+    * deployment. Approximate by construction → rows-only gate; recall
+    * vs [[knnBrute]] is bounded in SimilaritySpec.
+    */
+  def pqSearch(spark: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 10, rerank: Int = 30): DataFrame = {
+    val cbs = pqCodebooks(spark, dir)
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .cache()
+    // Compressed index: vec_id + PqM code bytes; the raw vector is
+    // dropped before the candidate scan.
+    val codeExprs = (0 until PqM).map { m =>
+      val dists = cbs(m).zipWithIndex.map { case (c, ki) =>
+        struct(l2sq(slice(col("v"), m * PqSubDim + 1, PqSubDim),
+          array(c.map(lit(_)): _*)).as("d"), lit(ki).as("i"))
+      }
+      least(dists: _*).getField("i")
+    }
+    val codes = corpus.select(col("vec_id"), array(codeExprs: _*).as("codes"))
+    val queriesQ = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("nrm").as("qnrm"))
+    // ADC: dist ≈ Σ_m ||q_m − cb[m][code_m]||²; the codebook tensor is
+    // a nested plan literal, so the scan reads only (vec_id, codes).
+    val cbLit = array(cbs.map(cb =>
+      array(cb.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+    val adist = (0 until PqM).map { m =>
+      l2sq(slice(col("q"), m * PqSubDim + 1, PqSubDim),
+        element_at(element_at(cbLit, m + 1), element_at(col("codes"), m + 1) + 1))
+    }.reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(asc("adist"), asc("vec_id"))
+    val cand = codes.join(broadcast(queriesQ), col("query_id") =!= col("vec_id"))
+      .withColumn("adist", adist)
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // Exact re-rank of the survivors only.
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    cand
+      .join(corpus, "vec_id")
+      .join(broadcast(queriesQ), "query_id")
+      .withColumn("score", round(
+        VectorOps.dot(col("q"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -53,4 +53,37 @@ class SimilaritySpec extends SparkSpec {
       brute.get(key).foreach(s => assert(s == r.getDouble(3)))
     }
   }
+
+  test("PQ codebooks: shape, determinism, and code coverage") {
+    val cbs = Similarity.pqCodebooks(spark, sf)
+    assert(cbs.length == Similarity.PqM)
+    assert(cbs.forall(_.length == Similarity.PqK))
+    assert(cbs.forall(_.forall(_.length == Similarity.PqSubDim)))
+    val again = Similarity.pqCodebooks(spark, sf)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == again.map(_.map(_.toSeq).toSeq).toSeq,
+      "Lloyd training must be deterministic")
+  }
+
+  test("PQ/ADC search: shape, exact re-ranked scores, recall against brute force") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteScores = Similarity.knnBrute(spark, sf, nQueries = 5, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pq = Similarity.pqSearch(spark, sf, nQueries = 5, k = 10).collect()
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length))
+    }
+    // survivors are exactly re-ranked: identical scores where brute has them
+    pq.foreach { r =>
+      bruteScores.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+    val hits = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bruteSet.intersect(hits).size.toDouble / bruteSet.size
+    // 16-code/subspace PQ on near-uniform data with 3x re-rank headroom:
+    // require clearly-better-than-random (uniform data is ANN's worst case)
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+  }
 }
