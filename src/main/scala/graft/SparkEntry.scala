@@ -187,6 +187,7 @@ object SparkEntry {
     // rows-only by contract (approximate by construction; recall vs the
     // exact brute-force path is bounded in SimilaritySpec)
     "ss4_pq_search"        -> ((s, d) => Similarity.pqSearch(s, d)),
+    "m6_frame_sample"      -> ((s, d) => Multimodal.frameSampleStats(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -1299,5 +1300,30 @@ object SparkEntry {
         |    ORDER BY n DESC, l_quantity ASC) AS rn FROM c)
         |SELECT l_returnflag, l_quantity AS mode_quantity, CAST(n AS BIGINT) AS n
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // Frame sampling over planted multi-frame assets: every 2nd frame of
+    // n_frames = doc_id%6+2 PNGs seeded doc_id*131+f; the same
+    // two-tone-image arithmetic as m4, summed over the sampled frames
+    // (exact integer sums, one division at the end).
+    "m6_frame_sample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 2 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS fi FROM d),
+        |s AS (SELECT doc_id, n_frames, doc_id*131 + fi AS sd FROM f WHERE fi % 2 = 0),
+        |p AS (SELECT doc_id, n_frames,
+        |    sd % 16 + 4 AS w, sd % 12 + 4 AS h, (sd % 16 + 4) // 2 AS wl,
+        |    sd % 256 AS ra, (sd*7) % 256 AS ga, (sd*13) % 256 AS ba,
+        |    (sd*31) % 256 AS rb, (sd*37) % 256 AS gb, (sd*41) % 256 AS bb
+        |  FROM s),
+        |a AS (SELECT doc_id, n_frames, count(*) AS n_sampled,
+        |    CAST(sum(w*h) AS BIGINT) AS np,
+        |    CAST(sum(h*(wl*ra + (w-wl)*rb)) AS BIGINT) AS sr,
+        |    CAST(sum(h*(wl*ga + (w-wl)*gb)) AS BIGINT) AS sg,
+        |    CAST(sum(h*(wl*ba + (w-wl)*bb)) AS BIGINT) AS sb
+        |  FROM p GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  round(CAST(sr AS DOUBLE)/CAST(np AS DOUBLE), 6) AS mean_r,
+        |  round(CAST(sg AS DOUBLE)/CAST(np AS DOUBLE), 6) AS mean_g,
+        |  round(CAST(sb AS DOUBLE)/CAST(np AS DOUBLE), 6) AS mean_b
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

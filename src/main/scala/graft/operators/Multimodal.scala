@@ -109,6 +109,35 @@ object Multimodal {
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
     }
+
+    /** Exact integer channel sums — the order-invariant shape for
+      * AGGREGATING decoded stats across frames/files (divide once at
+      * the end; per-frame double means would make the cross-frame sum
+      * accumulation-order-dependent).
+      */
+    def decodeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sr, sg, sb)
+      }
+    }
   }
 
   /** Default decoder for [[extractFeatures]]: real ImageIO decode when
@@ -458,5 +487,63 @@ object Multimodal {
         // decoder init happens here, once per partition
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
+  }
+
+  /** Number of frames in the planted multi-frame asset for `id`
+    * (mirrored by the m6 oracle), and the per-frame PNG seed.
+    */
+  private[graft] def plantedFrameCount(id: Long): Int = (id % 6 + 2).toInt
+  private[graft] def plantedFrameSeed(id: Long, f: Int): Long = id * 131 + f
+
+  /** Gated m6: frame sampling over a VIDEO-shaped column — each asset
+    * is an `array<binary>` of real PNG frames (planted two-tone images
+    * seeded per (doc, frame)). The pipeline is the real Spark plumbing
+    * a frame-sampling pass needs at 100 TB:
+    *   1. frames materialize as an array<binary> column;
+    *   2. sampling is `posexplode` + a position predicate (every 2nd
+    *      frame) — pure per-row generation, no shuffle;
+    *   3. sampled frames decode via the REAL ImageIO path, emitting
+    *      exact INTEGER channel sums (order-invariant, so the per-doc
+    *      aggregation hash-matches regardless of partitioning);
+    *   4. one division at the end produces the per-doc sampled-pixel
+    *      means.
+    * The oracle states the same statistics as doc_id/frame arithmetic.
+    */
+  def frameSampleStats(spark: SparkSession, dir: String, every: Int = 2): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = plantedFrameCount(id)
+          (id, (0 until n).map(f => encodePlantedPng(plantedFrameSeed(id, f))).toArray)
+        }
+      }
+      .toDF("doc_id", "frames")
+    val sampled = frames
+      .select(col("doc_id"), size(col("frames")).as("n_frames"),
+        posexplode(col("frames")))
+      .filter(col("pos") % every === 0)
+      .select(col("doc_id"), col("n_frames"), col("col").as("frame"))
+      .as[(Long, Int, Array[Byte])]
+    val stats = sampled
+      .mapPartitions { rows =>
+        rows.map { case (id, nf, bytes) =>
+          val (w, h, sr, sg, sb) = ImageIODecoder.decodeSums(bytes)
+            .getOrElse(sys.error(s"ImageIO failed to decode planted frame of doc $id"))
+          (id, nf, w.toLong * h, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "n_frames", "np", "sr", "sg", "sb")
+    stats
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("np")).as("np"), sum(col("sr")).as("sr"),
+        sum(col("sg")).as("sg"), sum(col("sb")).as("sb"))
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        round(col("sr").cast("double") / col("np").cast("double"), 6).as("mean_r"),
+        round(col("sg").cast("double") / col("np").cast("double"), 6).as("mean_g"),
+        round(col("sb").cast("double") / col("np").cast("double"), 6).as("mean_b"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -174,4 +174,28 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getInt(1) == (id % 1920 + 1).toInt && r.getInt(2) == (id % 1080 + 1).toInt)
     }
   }
+
+  test("frame sampling decodes every 2nd planted frame with exact sampled-pixel means") {
+    val out = Multimodal.frameSampleStats(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = Multimodal.plantedFrameCount(id)
+      assert(r.getInt(1) == nf)
+      assert(r.getLong(2) == (nf + 1) / 2)             // frames 0,2,4,...
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0)
+    }
+    // cross-check one doc against a local re-decode of its sampled frames
+    val id = 5L
+    val sums = (0 until Multimodal.plantedFrameCount(id) by 2).map { f =>
+      Multimodal.ImageIODecoder
+        .decodeSums(Multimodal.encodePlantedPng(Multimodal.plantedFrameSeed(id, f))).get
+    }
+    val np = sums.map(s => s._1.toLong * s._2).sum
+    // mirror Spark's round(): decimal-string HALF_UP, not rint
+    val wantR = java.math.BigDecimal.valueOf(sums.map(_._3).sum.toDouble / np)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = out.find(_.getLong(0) == id).get
+    assert(got.getDouble(3) == wantR)
+  }
 }
