@@ -397,10 +397,24 @@ object Dedup {
       .select(col("doc_b"), col("pb"), col("k.slot").as("slot"), col("k.seg").as("seg"))
     probe.join(index, Seq("slot", "seg"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("dist") <= maxDist)
+      // Dedup candidates BEFORE the levenshtein confirm — and make it a
+      // groupBy/min, not distinct-then-filter: a filter on
+      // levenshtein(pa, pb) after distinct() references only grouping
+      // columns, so Catalyst legally pushes it below the aggregate into
+      // the join residual, running the confirm once per (slot, seg)
+      // COLLISION (up to nSeg× per pair) instead of once per pair —
+      // measured 4.8 s vs 1.6 s at sf0.1. min(pa) = pa (payloads are
+      // functionally dependent on the pair), but as an aggregate OUTPUT
+      // it is a pushdown barrier.
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      // Banded confirm: levenshtein with a threshold computes only the
+      // |i−j| ≤ d diagonal band and early-exits, returning −1 past the
+      // bound — on a candidate set where >99% of pairs miss (measured
+      // 255/87k at sf0.1), the confirm cost drops with the band width.
+      // −1 must not pass the ≤ maxDist filter, hence BETWEEN.
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist").between(0, maxDist))
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
