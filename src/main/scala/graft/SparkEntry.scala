@@ -188,6 +188,9 @@ object SparkEntry {
     // exact brute-force path is bounded in SimilaritySpec)
     "ss4_pq_search"        -> ((s, d) => Similarity.pqSearch(s, d)),
     "m6_frame_sample"      -> ((s, d) => Multimodal.frameSampleStats(s, d)),
+    "mx1_source_mixture"   -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
+    "bp1_bpe_pairs"        -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
+    "dc2_contaminated_spans" -> ((s, d) => graft.operators.Decontamination.contaminatedSpans(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -1325,5 +1328,59 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE)/CAST(np AS DOUBLE), 6) AS mean_g,
         |  round(CAST(sb AS DOUBLE)/CAST(np AS DOUBLE), 6) AS mean_b
         |FROM a ORDER BY doc_id""".stripMargin,
+    // Balanced source mixture: budget = smallest source's token mass,
+    // per-source md5-threshold sampling ('zzzz' sentinel keeps rate=1
+    // sources whole).
+    "mx1_source_mixture" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS h4
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM t GROUP BY source),
+        |b AS (SELECT min(src_tokens) AS budget FROM s),
+        |r AS (SELECT source, src_tokens,
+        |    least(CAST(budget AS DOUBLE)/CAST(src_tokens AS DOUBLE), 1.0) AS rate
+        |  FROM s, b),
+        |r2 AS (SELECT source, src_tokens, rate,
+        |    CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(floor(rate*65536) AS INT)) END AS thr
+        |  FROM r),
+        |keep AS (SELECT t.source, t.doc_id, t.n_tokens
+        |  FROM t JOIN r2 USING (source) WHERE t.h4 < r2.thr)
+        |SELECT r2.source, r2.src_tokens, round(r2.rate,6) AS rate,
+        |  CAST(coalesce(count(keep.doc_id),0) AS BIGINT) AS n_docs_sampled,
+        |  CAST(coalesce(sum(keep.n_tokens),0) AS BIGINT) AS n_tokens_sampled
+        |FROM r2 LEFT JOIN keep ON keep.source = r2.source
+        |GROUP BY r2.source, r2.src_tokens, r2.rate
+        |ORDER BY r2.source""".stripMargin,
+    // BPE first-merge candidates: char bigrams inside words, weighted
+    // by occurrences; v[a:b] slicing is 1-based inclusive.
+    "bp1_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS word
+        |  FROM documents),
+        |p AS (SELECT word[i:i+1] AS pair
+        |  FROM w, unnest(range(1, greatest(length(word),1))) AS t(i))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // Contamination span localization: gaps-and-islands over hit
+    // positions (pos - row_number constant within a run).
+    "dc2_contaminated_spans" ->
+      """WITH w AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS h1,
+        |    regexp_split_to_array(trim(text),'\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, h1, i - 1 AS pos,
+        |    substr(md5(array_to_string(ws[i:i+7],' ')),1,16) AS g
+        |  FROM w, unnest(range(1, greatest(len(ws)-6,1))) AS t(i)),
+        |tg AS (SELECT DISTINCT g FROM g WHERE h1 NOT IN ('c','d','e','f')),
+        |hit AS (SELECT g.doc_id, g.pos FROM g JOIN tg USING (g)
+        |  WHERE h1 IN ('e','f')),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hit)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |  CAST(min(pos) AS BIGINT) AS first_pos,
+        |  CAST(max(pos) AS BIGINT) AS last_pos,
+        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+        |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -39,25 +39,35 @@ object Decontamination {
     * contaminated_frac near 1 is a verbatim/near copy of training
     * data and must be dropped from the benchmark.
     */
-  def ngramOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Positional word n-grams keyed by 64-bit md5 prefix:
+    * (doc_id, split bucket, 0-based position, gram key).
+    */
+  private def gramsWithPos(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(md5(col("doc_id").cast("string")), 1, 1).as("h1"),
         TextAnalysis.words(col("text")).as("ws"))
-    // Distinct positional n-grams per doc, keyed by 64-bit md5 prefix.
-    val grams = docs
       .select(col("doc_id"), col("h1"),
-        explode(when(size(col("ws")) >= n,
+        posexplode(when(size(col("ws")) >= n,
           transform(sequence(lit(0), size(col("ws")) - lit(n)),
             i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"), col("h1"),
-        substring(md5(col("gram")), 1, 16).as("g"))
-      .distinct()
-    val trainGrams = grams
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("h1"), col("pos").cast("long").as("pos"),
+        substring(md5(col("col")), 1, 16).as("g"))
+
+  /** Distinct gram keys of the training split — one row per gram, no
+    * doc payload, so probe joins against it cannot go quadratic.
+    */
+  private def trainGramKeys(grams: DataFrame): DataFrame =
+    grams
       .filter(!col("h1").isin((TestBuckets ++ ValBuckets).map(x => x: Any): _*))
       .select(col("g")).distinct()
-      .withColumn("hit", lit(1))
+
+  def ngramOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    // Distinct per-doc grams: overlap counts ignore repeat positions.
+    val grams = gramsWithPos(spark, dir, n)
+      .select(col("doc_id"), col("h1"), col("g")).distinct()
+    val trainGrams = trainGramKeys(grams).withColumn("hit", lit(1))
     grams
       .filter(col("h1").isin(TestBuckets.map(x => x: Any): _*))
       .join(trainGrams, Seq("g"), "left")
@@ -66,6 +76,32 @@ object Decontamination {
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6)
           .as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span localization (gate dc2): WHERE the contamination sits in each
+    * held-out doc — first/last contaminated gram position and the
+    * number of maximal contiguous runs (gaps-and-islands: pos −
+    * row_number is constant within a run). Span-level reporting is
+    * what lets a pipeline excise contaminated windows instead of
+    * dropping whole documents. The per-doc window runs over hit
+    * positions only (≤ doc length), partitioned by doc — fully
+    * parallel.
+    */
+  def contaminatedSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = gramsWithPos(spark, dir, n)
+    val hits = grams
+      .filter(col("h1").isin(TestBuckets.map(x => x: Any): _*))
+      .join(trainGramKeys(grams), Seq("g"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        countDistinct(col("grp")).as("n_spans"))
       .orderBy(col("doc_id"))
   }
 }

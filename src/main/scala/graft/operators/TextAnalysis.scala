@@ -376,6 +376,63 @@ object TextAnalysis {
           .otherwise(array_distinct(col("hs"))))
       .drop("grams", "hs")
 
+  /** Balanced source mixture (gate mx1): every LLM data recipe weights
+    * its sources; this computes a deterministic balanced mixture —
+    * each source contributes ≈ the smallest source's token mass, via a
+    * per-source md5-threshold Bernoulli sample (the [[hashSample]]
+    * mechanism with a data-derived rate). Deterministic end to end:
+    * rates come from exact integer token counts, thresholds are 4-hex
+    * md5 prefixes, so the sampled set is stable across runs, engines,
+    * and partitionings — a retried job resamples identically.
+    * Scale shape: one token-count aggregation (map-side combinable),
+    * a #sources-row rate table broadcast back, one filtered pass.
+    */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("h4"))
+    val s = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val b = s.agg(min(col("src_tokens")).as("budget"))
+    val r = s.crossJoin(broadcast(b))
+      .withColumn("rate",
+        least(col("budget").cast("double") / col("src_tokens").cast("double"), lit(1.0)))
+      // rate = 1 keeps everything: 'zzzz' sorts after every hex string,
+      // so the threshold filter passes all rows (a 0xffff threshold
+      // would silently drop the h4 = 'ffff' docs).
+      .withColumn("thr", when(col("rate") >= 1.0, lit("zzzz"))
+        .otherwise(format_string("%04x", floor(col("rate") * 65536).cast("int"))))
+      .select(col("source"), col("src_tokens"), col("rate"), col("thr"))
+    val kept = t.join(broadcast(r.select(col("source"), col("thr"))), Seq("source"))
+      .filter(col("h4") < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+    r.join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), round(col("rate"), 6).as("rate"),
+        coalesce(col("nd"), lit(0L)).as("n_docs_sampled"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** BPE merge-candidate induction (gate bp1): the first step of
+    * byte-pair-encoding tokenizer training — count adjacent symbol
+    * pairs (here: character bigrams inside words, weighted by word
+    * occurrences) across the corpus and rank merge candidates. One
+    * generator + one count shuffle on fine-grained pair keys; at
+    * corpus scale this is exactly the distributed pair-count pass a
+    * BPE trainer iterates.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .select(explode(when(length(col("word")) >= 2,
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(k)
+
   /** Repetition quality signals (gate t13) — the Gopher-style
     * within-document repetition filters: type-token ratio, fraction of
     * bigram occurrences that are repeats, and the dominant bigram with

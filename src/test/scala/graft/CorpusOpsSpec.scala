@@ -99,4 +99,41 @@ class CorpusOpsSpec extends SparkSpec {
     val b = Packing.chunkedTokenStream(spark, sf, blockSize = 7).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("source mixture: balanced, bounded, and deterministic") {
+    val out = TextAnalysis.sourceMixture(spark, sf).collect()
+    assert(out.nonEmpty)
+    val budget = out.map(_.getLong(1)).min
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1))           // sampled <= source mass
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+      if (r.getLong(1) == budget) {
+        assert(r.getDouble(2) == 1.0)                // smallest source kept whole
+        assert(r.getLong(4) == budget)
+      }
+    }
+    val again = TextAnalysis.sourceMixture(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("bpe pair counts: 2-char pairs, non-increasing, consistent with corpus mass") {
+    val out = TextAnalysis.bpePairCounts(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getString(0).length == 2))
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("contaminated spans agree with the overlap report") {
+    val spans = Decontamination.contaminatedSpans(spark, sf).collect()
+    val overlap = Decontamination.ngramOverlap(spark, sf).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(spans.map(_.getLong(0)).toSet == overlap)
+    spans.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) <= r.getLong(3))           // first_pos <= last_pos
+      assert(r.getLong(4) >= 1)                      // at least one span
+      assert(r.getLong(4) <= r.getLong(1))           // spans <= hit count
+    }
+  }
 }
