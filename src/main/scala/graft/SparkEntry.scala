@@ -191,6 +191,9 @@ object SparkEntry {
     "mx1_source_mixture"   -> ((s, d) => TextAnalysis.sourceMixture(s, d)),
     "bp1_bpe_pairs"        -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
     "dc2_contaminated_spans" -> ((s, d) => graft.operators.Decontamination.contaminatedSpans(s, d)),
+    // rows-only by contract (cluster training not SQL-expressible;
+    // kept/dropped invariants checked in DedupSpec)
+    "dd9_semdedup"         -> ((s, d) => Dedup.semDedup(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place

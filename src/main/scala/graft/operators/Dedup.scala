@@ -583,6 +583,43 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Semantic dedup (gate dd9) — the SemDedup recipe: k-means-cluster
+    * the embedding space, then prune near-duplicates ONLY within each
+    * cluster (a dropped item is any vector with a smaller-id
+    * same-cluster neighbor at cosine ≥ threshold; the smallest id of
+    * each near-dup group survives). Clustering is the blocking key
+    * that turns the quadratic all-pairs scan into per-cluster joins —
+    * N²/nLists expected work, and at 100 TB the cluster id doubles as
+    * a partition key so each join task touches one cluster. The
+    * accepted trade (vs the exact blocked join of
+    * [[embeddingDupPairs]]): cross-cluster near-dups are not seen.
+    *
+    * Approximate by construction (centroid training is not
+    * SQL-expressible) → rows-only gate; DedupSpec checks the
+    * kept/dropped partition invariants against a local recompute.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.4, nLists: Int = 16): DataFrame = {
+    val centroids = Similarity.ivfCentroids(spark, dir, nLists)
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+    val assigned = Similarity.assignListIds(corpus, centroids).cache()
+    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val losers = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("list_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Sub-document (paragraph-level) exact dedup (gate dd8): web-scale
     * corpora repeat SPANS (boilerplate, licence blocks, navigation
     * chrome) far more than whole documents, so pipelines dedup at the

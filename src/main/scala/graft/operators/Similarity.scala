@@ -124,6 +124,12 @@ object Similarity {
     centroids
   }
 
+  /** Public seam over [[assignToCentroid]] for operators that block on
+    * cluster ids (e.g. [[Dedup.semDedup]]).
+    */
+  def assignListIds(df: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    assignToCentroid(df, centroids)
+
   /** Nearest-centroid assignment: argmin over nLists squared-L2
     * distances, centroids inlined as plan literals (no side data).
     */

@@ -172,4 +172,28 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = Int.MaxValue).collect().toSeq
     assert(capped == uncapped)
   }
+
+  test("semdedup: kept set is a maximal smaller-id-free subset within each cluster") {
+    val kept = Dedup.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = graft.Tables.embeddings(spark, sf).count()
+    assert(kept.nonEmpty && kept.size <= all)
+    // recompute within-cluster qualifying pairs locally from the exact
+    // blocked pair list (threshold matches semDedup's default)
+    val pairs = Dedup.embeddingDupPairs(spark, sf, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      // if both sides landed in the same cluster, the larger id must be gone
+      (kept.get(a), kept.get(b)) match {
+        case (Some(ca), Some(cb)) =>
+          assert(ca != cb,
+            s"pair ($a,$b) at cos>=0.4 survived in the same cluster $ca")
+        case _ => // at least one pruned — fine
+      }
+    }
+    // determinism
+    val again = Dedup.semDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept == again)
+  }
 }
