@@ -194,6 +194,9 @@ object SparkEntry {
     // rows-only by contract (cluster training not SQL-expressible;
     // kept/dropped invariants checked in DedupSpec)
     "dd9_semdedup"         -> ((s, d) => Dedup.semDedup(s, d)),
+    "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
+    "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
+    "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -1385,5 +1388,37 @@ object SparkEntry {
         |  CAST(max(pos) AS BIGINT) AS last_pos,
         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
         |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Forward as-of: DuckDB native ASOF with c.ts <= p.ts; purchases
+    // pre-aggregated per (user, ts) for an explicit exact-ts tiebreak.
+    "aj2_asof_next_purchase" ->
+      """SELECT c.event_id, c.user_id, p.pid AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS pid FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // z-scores from exact integer power sums; identical op sequence on
+    // both engines.
+    "dq2_hourly_anomalies" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS nh, CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n*n) AS BIGINT) AS s2 FROM h),
+        |z AS (SELECT hr, n,
+        |    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE)) /
+        |    sqrt(CAST(s2 AS DOUBLE)/CAST(nh AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))) AS zz
+        |  FROM h, s)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start, n,
+        |  round(zz, 6) AS z
+        |FROM z WHERE abs(zz) >= 2.0 ORDER BY hour_start""".stripMargin,
+    // The oracle is the FULL recompute; the Spark side merges base +
+    // last-day delta aggregates — hash equality proves the IVM merge.
+    "ivm1_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

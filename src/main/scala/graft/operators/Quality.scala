@@ -17,6 +17,32 @@ import graft.Tables
   */
 object Quality {
 
+  /** Volume-anomaly detection (gate dq2): z-scores of hourly event
+    * counts against the corpus-wide hourly mean/std — the freshness/
+    * volume monitor every ingestion pipeline alarms on. Std comes from
+    * exact integer power sums (n, Σc, Σc²) so the doubles are
+    * reproducible; the stats row is a broadcast scalar, the z
+    * computation a per-row expression. Scale: one hour-keyed count
+    * aggregation + one 3-number reduction.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String,
+                      zThreshold: Double = 2.0): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val s = h.agg(count(lit(1)).as("nh"), sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val mu = col("s1").cast("double") / col("nh").cast("double")
+    val z = (col("n").cast("double") - mu) /
+      sqrt(col("s2").cast("double") / col("nh").cast("double") - mu * mu)
+    h.crossJoin(broadcast(s))
+      .withColumn("zz", z)
+      .filter(abs(col("zz")) >= zThreshold)
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n"), round(col("zz"), 6).as("z"))
+      .orderBy(col("hour_start"))
+  }
+
   /** Gated dp1: per-column profile of the events slice — row count,
     * nulls, exact distincts, numeric min/max (as double; exact for
     * these longs) and string min/max. The reshape from one wide stats

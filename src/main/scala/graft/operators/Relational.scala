@@ -395,6 +395,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join (gate aj2): for each click, the user's NEXT
+    * purchase at ts ≥ click ts — the attribution-window twin of
+    * [[asofPurchaseClick]], same union + window composition with the
+    * frame reversed ([current, ∞) + first ignoreNulls instead of
+    * (−∞, current] + last). Purchases pre-aggregate per (user, ts)
+    * with an explicit max-id tiebreak so exact-ts ties match the
+    * oracle's ASOF row choice. Still ONE shuffle on user_id.
+    */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("pid"))
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("pid").as("purchase_id"), lit(null).cast("long").as("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("purchase_id"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("kind"), asc_nulls_first("purchase_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.union(purchases)
+      .withColumn("next_purchase", first(col("purchase_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"), col("next_purchase").as("purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot — per-user value totals spread across event-type columns.
     * Pivot values are given explicitly: at scale, letting Spark infer
     * them costs an extra distinct-collect job before planning.

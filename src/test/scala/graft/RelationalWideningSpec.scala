@@ -51,6 +51,53 @@ class RelationalWideningSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of returns the minimal next purchase per click") {
+    val out = Relational.asofNextPurchase(spark, sf).collect()
+    assert(out.nonEmpty)
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect()
+    val byId = e.map(r => r.getLong(0) -> r).toMap
+    val purchases = e.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(r => (r.getTimestamp(3), r.getLong(0)))).toMap
+    out.foreach { r =>
+      val clickTs = byId(r.getLong(0)).getTimestamp(3)
+      val nexts = purchases.getOrElse(r.getLong(1), Array.empty[(java.sql.Timestamp, Long)])
+        .filter(!_._1.before(clickTs))
+      if (r.isNullAt(2)) assert(nexts.isEmpty)
+      else {
+        val minTs = nexts.map(_._1.getTime).min
+        val want = nexts.filter(_._1.getTime == minTs).map(_._2).max
+        assert(r.getLong(2) == want,
+          s"click ${r.getLong(0)}: got ${r.getLong(2)}, want $want")
+      }
+    }
+  }
+
+  test("hourly anomalies are exactly the >= 2-sigma hours") {
+    val out = graft.operators.Quality.hourlyAnomalies(spark, sf).collect()
+    val hours = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts"))).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val nh = hours.length.toDouble
+    val mu = hours.sum / nh
+    val sd = math.sqrt(hours.map(n => n.toDouble * n).sum / nh - mu * mu)
+    val want = hours.count(n => math.abs((n - mu) / sd) >= 2.0)
+    assert(out.length == want)
+    assert(out.forall(r => math.abs(r.getDouble(2)) >= 2.0))
+  }
+
+  test("incremental aggregate maintenance equals the full recompute") {
+    val inc = graft.operators.Ingest.incrementalAggMaintenance(spark, sf)
+      .collect().map(_.toSeq)
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq)
+  }
+
   test("grouped mode picks the max count with value-asc tiebreak") {
     val out = Relational.modeQuantityPerFlag(spark, sf).collect()
     val counts = Tables.lineitem(spark, sf)
