@@ -195,6 +195,7 @@ object SparkEntry {
     // kept/dropped invariants checked in DedupSpec)
     "dd9_semdedup"         -> ((s, d) => Dedup.semDedup(s, d)),
     "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
+    "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1420,5 +1421,9 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Stateless enrichment: streaming result == batch join.
+    "st9_stream_static_join" ->
+      """SELECT event_id, upper(substr(event_type, 1, 2)) AS type_code, value
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

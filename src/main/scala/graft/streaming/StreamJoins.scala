@@ -114,4 +114,39 @@ object StreamJoins {
     GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
       .orderBy(col("purchase_id"), col("click_id"))
   }
+
+  /** Gated stream-STATIC join (st9): the third canonical streaming
+    * join mode — a stream enriched against a static dimension frame.
+    * The static side needs no watermark and no state: Spark re-plans
+    * it into every micro-batch (here as a broadcast hash join, the
+    * shape a dimension enrichment should take at any scale). The
+    * enrichment is stateless, so the end-to-end streaming result
+    * equals the batch join — which is what the oracle states.
+    */
+  def streamStaticGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+    val e = graft.Tables.events(spark, dir)
+    e.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.parquet(s"$tmp/in")
+    val dim = e.select(col("event_type")).distinct()
+      .withColumn("type_code", upper(substring(col("event_type"), 1, 2)))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(s"$tmp/in")
+    val out = s"$tmp/out"
+    GateIO.runPinned(spark, 8)(stream
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("type_code"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start())
+    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
+      .orderBy(col("event_id"))
+  }
 }
