@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{CharTrigramsExpr, DotProductExpr, PolyFingerprintExpr}
+import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, PolyFingerprintExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
       (children: Seq[Expression]) => CharTrigramsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerExpr(children(0), children(1))))
   }
 }

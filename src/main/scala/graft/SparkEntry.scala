@@ -196,6 +196,7 @@ object SparkEntry {
     "dd9_semdedup"         -> ((s, d) => Dedup.semDedup(s, d)),
     "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
+    "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1425,5 +1426,15 @@ object SparkEntry {
     "st9_stream_static_join" ->
       """SELECT event_id, upper(substr(event_type, 1, 2)) AS type_code, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // DuckDB's jaro_winkler_similarity is the independent oracle for
+    // the native kernel (fuzz-verified bit-exact).
+    "dd10_jw_fuzzy_pairs" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents
+        |  WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

