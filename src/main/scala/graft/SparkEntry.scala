@@ -197,6 +197,7 @@ object SparkEntry {
     "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
+    "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1436,5 +1437,19 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Vocabulary from the FULL corpus (count desc, word asc); encode a
+    // bounded doc range; 0 = OOV.
+    "t14_vocab_encode" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, ws[i] AS word
+        |  FROM w, unnest(range(1, len(ws)+1)) AS t(i)),
+        |cnt AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+        |v AS (SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INT) AS id
+        |  FROM cnt ORDER BY n DESC, word ASC LIMIT 25)
+        |SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.word,
+        |  CAST(coalesce(v.id, 0) AS INT) AS token_id
+        |FROM tok t LEFT JOIN v USING (word)
+        |WHERE t.doc_id < 50 ORDER BY t.doc_id, t.pos""".stripMargin,
   )
 }

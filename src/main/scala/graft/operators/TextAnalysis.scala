@@ -433,6 +433,34 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(k)
 
+  /** Vocabulary token-id encoding (gate t14): the tokenize→ids step a
+    * training pipeline runs last — build a frequency-ranked vocabulary
+    * over the FULL corpus (deterministic tiebreak: count desc, word
+    * asc), then map every token position to its id (0 = OOV). At scale
+    * the vocabulary is dimension-sized and broadcasts; the encode pass
+    * is one generator + one broadcast hash join, no corpus shuffle.
+    * Output exploded to (doc, pos, word, id) rows over a bounded doc
+    * range to keep the gate small.
+    */
+  def vocabEncode(spark: SparkSession, dir: String,
+                  vocabSize: Int = 25, maxDocId: Long = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("word"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(w))
+      .filter(col("id") <= vocabSize)
+      .select(col("word"), col("id"))
+    toks.filter(col("doc_id") < maxDocId)
+      .join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"), col("word"),
+        coalesce(col("id"), lit(0)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Repetition quality signals (gate t13) — the Gopher-style
     * within-document repetition filters: type-token ratio, fraction of
     * bigram occurrences that are repeats, and the dominant bigram with

@@ -124,6 +124,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("vocab encoding: ids bounded, OOV = 0, one id per word") {
+    val out = TextAnalysis.vocabEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 25))
+    // a word maps to exactly one id everywhere
+    val byWord = out.groupBy(_.getString(2)).view.mapValues(_.map(_.getInt(3)).toSet)
+    assert(byWord.values.forall(_.size == 1))
+    // the most frequent corpus word must carry id 1
+    val top = TextAnalysis.topTokens(spark, sf).collect()(0).getString(0)
+    byWord.get(top).foreach(ids => assert(ids == Set(1)))
+  }
+
   test("contaminated spans agree with the overlap report") {
     val spans = Decontamination.contaminatedSpans(spark, sf).collect()
     val overlap = Decontamination.ngramOverlap(spark, sf).collect()
