@@ -623,7 +623,10 @@ object Dedup {
     */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.4, nLists: Int = 16): DataFrame = {
-    val centroids = Similarity.ivfCentroids(spark, dir, nLists)
+    // 2 Lloyd sweeps, same rationale as Similarity.pqSearch: cluster
+    // assignments for BLOCKING stabilize almost immediately and the
+    // within-cluster pruning is what matters, not centroid polish.
+    val centroids = Similarity.ivfCentroids(spark, dir, nLists, iters = 2)
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))

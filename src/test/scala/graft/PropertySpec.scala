@@ -114,4 +114,58 @@ class PropertySpec extends SparkSpec {
     assert(counts("train") > counts("val") && counts("train") > counts("test"),
       s"12/2/2 hex buckets => train dominates: $counts")
   }
+
+  test("prop: segment dedup on random corpora — totality, keep-first, no kept duplicates") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, wordGen))
+    check(forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val dir = tmpDir("prop_segdedup")
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Dedup.segmentDedup(spark, dir, segLen = 4).collect()
+      val ok = out.length == docs.length &&                       // total
+        out.forall(r => r.getLong(2) <= r.getLong(1)) && {        // kept <= segs
+          // no 4-token segment survives twice corpus-wide
+          val kept = out.flatMap(_.getString(3).split(" ").grouped(4).map(_.mkString(" ")))
+            .filter(_.nonEmpty)
+          kept.distinct.length == kept.length
+        }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      ok
+    }, 10)
+  }
+
+  test("prop: sequence packing offsets are the prefix sum for any doc-id spacing") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1, 30))
+    check(forAll(gen) { lens =>
+      // non-contiguous, gapped doc_ids (block logic must not assume density)
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong * 7 + 3, List.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val dir = tmpDir("prop_pack")
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.Packing.chunkedTokenStream(spark, dir, ctx = 16, blockSize = 4)
+        .orderBy("doc_id").collect()
+      var acc = 0L
+      val ok = out.forall { r =>
+        val good = r.getLong(2) == acc; acc += r.getLong(1); good
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      ok
+    }, 10)
+  }
+
+  test("prop: jaro-winkler bounds, identity, and symmetry") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(a: String, b: String): Double =
+      graft.functions.StringKernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val sGen = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString.trim)
+    check(forAll(sGen, sGen) { (a, b) =>
+      val j = k(a, b)
+      j >= 0.0 && j <= 1.0 && j == k(b, a) &&
+        (a.isEmpty || k(a, a) == 1.0)
+    }, 50)
+  }
 }
