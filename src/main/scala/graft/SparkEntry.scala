@@ -198,6 +198,7 @@ object SparkEntry {
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
+    "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1451,5 +1452,21 @@ object SparkEntry {
         |  CAST(coalesce(v.id, 0) AS INT) AS token_id
         |FROM tok t LEFT JOIN v USING (word)
         |WHERE t.doc_id < 50 ORDER BY t.doc_id, t.pos""".stripMargin,
+    // Windowed PCM features from the planted waveform formula
+    // (sample i = (id*31 + i*17) % 2003 - 1001), 16-sample windows.
+    "m7_audio_windows" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        |w AS (SELECT doc_id, n, unnest(range(0, (n + 15) // 16)) AS win FROM d),
+        |s AS (SELECT doc_id, win,
+        |    unnest(range(win*16, least((win+1)*16, n))) AS i FROM w),
+        |v AS (SELECT doc_id, win,
+        |    abs((doc_id*31 + i*17) % 2003 - 1001) AS a FROM s),
+        |g AS (SELECT doc_id, win, count(*) AS ns,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(a*a) AS BIGINT) AS sq,
+        |    max(a) AS pk FROM v GROUP BY 1, 2)
+        |SELECT doc_id, CAST(win AS INT) AS win_idx, CAST(ns AS BIGINT) AS n_samples,
+        |  sa AS sum_abs, CAST(pk AS INT) AS peak_abs,
+        |  round(sqrt(CAST(sq AS DOUBLE)/CAST(ns AS DOUBLE)), 6) AS rms
+        |FROM g ORDER BY doc_id, win_idx""".stripMargin,
   )
 }

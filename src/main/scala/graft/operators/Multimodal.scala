@@ -445,6 +445,27 @@ object Multimodal {
         AudioStats(pcm.length / 2, fmt.getSampleRate.toInt, sum, peak)
       } finally in.close()
     }
+
+    /** Raw PCM sample stream (16-bit mono), for windowed feature
+      * passes that need the samples themselves, not whole-file stats.
+      */
+    def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val pcm = in.readAllBytes()
+        val out = new Array[Int](pcm.length / 2)
+        var i = 0
+        while (i + 1 < pcm.length) {
+          out(i / 2) = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+          i += 2
+        }
+        out
+      } finally in.close()
+    }
   }
 
   /** Gated m5: encode planted WAVs distributed, decode them back with
@@ -487,6 +508,42 @@ object Multimodal {
         // decoder init happens here, once per partition
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
+  }
+
+  /** Gated m7: windowed audio features — the per-window energy/peak
+    * pass (VAD front-ends, loudness normalization, silence trimming)
+    * over REAL decoded PCM. Each planted WAV decodes via javax.sound,
+    * the sample stream cuts into 16-sample windows, and every window
+    * emits exact integer sums (Σ|s|, Σs², max|s|) plus the RMS derived
+    * by one division+sqrt at the end — the aggregation stays
+    * order-invariant, the window index is the partition-friendly key.
+    * The oracle states the same statistics from the planted waveform
+    * formula.
+    */
+  def audioWindowStats(spark: SparkSession, dir: String, window: Int = 16): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val st = WavDecoder.decodeSamples(encodePlantedWav(id))
+          st.grouped(window).zipWithIndex.map { case (ws, wi) =>
+            var sa = 0L; var sq = 0L; var pk = 0
+            ws.foreach { s =>
+              val a = math.abs(s)
+              sa += a; sq += a.toLong * a; if (a > pk) pk = a
+            }
+            (id, wi, ws.length, sa, sq, pk)
+          }
+        }
+      }
+      .toDF("doc_id", "win_idx", "n_samples", "sum_abs", "sum_sq", "peak_abs")
+    rows.select(col("doc_id"), col("win_idx"),
+        col("n_samples").cast("long").as("n_samples"),
+        col("sum_abs"), col("peak_abs"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 6)
+          .as("rms"))
+      .orderBy(col("doc_id"), col("win_idx"))
   }
 
   /** Number of frames in the planted multi-frame asset for `id`

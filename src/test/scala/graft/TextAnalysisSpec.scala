@@ -175,6 +175,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("audio windows partition the PCM stream exactly") {
+    val out = Multimodal.audioWindowStats(spark, sf).collect()
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.size == 500)
+    perDoc.foreach { case (id, ws) =>
+      val expected = (id % 50 + 10).toInt
+      assert(ws.map(_.getLong(2)).sum == expected)        // windows cover all samples
+      assert(ws.map(_.getInt(1)).sorted.toSeq == (0 until ws.length))
+      // all full windows are 16 samples; only the last may be partial
+      val sorted = ws.sortBy(_.getInt(1))
+      assert(sorted.dropRight(1).forall(_.getLong(2) == 16))
+    }
+    // exact per-window recompute for one doc from the planted formula
+    val id = 7L
+    val n = (id % 50 + 10).toInt
+    val samples = (0 until n).map(i => math.abs(((id * 31 + i * 17) % 2003 - 1001).toInt))
+    val want = samples.grouped(16).map(_.sum.toLong).toSeq
+    val got = out.filter(_.getLong(0) == id).sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+    assert(got == want)
+  }
+
   test("frame sampling decodes every 2nd planted frame with exact sampled-pixel means") {
     val out = Multimodal.frameSampleStats(spark, sf).collect()
     assert(out.length == 500)
