@@ -199,6 +199,7 @@ object SparkEntry {
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
+    "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1468,5 +1469,18 @@ object SparkEntry {
         |  sa AS sum_abs, CAST(pk AS INT) AS peak_abs,
         |  round(sqrt(CAST(sq AS DOUBLE)/CAST(ns AS DOUBLE)), 6) AS rms
         |FROM g ORDER BY doc_id, win_idx""".stripMargin,
+    // Data-derived cutoff: keep docs at/above the ceil(0.1N)-th
+    // smallest token count (exact integer order statistic).
+    "c2_adaptive_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |h AS (SELECT n_words, count(*) AS c FROM t GROUP BY 1),
+        |cc AS (SELECT n_words,
+        |    CAST(sum(c) OVER (ORDER BY n_words) AS BIGINT) AS cum FROM h),
+        |thr AS (SELECT min(n_words) AS v FROM cc
+        |  WHERE cum >= CAST(ceil(0.1 * (SELECT count(*) FROM t)) AS BIGINT))
+        |SELECT t.doc_id, t.n_words FROM t, thr
+        |WHERE t.n_words >= thr.v ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -65,4 +65,32 @@ object Curation {
       .agg(Analytics.exactSum(col("l_extendedprice") * col("l_discount"), 30, 6)
         .as("revenue"),
         count(lit(1)).as("n_rows"))
+
+  /** Adaptive quality gating (gate c2): drop the bottom `pct` of docs
+    * by token count, with the threshold derived FROM THE CORPUS — the
+    * data-dependent cutoff real curation uses (a fixed constant either
+    * over- or under-filters as the corpus drifts). The threshold is an
+    * exact ORDER STATISTIC (the ceil(pct·N)-th smallest), computed
+    * from a value-domain cumulative histogram: the window runs over
+    * DISTINCT token counts (bounded domain, like x5's histogram), not
+    * rows, so no data-sized single partition exists; the threshold
+    * itself is a one-scalar control-plane read.
+    */
+  def adaptiveQualityFilter(spark: SparkSession, dir: String,
+                            pct: Double = 0.1): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+    val n = docs.count()
+    val k = math.ceil(pct * n).toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_words"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = docs.groupBy(col("n_words")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .filter(col("cum") >= k)
+      .agg(min(col("n_words")))
+      .collect()(0).getLong(0)
+    docs.filter(col("n_words") >= thr).orderBy(col("doc_id"))
+  }
 }

@@ -393,10 +393,13 @@ object TextAnalysis {
         size(words(col("text"))).cast("long").as("n_tokens"),
         substring(md5(col("doc_id").cast("string")), 1, 4).as("h4"))
     val s = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
-    val b = s.agg(min(col("src_tokens")).as("budget"))
-    val r = s.crossJoin(broadcast(b))
+    // Budget is ONE scalar — a control-plane collect (like the CC
+    // convergence sum or CMS counters), not a 1-row crossJoin that
+    // would plan as a BroadcastNestedLoopJoin.
+    val budget = s.agg(min(col("src_tokens"))).collect()(0).getLong(0)
+    val r = s
       .withColumn("rate",
-        least(col("budget").cast("double") / col("src_tokens").cast("double"), lit(1.0)))
+        least(lit(budget).cast("double") / col("src_tokens").cast("double"), lit(1.0)))
       // rate = 1 keeps everything: 'zzzz' sorts after every hex string,
       // so the threshold filter passes all rows (a 0xffff threshold
       // would silently drop the h4 = 'ffff' docs).

@@ -124,6 +124,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("adaptive quality filter drops exactly the below-threshold tail") {
+    val kept = graft.operators.Curation.adaptiveQualityFilter(spark, sf).collect()
+    val all = TextAnalysis.tokenStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.length < all.size)
+    val thr = kept.map(_.getLong(1)).min
+    // kept = exactly the docs at/above the threshold; dropped all below
+    assert(kept.length == all.values.count(_ >= thr))
+    val dropped = all.keySet -- kept.map(_.getLong(0)).toSet
+    assert(dropped.forall(id => all(id) < thr))
+    // the threshold is the ceil(0.1N)-th smallest count
+    val sorted = all.values.toSeq.sorted
+    val k = math.ceil(0.1 * all.size).toInt
+    assert(thr == sorted(k - 1) || sorted.count(_ < thr) < k)
+  }
+
   test("vocab encoding: ids bounded, OOV = 0, one id per word") {
     val out = TextAnalysis.vocabEncode(spark, sf).collect()
     assert(out.nonEmpty)
