@@ -200,6 +200,7 @@ object SparkEntry {
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
+    "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -541,6 +542,9 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
     "dd2_minhash_lsh" -> jaccardOracle(0.7),
+    // PPJoin computes the SAME exact pair set, df-cap-free — the oracle
+    // is the plain uncapped full Jaccard.
+    "dd11_ppjoin_jaccard" -> jaccardOracle(0.7),
     "dd4_ngram_jaccard" -> cappedJaccardOracle(0.5, 1000),
     "dd5_embedding_dup" ->
       s"""WITH e AS (SELECT vec_id,

@@ -583,6 +583,62 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** PPJoin prefix-filtered exact Jaccard pairs (gate dd11): the
+    * canonical prefix-filtering similarity join. Under ANY global
+    * shingle order, two sets with J ≥ t MUST share an element within
+    * their first |s| − ceil(t·|s|) + 1 shingles — so candidates come
+    * from joining only those PREFIXES, ordered rarest-df-first to
+    * make them maximally selective. Unlike [[jaccardPairs]]'s df-cap
+    * this loses NOTHING: boilerplate shingles duplicated across
+    * millions of docs sort LAST and never enter a prefix unless the
+    * doc is nearly all boilerplate — the blind spot dd4 documents is
+    * structurally closed here. Verification fetches per-doc sorted
+    * shingle ARRAYS after pair dedup (the refetch shape that wins for
+    * array payloads) and intersects exactly.
+    */
+  def ppjoinJaccardPairs(spark: SparkSession, dir: String,
+                         threshold: Double = 0.7): DataFrame =
+    ppjoinJaccardPairsFrom(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws")),
+      threshold)
+
+  /** [[ppjoinJaccardPairs]] over an explicit (doc_id, ws) frame. */
+  def ppjoinJaccardPairsFrom(docWords: DataFrame, threshold: Double): DataFrame = {
+    val sh = docWords
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val byDocOrdered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(asc("df"), asc("shingle"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .withColumn("r", row_number().over(byDocOrdered))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .cache()
+    val prefix = ranked
+      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = ranked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard", round(col("common").cast("double")
+        / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Jaro-Winkler fuzzy pairs (gate dd10): the record-linkage scorer,
     * via the native codegen'd [[graft.functions.JaroWinklerExpr]]
     * (Spark has no built-in JW; a UDF would box rows and break the

@@ -173,6 +173,29 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("ppjoin equals uncapped exact jaccard and closes the df-cap blind spot") {
+    import spark.implicits._
+    // equivalence on the fixture corpus at the dd4 threshold
+    val pp = Dedup.ppjoinJaccardPairs(spark, sf, threshold = 0.5).collect().map(_.toSeq)
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5, dfCap = Int.MaxValue).collect().map(_.toSeq)
+    assert(pp.toSeq == exact.toSeq)
+    // blind-spot corpus: docs 0 and 1 are identical boilerplate whose
+    // every shingle has df = 60 (> any practical cap); a df-capped
+    // candidate pass drops ALL their postings and never emits the pair
+    val boiler = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = ((0L to 1L).map(i => (i, boiler)) ++
+      (2L until 60L).map(i => (i, s"$boiler tail$i extra$i"))).toDF("doc_id", "text")
+    val words = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.words(col("text")).as("ws"))
+    val capped = Dedup.jaccardPairsFrom(words, 0.9, dfCap = 50).collect()
+    assert(!capped.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "df-capped candidates must miss the all-boilerplate pair (the documented blind spot)")
+    val ppj = Dedup.ppjoinJaccardPairsFrom(words, 0.9).collect()
+    val hit = ppj.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(hit.exists(_.getDouble(2) == 1.0),
+      "prefix filtering must find the identical boilerplate pair with J = 1.0")
+  }
+
   test("semdedup: kept set is a maximal smaller-id-free subset within each cluster") {
     val kept = Dedup.semDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
