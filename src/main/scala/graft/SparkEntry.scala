@@ -201,6 +201,7 @@ object SparkEntry {
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
     "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
+    "ss5_bm25_topk"        -> ((s, d) => Similarity.bm25TopK(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1473,6 +1474,30 @@ object SparkEntry {
         |  sa AS sum_abs, CAST(pk AS INT) AS peak_abs,
         |  round(sqrt(CAST(sq AS DOUBLE)/CAST(ns AS DOUBLE)), 6) AS rms
         |FROM g ORDER BY doc_id, win_idx""".stripMargin,
+    // Okapi BM25 (k1=1.2, b=0.75, Lucene idf); per-doc score folds over
+    // term-sorted partials on both engines; ln() + round(6) per the
+    // determinism contract.
+    "ss5_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM d),
+        |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |  WHERE term IN ('spark','join','window') GROUP BY 1,2,3),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    ln((CAST(g.n AS DOUBLE) - df.df + 0.5)/(df.df + 0.5) + 1) *
+        |    ((CAST(tf.tf AS DOUBLE)*(1.2 + 1)) /
+        |     (CAST(tf.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(tf.dl AS DOUBLE)/g.avgdl)))
+        |      AS part
+        |  FROM tf JOIN df USING (term), g),
+        |agg AS (SELECT doc_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(part ORDER BY term)), (a,b) -> a + b), 6) AS score
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // Data-derived cutoff: keep docs at/above the ceil(0.1N)-th
     // smallest token count (exact integer order statistic).
     "c2_adaptive_filter" ->

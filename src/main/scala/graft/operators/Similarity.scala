@@ -223,6 +223,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 sparse retrieval (gate ss5): score every document against a
+    * term query with the standard Okapi BM25 (k1 = 1.2, b = 0.75,
+    * Lucene-style always-positive idf) and return the top-k — the
+    * lexical half of every retrieval stack next to the dense ANN
+    * paths. Shape at scale: one explode filtered to the query terms
+    * (tiny fraction of tokens survive), tf counts with map-side
+    * combine, a query-term-sized df frame broadcast back, and a
+    * per-doc fold over ≤ |query| partial scores. Corpus-level scalars
+    * (N, avg doc length) are control-plane reads. The per-doc score
+    * sum folds over term-sorted partials — deterministic accumulation
+    * order, mirrored by the oracle's list_reduce.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "join", "window"),
+               k: Int = 10): DataFrame = {
+    val k1 = 1.2; val b75 = 0.75
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val n = docs.count()
+    val sumDl = docs.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val avgdl = sumDl.toDouble / n
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val part = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      ((col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1 - b75) + lit(b75) * col("dl").cast("double") / lit(avgdl))))
+    tf.join(broadcast(dfF), Seq("term"))
+      .withColumn("part", part)
+      .groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("part")))),
+          s => s.getField("part")),
+        lit(0.0), (acc, x) => acc + x), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   // ---- Product quantization (PQ + ADC) ----
   // 64-dim vectors → PqM=8 subspaces × PqSubDim=8 dims; each subvector
   // quantized to one of PqK=16 per-subspace centroids. A vector

@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BM25: positive scores, only term-bearing docs, ranked descending") {
+    val out = Similarity.bm25TopK(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getDouble(1) > 0.0))
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned doc actually contains at least one query term
+    val terms = Set("spark", "join", "window")
+    val texts = graft.Tables.documents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(texts(r.getLong(0)).split("\\s+").exists(terms.contains))
+    }
+  }
+
   test("PQ codebooks: shape, determinism, and code coverage") {
     val cbs = Similarity.pqCodebooks(spark, sf)
     assert(cbs.length == Similarity.PqM)
