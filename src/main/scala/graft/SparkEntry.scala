@@ -202,6 +202,7 @@ object SparkEntry {
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
     "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
     "ss5_bm25_topk"        -> ((s, d) => Similarity.bm25TopK(s, d)),
+    "pk2_packed_chunks"    -> ((s, d) => graft.operators.Packing.materializedChunks(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1474,6 +1475,22 @@ object SparkEntry {
         |  sa AS sum_abs, CAST(pk AS INT) AS peak_abs,
         |  round(sqrt(CAST(sq AS DOUBLE)/CAST(ns AS DOUBLE)), 6) AS rms
         |FROM g ORDER BY doc_id, win_idx""".stripMargin,
+    // Materialized 256-token context windows from the packed stream.
+    "pk2_packed_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    CAST(coalesce(sum(len(ws)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t),
+        |tok AS (SELECT doc_id, start_offset + i - 1 AS gpos, ws[i] AS tok
+        |  FROM c, unnest(range(1, len(ws)+1)) AS u(i)),
+        |k AS (SELECT gpos // 256 AS chunk_id, gpos, tok FROM tok
+        |  WHERE gpos // 256 < 20)
+        |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
+        |FROM k GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
     // Okapi BM25 (k1=1.2, b=0.75, Lucene idf); per-doc score folds over
     // term-sorted partials on both engines; ln() + round(6) per the
     // determinism contract.

@@ -54,4 +54,33 @@ object Packing {
         floor((col("start_offset") + col("n_tokens") - lit(1)) / ctx).as("end_chunk"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gate pk2: MATERIALIZE the packed context windows — the actual
+    * training-batch payload (pk1 computes the layout; this cuts the
+    * token stream). Every token gets its global position (the same
+    * two-level prefix sum, then a per-doc generator), chunks group by
+    * `gpos div ctx`, and each chunk's text reassembles from a
+    * position-sorted fold. The chunk key is the shuffle key — chunks
+    * are fixed-size, so the reassembly aggregation is perfectly
+    * balanced by construction. Output bounded to the first chunks.
+    */
+  def materializedChunks(spark: SparkSession, dir: String,
+                         ctx: Int = 256, blockSize: Int = 64,
+                         maxChunks: Int = 20): DataFrame = {
+    val offsets = chunkedTokenStream(spark, dir, ctx, blockSize)
+      .select(col("doc_id"), col("start_offset"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    toks.join(offsets, Seq("doc_id"))
+      .withColumn("gpos", col("start_offset") + col("pos"))
+      .withColumn("chunk_id", floor(col("gpos") / ctx))
+      .filter(col("chunk_id") < maxChunks)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"))
+      .orderBy(col("chunk_id"))
+  }
 }

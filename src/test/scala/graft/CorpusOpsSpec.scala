@@ -100,6 +100,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("materialized chunks are exact 256-token windows of the concatenated stream") {
+    val out = Packing.materializedChunks(spark, sf).collect()
+    assert(out.length == 20)
+    // all but possibly the last requested chunk are full windows
+    out.dropRight(1).foreach(r => assert(r.getLong(1) == 256))
+    out.foreach(r => assert(r.getString(2).split(" ").length == r.getLong(1)))
+    // continuity: the flattened chunks equal the doc-ordered token stream prefix
+    val stream = Tables.documents(spark, sf).orderBy("doc_id").collect()
+      .flatMap(_.getString(1).trim.split("\\s+"))
+    val packed = out.sortBy(_.getLong(0)).flatMap(_.getString(2).split(" "))
+    assert(packed.toSeq == stream.take(packed.length).toSeq)
+  }
+
   test("source mixture: balanced, bounded, and deterministic") {
     val out = TextAnalysis.sourceMixture(spark, sf).collect()
     assert(out.nonEmpty)
