@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, PolyFingerprintExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -19,25 +20,51 @@ import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, PolyF
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.exprClass(name), name),
+        builder))
+    }
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("poly_fingerprint"),
-      new ExpressionInfo(classOf[PolyFingerprintExpr].getName, "poly_fingerprint"),
-      (children: Seq[Expression]) => PolyFingerprintExpr(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("char_trigrams"),
-      new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
-      (children: Seq[Expression]) => CharTrigramsExpr(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("jaro_winkler"),
-      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
-      (children: Seq[Expression]) => JaroWinklerExpr(children(0), children(1))))
+object GraftExtensions {
+
+  /** Arity gate: a mis-called SQL function must fail analysis with the
+    * standard WRONG_NUM_ARGS condition, not an
+    * IndexOutOfBoundsException from `children(1)`.
+    */
+  private def arity(name: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n) {
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    children
+  }
+
+  /** Name → arity-checked builder, shared by the extension injector and
+    * by tests registering on a live session's function registry.
+    */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_fingerprint" ->
+      ((c: Seq[Expression]) => PolyFingerprintExpr(arity("poly_fingerprint", 1, c).head)),
+    "dot_product" ->
+      ((c: Seq[Expression]) => { val v = arity("dot_product", 2, c); DotProductExpr(v(0), v(1)) }),
+    "char_trigrams" ->
+      ((c: Seq[Expression]) => CharTrigramsExpr(arity("char_trigrams", 1, c).head)),
+    "jaro_winkler" ->
+      ((c: Seq[Expression]) => { val v = arity("jaro_winkler", 2, c); JaroWinklerExpr(v(0), v(1)) }))
+
+  private def exprClass(name: String): String = name match {
+    case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
+    case "dot_product"      => classOf[DotProductExpr].getName
+    case "char_trigrams"    => classOf[CharTrigramsExpr].getName
+    case "jaro_winkler"     => classOf[JaroWinklerExpr].getName
   }
 }

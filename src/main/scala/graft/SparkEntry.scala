@@ -1206,12 +1206,14 @@ object SparkEntry {
         |te AS (SELECT doc_id, g.g, tg.g AS hit FROM g LEFT JOIN tg USING(g)
         |  WHERE h1 IN ('e','f')),
         |a AS (SELECT doc_id, count(*) AS n_grams, count(hit) AS n_contaminated
-        |  FROM te GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-        |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
-        |  round(CAST(n_contaminated AS DOUBLE)/CAST(n_grams AS DOUBLE),6)
-        |    AS contaminated_frac
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |  FROM te GROUP BY doc_id),
+        |he AS (SELECT doc_id FROM w WHERE h1 IN ('e','f'))
+        |SELECT he.doc_id, CAST(COALESCE(n_grams,0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_contaminated,0) AS BIGINT) AS n_contaminated,
+        |  CASE WHEN COALESCE(n_grams,0) > 0 THEN
+        |    round(CAST(n_contaminated AS DOUBLE)/CAST(n_grams AS DOUBLE),6)
+        |  END AS contaminated_frac
+        |FROM he LEFT JOIN a USING(doc_id) ORDER BY doc_id""".stripMargin,
     // Aligned 8-token segment dedup, keep-first by (doc_id, seg_idx).
     "dd8_segment_dedup" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
@@ -1417,10 +1419,13 @@ object SparkEntry {
         |s AS (SELECT CAST(count(*) AS BIGINT) AS nh, CAST(sum(n) AS BIGINT) AS s1,
         |    CAST(sum(n*n) AS BIGINT) AS s2 FROM h),
         |z AS (SELECT hr, n,
+        |    CASE WHEN CAST(s2 AS DOUBLE)/CAST(nh AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE)) > 0 THEN
         |    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE)) /
         |    sqrt(CAST(s2 AS DOUBLE)/CAST(nh AS DOUBLE)
         |      - (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))) AS zz
+        |        * (CAST(s1 AS DOUBLE)/CAST(nh AS DOUBLE))) END AS zz
         |  FROM h, s)
         |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start, n,
         |  round(zz, 6) AS z

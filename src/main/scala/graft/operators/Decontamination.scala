@@ -68,14 +68,27 @@ object Decontamination {
     val grams = gramsWithPos(spark, dir, n)
       .select(col("doc_id"), col("h1"), col("g")).distinct()
     val trainGrams = trainGramKeys(grams).withColumn("hit", lit(1))
-    grams
+    val perDoc = grams
       .filter(col("h1").isin(TestBuckets.map(x => x: Any): _*))
       .join(trainGrams, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
-      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
-        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6)
-          .as("contaminated_frac"))
+    // Held-out docs shorter than n words produce no grams; the report
+    // must still name them (n_grams = 0, frac null = "nothing to
+    // check"), else consumers read absence as "checked and clean".
+    val heldOut = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h1"))
+      .filter(col("h1").isin(TestBuckets.map(x => x: Any): _*))
+      .select(col("doc_id"))
+    heldOut
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_grams") > 0,
+          round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6)))
       .orderBy(col("doc_id"))
   }
 

@@ -33,8 +33,12 @@ object Quality {
     val s = h.agg(count(lit(1)).as("nh"), sum(col("n")).as("s1"),
       sum(col("n") * col("n")).as("s2"))
     val mu = col("s1").cast("double") / col("nh").cast("double")
-    val z = (col("n").cast("double") - mu) /
-      sqrt(col("s2").cast("double") / col("nh").cast("double") - mu * mu)
+    val variance = col("s2").cast("double") / col("nh").cast("double") - mu * mu
+    // Zero-variance guard: with all hourly counts equal, z = 0/0 = NaN
+    // and Spark's NaN ordering makes abs(NaN) >= t TRUE — every hour
+    // would be flagged instead of none. Null z rows drop in the filter.
+    val z = when(variance > 0, (col("n").cast("double") - mu) / sqrt(variance))
+      .otherwise(lit(null).cast("double"))
     h.crossJoin(broadcast(s))
       .withColumn("zz", z)
       .filter(abs(col("zz")) >= zThreshold)

@@ -242,9 +242,11 @@ object Similarity {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val n = docs.count()
-    val sumDl = docs.agg(sum(col("dl"))).collect()(0).getLong(0)
-    val avgdl = sumDl.toDouble / n
+    // One driver action for both corpus scalars (N, Σdl) — two separate
+    // actions would tokenize the corpus twice before the main job.
+    val statsRow = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).collect()(0)
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
       .filter(col("term").isin(terms.map(x => x: Any): _*))

@@ -37,6 +37,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(reported == testDocs)
   }
 
+  test("decontamination reports held-out docs shorter than n as n_grams=0") {
+    // md5 first-hex buckets: doc 3 and 5 -> 'e' (held out), doc 6 -> '1'
+    // (training). Doc 3 is too short for any 8-gram; it must still
+    // appear in the report (n_grams = 0, frac null), not be silently
+    // omitted and read as "checked and clean".
+    val docs = Seq(
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("decontshort")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Decontamination.ngramOverlap(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 5L))
+    assert(out(3L).getLong(1) == 0 && out(3L).getLong(2) == 0 && out(3L).isNullAt(3))
+    assert(out(5L).getLong(1) == 1 && out(5L).getLong(2) == 1 &&
+      out(5L).getDouble(3) == 1.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("segment dedup keeps first occurrence and drops later copies") {
     val docs = Seq(
       (0L, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"),   // segs: [a..h], [x1..x8]

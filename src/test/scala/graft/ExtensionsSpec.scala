@@ -13,30 +13,35 @@ class ExtensionsSpec extends SparkSpec {
     // SparkSessionExtensions instance to validate injection wiring,
     // then register the same builders on the live session's registry.
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_fingerprint",
-      exprs => graft.functions.PolyFingerprintExpr(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)), "built-in")
+    // Register the PRODUCTION builders (arity-checked) on the live session.
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     val fp = spark.sql("SELECT poly_fingerprint('hello world') AS fp")
       .collect()(0).getLong(0)
     assert(fp == PolyFingerprint.hash("hello world"))
+    // Wrong arity fails analysis cleanly (WRONG_NUM_ARGS), never with an
+    // IndexOutOfBoundsException from children(1).
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('only-one-arg')").collect()
+    }
+    assert(e.getMessage.contains("jaro_winkler"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_trigrams('a', 'b')").collect()
+    }
     val dp = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(dp == 11.0)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_trigrams",
-      exprs => graft.functions.CharTrigramsExpr(exprs.head), "built-in")
     val tg = spark.sql("SELECT char_trigrams('abcdab') AS t")
       .collect()(0).getSeq[String](0)
     assert(tg == Seq("abc", "bcd", "cda", "dab"))
     assert(spark.sql("SELECT char_trigrams('ab') AS t")
       .collect()(0).getSeq[String](0).isEmpty)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler",
-      exprs => graft.functions.JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
     val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
       .collect()(0).getDouble(0)
     assert(jw == 0.9611111111111111)

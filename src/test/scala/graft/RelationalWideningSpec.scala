@@ -87,6 +87,21 @@ class RelationalWideningSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(2)) >= 2.0))
   }
 
+  test("hourly anomalies: zero-variance corpus flags nothing (no NaN sweep)") {
+    // Equal hourly counts -> variance 0 -> z would be 0/0 = NaN, and
+    // Spark's NaN ordering makes abs(NaN) >= 2 TRUE: without the guard
+    // EVERY hour gets flagged. Expect zero anomaly rows.
+    val dir = tmpDir("zerovar")
+    val baseNs = 1700000000000000000L
+    val hourNs = 3600L * 1000000000L
+    val rows = for { h <- 0 until 3; i <- 0 until 4 } yield
+      (h * 4L + i, baseNs + h * hourNs + i * 1000000000L, 1L, "click", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.Quality.hourlyAnomalies(spark, dir).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("incremental aggregate maintenance equals the full recompute") {
     val inc = graft.operators.Ingest.incrementalAggMaintenance(spark, sf)
       .collect().map(_.toSeq)
