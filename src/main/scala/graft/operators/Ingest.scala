@@ -20,7 +20,7 @@ import graft.sources.TickerStore
 object Ingest {
 
   private def freshDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.TmpIO.scratchDir(prefix)
 
   /** K1/K2 — distributed append through TickerStore, then read back.
     * Output = the business columns that survive the round-trip

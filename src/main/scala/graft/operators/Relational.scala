@@ -770,7 +770,7 @@ object Relational {
     // LOCATION of the first call anyway, so minting a temp dir per call
     // would only leak empty directories.
     if (!spark.catalog.databaseExists("graft_b1")) {
-      val wh = java.nio.file.Files.createTempDirectory("graft_b1_wh_").toString
+      val wh = graft.TmpIO.scratchDir("graft_b1_wh_")
       // The bucketed tables live for the whole session (later calls
       // overwrite in place), so the dir can only be reclaimed at exit.
       sys.addShutdownHook(graft.TmpIO.deleteRecursively(new java.io.File(wh)))

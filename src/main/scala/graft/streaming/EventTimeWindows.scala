@@ -104,7 +104,7 @@ object EventTimeWindows {
     *           stay invisible to the output.
     */
   def watermarkLateGate(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_st4_").toString
+    val tmp = graft.TmpIO.scratchDir("graft_st4_")
     val upstream = new java.io.File(s"$tmp/upstream"); upstream.mkdirs()
     val e = Tables.events(spark, dir).select(col("ts"), col("event_type")).cache()
     val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
@@ -133,7 +133,7 @@ object EventTimeWindows {
     // small count is safe and cuts per-batch state-store commit
     // overhead (32 stores × 4 batches → 8 × 4). A production stream
     // sizes this to key cardinality, not to the session default.
-    GateIO.runPinned(spark, 8)(spark.readStream
+    GateIO.runPinned(spark, 4)(spark.readStream
       .schema("ts TIMESTAMP, event_type STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(upstream.toString)

@@ -68,7 +68,7 @@ object RunningStats {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_st7_").toString
+    val tmp = graft.TmpIO.scratchDir("graft_st7_")
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
@@ -79,7 +79,7 @@ object RunningStats {
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     rocksdbConf(spark)
     try {
-      GateIO.runPinned(spark, 8) {
+      GateIO.runPinned(spark, 4) {
         val stream = spark.readStream
           .schema("user_id LONG, value DOUBLE")
           .parquet(s"$tmp/in")

@@ -59,13 +59,13 @@ object StreamJoins {
     */
   def dedupStreamGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_st8_").toString
+    val tmp = graft.TmpIO.scratchDir("graft_st8_")
     val e = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     e.coalesce(1).write.parquet(s"$tmp/in")
     e.filter(col("event_id") % 5 === 0) // re-delivered slice
       .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    GateIO.runPinned(spark, 8)(dedupStream(spark, s"$tmp/in")
+    GateIO.runPinned(spark, 4)(dedupStream(spark, s"$tmp/in")
       .select(col("event_id"), col("user_id"), col("value"))
       .writeStream
       .outputMode("append")
@@ -88,7 +88,7 @@ object StreamJoins {
     */
   def attributionGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_st5_").toString
+    val tmp = graft.TmpIO.scratchDir("graft_st5_")
     val e = graft.Tables.events(spark, dir)
     e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
@@ -101,7 +101,7 @@ object StreamJoins {
     val out = s"$tmp/out"
     // Fresh checkpoint per call → safe to shrink the stateful
     // partition count (join state commits per partition per batch).
-    GateIO.runPinned(spark, 8)(purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
+    GateIO.runPinned(spark, 4)(purchaseAttribution(spark, s"$tmp/clicks", s"$tmp/purchases")
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("amount"))
       .writeStream
       .outputMode("append")
@@ -125,7 +125,7 @@ object StreamJoins {
     */
   def streamStaticGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+    val tmp = graft.TmpIO.scratchDir("graft_st9_")
     val e = graft.Tables.events(spark, dir)
     e.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
@@ -135,7 +135,7 @@ object StreamJoins {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
       .parquet(s"$tmp/in")
     val out = s"$tmp/out"
-    GateIO.runPinned(spark, 8)(stream
+    GateIO.runPinned(spark, 4)(stream
       .join(broadcast(dim), Seq("event_type"))
       .select(col("event_id"), col("type_code"), col("value"))
       .writeStream
