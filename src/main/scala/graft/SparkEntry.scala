@@ -203,6 +203,7 @@ object SparkEntry {
     "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
     "ss5_bm25_topk"        -> ((s, d) => Similarity.bm25TopK(s, d)),
     "pk2_packed_chunks"    -> ((s, d) => graft.operators.Packing.materializedChunks(s, d)),
+    "ch1_doc_chunks"       -> ((s, d) => graft.operators.Packing.overlappingChunks(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
   )
@@ -1496,6 +1497,21 @@ object SparkEntry {
         |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  string_agg(tok, ' ' ORDER BY gpos) AS chunk_text
         |FROM k GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+    // Per-doc overlapping chunks: starts at stride multiples, last start
+    // clamped to n-size (full-size final chunk); 1-based inclusive list
+    // slice ws[a:b] mirrors Spark's slice(ws, a, b-a+1).
+    "ch1_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |    1 + (greatest(len(ws)-64,0) + 47) // 48 AS nch FROM w),
+        |e AS (SELECT doc_id, ws, n, CAST(i AS INT) AS chunk_idx,
+        |    least(i*48, greatest(n-64,0)) AS start_pos
+        |  FROM c, unnest(range(0, nch)) AS t(i))
+        |SELECT doc_id, chunk_idx, CAST(start_pos AS BIGINT) AS start_pos,
+        |  CAST(least(start_pos+64, n) - start_pos AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[start_pos+1:least(start_pos+64, n)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // Okapi BM25 (k1=1.2, b=0.75, Lucene idf); per-doc score folds over
     // term-sorted partials on both engines; ln() + round(6) per the
     // determinism contract.

@@ -83,4 +83,41 @@ object Packing {
           s => s.getField("tok"))).as("chunk_text"))
       .orderBy(col("chunk_id"))
   }
+
+  /** Gate ch1: per-document OVERLAPPING chunking — the RAG/window
+    * shape (pk1/pk2 pack ACROSS documents; retrieval and long-context
+    * curation chunk WITHIN each doc so no chunk spans two sources).
+    * Chunk starts sit at multiples of `stride`, except the last start,
+    * which clamps to `n − chunkSize` so the final chunk is full-size
+    * and ends exactly at the document end (docs shorter than
+    * `chunkSize` yield one short chunk). Consecutive full chunks
+    * overlap by `chunkSize − stride` tokens.
+    *
+    * Scale: stateless and embarrassingly parallel — tokenize, one
+    * `posexplode` over the per-doc chunk count, `slice` per chunk; no
+    * shuffle anywhere (the ORDER BY is gate-only). Chunk count per doc
+    * is ⌈(n−size)/stride⌉+1, so output size is linear in corpus tokens
+    * times the overlap factor.
+    */
+  def overlappingChunks(spark: SparkSession, dir: String,
+                        chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nch",
+        expr(s"1L + ((greatest(n - $chunkSize, 0L) + ${stride - 1}) div $stride)"))
+    base
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(sequence(lit(0L), col("nch") - 1)))
+      .withColumn("chunk_idx", col("col").cast("int"))
+      .withColumn("start_pos",
+        least(col("col") * stride, greatest(col("n") - chunkSize, lit(0L))))
+      .withColumn("n_tokens",
+        least(col("start_pos") + chunkSize, col("n")) - col("start_pos"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("n_tokens"),
+        concat_ws(" ",
+          slice(col("ws"), (col("start_pos") + 1).cast("int"),
+            col("n_tokens").cast("int"))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -37,6 +37,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(reported == testDocs)
   }
 
+  test("overlapping chunks: full coverage, clamped tail, stride overlap") {
+    val out = Packing.overlappingChunks(spark, sf, chunkSize = 64, stride = 48)
+      .collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.operators.TextAnalysis.words(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.keySet) // every doc chunked, even short ones
+    byDoc.foreach { case (id, rows) =>
+      val n = lens(id)
+      val sorted = rows.sortBy(_.getInt(1))
+      // chunk 0 starts at 0; last chunk ends exactly at n
+      assert(sorted.head.getLong(2) == 0L)
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == n.toLong)
+      // all chunks full-size when the doc is, and token coverage is total
+      if (n >= 64) assert(sorted.forall(_.getLong(3) == 64L))
+      val covered = sorted.flatMap(r =>
+        r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+      assert(covered == (0L until n.toLong).toSet)
+      // consecutive unclamped starts differ by exactly the stride
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) <= 48L && b.getLong(2) > a.getLong(2))
+        case _ =>
+      }
+      // chunk text token count matches n_tokens
+      assert(rows.forall(r => r.getString(4).split(" ").length == r.getLong(3)))
+    }
+  }
+
   test("decontamination reports held-out docs shorter than n as n_grams=0") {
     // md5 first-hex buckets: doc 3 and 5 -> 'e' (held out), doc 6 -> '1'
     // (training). Doc 3 is too short for any 8-gram; it must still
