@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, PolyFingerprintExpr}
+import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -59,12 +59,15 @@ object GraftExtensions {
     "char_trigrams" ->
       ((c: Seq[Expression]) => CharTrigramsExpr(arity("char_trigrams", 1, c).head)),
     "jaro_winkler" ->
-      ((c: Seq[Expression]) => { val v = arity("jaro_winkler", 2, c); JaroWinklerExpr(v(0), v(1)) }))
+      ((c: Seq[Expression]) => { val v = arity("jaro_winkler", 2, c); JaroWinklerExpr(v(0), v(1)) }),
+    "nfc_normalize" ->
+      ((c: Seq[Expression]) => NfcNormalizeExpr(arity("nfc_normalize", 1, c).head)))
 
   private def exprClass(name: String): String = name match {
     case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
     case "dot_product"      => classOf[DotProductExpr].getName
     case "char_trigrams"    => classOf[CharTrigramsExpr].getName
     case "jaro_winkler"     => classOf[JaroWinklerExpr].getName
+    case "nfc_normalize"    => classOf[NfcNormalizeExpr].getName
   }
 }

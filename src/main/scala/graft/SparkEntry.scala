@@ -198,6 +198,7 @@ object SparkEntry {
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
+    "t15_nfc_normalize"    -> ((s, d) => TextAnalysis.nfcNormalizeGate(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
     "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
@@ -1465,6 +1466,15 @@ object SparkEntry {
         |  CAST(coalesce(v.id, 0) AS INT) AS token_id
         |FROM tok t LEFT JOIN v USING (word)
         |WHERE t.doc_id < 50 ORDER BY t.doc_id, t.pos""".stripMargin,
+    // Native NFC kernel vs DuckDB nfc_normalize on an identically
+    // planted decomposed suffix (e + U+0301 + f -> é + f).
+    "t15_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    substr(text,1,12) || 'e' || chr(769) || 'f' AS raw FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+        |  nfc_normalize(raw) AS normalized,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_norm
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Windowed PCM features from the planted waveform formula
     // (sample i = (id*31 + i*17) % 2003 - 1001), 16-sample windows.
     "m7_audio_windows" ->

@@ -516,4 +516,30 @@ object TextAnalysis {
           .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gate t15: Unicode NFC normalization via the native
+    * [[graft.functions.NfcNormalizeExpr]] kernel. The corpus text is
+    * ASCII, so the gate PLANTS a decomposed suffix on every doc
+    * (`"e" + U+0301 + "f"`, the canonical composed/decomposed pair):
+    * normalization must fuse it to `"é" + "f"`, shortening the string
+    * by exactly one codepoint. Oracle = DuckDB's `nfc_normalize` on
+    * the identically-built string — a cross-engine check that the
+    * kernel implements the real UAX#15 composition, not a lookalike.
+    *
+    * Scale: per-row expression inside WholeStageCodegen, no shuffle;
+    * the ASCII fast path means real corpora pay one byte/char-count
+    * compare per row.
+    */
+  def nfcNormalizeGate(spark: SparkSession, dir: String): DataFrame = {
+    // U+0301 as a literal: Spark's chr() is ASCII-mod-256 (chr(769) =
+    // chr(1)), unlike DuckDB's codepoint chr — don't use it here.
+    val raw = concat(substring(col("text"), 1, 12), lit("éf"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        graft.functions.NfcNormalizeExpr.nfcNormalize(col("raw")).as("normalized"))
+      .withColumn("len_norm", length(col("normalized")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -47,6 +47,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(jw == 0.9611111111111111)
   }
 
+  test("nfc kernel: composes decomposed sequences, ASCII fast path returns input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String): String = graft.functions.NfcKernel.nfc(UTF8String.fromString(s)).toString
+    assert(n("é") == "é")                     // e + combining acute -> é
+    assert(n("abc") == "abc")
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NfcKernel.nfc(ascii) eq ascii) // no-alloc fast path
+    val composed = UTF8String.fromString("café")
+    assert(graft.functions.NfcKernel.nfc(composed) eq composed) // already-NFC fast path
+    assert(n("Å") == "Å")                     // A + ring -> Å
+    assert(n("") == "")
+    // SQL surface (registered in the first test of this suite)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", GraftExtensions.functions.toMap.apply("nfc_normalize"), "built-in")
+    // NB: Spark chr() is ASCII-mod-256, so chr(769) would be chr(1) —
+    // embed the combining acute directly in the SQL text instead.
+    val r = spark.sql("SELECT nfc_normalize('é') AS s, " +
+      "length(nfc_normalize('é')) AS l").collect()(0)
+    assert(r.getString(0) == "é" && r.getInt(1) == 1)
+  }
+
   test("jaro-winkler kernel: classic values, edges, and boost gating") {
     import org.apache.spark.unsafe.types.UTF8String
     def k(a: String, b: String): Double =
