@@ -184,6 +184,7 @@ object SparkEntry {
     "f7_map_functions"     -> ((s, d) => Relational.mapTypeCounts(s, d)),
     "ts2_interpolate"      -> ((s, d) => Relational.interpolateHourly(s, d)),
     "x10_mode_quantity"    -> ((s, d) => Relational.modeQuantityPerFlag(s, d)),
+    "x11_hll_users"        -> ((s, d) => Relational.hllDistinctUsers(s, d)),
     // rows-only by contract (approximate by construction; recall vs the
     // exact brute-force path is bounded in SimilaritySpec)
     "ss4_pq_search"        -> ((s, d) => Similarity.pqSearch(s, d)),
@@ -1324,6 +1325,35 @@ object SparkEntry {
         |    ORDER BY n DESC, l_quantity ASC) AS rn FROM c)
         |SELECT l_returnflag, l_quantity AS mode_quantity, CAST(n AS BIGINT) AS n
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // Deterministic HLL: 60-bit md5 hashes (hex-fold, no conv() in
+    // DuckDB), rank via bin() length, harmonic sum kept as the exact
+    // integer sum of 2^(55-M); the only doubles are one division and
+    // the ln() correction, both mirrored op-for-op.
+    "x11_hll_users" ->
+      """WITH h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef',
+        |        md5(CAST(user_id AS VARCHAR))[i]) - 1 AS BIGINT))),
+        |      (a,c) -> a*16 + c) AS h FROM events),
+        |b AS (SELECT h // 18014398509481984 AS bucket,
+        |        h % 18014398509481984 AS rem FROM h),
+        |r AS (SELECT bucket, max(CASE WHEN rem = 0 THEN 55
+        |        ELSE 55 - length(bin(rem)) END) AS reg FROM b GROUP BY bucket),
+        |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isp,
+        |        CAST(count(*) AS BIGINT) AS obs FROM r),
+        |x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events),
+        |f AS (SELECT 64 - obs AS v_empty,
+        |        isp + (64 - obs) * (CAST(1 AS BIGINT) << 55) AS isum, n_exact
+        |      FROM s, x),
+        |g AS (SELECT v_empty, isum, n_exact,
+        |        (0.7213/(1 + 1.079/64)) * 64 * 64
+        |          * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+        |          / CAST(isum AS DOUBLE) AS raw FROM f)
+        |SELECT CAST(64 AS INT) AS m, v_empty, isum, round(raw, 6) AS est_raw,
+        |  CASE WHEN raw <= 160 AND v_empty > 0
+        |    THEN round(64 * ln(64/CAST(v_empty AS DOUBLE)), 6)
+        |    ELSE round(raw, 6) END AS est_hll,
+        |  n_exact
+        |FROM g""".stripMargin,
     // Frame sampling over planted multi-frame assets: every 2nd frame of
     // n_frames = doc_id%6+2 PNGs seeded doc_id*131+f; the same
     // two-tone-image arithmetic as m4, summed over the sampled frames

@@ -823,6 +823,59 @@ object Relational {
         org.apache.spark.sql.types.LongType))))
   }
 
+  /** HyperLogLog distinct-user estimate with CROSS-ENGINE-EXACT
+    * registers (gate x11). `approx_count_distinct` (x1) can only be
+    * rows-checked — its xxhash64 sketch has no DuckDB counterpart.
+    * This HLL is deterministic by construction on both engines:
+    *
+    *  - item hash = 60-bit md5 prefix (the engine's standard
+    *    cross-engine hash), top 6 bits → one of m = 64 registers,
+    *    low 54 bits → rank = leading-zero count + 1 via `bin()`
+    *    string length (identical in Spark and DuckDB);
+    *  - register = max(rank) — duplicates can't move a max, so NO
+    *    distinct/dedup pass is needed: one map-side-combinable agg
+    *    over raw events, 64 rows after the shuffle;
+    *  - the harmonic sum Σ2^−M is kept EXACT as the integer
+    *    Σ2^(55−M) (≤ 64·2^55 < 2^63, fits a long) — the double sum
+    *    would need 61 mantissa bits and become order-dependent;
+    *  - estimate = α·m²·2^55/isum in one double division, plus the
+    *    standard linear-counting correction for the small range.
+    *
+    * At 100 TB this is the sketch you'd actually run: one scan, 64
+    * longs per partial, mergeable by max. n_exact rides along to show
+    * the sketch error in the gate output.
+    */
+  def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val e = Tables.events(spark, dir)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = e.select(h.as("h"))
+      .select(shiftright(col("h"), 54).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 54) - 1)).as("rem"))
+      .select(col("bucket"),
+        when(col("rem") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("M"))
+    val s = regs.agg(
+      sum(expr("shiftleft(cast(1 as bigint), 55 - M)")).as("isp"),
+      count(lit(1)).as("obs"))
+    val x = e.agg(countDistinct(col("user_id")).as("n_exact"))
+    val pow55 = lit((1L << 55).toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    s.crossJoin(x)
+      .withColumn("v_empty", lit(m.toLong) - col("obs"))
+      .withColumn("isum", col("isp") + col("v_empty") * lit(1L << 55))
+      .withColumn("raw",
+        alpha * lit(64.0) * lit(64.0) * pow55 / col("isum").cast("double"))
+      .select(lit(m).as("m"), col("v_empty"), col("isum"),
+        round(col("raw"), 6).as("est_raw"),
+        when(col("raw") <= 2.5 * m && col("v_empty") > 0,
+          round(lit(64.0) * log(lit(64.0) / col("v_empty").cast("double")), 6))
+          .otherwise(round(col("raw"), 6)).as("est_hll"),
+        col("n_exact"))
+  }
+
   /** Wide→long reshape (gate p2): `Dataset.unpivot` — the MELT
     * operation feature stores and metric tables lean on. A pure
     * per-row generator (one scan, no shuffle; output = rows ×

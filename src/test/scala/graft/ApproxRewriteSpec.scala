@@ -94,4 +94,18 @@ class ApproxRewriteSpec extends SparkSpec {
       assert(q.collect()(0).getDouble(0) == 50.5)
     }
   }
+
+  test("deterministic HLL (x11): estimate within sketch error of the exact count") {
+    val r = graft.operators.Relational.hllDistinctUsers(spark, sf).collect()(0)
+    val m = r.getInt(0); val vEmpty = r.getLong(1); val isum = r.getLong(2)
+    val est = r.getDouble(4); val exact = r.getLong(5)
+    assert(m == 64 && isum > 0 && vEmpty >= 0 && vEmpty <= 64)
+    // m=64 standard error is 1.04/sqrt(64) = 13%; linear counting covers
+    // the small range. 40% is a loose determinism-safe bound.
+    assert(math.abs(est - exact) <= math.max(0.4 * exact, 3.0),
+      s"est $est vs exact $exact")
+    // fully deterministic: a second run yields the identical row
+    val twice = graft.operators.Relational.hllDistinctUsers(spark, sf).collect()(0)
+    assert(twice.toSeq == r.toSeq)
+  }
 }
