@@ -154,6 +154,7 @@ object SparkEntry {
     "sa2_stratified_sample"-> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "v2_quantize_int8"     -> ((s, d) => graft.operators.VectorOps.quantizeInt8(s, d)),
     "v3_cluster_centroids" -> ((s, d) => graft.operators.VectorOps.clusterCentroids(s, d)),
+    "rp1_random_projection"-> ((s, d) => graft.operators.VectorOps.randomProjection(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
@@ -1012,6 +1013,19 @@ object SparkEntry {
         |    unnest(v) AS x FROM e)
         |SELECT cluster, dim, round(sum(x) / count(*), 6) AS mean_c
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // JL random projection with the md5-derived ±1 sign matrix; left
+    // fold from +0.0 over element order, /4 = exact power-of-two scale.
+    "rp1_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |o AS (SELECT vec_id, CAST(j AS INT) AS out_dim,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(0,64), d ->
+        |        (CASE WHEN md5(j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
+        |              ELSE CAST(-1.0 AS DOUBLE) END)
+        |        * CAST(embedding[d+1] AS DOUBLE))),
+        |      (a,b) -> a + b) / 4.0, 6) AS value
+        |  FROM e, unnest(range(0,16)) AS t(j))
+        |SELECT vec_id, out_dim, value FROM o ORDER BY vec_id, out_dim""".stripMargin,
     // SimHash over the cross-engine md5 word hash: the oracle rebuilds
     // the 60-bit hashes (hex-char fold), takes per-bit majority votes,
     // and compares ALL pairs by Hamming distance — equivalent to the

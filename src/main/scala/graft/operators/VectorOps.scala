@@ -109,4 +109,43 @@ object VectorOps {
       .select(col("cluster"), col("dim"), round(col("mean_c"), 6).as("mean_c"))
       .orderBy(col("cluster"), col("dim"))
   }
+
+  /** Gated random projection (rp1): Johnson–Lindenstrauss dimension
+    * reduction 64 → 16 with a DETERMINISTIC ±1 projection matrix —
+    * sign(j,d) = +1 iff the first hex char of md5("j_d") < '8'. The
+    * JL lemma only needs signs drawn from a fair ±1 distribution;
+    * deriving them from md5 makes the matrix reproducible across
+    * engines, runs, and retries with no RNG state to ship, and lets
+    * the DuckDB oracle rebuild it exactly.
+    *
+    * Plan shape: the 16×64 sign matrix is resolved at PLAN time on the
+    * driver into literal coefficients, so each output dim is a static
+    * 64-term multiply-add chain inside WholeStageCodegen — no
+    * interpreted HOF fold, no matrix broadcast, no shuffle (the ORDER
+    * BY is gate-only). Per-row cost is exactly 1024 fused
+    * multiply-adds; at 100 TB this is a map-only pass.
+    *
+    * Determinism: terms accumulate left-to-right over d starting from
+    * +0.0 (both engines), elements cast float→double before any
+    * arithmetic, scaled by the exact power of two 1/√16 = 1/4.
+    */
+  def randomProjection(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       outDims: Int = 16, dim: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val h = md.digest(s"${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val ys = (0 until outDims).map { j =>
+      val terms = (0 until dim).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") * lit(sign(j, d))
+      }
+      round(terms.foldLeft(lit(0.0): Column)((acc, t) => acc + t) / lit(4.0), 6)
+    }
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("out_dim", "value")))
+      .select(col("vec_id"), col("out_dim").cast("int").as("out_dim"), col("value"))
+      .orderBy(col("vec_id"), col("out_dim"))
+  }
 }

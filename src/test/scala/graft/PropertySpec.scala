@@ -156,6 +156,31 @@ class PropertySpec extends SparkSpec {
     }, 10)
   }
 
+  test("random projection roughly preserves pairwise distances (JL) and is deterministic") {
+    val proj = graft.operators.VectorOps.randomProjection(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toArray.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length; if j <= i + 3
+      o = d2(orig(ids(i)), orig(ids(j))); if o > 1e-9
+    } yield d2(proj(ids(i)).toArray, proj(ids(j)).toArray) / o
+    // k=16 is coarse (eps ~ 0.5); the MEDIAN distortion must still sit
+    // near 1 if the signs are unbiased and the 1/sqrt(k) scale is right
+    val med = ratios.sorted.apply(ratios.length / 2)
+    assert(med > 0.5 && med < 2.0, s"median distortion $med over ${ratios.length} pairs")
+    // deterministic: second run bit-identical
+    val again = graft.operators.VectorOps.randomProjection(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    assert(ids.forall(id => proj(id).sameElements(again(id))))
+  }
+
   test("prop: jaro-winkler bounds, identity, and symmetry") {
     import org.apache.spark.unsafe.types.UTF8String
     def k(a: String, b: String): Double =
