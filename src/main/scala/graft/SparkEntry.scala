@@ -148,6 +148,7 @@ object SparkEntry {
     "x9_corr_exact"        -> ((s, d) => Relational.quantityPriceCorr(s, d)),
     "k5_partition_replace" -> ((s, d) => Ingest.partitionReplaceGate(s, d)),
     "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
+    "z1_zorder_layout"     -> ((s, d) => Ingest.zorderLayout(s, d)),
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
@@ -867,6 +868,25 @@ object SparkEntry {
     "k6_compaction" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // Morton layout key: mirrored quantization doubles, then the same
+    // 16-term bit-interleave sum generated into the SQL text.
+    "z1_zorder_layout" -> {
+      val inter = (0 until 16).map(i =>
+        s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS minc,
+         |    CAST(max(o_custkey) AS DOUBLE) AS maxc,
+         |    min(CAST(o_totalprice AS DOUBLE)) AS minp,
+         |    max(CAST(o_totalprice AS DOUBLE)) AS maxp FROM orders),
+         |q AS (SELECT o_orderkey,
+         |    CAST(floor((CAST(o_custkey AS DOUBLE) - minc) * 65536.0
+         |      / (maxc - minc + 1.0)) AS BIGINT) AS cx,
+         |    CAST(floor((CAST(o_totalprice AS DOUBLE) - minp) * 65536.0
+         |      / (maxp - minp + 1.0)) AS BIGINT) AS cy
+         |  FROM orders, s)
+         |SELECT o_orderkey, cx, cy, CAST($inter AS BIGINT) AS zval
+         |FROM q ORDER BY zval, o_orderkey""".stripMargin
+    },
     // The V2 sink's commit protocol must publish exactly one copy of
     // every row: oracle = the source table.
     "k7_v2_sink_roundtrip" ->

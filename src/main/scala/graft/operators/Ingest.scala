@@ -319,4 +319,42 @@ object Ingest {
           .cast("double").as("total_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Gate z1: Z-ORDER (Morton) layout key over (o_custkey,
+    * o_totalprice) — the multi-dimensional clustering that makes
+    * parquet min/max skipping work for MORE THAN ONE predicate column.
+    * A table sorted by custkey alone has tight custkey footers but
+    * full-span price footers in every file; writing in zval order
+    * bounds BOTH dims per file (LayoutSpec measures it), so a query
+    * filtering either column prunes most files from the footer stats
+    * alone. This is the same layout idea as Delta/Iceberg Z-ordering,
+    * expressed as a plain deterministic column.
+    *
+    * Mechanics: each dim quantizes to a 16-bit cell with mirrored
+    * double math (corpus min/max are plan-time literals — a 4-number
+    * control-plane read), and the 32-bit zval interleaves the cell
+    * bits as a static 16-term shift/mask chain inside codegen. At
+    * scale the write is `repartitionByRange(zval)` + sortWithinPartitions
+    * — one range shuffle, no driver data.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val s = o.agg(
+      min(col("o_custkey").cast("double")), max(col("o_custkey").cast("double")),
+      min(col("o_totalprice").cast("double")), max(col("o_totalprice").cast("double")))
+      .collect()(0)
+    val (minc, maxc, minp, maxp) =
+      (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+    def cell(v: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      floor((v.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
+    val q = o.select(col("o_orderkey"),
+      cell(col("o_custkey"), minc, maxc).as("cx"),
+      cell(col("o_totalprice"), minp, maxp).as("cy"))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("cx"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("cy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    q.withColumn("zval", z)
+      .orderBy(col("zval"), col("o_orderkey"))
+  }
 }
