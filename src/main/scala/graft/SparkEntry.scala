@@ -204,6 +204,8 @@ object SparkEntry {
     "t15_nfc_normalize"    -> ((s, d) => TextAnalysis.nfcNormalizeGate(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
+    "u1_domain_stats"      -> ((s, d) => graft.operators.Curation.domainStats(s, d)),
+    "u2_domain_cap"        -> ((s, d) => graft.operators.Curation.domainCap(s, d)),
     "dd11_ppjoin_jaccard"  -> ((s, d) => Dedup.ppjoinJaccardPairs(s, d)),
     "ss5_bm25_topk"        -> ((s, d) => Similarity.bm25TopK(s, d)),
     "pk2_packed_chunks"    -> ((s, d) => graft.operators.Packing.materializedChunks(s, d)),
@@ -1623,5 +1625,27 @@ object SparkEntry {
         |  WHERE cum >= CAST(ceil(0.1 * (SELECT count(*) FROM t)) AS BIGINT))
         |SELECT t.doc_id, t.n_words FROM t, thr
         |WHERE t.n_words >= thr.v ORDER BY t.doc_id""".stripMargin,
+    // Planted URL host = www.<source>-<doc_id%7>.example.com; DuckDB has
+    // no parse_url, the regexp extracts the identical host string.
+    "u1_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://www.' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+        |    n_tokens FROM u)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
+    "u2_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    regexp_extract('https://www.' || source || '-'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/'
+        |      || CAST(doc_id AS VARCHAR), 'https?://([^/]+)/', 1) AS host
+        |  FROM documents),
+        |r AS (SELECT doc_id, host, CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk FROM u)
+        |SELECT doc_id, host, rk FROM r WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
   )
 }

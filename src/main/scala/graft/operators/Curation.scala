@@ -93,4 +93,45 @@ object Curation {
       .collect()(0).getLong(0)
     docs.filter(col("n_words") >= thr).orderBy(col("doc_id"))
   }
+
+  /** Deterministic planted URL per document (the corpus carries no URL
+    * column): host varies by source and a doc_id residue, path by
+    * doc_id — enough structure for real host-level operators.
+    */
+  private def plantedUrl = concat(lit("https://www."), col("source"), lit("-"),
+    (col("doc_id") % 7).cast("string"), lit(".example.com/page/"),
+    col("doc_id").cast("string"))
+
+  /** Gate u1: per-domain corpus statistics — the first thing a web-scale
+    * curation pass computes (CCNet/RefinedWeb both gate on host-level
+    * counts before any content filter). Host extraction uses Spark's
+    * `parse_url` (codegen'd); one groupBy on the host key.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        parse_url(plantedUrl, lit("HOST")).as("host"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("host"))
+
+  /** Gate u2: per-domain document cap — boilerplate-heavy hosts must
+    * not dominate a training mix, so each host keeps at most `cap`
+    * docs, selected by a DETERMINISTIC md5 rank (stable across runs,
+    * partitionings, and engines; no RNG state). The window partitions
+    * by host — fully parallel, state bounded by the largest host's doc
+    * count, and at 100 TB the same shape runs as a per-host top-k.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), parse_url(plantedUrl, lit("HOST")).as("host"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("host"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -37,6 +37,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(reported == testDocs)
   }
 
+  test("domain cap keeps at most cap docs per host, deterministically") {
+    val out = graft.operators.Curation.domainCap(spark, sf, cap = 3).collect()
+    val byHost = out.groupBy(_.getString(1))
+    assert(byHost.values.forall(_.length <= 3))
+    assert(out.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
+    // stats cover every host the cap saw, and kept docs exist in stats
+    val stats = graft.operators.Curation.domainStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost.keySet.subsetOf(stats.keySet))
+    // hosts with >= 3 docs keep exactly 3
+    byHost.foreach { case (h, kept) =>
+      assert(kept.length == math.min(3L, stats(h)).toInt)
+    }
+    // second run identical (md5 rank has no RNG state)
+    val again = graft.operators.Curation.domainCap(spark, sf, cap = 3).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("overlapping chunks: full coverage, clamped tail, stride overlap") {
     val out = Packing.overlappingChunks(spark, sf, chunkSize = 64, stride = 48)
       .collect()
