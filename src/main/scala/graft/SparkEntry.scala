@@ -187,6 +187,7 @@ object SparkEntry {
     "ts2_interpolate"      -> ((s, d) => Relational.interpolateHourly(s, d)),
     "x10_mode_quantity"    -> ((s, d) => Relational.modeQuantityPerFlag(s, d)),
     "x11_hll_users"        -> ((s, d) => Relational.hllDistinctUsers(s, d)),
+    "bl1_bloom_join"       -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     // rows-only by contract (approximate by construction; recall vs the
     // exact brute-force path is bounded in SimilaritySpec)
     "ss4_pq_search"        -> ((s, d) => Similarity.pqSearch(s, d)),
@@ -1361,6 +1362,14 @@ object SparkEntry {
         |    ORDER BY n DESC, l_quantity ASC) AS rn FROM c)
         |SELECT l_returnflag, l_quantity AS mode_quantity, CAST(n AS BIGINT) AS n
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // Runtime-bloom-pruned shuffle join: the filter is a pruning aid
+    // only, so the result is exactly the plain join.
+    "bl1_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Deterministic HLL: 60-bit md5 hashes (hex-fold, no conv() in
     // DuckDB), rank via bin() length, harmonic sum kept as the exact
     // integer sum of 2^(55-M); the only doubles are one division and

@@ -823,6 +823,58 @@ object Relational {
         org.apache.spark.sql.types.LongType))))
   }
 
+  /** Gate bl1: RUNTIME BLOOM-FILTER pruned join — the large×large join
+    * pattern where neither side broadcasts but one side is selectively
+    * filtered: Catalyst's InjectRuntimeFilter builds a bloom filter
+    * over the filtered (creation) side's join keys and pushes a
+    * `might_contain` probe into the big side's SCAN, so most fact rows
+    * die before the shuffle instead of after it. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * the ~segment fraction that can possibly match.
+    *
+    * The gate pins broadcast OFF (forcing the shuffle-join shape the
+    * optimization exists for) and lowers the application-side scan
+    * threshold (tuned for real clusters, far above test data sizes).
+    * Configs must hold while the plan MATERIALIZES, not just while it
+    * is built — the result is collected eagerly under the pinned confs
+    * (it is dim-sized). The filter is a pure pruning aid: results are
+    * exactly the plain join's, which is what the oracle states.
+    * BloomJoinSpec asserts the bloom actually lands in the plan.
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pins = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = bloomJoinQuery(spark, dir)
+      val rows = q.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, q.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The bl1 join body (shared with BloomJoinSpec's plan assertion):
+    * a selective dim filter on customer, a key join onto orders, and a
+    * small aggregate.
+    */
+  private[graft] def bloomJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Analytics.exactSum(col("o_totalprice"), 30, 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** HyperLogLog distinct-user estimate with CROSS-ENGINE-EXACT
     * registers (gate x11). `approx_count_distinct` (x1) can only be
     * rows-checked — its xxhash64 sketch has no DuckDB counterpart.
