@@ -150,6 +150,7 @@ object SparkEntry {
     "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
     "z1_zorder_layout"     -> ((s, d) => Ingest.zorderLayout(s, d)),
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
+    "k8_schema_evolution"  -> ((s, d) => graft.sources.FormatIO.schemaEvolutionGate(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
     "sa2_stratified_sample"-> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -895,6 +896,14 @@ object SparkEntry {
     "k7_v2_sink_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // mergeSchema union: even-id files predate `value`, odd-id files
+    // dropped `user_id` — absent columns read as NULL per file.
+    "k8_schema_evolution" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN user_id END AS user_id,
+        |  event_type,
+        |  CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "dp1_profile_events" ->
       """WITH s AS (SELECT count(*) AS n_rows,
         |  count(*) - count(event_id) AS eid_nulls, count(DISTINCT event_id) AS eid_d,

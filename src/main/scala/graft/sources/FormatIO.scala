@@ -32,4 +32,33 @@ object FormatIO {
     val r = spark.read.format(format).schema(schema)
     (if (format == "csv") r.option("header", "true") else r).load(path)
   }
+
+  /** Gate k8: SCHEMA EVOLUTION across parquet batches — the ingestion
+    * reality that a long-lived table's early files lack columns added
+    * later. Two batches with different column sets land in one
+    * directory; `mergeSchema` reconciles the footers into the union
+    * schema and nulls the absent columns per file. (Merging is a
+    * footer-only operation — at 100 TB it reads kilobytes per file,
+    * which is why it stays an explicit opt-in rather than the default.)
+    * Oracle mirrors the per-batch column masks with CASE.
+    */
+  def schemaEvolutionGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = graft.TmpIO.scratchDir("graft_k8_")
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // early files: no `value` column yet
+    e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.parquet(s"$tmp/t/b1")
+    // later files: `value` added, `user_id` dropped upstream
+    e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.parquet(s"$tmp/t/b2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(s"$tmp/t")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    graft.TmpIO.collectAndClean(spark, tmp)(merged)
+      .orderBy(col("event_id"))
+  }
 }
