@@ -164,6 +164,12 @@ object SparkEntry {
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "t10_tfidf"            -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
+    "lm1_bigram_ppl"       -> ((s, d) => graft.operators.LanguageModel.bigramPerplexity(s, d)),
+    "pr1_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
+    "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
+    "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
     "sk2_salted_join"      -> ((s, d) => {
       val e = graft.Tables.events(s, d).select(col("event_id"), col("event_type"))
@@ -826,6 +832,90 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "dd12_ingest_dedup" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents b WHERE b.doc_id % 10 != 0
+        |    AND md5(substring(b.text, 1, 100)) = md5(substring(d.text, 1, 100)))
+        |ORDER BY doc_id""".stripMargin,
+    "wz1_winsorized_stats" ->
+      """WITH q AS (SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+        |    round(quantile_cont(l_extendedprice, 0.99), 6) AS p99 FROM lineitem),
+        |w AS (SELECT least(greatest(l_extendedprice, q.p01), q.p99) AS w, q.p01, q.p99
+        |  FROM lineitem CROSS JOIN q)
+        |SELECT count(*) AS n, any_value(p01) AS p01, any_value(p99) AS p99,
+        |  round(CAST(sum(CAST(w AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_wins,
+        |  round(min(w), 6) AS min_wins, round(max(w), 6) AS max_wins
+        |FROM w""".stripMargin,
+    "ws1_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, round(ln(u) / CAST(n_chars AS DOUBLE), 10) AS wkey
+        |FROM u ORDER BY wkey DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "div1_ngram_diversity" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g1 AS (SELECT unnest(list_transform(range(1, len(ws) + 1), i -> ws[i])) AS g
+        |  FROM w WHERE len(ws) >= 1),
+        |g2 AS (SELECT unnest(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |g3 AS (SELECT unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |a1 AS (SELECT 1 AS n, count(*) AS n_total, count(DISTINCT g) AS n_distinct FROM g1),
+        |a2 AS (SELECT 2 AS n, count(*) AS n_total, count(DISTINCT g) AS n_distinct FROM g2),
+        |a3 AS (SELECT 3 AS n, count(*) AS n_total, count(DISTINCT g) AS n_distinct FROM g3)
+        |SELECT n, n_total, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_total, 6) AS distinct_ratio
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |ORDER BY n""".stripMargin,
+    "pr1_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |p1 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |  FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |  FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |  FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst)
+        |SELECT node, round(pr, 12) AS pr FROM p3
+        |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    "lm1_bigram_ppl" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT t.w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM w) t),
+        |nll AS (SELECT b.doc_id,
+        |    CAST(round(-ln(CAST(c2.c12 + 1 AS DOUBLE)
+        |      / CAST(c1.c1 + vv.v AS DOUBLE)), 8) AS DECIMAL(20,8)) AS nll
+        |  FROM b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN vv),
+        |agg AS (SELECT doc_id, sum(nll) AS s, count(*) AS n_bigrams
+        |  FROM nll GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+        |  round(exp(CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+        |FROM agg ORDER BY ppl DESC, doc_id ASC LIMIT 20""".stripMargin,
     "t11_top_bigrams" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),

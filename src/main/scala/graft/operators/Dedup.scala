@@ -755,4 +755,33 @@ object Dedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gated dd12: INCREMENTAL ingest dedup — the arriving-batch-vs-
+    * existing-corpus shape every continuously-fed training corpus
+    * runs (dedup the delta against the base without re-deduping the
+    * base). Deterministic split stands in for the arriving batch:
+    * doc_id % 10 == 0 is the delta, the rest is the indexed base.
+    *
+    * Scale shape: both sides reduce to 16-byte md5 digests before the
+    * LEFT ANTI join, so the shuffle moves digests, not bodies; the
+    * base side is distinct-ed (one map-side-combinable agg) so the
+    * anti join probes one row per distinct content. At 100 TB the
+    * base digest set is a bucketed table maintained across ingests,
+    * and Spark's runtime bloom filter (see [[graft.plans]] bl1 gate)
+    * prunes the delta scan before the shuffle.
+    */
+  def incrementalIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Prefix fingerprint (first 100 chars): the boilerplate-prefix key
+    // crawl dedup uses — cheap, order-preserving, and catches template
+    // reuse that whole-body hashing misses.
+    def fp(c: Column): Column = md5(substring(c, 1, 100))
+    val docs = Tables.documents(spark, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(fp(col("text")).as("h")).distinct()
+    delta.select(col("doc_id"), fp(col("text")).as("h"))
+      .join(base, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -123,4 +123,33 @@ object Quality {
       checks.map { case (n, v) => Row(n, v, v == 0L) }.asJava, schema)
       .orderBy(col("check_name"))
   }
+
+  /** Gated wz1: winsorized summary stats — clamp a numeric column to
+    * its exact [p1, p99] order-statistic band, then aggregate. The
+    * robust-stats preprocessing step outlier-heavy telemetry and
+    * price-like columns get before any mean-based modeling.
+    *
+    * Scale shape: the two quantiles come from
+    * [[Quantiles.exactQuantiles]] (scan-bounded histogram refinement,
+    * counters-only driver traffic — never a full sort); the clamp is
+    * a per-row expression and the final aggregate is one map-side-
+    * combinable pass. Thresholds are rounded to 6 decimals before use
+    * so both engines clamp against bit-identical literals, and the
+    * mean accumulates as DECIMAL for order-independence.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val Seq((_, Seq(p01, p99))) = Quantiles.exactQuantiles(
+      li, "l_extendedprice", Seq("p01" -> 0.01, "p99" -> 0.99))
+    val (lo, hi) = (Quantiles.round6(p01), Quantiles.round6(p99))
+    li.select(least(greatest(col("l_extendedprice"), lit(lo)), lit(hi)).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast("decimal(30,6)")).as("s"),
+        min(col("w")).as("mn"), max(col("w")).as("mx"))
+      .select(col("n"),
+        lit(lo).as("p01"), lit(hi).as("p99"),
+        round(col("s").cast("double") / col("n"), 6).as("avg_wins"),
+        round(col("mn"), 6).as("min_wins"),
+        round(col("mx"), 6).as("max_wins"))
+  }
 }

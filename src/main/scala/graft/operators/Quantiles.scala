@@ -42,7 +42,7 @@ object Quantiles {
   /** Mirrors Spark SQL `round(x, 6)` on DoubleType exactly:
     * BigDecimal.valueOf (decimal string repr), HALF_UP.
     */
-  private def round6(v: Double): Double =
+  def round6(v: Double): Double =
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 

@@ -298,6 +298,52 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Gated ws1: deterministic WEIGHTED sampling (Efraimidis–Spirakis
+    * A-ES): each row draws a pseudo-uniform u from an integer hash of
+    * its key and ranks by ln(u)/weight — the top-k under that key is
+    * a weighted sample without replacement, with inclusion odds
+    * proportional to weight (here n_chars, the "sample long documents
+    * more" curation default). Replacing rand() with the integer-hash
+    * uniform makes the sample reproducible across runs, engines, and
+    * retries, like [[hashSample]]; u is a ratio of exact integers so
+    * both engines see bit-identical doubles, and the ranking key is
+    * rounded to absorb libm ulp drift in ln().
+    *
+    * Scale shape: a per-row expression plus one TakeOrderedAndProject
+    * (partial top-k per partition, k rows to the driver) — no shuffle
+    * of the corpus, no full sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1))
+          .cast("double") / lit(1000004.0)).as("u"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log(col("u")) / col("n_chars").cast("double"), 10).as("wkey"))
+      .orderBy(desc("wkey"), asc("doc_id"))
+      .limit(k)
+
+  /** Gated div1: n-gram diversity — distinct/total ratio for n=1,2,3.
+    * The standard corpus-repetitiveness diagnostic (low distinct-n
+    * ratios flag TEMPLATED or machine-looped text before training).
+    * Three map-side-combinable aggregations over exploded n-grams;
+    * count_distinct rewrites to a two-stage partial aggregate, so no
+    * single reducer sees the full gram set.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir).select(words(col("text")).as("ws"))
+    def level(n: Int): DataFrame = ws
+      .filter(size(col("ws")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - lit(n)),
+        i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))).as("g"))
+      .agg(count(lit(1)).as("n_total"), count_distinct(col("g")).as("n_distinct"))
+      .select(lit(n).as("n"), col("n_total"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_total"), 6)
+          .as("distinct_ratio"))
+    level(1).unionAll(level(2)).unionAll(level(3)).orderBy(col("n"))
+  }
+
   /** Regex group extraction (query t6): the word following 'the' —
     * no-match yields empty string in both engines.
     */

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: scores positive, ordered desc, and nodes are prefixed keys") {
+    val rows = Graph.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prs = rows.map(_.getAs[Double]("pr"))
+    assert(prs.forall(_ > 0))
+    assert(prs.toSeq == prs.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val n = r.getAs[String]("node")
+      assert(n.head == 'c' || n.head == 's', s"unexpected node id: $n")
+    }
+  }
+
+  test("pagerank mass is conserved across the full vector") {
+    // With symmetric edges every node has out-degree, so total rank
+    // must stay ~1 after any number of iterations (up to the
+    // deliberate 1e-14 contribution rounding).
+    val all = Graph.pageRank(spark, sf, iterations = 2, k = Int.MaxValue)
+    val total = all.agg(sum(col("pr"))).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"rank mass drifted: $total")
+  }
+
+  test("pagerank favors high-degree hubs") {
+    // The top node should have at least the degree of the median node:
+    // a supplier trading with many customers accumulates their mass.
+    val top = Graph.pageRank(spark, sf, k = 1).head.getAs[String]("node")
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val deg = pairs.select(col("dst").as("node"))
+      .unionAll(pairs.select(col("src").as("node")))
+      .groupBy("node").count()
+    val topDeg = deg.filter(col("node") === top).head.getAs[Long]("count")
+    val medianDeg = deg.agg(expr("percentile_approx(count, 0.5)")).head.getLong(0)
+    assert(topDeg >= medianDeg, s"top node $top degree $topDeg < median $medianDeg")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LanguageModel, TextAnalysis}
+
+class LanguageModelSpec extends SparkSpec {
+
+  test("bigram perplexity: ppl = exp(avg_nll) and scores are finite positive") {
+    val rows = LanguageModel.bigramPerplexity(spark, sf, 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      val ppl = r.getAs[Double]("ppl")
+      assert(nll > 0 && !nll.isInfinite, s"nll not positive-finite: $r")
+      assert(math.abs(ppl - math.exp(nll)) / ppl < 1e-4,
+        s"ppl != exp(avg_nll): $r")
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
+  test("bigram perplexity orders highest-perplexity documents first") {
+    val ppls = LanguageModel.bigramPerplexity(spark, sf, 20).collect()
+      .map(_.getAs[Double]("ppl"))
+    assert(ppls.toSeq == ppls.sortBy(-_).toSeq)
+  }
+
+  test("a document repeated verbatim scores lower perplexity than corpus max") {
+    // Every bigram of a duplicated doc appears >=2 times, so its smoothed
+    // probabilities are higher than those of a unique doc with the same
+    // shape; its ppl must not exceed the corpus-wide max.
+    val all = LanguageModel.bigramPerplexity(spark, sf, Int.MaxValue)
+    val maxPpl = all.agg(max(col("ppl"))).head.getDouble(0)
+    val top = all.limit(1).head.getAs[Double]("ppl")
+    assert(math.abs(top - maxPpl) < 1e-9)
+  }
+
+  test("per-doc bigram counts match the token stream") {
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), (col("n") - 1).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    LanguageModel.bigramPerplexity(spark, sf, 20).collect().foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == nTok(r.getAs[Long]("doc_id")))
+    }
+  }
+}
