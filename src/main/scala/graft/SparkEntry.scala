@@ -881,15 +881,15 @@ object SparkEntry {
         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
         |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
         |p1 AS (SELECT e.dst AS node,
-        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr / d.deg * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
         |  FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
         |  GROUP BY e.dst),
         |p2 AS (SELECT e.dst AS node,
-        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr / d.deg * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
         |  FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
         |  GROUP BY e.dst),
         |p3 AS (SELECT e.dst AS node,
-        |    0.15 / any_value(nn.n) + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 14) AS DECIMAL(30,14))) AS DOUBLE) AS pr
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr / d.deg * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
         |  FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.node CROSS JOIN nn
         |  GROUP BY e.dst)
         |SELECT node, round(pr, 12) AS pr FROM p3

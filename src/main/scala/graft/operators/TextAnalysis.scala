@@ -331,18 +331,27 @@ object TextAnalysis {
     * count_distinct rewrites to a two-stage partial aggregate, so no
     * single reducer sees the full gram set.
     */
-  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Tables.documents(spark, dir).select(words(col("text")).as("ws"))
-    def level(n: Int): DataFrame = ws
-      .filter(size(col("ws")) >= n)
-      .select(explode(transform(sequence(lit(0), size(col("ws")) - lit(n)),
-        i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))).as("g"))
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    // All three gram orders are cut in ONE corpus scan (nested
+    // transform → flatten → explode), then one grouped aggregation;
+    // count_distinct rewrites to a two-stage partial agg keyed on
+    // (n, gram), so the corpus is read once, not three times.
+    Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .select(explode(flatten(transform(
+        array(lit(1), lit(2), lit(3)),
+        nn => when(size(col("ws")) >= nn,
+          transform(sequence(lit(0), size(col("ws")) - nn),
+            i => struct(nn.as("n"),
+              concat_ws(" ", slice(col("ws"), i + lit(1), nn)).as("g"))))
+          .otherwise(array().cast("array<struct<n:int,g:string>>"))))).as("x"))
+      .select(col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("n"))
       .agg(count(lit(1)).as("n_total"), count_distinct(col("g")).as("n_distinct"))
-      .select(lit(n).as("n"), col("n_total"), col("n_distinct"),
+      .select(col("n"), col("n_total"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_total"), 6)
           .as("distinct_ratio"))
-    level(1).unionAll(level(2)).unionAll(level(3)).orderBy(col("n"))
-  }
+      .orderBy(col("n"))
 
   /** Regex group extraction (query t6): the word following 'the' —
     * no-match yields empty string in both engines.
