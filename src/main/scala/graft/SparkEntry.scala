@@ -141,6 +141,7 @@ object SparkEntry {
     "e3_json_typed"        -> ((s, d) => Relational.jsonTyped(s, d)),
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
     "m4_image_decode_stats"-> ((s, d) => Multimodal.imageDecodeStats(s, d)),
+    "m8_visual_dup_groups" -> ((s, d) => Multimodal.visualDupGroups(s, d)),
     "m5_audio_decode_stats"-> ((s, d) => Multimodal.audioDecodeStats(s, d)),
     "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
     "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "rp1_random_projection"-> ((s, d) => graft.operators.VectorOps.randomProjection(s, d)),
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
+    "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -194,6 +196,7 @@ object SparkEntry {
     "ts2_interpolate"      -> ((s, d) => Relational.interpolateHourly(s, d)),
     "x10_mode_quantity"    -> ((s, d) => Relational.modeQuantityPerFlag(s, d)),
     "x11_hll_users"        -> ((s, d) => Relational.hllDistinctUsers(s, d)),
+    "x12_hll_setops"       -> ((s, d) => Relational.hllSetOps(s, d)),
     "bl1_bloom_join"       -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     // rows-only by contract (approximate by construction; recall vs the
     // exact brute-force path is bounded in SimilaritySpec)
@@ -685,6 +688,16 @@ object SparkEntry {
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pit1_pit_features" ->
+      """SELECT p.event_id, p.user_id, CAST(count(c.cid) AS BIGINT) AS n_clicks_7d
+        |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS pus FROM events
+        |      WHERE event_type = 'purchase' AND user_id < 30) p
+        |LEFT JOIN (SELECT user_id AS cu, epoch_ns(ts)//1000 AS cus, event_id AS cid
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.cu AND c.cus >= p.pus - 604800000000
+        |  AND c.cus < p.pus
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
     "aj1_asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, c.cid AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1189,6 +1202,25 @@ object SparkEntry {
     // The Spark side must inflate a real PNG's IDAT (javax.imageio) to
     // recover the planted two-tone pixel statistics; the oracle states
     // them as the doc_id arithmetic they were planted from.
+    "m8_visual_dup_groups" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 4 AS INT) AS width,
+        |    CAST(doc_id % 12 + 4 AS INT) AS height,
+        |    (doc_id % 16 + 4) // 2 AS wl,
+        |    doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+        |    (doc_id*31) % 256 AS rb, (doc_id*37) % 256 AS gb, (doc_id*41) % 256 AS bb
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(height*(wl*ra + (width-wl)*rb) AS DOUBLE) / (width*height) AS mr,
+        |    CAST(height*(wl*ga + (width-wl)*gb) AS DOUBLE) / (width*height) AS mg,
+        |    CAST(height*(wl*ba + (width-wl)*bb) AS DOUBLE) / (width*height) AS mb
+        |  FROM p),
+        |s AS (SELECT doc_id, CAST(floor(mr/32.0) AS INT) AS qr,
+        |    CAST(floor(mg/32.0) AS INT) AS qg, CAST(floor(mb/32.0) AS INT) AS qb FROM m)
+        |SELECT qr, qg, qb, count(*) AS n_images,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY qr, qg, qb HAVING count(*) > 1
+        |ORDER BY n_images DESC, qr, qg, qb""".stripMargin,
     "m4_image_decode_stats" ->
       """WITH p AS (SELECT doc_id,
         |    CAST(doc_id % 16 + 4 AS INT) AS width,
@@ -1473,6 +1505,51 @@ object SparkEntry {
     // DuckDB), rank via bin() length, harmonic sum kept as the exact
     // integer sum of 2^(55-M); the only doubles are one division and
     // the ln() correction, both mirrored op-for-op.
+    "x12_hll_setops" ->
+      """WITH e AS (SELECT event_type AS t, user_id FROM events
+        |  WHERE value > 100 AND event_type IN ('click','purchase')),
+        |h AS (SELECT t, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef',
+        |        md5(CAST(user_id AS VARCHAR))[i]) - 1 AS BIGINT))),
+        |      (a,c) -> a*16 + c) AS h FROM e),
+        |b AS (SELECT t, h // 18014398509481984 AS bucket,
+        |        h % 18014398509481984 AS rem FROM h),
+        |r AS (SELECT t, bucket, max(CASE WHEN rem = 0 THEN 55
+        |        ELSE 55 - length(bin(rem)) END) AS reg FROM b GROUP BY 1, 2),
+        |ru AS (SELECT bucket, max(reg) AS reg FROM r GROUP BY 1),
+        |sa AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isp,
+        |        CAST(count(*) AS BIGINT) AS obs FROM r WHERE t = 'purchase'),
+        |sb AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isp,
+        |        CAST(count(*) AS BIGINT) AS obs FROM r WHERE t = 'click'),
+        |su AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isp,
+        |        CAST(count(*) AS BIGINT) AS obs FROM ru),
+        |ea AS (SELECT CASE WHEN raw <= 160 AND v_empty > 0
+        |    THEN round(64 * ln(64/CAST(v_empty AS DOUBLE)), 6)
+        |    ELSE round(raw, 6) END AS est_a FROM (
+        |  SELECT 64 - obs AS v_empty, (0.7213/(1 + 1.079/64)) * 64 * 64
+        |    * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+        |    / CAST(isp + (64 - obs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS raw FROM sa)),
+        |eb AS (SELECT CASE WHEN raw <= 160 AND v_empty > 0
+        |    THEN round(64 * ln(64/CAST(v_empty AS DOUBLE)), 6)
+        |    ELSE round(raw, 6) END AS est_b FROM (
+        |  SELECT 64 - obs AS v_empty, (0.7213/(1 + 1.079/64)) * 64 * 64
+        |    * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+        |    / CAST(isp + (64 - obs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS raw FROM sb)),
+        |eu AS (SELECT CASE WHEN raw <= 160 AND v_empty > 0
+        |    THEN round(64 * ln(64/CAST(v_empty AS DOUBLE)), 6)
+        |    ELSE round(raw, 6) END AS est_union FROM (
+        |  SELECT 64 - obs AS v_empty, (0.7213/(1 + 1.079/64)) * 64 * 64
+        |    * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+        |    / CAST(isp + (64 - obs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS raw FROM su)),
+        |fl AS (SELECT user_id, max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS a,
+        |        max(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS b FROM e GROUP BY 1),
+        |ex AS (SELECT CAST(sum(a) AS BIGINT) AS exact_a, CAST(sum(b) AS BIGINT) AS exact_b,
+        |        CAST(count(*) AS BIGINT) AS exact_union,
+        |        CAST(sum(a*b) AS BIGINT) AS exact_intersect FROM fl)
+        |SELECT est_a, est_b, est_union,
+        |  round(est_a + est_b - est_union, 6) AS est_intersect,
+        |  exact_a, exact_b, exact_union, exact_intersect
+        |FROM ea, eb, eu, ex""".stripMargin,
     "x11_hll_users" ->
       """WITH h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef',

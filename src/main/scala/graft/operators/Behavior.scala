@@ -85,4 +85,35 @@ object Behavior {
           .as("quartile"))
       .orderBy(col("o_custkey"))
   }
+
+  /** Gated pit1: POINT-IN-TIME feature join — for each label event
+    * (purchase) compute a feature over a trailing window of history
+    * events (clicks in the prior 7 days), using only data strictly
+    * before the label timestamp. This is the feature-store backfill
+    * contract: training features must be leakage-free, so the join
+    * condition is half-open [t−7d, t) — never t itself, never after.
+    *
+    * Scale shape: Spark plans the band condition as an equi-join on
+    * user_id with the time band as residual — one shuffle keyed on
+    * the entity, which is exactly how a feature backfill partitions
+    * at 100 TB (hot entities salt the key; a time-bucketed pre-join
+    * bound tightens the residual when history ≫ labels). Timestamps
+    * compare as integer micros (see class doc).
+    */
+  def pointInTimeFeatures(spark: SparkSession, dir: String,
+                          maxUserId: Long = 30): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase" && col("user_id") < maxUserId)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"),
+        col("event_id").as("cid"))
+    p.join(c,
+        p("user_id") === c("cu") &&
+          c("cus") >= p("pus") - lit(604800000000L) && c("cus") < p("pus"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("cid")).as("n_clicks_7d"))
+      .orderBy(col("event_id"))
+  }
 }

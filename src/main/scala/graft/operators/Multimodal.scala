@@ -387,6 +387,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated m8: VISUAL near-dup grouping — dedup driven by decoded
+    * pixel content, not bytes. Each image's decoded mean RGB is
+    * quantized to a coarse color signature (floor(mean/32): 8 cells
+    * per channel) and images sharing a signature form a candidate
+    * dup group — the cheap first stage of any visual dedup pipeline
+    * (a finer perceptual hash or embedding pass would re-rank inside
+    * groups).
+    *
+    * Scale shape: decode is embarrassingly parallel (mapPartitions,
+    * no shuffle); the group stage shuffles a 3-int signature per
+    * image — at 100 TB of images the signature table is ~10⁻⁶ the
+    * corpus size. The quantized floor is computed from the same
+    * IEEE doubles on both engines, so the gate hash-matches the
+    * closed-form oracle over the planted two-tone rasters.
+    */
+  def visualDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val s = ImageIODecoder.decode(encodePlantedPng(id))
+            .getOrElse(sys.error(s"ImageIO failed to decode planted PNG for doc $id"))
+          (id, s.mean_r, s.mean_g, s.mean_b)
+        }
+      }
+      .toDF("doc_id", "mr", "mg", "mb")
+    decoded.select(col("doc_id"),
+        floor(col("mr") / lit(32.0)).cast("int").as("qr"),
+        floor(col("mg") / lit(32.0)).cast("int").as("qg"),
+        floor(col("mb") / lit(32.0)).cast("int").as("qb"))
+      .groupBy(col("qr"), col("qg"), col("qb"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("n_images") > 1)
+      .orderBy(desc("n_images"), col("qr"), col("qg"), col("qb"))
+  }
+
   /** Per-doc planted audio parameters (mirrored by the m5 oracle).
     * Sample i of n is `(id*31 + i*17) % 2003 - 1001` — a deterministic
     * integer waveform in [-1001, 1001].

@@ -928,6 +928,69 @@ object Relational {
         col("n_exact"))
   }
 
+  /** Gated x12: HLL SET ALGEBRA — the reason sketches beat exact
+    * distinct at 100 TB is not the single estimate, it's that
+    * register vectors MERGE: union = register-wise max (exact, no
+    * rescan), intersection = inclusion–exclusion over merged
+    * estimates. Audience-overlap / cohort-reach queries run exactly
+    * this way at scale: keep one 64-long sketch per cohort, combine
+    * sketches instead of re-scanning events.
+    *
+    * Here: cohort A = purchasers with value > 100, cohort B =
+    * clickers with value > 100. One scan builds both cohorts'
+    * registers (grouped by label), the union sketch is derived from
+    * the REGISTERS (not the events), and exact counts ride along to
+    * expose the sketch error. Same deterministic md5-based HLL as
+    * [[hllDistinctUsers]], so DuckDB replays it bit-for-bit.
+    */
+  def hllSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value") > 100 &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("t"), col("user_id"))
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = e
+      .select(col("t"), shiftright(h, 54).as("bucket"),
+        h.bitwiseAND(lit((1L << 54) - 1)).as("rem"))
+      .select(col("t"), col("bucket"),
+        when(col("rem") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("rem")))).as("rank"))
+      .groupBy(col("t"), col("bucket")).agg(max(col("rank")).as("M"))
+      .persist()
+    // sketch merge: union registers = per-bucket max over cohorts
+    val regsU = regs.groupBy(col("bucket")).agg(max(col("M")).as("M"))
+
+    def est(r: DataFrame, name: String): DataFrame = r
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - M)")).as("isp"),
+        count(lit(1)).as("obs"))
+      .select(
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
+          lit(64.0 * 64.0) * lit((1L << 55).toDouble) /
+          (col("isp") + (lit(64L) - col("obs")) * lit(1L << 55))
+            .cast("double")).as("raw"),
+        (lit(64L) - col("obs")).as("v_empty"))
+      .select(
+        when(col("raw") <= lit(160.0) && col("v_empty") > 0,
+          round(lit(64.0) * log(lit(64.0) / col("v_empty").cast("double")), 6))
+          .otherwise(round(col("raw"), 6)).as(name))
+
+    val flags = e.groupBy(col("user_id")).agg(
+      max(when(col("t") === "purchase", 1).otherwise(0)).as("a"),
+      max(when(col("t") === "click", 1).otherwise(0)).as("b"))
+    val exact = flags.agg(
+      sum(col("a")).as("exact_a"), sum(col("b")).as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("a") * col("b")).as("exact_intersect"))
+
+    est(regs.filter(col("t") === "purchase"), "est_a")
+      .crossJoin(est(regs.filter(col("t") === "click"), "est_b"))
+      .crossJoin(est(regsU, "est_union"))
+      .withColumn("est_intersect",
+        round(col("est_a") + col("est_b") - col("est_union"), 6))
+      .crossJoin(exact)
+  }
+
   /** Wide→long reshape (gate p2): `Dataset.unpivot` — the MELT
     * operation feature stores and metric tables lean on. A pure
     * per-row generator (one scan, no shuffle; output = rows ×
