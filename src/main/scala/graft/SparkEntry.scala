@@ -161,6 +161,7 @@ object SparkEntry {
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
+    "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -845,6 +846,31 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "bp2_bpe_train" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    list_reduce(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> chr(30) || t), (a,b) -> a || b) AS s
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, list_filter(string_split(s, chr(30)), x -> x != '') AS ws FROM s0),
+        |p1 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS n
+        |  FROM t1, unnest(range(1, len(ws))) AS r(i) GROUP BY 1, 2),
+        |b1 AS (SELECT w1, w2, n FROM p1 ORDER BY n DESC, w1, w2 LIMIT 1),
+        |s1 AS (SELECT doc_id, replace(s, chr(30)||b1.w1||chr(30)||b1.w2,
+        |    chr(30)||b1.w1||b1.w2) AS s FROM s0 CROSS JOIN b1),
+        |t2 AS (SELECT doc_id, list_filter(string_split(s, chr(30)), x -> x != '') AS ws FROM s1),
+        |p2 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS n
+        |  FROM t2, unnest(range(1, len(ws))) AS r(i) GROUP BY 1, 2),
+        |b2 AS (SELECT w1, w2, n FROM p2 ORDER BY n DESC, w1, w2 LIMIT 1),
+        |s2 AS (SELECT doc_id, replace(s, chr(30)||b2.w1||chr(30)||b2.w2,
+        |    chr(30)||b2.w1||b2.w2) AS s FROM s1 CROSS JOIN b2),
+        |t3 AS (SELECT doc_id, list_filter(string_split(s, chr(30)), x -> x != '') AS ws FROM s2),
+        |p3 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS n
+        |  FROM t3, unnest(range(1, len(ws))) AS r(i) GROUP BY 1, 2),
+        |b3 AS (SELECT w1, w2, n FROM p3 ORDER BY n DESC, w1, w2 LIMIT 1)
+        |SELECT CAST(1 AS INT) AS step, w1, w2, CAST(n AS BIGINT) AS n FROM b1
+        |UNION ALL SELECT 2, w1, w2, CAST(n AS BIGINT) FROM b2
+        |UNION ALL SELECT 3, w1, w2, CAST(n AS BIGINT) FROM b3
+        |ORDER BY step""".stripMargin,
     "dd12_ingest_dedup" ->
       """SELECT d.doc_id FROM documents d
         |WHERE d.doc_id % 10 = 0 AND NOT EXISTS (

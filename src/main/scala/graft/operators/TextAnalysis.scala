@@ -491,6 +491,74 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(k)
 
+  /** Gated bp2: the BPE TRAINING LOOP itself — iterative greedy merge
+    * induction, the algorithm behind every modern tokenizer's vocab.
+    * Each step counts adjacent-pair frequencies over the CURRENT
+    * tokenization, picks the argmax pair (deterministic tiebreak:
+    * count desc, then lexicographic), and merges every occurrence
+    * corpus-wide; the output is the learned merge table.
+    *
+    * The corpus-wide merge uses a marker encoding that both engines
+    * replay exactly: a document is the concatenation of
+    * `||token`, so the pair (a,b) occurs iff the string
+    * `SEP+a+SEP+b` occurs, and `replace()` (left-to-right,
+    * non-overlapping in Spark and DuckDB alike) applies the greedy
+    * merge in one pass — `SEP+a+b` then tokenizes as the single
+    * merged token. Start markers make cross-token false matches
+    * impossible (`..xa|b..` does not contain `SEP+a+SEP+b`).
+    *
+    * Scale shape: per step, ONE map-side-combinable pair count over
+    * the corpus and ONE argmax row to the driver (control plane);
+    * the merge itself is a per-row string expression, no shuffle.
+    * This is exactly how distributed BPE trainers iterate at corpus
+    * scale — the candidate table never leaves the cluster.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val SEP = "\u001E"
+    var cur = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit(SEP), array_join(words(col("text")), SEP)).as("s"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to steps) {
+      val top = cur
+        .select(filter(split(col("s"), SEP), x => x =!= "").as("ws"))
+        .select(explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(0), size(col("ws")) - lit(2)),
+            i => struct(element_at(col("ws"), i + lit(1)).as("w1"),
+              element_at(col("ws"), i + lit(2)).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w1"), asc("w2"))
+        .limit(1).head() // argmax only — the control-plane transfer
+      val (w1, w2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, w1, w2, n))
+      val next = cur.select(col("doc_id"),
+        call_function("replace", col("s"),
+          lit(SEP + w1 + SEP + w2), lit(SEP + w1 + w2)).as("s"))
+        .persist()
+      next.count() // materialize before dropping the parent
+      cur.unpersist()
+      cur = next
+    }
+    cur.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map { case (st, w1, w2, n) =>
+        org.apache.spark.sql.Row(st, w1, w2, n) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+      .orderBy(col("step"))
+  }
+
   /** Vocabulary token-id encoding (gate t14): the tokenize→ids step a
     * training pipeline runs last — build a frequency-ranked vocabulary
     * over the FULL corpus (deterministic tiebreak: count desc, word
