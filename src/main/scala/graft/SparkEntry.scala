@@ -162,6 +162,7 @@ object SparkEntry {
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -846,6 +847,19 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "v4_matryoshka_norms" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 50),
+        |n AS (SELECT vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)),
+        |      (a,b) -> a + b)) AS nf,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e[1:16], x -> x*x)),
+        |      (a,b) -> a + b)) AS nh
+        |  FROM v)
+        |SELECT vec_id, round(nf, 6) AS norm_full, round(nh, 6) AS norm_head,
+        |  round(nh / nf, 6) AS cos_trunc
+        |FROM n ORDER BY vec_id""".stripMargin,
     "bp2_bpe_train" ->
       """WITH s0 AS (SELECT doc_id,
         |    list_reduce(list_transform(regexp_split_to_array(trim(text), '\s+'),

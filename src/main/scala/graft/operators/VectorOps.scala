@@ -148,4 +148,34 @@ object VectorOps {
       .select(col("vec_id"), col("out_dim").cast("int").as("out_dim"), col("value"))
       .orderBy(col("vec_id"), col("out_dim"))
   }
+
+  /** Gated v4: MATRYOSHKA truncation diagnostics — modern embedding
+    * models (MRL-trained) are served truncated to a prefix of their
+    * dimensions; before committing to a truncation width, a pipeline
+    * measures how much of each vector's mass the prefix retains. Per
+    * vector: full L2 norm, head-prefix norm, and the cosine between
+    * the full vector and its zero-padded truncation — which reduces
+    * to norm_head/norm_full, so retained mass is exact.
+    *
+    * One scan, per-row fold expressions (no shuffle beyond the
+    * bounded output sort); double accumulation left-to-right is
+    * bit-identical in Spark's `aggregate` and DuckDB's
+    * `list_reduce`, so the gate hash-matches.
+    */
+  def matryoshkaNorms(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      headDims: Int = 16, maxVecId: Long = 50)
+      : org.apache.spark.sql.DataFrame = {
+    val full = toDoubleArray(col("embedding"))
+    val head = slice(full, 1, headDims)
+    graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < maxVecId)
+      .select(col("vec_id"),
+        sqrt(fsum(transform(full, x => x * x))).as("nf"),
+        sqrt(fsum(transform(head, x => x * x))).as("nh"))
+      .select(col("vec_id"),
+        round(col("nf"), 6).as("norm_full"),
+        round(col("nh"), 6).as("norm_head"),
+        round(col("nh") / col("nf"), 6).as("cos_trunc"))
+      .orderBy(col("vec_id"))
+  }
 }
