@@ -163,6 +163,7 @@ object SparkEntry {
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
+    "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -847,6 +848,20 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "lr1_score_calibration" ->
+      """WITH s AS (SELECT vec_id, label,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * ((((i-1)*37) % 21 - 10)/10.0))),
+        |    (a,b) -> a + b) AS score
+        |  FROM embeddings),
+        |b AS (SELECT CAST(least(greatest(floor(score * 2), -4), 3) AS INT) AS bin,
+        |    score, label FROM s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(CAST(round(score, 8) AS DECIMAL(20,8))) AS DOUBLE)
+        |    / count(*), 6) AS mean_score,
+        |  round(CAST(sum(CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "v4_matryoshka_norms" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -178,4 +178,42 @@ object VectorOps {
         round(col("nh") / col("nf"), 6).as("cos_trunc"))
       .orderBy(col("vec_id"))
   }
+
+  /** Gated lr1: LINEAR-MODEL scoring + calibration table — the
+    * "score every document with a trained quality classifier, then
+    * check the score buckets against observed labels" step of
+    * model-based corpus filtering (FastText-style quality gates at
+    * corpus scale). The weight vector is a plan literal derived from
+    * an integer formula (same rationale as the rp1 sign matrix:
+    * identical exact doubles on both engines, no weight table to
+    * join); scoring is a per-row fold, so the only shuffle is the
+    * ~8-row bin aggregation.
+    *
+    * Per-bin mean scores accumulate as DECIMAL(20,8) (order-
+    * independent); bins cut on the raw linear score (exact doubles),
+    * never on a libm output, so bucket edges cannot drift between
+    * engines.
+    */
+  def linearScoreCalibration(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, dim: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    val w = (0 until dim).map(d => ((d * 37) % 21 - 10) / 10.0)
+    val products = zip_with(toDoubleArray(col("embedding")),
+      array(w.map(lit): _*), (x, wv) => x * wv)
+    val score = aggregate(products, lit(0.0), (a, b) => a + b)
+    graft.Tables.embeddings(spark, dir)
+      .select(col("label"), score.as("score"))
+      .select(col("label"), col("score"),
+        least(greatest(floor(col("score") * 2), lit(-4L)), lit(3L))
+          .cast("int").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("score"), 8).cast("decimal(20,8)")).as("s"),
+        sum(when(col("label") % 2 === 0, 1).otherwise(0)).as("pos"))
+      .select(col("bin"),
+        col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_score"),
+        round(col("pos").cast("double") / col("n_vecs"), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
 }

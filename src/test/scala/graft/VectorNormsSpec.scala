@@ -18,6 +18,25 @@ class VectorNormsSpec extends SparkSpec {
     }
   }
 
+  test("linear score calibration: bins partition the corpus, rates in [0,1]") {
+    val rows = VectorOps.linearScoreCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+    val bins = rows.map(_.getAs[Int]("bin"))
+    assert(bins.toSeq == bins.sorted.toSeq && bins.distinct.length == bins.length)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0 && rate <= 1)
+      val b = r.getAs[Int]("bin")
+      val m = r.getAs[Double]("mean_score")
+      // interior bins hold their mean inside the bin's half-unit range
+      if (b > -4 && b < 3)
+        assert(m >= b / 2.0 - 1e-9 && m < (b + 1) / 2.0 + 1e-9,
+          s"bin $b mean $m outside [${b / 2.0}, ${(b + 1) / 2.0})")
+    }
+  }
+
   test("matryoshka head norm matches a driver-side recompute") {
     val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
       .collect().map { r =>
