@@ -44,6 +44,7 @@ object SparkEntry {
     "j3_multijoin_nation_revenue"     -> ((s, d) => Relational.revenueByNation(s, d)),
     "q3_shipping_priority"            -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume"        -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q10_returned_items"              -> ((s, d) => Relational.returnedItemReport(s, d)),
     "j4_semi_customers_with_orders"   -> ((s, d) => Relational.customersWithBigOrders(s, d)),
     "j5_anti_customers_without_orders"-> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
     "j6_outer_order_counts"           -> ((s, d) => Relational.orderCountPerCustomer(s, d)),
@@ -164,6 +165,8 @@ object SparkEntry {
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
+    "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
+    "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -423,6 +426,19 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "j4_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -848,6 +864,34 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "mx2_temperature_mix" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t FROM s),
+        |w AS (SELECT source, src_tokens,
+        |    CAST(src_tokens AS DOUBLE) / tot.t AS share,
+        |    sqrt(CAST(src_tokens AS DOUBLE) / tot.t) AS sw, tot.t AS t
+        |  FROM s CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(CAST(round(sw, 8) AS DECIMAL(20,8))) AS DOUBLE) AS zsum FROM w)
+        |SELECT source, src_tokens, round(share, 6) AS share,
+        |  round(sw / z.zsum, 6) AS weight,
+        |  CAST(round(sw / z.zsum * t, 0) AS BIGINT) AS eff_tokens
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+    "dp2_psi_drift" ->
+      """WITH b AS (SELECT CAST(floor(value/100) AS INT) AS bin,
+        |    event_id % 2 AS half FROM events),
+        |r AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM b WHERE half = 0 GROUP BY 1),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM b WHERE half = 1 GROUP BY 1),
+        |tr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t FROM r),
+        |tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t FROM c)
+        |SELECT r.bin, r.n_ref, c.n_cur,
+        |  round(CAST(r.n_ref AS DOUBLE)/tr.t, 6) AS p,
+        |  round(CAST(c.n_cur AS DOUBLE)/tc.t, 6) AS q,
+        |  round((CAST(c.n_cur AS DOUBLE)/tc.t - CAST(r.n_ref AS DOUBLE)/tr.t)
+        |    * ln((CAST(c.n_cur AS DOUBLE)/tc.t) / (CAST(r.n_ref AS DOUBLE)/tr.t)), 6) AS psi_term
+        |FROM r JOIN c USING (bin) CROSS JOIN tr CROSS JOIN tc
+        |ORDER BY bin""".stripMargin,
     "lr1_score_calibration" ->
       """WITH s AS (SELECT vec_id, label,
         |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),

@@ -137,6 +137,39 @@ object Quality {
     * so both engines clamp against bit-identical literals, and the
     * mean accumulates as DECIMAL for order-independence.
     */
+  /** Gated dp2: POPULATION STABILITY INDEX — the standard drift
+    * monitor between a reference and a current distribution (here two
+    * deterministic halves of the events stream; in production,
+    * yesterday's batch vs today's). Per shared bin: reference/current
+    * shares and the PSI term (q−p)·ln(q/p); the spec asserts the
+    * total stays under the conventional 0.1 "no drift" threshold for
+    * a same-distribution split.
+    *
+    * Scale shape: two map-side-combinable bin counts + a bin-keyed
+    * join on a bins-cardinality frame — the corpus is scanned once.
+    * Shares are exact integer ratios; ln() drift is absorbed by
+    * round(6).
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .select(floor(col("value") / 100).cast("int").as("bin"),
+        (col("event_id") % 2).as("half"))
+    val ref = b.filter(col("half") === 0)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    val cur = b.filter(col("half") === 1)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    // two control-plane scalars (the halves' totals)
+    val tr = ref.agg(sum(col("n_ref"))).head.getLong(0).toDouble
+    val tc = cur.agg(sum(col("n_cur"))).head.getLong(0).toDouble
+    val p = col("n_ref").cast("double") / lit(tr)
+    val q = col("n_cur").cast("double") / lit(tc)
+    ref.join(cur, Seq("bin"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p"), round(q, 6).as("q"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val Seq((_, Seq(p01, p99))) = Quantiles.exactQuantiles(

@@ -757,6 +757,35 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Gated q10: TPC-H returned-item reporting shape — rank customers
+    * by revenue lost to returns in a quarter. Classic star plan: the
+    * date filter prunes orders BEFORE the fact join, the returnflag
+    * filter prunes lineitem at the scan, nation broadcasts, and the
+    * final grouping keys on the customer — one fact shuffle end to
+    * end, then TakeOrderedAndProject for the top-k.
+    */
+  def returnedItemReport(spark: SparkSession, dir: String,
+                         qStart: String = "1996-01-01",
+                         qEnd: String = "1996-04-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp")
+        && col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Bucketed co-located join (b1): both sides written bucketed on the
     * join key, so the join plans with NO shuffle exchange — pay the
     * shuffle once at ingest, never again per query (the canonical

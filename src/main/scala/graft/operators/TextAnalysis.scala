@@ -472,6 +472,39 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated mx2: TEMPERATURE-scaled mixture weights — the multilingual/
+    * multi-source training-mix math (share^(1/T) renormalized, T=2):
+    * up-weights tail sources relative to proportional sampling without
+    * letting any head source dominate. Output per source: raw token
+    * share, temperature weight, and the effective token budget the
+    * weight implies.
+    *
+    * Scale shape: one token-count aggregation (map-side combinable)
+    * → a source-cardinality table; everything after is arithmetic on
+    * that tiny frame. The weight normalizer accumulates as
+    * DECIMAL(20,8) so the cross-source sum is order-independent;
+    * sqrt is IEEE-exact, so both engines derive identical weights.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("src_tokens"))
+    // control-plane scalar, same rationale as sourceMixture's budget
+    val total = s.agg(sum(col("src_tokens"))).head.getLong(0)
+    val w = s.select(col("source"), col("src_tokens"),
+      (col("src_tokens").cast("double") / lit(total.toDouble)).as("share"))
+      .withColumn("sw", sqrt(col("share")))
+    val z = w.agg(
+      sum(round(col("sw"), 8).cast("decimal(20,8)")).cast("double").as("zsum"))
+      .head.getDouble(0)
+    w.select(col("source"), col("src_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("sw") / lit(z), 6).as("weight"),
+        round(col("sw") / lit(z) * lit(total.toDouble), 0)
+          .cast("long").as("eff_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** BPE merge-candidate induction (gate bp1): the first step of
     * byte-pair-encoding tokenizer training — count adjacent symbol
     * pairs (here: character bigrams inside words, weighted by word
