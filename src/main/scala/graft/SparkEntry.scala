@@ -177,6 +177,8 @@ object SparkEntry {
     "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
     "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
+    "dd13_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
     "sk2_salted_join"      -> ((s, d) => {
@@ -1604,6 +1606,49 @@ object SparkEntry {
     // DuckDB), rank via bin() length, harmonic sum kept as the exact
     // integer sum of 2^(55-M); the only doubles are one division and
     // the ln() correction, both mirrored op-for-op.
+    "dd13_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' '))) AS sset
+        |  FROM w WHERE len(ws) >= 5),
+        |sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
+        |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |cap AS (SELECT doc_id, shingle FROM sh JOIN dfs USING (shingle)
+        |  WHERE df BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cap a JOIN cap b ON a.shingle = b.shingle AND a.doc_id != b.doc_id),
+        |sc AS (SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        |      / len(sa.sset), 6) AS containment
+        |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, containment FROM sc
+        |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "st10_streaming_hll" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef',
+        |        md5(CAST(user_id AS VARCHAR))[i]) - 1 AS BIGINT))),
+        |      (a,c) -> a*16 + c) AS h FROM events),
+        |b AS (SELECT hour_start, h // 18014398509481984 AS bucket,
+        |        h % 18014398509481984 AS rem FROM h),
+        |r AS (SELECT hour_start, bucket, max(CASE WHEN rem = 0 THEN 55
+        |        ELSE 55 - length(bin(rem)) END) AS reg FROM b GROUP BY 1, 2),
+        |s AS (SELECT hour_start, CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isp,
+        |        CAST(count(*) AS BIGINT) AS obs FROM r GROUP BY 1),
+        |x AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1),
+        |g AS (SELECT hour_start, 64 - obs AS v_empty,
+        |        (0.7213/(1 + 1.079/64)) * 64 * 64
+        |          * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+        |          / CAST(isp + (64 - obs) * (CAST(1 AS BIGINT) << 55) AS DOUBLE) AS raw
+        |      FROM s)
+        |SELECT g.hour_start, CAST(v_empty AS BIGINT) AS v_empty,
+        |  CASE WHEN raw <= 160 AND v_empty > 0
+        |    THEN round(64 * ln(64/CAST(v_empty AS DOUBLE)), 6)
+        |    ELSE round(raw, 6) END AS est_hll,
+        |  x.n_exact
+        |FROM g JOIN x USING (hour_start)
+        |ORDER BY hour_start""".stripMargin,
     "x12_hll_setops" ->
       """WITH e AS (SELECT event_type AS t, user_id FROM events
         |  WHERE value > 100 AND event_type IN ('click','purchase')),

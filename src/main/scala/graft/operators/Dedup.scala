@@ -184,6 +184,58 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Gated dd13: CONTAINMENT near-dup pairs — the asymmetric measure
+    * C(A→B) = |A∩B| / |A| that catches "document A is (mostly) inside
+    * document B": quote expansions, boilerplate-wrapped reposts,
+    * trailing-append duplicates. Jaccard misses these when B is much
+    * longer than A (the union swamps the overlap); containment is the
+    * standard complement every serious dedup stack runs alongside it.
+    *
+    * Same scale machinery as [[jaccardPairsFrom]] — df-windowed
+    * 5-gram postings, [2, dfCap] candidate generation, exact
+    * intersection from capped counts + hot-shingle correction (df=1
+    * shingles cannot be shared, so the sum IS the full intersection)
+    * — but over ORDERED pairs, since containment is directional.
+    * Ratio of exact integers → oracle hash-checkable.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       n: Int = 5, threshold: Double = 0.5,
+                       dfCap: Int = 1000): DataFrame = {
+    val sh = docWords(spark, dir)
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"), n)).as("shingle"))
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val withDf = sh.withColumn("df", count(lit(1)).over(byShingle)).cache()
+    val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val capped = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("doc_id"), col("shingle"))
+    val hot = withDf.filter(col("df") > dfCap)
+      .select(col("doc_id"), col("shingle"))
+    val cappedCommon = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("capped_common"))
+    val inter = if (hot.isEmpty) {
+      cappedCommon.withColumnRenamed("capped_common", "common")
+    } else {
+      val hotCommon = cappedCommon.select(col("doc_a"), col("doc_b"))
+        .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(hot.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("hot_common"))
+      cappedCommon
+        .join(hotCommon, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (col("capped_common") + coalesce(col("hot_common"), lit(0L))).as("common"))
+    }
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .withColumn("containment",
+        round(col("common").cast("double") / col("sz_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // MinHash parameters: 96 permutations in 32 bands of 3 rows.
   // For pairs at the 0.7 threshold, P(miss) = (1 - 0.7^3)^32 ≈ 2e-6;
   // the planted near-dups in the corpus sit at J ≈ 0.95+ where
