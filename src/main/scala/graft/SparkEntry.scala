@@ -165,6 +165,7 @@ object SparkEntry {
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
+    "km1_kmeans"           -> ((s, d) => graft.operators.VectorOps.kmeansGate(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
@@ -866,6 +867,31 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "km1_kmeans" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v WHERE vec_id < 8),
+        |d1 AS (SELECT v.vec_id, c0.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (v.e[i] - c0.cv[i]) * (v.e[i] - c0.cv[i]))), (a,b) -> a + b) AS d2
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (SELECT a1.cid, t.i AS dim,
+        |    CAST(sum(CAST(round(v.e[t.i], 10) AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM a1 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |  GROUP BY a1.cid, t.i),
+        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |dd AS (SELECT v.vec_id, c1.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (v.e[i] - c1.cv[i]) * (v.e[i] - c1.cv[i]))), (a,b) -> a + b) AS d2
+        |  FROM v CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM dd)
+        |  WHERE rk = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(CAST(round(d2, 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS mean_d2
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
     "mx2_temperature_mix" ->
       """WITH s AS (SELECT source,
         |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS src_tokens

@@ -179,6 +179,62 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Gated km1: ORACLE-CHECKED distributed k-means (2 Lloyd
+    * iterations, k=8, first-k seeding) — the clustering kernel under
+    * IVF indexing, SemDedup blocking, and corpus bucketing, here with
+    * every step cross-engine exact so the whole training loop
+    * hash-matches DuckDB: distances are left-to-right folds of exact
+    * doubles, argmin ties break on centroid id, and centroid means
+    * accumulate as DECIMAL(25,10) per dimension (order-independent).
+    *
+    * Scale shape: each iteration is one broadcast of k×dim centroids
+    * into a per-row argmin (codegen'd fold), then one (cluster, dim)-
+    * keyed mean aggregation — the canonical BSP k-means with nothing
+    * driver-side but the centroid table. The final frame reports
+    * per-cluster sizes and DECIMAL-exact mean squared distance
+    * (inertia/n).
+    */
+  def kmeansGate(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 k: Int = 8, dim: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    val v = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
+    def d2(e: Column, cv: Column): Column =
+      aggregate(transform(sequence(lit(1), lit(dim)),
+        i => (element_at(e, i) - element_at(cv, i))
+          * (element_at(e, i) - element_at(cv, i))),
+        lit(0.0), (a, b) => a + b)
+    def assign(cents: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cid"),
+          d2(col("e"), col("cv")).as("d2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+    }
+    val c0 = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("e").as("cv"))
+    val a1 = assign(c0)
+    val m1 = a1
+      .select(col("cid"), posexplode(col("e")).as(Seq("d0", "x")))
+      .groupBy(col("cid"), (col("d0") + 1).as("dim"))
+      .agg((sum(round(col("x"), 10).cast("decimal(25,10)")).cast("double")
+        / count(lit(1))).as("mv"))
+    val c1 = m1.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+        s => s.getField("mv")).as("cv"))
+    assign(c1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("d2"), 8).cast("decimal(20,8)")).as("s"))
+      .select(col("cid"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_d2"))
+      .orderBy(col("cid"))
+  }
+
   /** Gated lr1: LINEAR-MODEL scoring + calibration table — the
     * "score every document with a trained quality classifier, then
     * check the score buckets against observed labels" step of

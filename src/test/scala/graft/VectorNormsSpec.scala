@@ -37,6 +37,25 @@ class VectorNormsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: clusters partition the corpus and beat the 1-cluster inertia") {
+    val rows = VectorOps.kmeansGate(spark, sf).collect()
+    assert(rows.length == 8)
+    val n = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(n == Tables.embeddings(spark, sf).count())
+    assert(rows.forall(_.getAs[Double]("mean_d2") > 0))
+    // weighted inertia must beat assigning everything to the global mean
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val global = Array.tabulate(dim)(i => vecs.map(_(i)).sum / vecs.length)
+    val oneCluster = vecs.map(v =>
+      v.zip(global).map { case (x, c) => (x - c) * (x - c) }.sum).sum / vecs.length
+    val kInertia = rows.map(r =>
+      r.getAs[Double]("mean_d2") * r.getAs[Long]("n_vecs")).sum / n
+    assert(kInertia < oneCluster,
+      s"k-means inertia $kInertia not better than 1-cluster $oneCluster")
+  }
+
   test("matryoshka head norm matches a driver-side recompute") {
     val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
       .collect().map { r =>
