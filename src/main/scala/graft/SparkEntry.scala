@@ -168,6 +168,7 @@ object SparkEntry {
     "km1_kmeans"           -> ((s, d) => graft.operators.VectorOps.kmeansGate(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
+    "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -906,6 +907,19 @@ object SparkEntry {
         |  round(sw / z.zsum, 6) AS weight,
         |  CAST(round(sw / z.zsum * t, 0) AS BIGINT) AS eff_tokens
         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+    "od1_mad_outliers" ->
+      """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT e.event_type, m.med, md.mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN m USING (event_type) JOIN md USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "dp2_psi_drift" ->
       """WITH b AS (SELECT CAST(floor(value/100) AS INT) AS bin,
         |    event_id % 2 AS half FROM events),

@@ -170,6 +170,46 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Gated od1: ROBUST outlier detection via median/MAD — the
+    * heavy-tail-safe alternative to z-scores (dq2): median and median
+    * absolute deviation are unmoved by the very outliers being
+    * hunted. Flags |x − med| > 3·1.4826·MAD per event type (1.4826
+    * scales MAD to σ under normality).
+    *
+    * Both medians come from the scan-bounded grouped order-statistic
+    * kernel ([[Quantiles.exactQuantiles]]) — counters to the driver,
+    * never value buffers — and are rounded to 6 decimals before
+    * re-entering the plan as literals, so both engines threshold
+    * against bit-identical cut points.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def litByType(pairs: Seq[(String, Double)]): org.apache.spark.sql.Column =
+      pairs.foldLeft(lit(Double.NaN)) { case (acc, (t, v)) =>
+        when(col("event_type") === t, lit(v)).otherwise(acc)
+      }
+    val meds = Quantiles.exactQuantiles(e, "value", Seq("p50" -> 0.5),
+        groupCols = Seq("event_type"))
+      .map { case (key, vals) =>
+        key.head.asInstanceOf[String] -> Quantiles.round6(vals.head) }
+    val medCol = litByType(meds)
+    val withDev = e.select(col("event_type"),
+      abs(col("value") - medCol).as("dev"))
+    val mads = Quantiles.exactQuantiles(withDev, "dev", Seq("p50" -> 0.5),
+        groupCols = Seq("event_type"))
+      .map { case (key, vals) =>
+        key.head.asInstanceOf[String] -> Quantiles.round6(vals.head) }
+    val madCol = litByType(mads)
+    e.select(col("event_type"), col("value"), medCol.as("med"), madCol.as("mad"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med"))
+          > lit(3.0) * lit(1.4826) * col("mad"), 1).otherwise(0))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val Seq((_, Seq(p01, p99))) = Quantiles.exactQuantiles(

@@ -31,6 +31,18 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("mad outliers: robust stats bounded and flag a minority of rows") {
+    val rows = Quality.madOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (med, mad) = (r.getAs[Double]("med"), r.getAs[Double]("mad"))
+      val (n, out) = (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"))
+      assert(mad >= 0 && med > 0)
+      assert(out >= 0 && out < n / 4,
+        s"MAD flagged >25% of ${r.getString(0)} as outliers — not robust")
+    }
+  }
+
   test("q10 returned items: revenue ranks desc and only quarter orders count") {
     val rows = Relational.returnedItemReport(spark, sf).collect()
     assert(rows.nonEmpty)
