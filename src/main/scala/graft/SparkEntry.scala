@@ -169,12 +169,14 @@ object SparkEntry {
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
+    "cor1_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "t10_tfidf"            -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "lm1_bigram_ppl"       -> ((s, d) => graft.operators.LanguageModel.bigramPerplexity(s, d)),
+    "pmi1_collocations"    -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "pr1_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
@@ -907,6 +909,30 @@ object SparkEntry {
         |  round(sw / z.zsum, 6) AS weight,
         |  CAST(round(sw / z.zsum * t, 0) AS BIGINT) AS eff_tokens
         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+    "cor1_corr_matrix" -> {
+      val cols = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+        "qty" -> "l_quantity", "tax" -> "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      def dec(c: String) = s"CAST($c AS DECIMAL(30,2))"
+      val sums = (
+        cols.map { case (nm, c) => s"CAST(sum(${dec(c)}) AS DOUBLE) AS s_$nm" } ++
+        cols.map { case (nm, c) => s"CAST(sum(${dec(c)} * ${dec(c)}) AS DOUBLE) AS ss_$nm" } ++
+        pairs.map { case ((na, ca), (nb, cb)) =>
+          s"CAST(sum(${dec(ca)} * ${dec(cb)}) AS DOUBLE) AS sp_${na}_$nb" }
+      ).mkString(",\n  ")
+      val rows = pairs.map { case ((na, _), (nb, _)) =>
+        s"""SELECT '$na' AS var_x, '$nb' AS var_y,
+           |  round((sp_${na}_$nb - s_$na * s_$nb / n)
+           |    / (sqrt(ss_$na - s_$na * s_$na / n)
+           |      * sqrt(ss_$nb - s_$nb * s_$nb / n)), 6) AS corr FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  $sums
+         |FROM lineitem)
+         |$rows
+         |ORDER BY var_x, var_y""".stripMargin
+    },
     "od1_mad_outliers" ->
       """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         |  FROM events GROUP BY 1),
@@ -1048,6 +1074,21 @@ object SparkEntry {
         |  GROUP BY e.dst)
         |SELECT node, round(pr, 12) AS pr FROM p3
         |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    "pmi1_collocations" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM w WHERE len(ws) >= 2),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ch AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |ct AS (SELECT w2, count(*) AS c2t FROM b GROUP BY 1)
+        |SELECT c2.w1, c2.w2, CAST(c2.c12 AS BIGINT) AS c12,
+        |  round(ln(CAST(c2.c12 AS DOUBLE) * nb.n
+        |    / (CAST(ch.c1 AS DOUBLE) * ct.c2t)), 6) AS pmi
+        |FROM c2 JOIN ch USING (w1) JOIN ct USING (w2) CROSS JOIN nb
+        |WHERE c2.c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "lm1_bigram_ppl" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),

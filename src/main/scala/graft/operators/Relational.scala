@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -542,6 +542,42 @@ object Relational {
           / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
             * sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
           .as("corr_qty_price"))
+  }
+
+  /** Gated cor1: full correlation MATRIX in one pass — all pairwise
+    * Pearson correlations of four lineitem measures from a single
+    * scan of DECIMAL-exact power sums (4 sums + 4 sums of squares +
+    * 6 cross products in ONE map-side-combinable aggregate). The
+    * feature-selection screen every model pipeline runs; at 100 TB
+    * the cost is one scan regardless of how many pairs are read off
+    * the sufficient statistics.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val vars = Seq(
+      "disc" -> col("l_discount"), "price" -> col("l_extendedprice"),
+      "qty" -> col("l_quantity"), "tax" -> col("l_tax"))
+    val pairs = for {
+      i <- vars.indices; j <- vars.indices if i < j
+    } yield (vars(i), vars(j))
+    def dec(c: Column): Column = c.cast("decimal(30,2)")
+    val aggs =
+      vars.map { case (nm, c) => sum(dec(c)).cast("double").as(s"s_$nm") } ++
+      vars.map { case (nm, c) =>
+        sum(dec(c) * dec(c)).cast("double").as(s"ss_$nm") } ++
+      pairs.map { case ((na, ca), (nb, cb)) =>
+        sum(dec(ca) * dec(cb)).cast("double").as(s"sp_${na}_$nb") }
+    val g = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case ((na, _), (nb, _)) =>
+      struct(lit(na).as("var_x"), lit(nb).as("var_y"),
+        round((col(s"sp_${na}_$nb") - col(s"s_$na") * col(s"s_$nb") / col("n"))
+          / (sqrt(col(s"ss_$na") - col(s"s_$na") * col(s"s_$na") / col("n"))
+            * sqrt(col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb") / col("n"))),
+          6).as("corr"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.var_x"), col("r.var_y"), col("r.corr"))
+      .orderBy(col("var_x"), col("var_y"))
   }
 
   /** Bag-semantics set operations (set4/set5): INTERSECT ALL /

@@ -472,6 +472,40 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated pmi1: POINTWISE MUTUAL INFORMATION collocations — the
+    * statistical phrase-mining pass ("new york"-style multiword
+    * units) tokenizer and n-gram pipelines run before vocabulary
+    * induction. PMI = ln(P(w1,w2)/(P(w1)P(w2))) over the bigram
+    * stream, min-count 5 to kill noise pairs, top-k.
+    *
+    * Scale shape: the bigram/marginal counts are the same three
+    * map-side-combinable aggregations as the bigram LM; the scoring
+    * join keys on the tokens. Probabilities are ratios of exact
+    * integer counts (products ≤ Nb² fit a double exactly at these
+    * magnitudes — and the ln(round 6) convention absorbs libm drift).
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - lit(2)),
+        i => struct(element_at(col("ws"), i + lit(1)).as("w1"),
+          element_at(col("ws"), i + lit(2)).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val nb = bigrams.count() // control-plane scalar
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ch = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val ct = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c2t"))
+    c2.filter(col("c12") >= minCount)
+      .join(ch, "w1").join(ct, "w2")
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") * lit(nb.toDouble))
+          / (col("c1").cast("double") * col("c2t"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   /** Gated mx2: TEMPERATURE-scaled mixture weights — the multilingual/
     * multi-source training-mix math (share^(1/T) renormalized, T=2):
     * up-weights tail sources relative to proportional sampling without

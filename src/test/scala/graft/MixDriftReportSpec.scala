@@ -31,6 +31,32 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("pmi collocations: the BPE step-1 merge pair appears with positive PMI") {
+    val rows = TextAnalysis.pmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.toSeq == pmis.sortBy(-_).toSeq)
+    assert(rows.forall(_.getAs[Long]("c12") >= 5))
+    // the corpus's strongest merge candidate should be a collocation too
+    val top = TextAnalysis.bpeTrain(spark, sf, steps = 1).head
+    val pairSet = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairSet.contains((top.getString(1), top.getString(2))) ||
+      pmis.head > 0, "top merge pair absent and no positive-PMI pair found")
+  }
+
+  test("correlation matrix: 6 pairs, values in [-1,1], symmetric to x9") {
+    val rows = Relational.corrMatrix(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $r")
+    }
+    val qtyPrice = rows.find(r =>
+      r.getString(0) == "price" && r.getString(1) == "qty").get.getAs[Double]("corr")
+    val x9 = Relational.quantityPriceCorr(spark, sf).head.getAs[Double]("corr_qty_price")
+    assert(math.abs(qtyPrice - x9) < 1e-6, s"matrix $qtyPrice vs x9 $x9")
+  }
+
   test("mad outliers: robust stats bounded and flag a minority of rows") {
     val rows = Quality.madOutliers(spark, sf).collect()
     assert(rows.nonEmpty)
