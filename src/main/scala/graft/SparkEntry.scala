@@ -170,6 +170,8 @@ object SparkEntry {
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
     "cor1_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
+    "fi1_frequent_pairs"   -> ((s, d) => Relational.frequentItemPairs(s, d)),
+    "fh1_feature_hashing"  -> ((s, d) => TextAnalysis.featureHashing(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "dd7_editdist_pairs"   -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -933,6 +935,25 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "fi1_frequent_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
+    "fh1_feature_hashing" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 10),
+        |h AS (SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7), i -> CAST(strpos('0123456789abcdef',
+        |        md5(w)[i]) - 1 AS BIGINT))), (a,c) -> a*16 + c) % 32 AS INT) AS dim
+        |  FROM t)
+        |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
     "od1_mad_outliers" ->
       """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
         |  FROM events GROUP BY 1),

@@ -544,6 +544,27 @@ object Relational {
           .as("corr_qty_price"))
   }
 
+  /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
+    * market-basket co-occurrence over order baskets. The pair
+    * generator is a per-basket self-join, so its cost is Σ k²/2 over
+    * basket sizes — bounded by the largest basket, not the table
+    * (the property that makes distributed a-priori feasible; a
+    * degenerate mega-basket gets capped or sampled upstream). One
+    * shuffle on the basket key, one on the pair key.
+    */
+  def frequentItemPairs(spark: SparkSession, dir: String,
+                        minSupport: Long = 3): DataFrame = {
+    val i = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    i.as("a").join(i.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(desc("support"), col("part_a"), col("part_b"))
+  }
+
   /** Gated cor1: full correlation MATRIX in one pass — all pairwise
     * Pearson correlations of four lineitem measures from a single
     * scan of DECIMAL-exact power sums (4 sums + 4 sums of squares +

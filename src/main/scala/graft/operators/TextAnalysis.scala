@@ -472,6 +472,26 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated fh1: FEATURE HASHING (the hashing trick) — project sparse
+    * token counts into a fixed 32-dim count vector per document via a
+    * hash of the token, no vocabulary table needed. The streaming-
+    * friendly featurization classic (Weinberger et al.): dimension =
+    * md5(token) mod 32, so both engines bucket identically, and at
+    * any corpus scale the feature space stays fixed-width with zero
+    * global state. One generator + one (doc, dim) count shuffle.
+    */
+  def featureHashing(spark: SparkSession, dir: String,
+                     dims: Int = 32, maxDocId: Long = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % lit(dims))
+          .cast("int").as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("dim"))
+
   /** Gated pmi1: POINTWISE MUTUAL INFORMATION collocations — the
     * statistical phrase-mining pass ("new york"-style multiword
     * units) tokenizer and n-gram pipelines run before vocabulary

@@ -69,6 +69,29 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("frequent pairs: supports ranked, min respected, pairs canonical") {
+    val rows = Relational.frequentItemPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sup = rows.map(_.getAs[Long]("support"))
+    assert(sup.toSeq == sup.sortBy(-_).toSeq && sup.forall(_ >= 3))
+    assert(rows.forall(r => r.getAs[Long]("part_a") < r.getAs[Long]("part_b")))
+  }
+
+  test("feature hashing: dims bounded, counts reconstruct token totals") {
+    val rows = TextAnalysis.featureHashing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val d = r.getAs[Int]("dim"); d >= 0 && d < 32 })
+    val hashedTotals = rows.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("nw"))
+      .collect().foreach { r =>
+        assert(hashedTotals(r.getLong(0)) == r.getInt(1).toLong,
+          s"doc ${r.getLong(0)}: hashed mass != token count")
+      }
+  }
+
   test("q10 returned items: revenue ranks desc and only quarter orders count") {
     val rows = Relational.returnedItemReport(spark, sf).collect()
     assert(rows.nonEmpty)
