@@ -162,6 +162,7 @@ object SparkEntry {
     "fn1_event_funnel"     -> ((s, d) => graft.operators.Behavior.eventFunnel(s, d)),
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
+    "mk1_markov_transitions"-> ((s, d) => graft.operators.Behavior.markovTransitions(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
@@ -715,6 +716,17 @@ object SparkEntry {
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mk1_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts)//1000 AS us FROM events),
+        |t AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM s),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "pit1_pit_features" ->
       """SELECT p.event_id, p.user_id, CAST(count(c.cid) AS BIGINT) AS n_clicks_7d
         |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS pus FROM events

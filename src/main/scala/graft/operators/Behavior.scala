@@ -86,6 +86,34 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gated mk1: MARKOV TRANSITION MATRIX over per-user event
+    * sequences — the first-order sequence model behind next-action
+    * prediction and session simulation. One window pass (lag over
+    * the user partitioning, micros+event_id ordering for a total
+    * order) produces the transition stream; counts and row-
+    * normalized probabilities are exact integer ratios.
+    *
+    * Scale shape: one shuffle on user_id for the lag window, then a
+    * 25-key count aggregation — the transition matrix is
+    * type²-cardinality regardless of corpus size.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(totals), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Gated pit1: POINT-IN-TIME feature join — for each label event
     * (purchase) compute a feature over a trailing window of history
     * events (clicks in the prior 7 days), using only data strictly

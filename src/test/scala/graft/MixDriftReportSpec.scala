@@ -69,6 +69,20 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("markov transitions: rows per prev sum to 1, transitions conserve events") {
+    val rows = graft.operators.Behavior.markovTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, grp) =>
+      val psum = grp.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-3, s"P(.|$prev) sums to $psum")
+    }
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(nTrans == nEvents - nUsers,
+      s"transitions $nTrans != events $nEvents - users $nUsers")
+  }
+
   test("frequent pairs: supports ranked, min respected, pairs canonical") {
     val rows = Relational.frequentItemPairs(spark, sf).collect()
     assert(rows.nonEmpty)
