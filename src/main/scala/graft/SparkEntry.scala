@@ -163,6 +163,7 @@ object SparkEntry {
     "ct1_cohort_retention" -> ((s, d) => graft.operators.Behavior.cohortRetention(s, d)),
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
     "mk1_markov_transitions"-> ((s, d) => graft.operators.Behavior.markovTransitions(s, d)),
+    "aj3_asof_native"      -> ((s, d) => Relational.asofNativePurchaseClick(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
@@ -738,6 +739,14 @@ object SparkEntry {
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p.event_id""".stripMargin,
     "aj1_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, c.cid AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS cid FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "aj3_asof_native" ->
       """SELECT p.event_id, p.user_id, c.cid AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (

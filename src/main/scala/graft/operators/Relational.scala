@@ -544,6 +544,27 @@ object Relational {
           .as("corr_qty_price"))
   }
 
+  /** Gated aj3: the aj1 as-of join through the NATIVE
+    * [[graft.plans.AsofJoinExec]] operator (custom LogicalPlan +
+    * Strategy + physical merge with distribution/ordering
+    * requirements) instead of the union+window formulation — same
+    * semantics, O(1) merge state per partition, one exchange + sort
+    * per side. Times ride as integer micros (LongType contract).
+    */
+  def asofNativePurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cts"),
+        col("event_id").as("cid"))
+    graft.plans.AsofJoinOps.asofBackward(
+        purchases, clicks,
+        Seq("user_id"), Seq("cu"), "pts", "cts", "cid")
+      .select(col("event_id"), col("user_id"), col("cid").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
     * market-basket co-occurrence over order baskets. The pair
     * generator is a per-basket self-join, so its cost is Σ k²/2 over

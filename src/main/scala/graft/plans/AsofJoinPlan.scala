@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.{ColumnShim, PlanShim}
+import org.apache.spark.sql.types.LongType
+
+/** Native AS-OF JOIN as a first-class operator — the time-series join
+  * Spark's logical algebra lacks (the aj1/aj2 gates express it as a
+  * union + window trick; engines like DuckDB/kdb ship it natively).
+  * This is the engine's demonstration of the full custom-operator
+  * stack from SURVEY §4: a [[AsofJoin]] LogicalPlan, a
+  * [[AsofJoinStrategy]] SparkStrategy, and a [[AsofJoinExec]]
+  * physical node that declares DISTRIBUTION and ORDERING requirements
+  * so EnsureRequirements plans exactly one hash exchange + sort per
+  * side — after which the merge itself is a single forward pass with
+  * O(1) state per partition (ONE held right row), versus the
+  * window formulation's union + full per-key sort + filter.
+  *
+  * Semantics: backward inclusive as-of — for each left row, the last
+  * right row with equal keys and rightTime <= leftTime (ties broken
+  * by the greatest rightTie), LEFT OUTER (unmatched left rows emit
+  * nulls on the right). Time and tie expressions must be LongType
+  * (callers project timestamps to integer micros, which also
+  * sidesteps ns/µs physical-type skew).
+  */
+case class AsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression, rightTie: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, tie) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "as-of times must be LongType (project timestamps to integer micros)")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // One hash exchange per side on the join keys — the same contract as
+  // sort-merge join, so AQE/EnsureRequirements co-partition the sides.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // Each side sorted by (keys, time[, tie]) — EnsureRequirements
+  // inserts the sorts; the merge below then needs no buffering.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output; val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val rBuf = ri.buffered
+      // O(1) merge state: the as-of predecessor for the current key.
+      var heldKey: UnsafeRow = null
+      var held: InternalRow = null
+      li.map { lrow =>
+        val lk = lKeyProj(lrow)
+        val lt = lTimeProj(lrow).getLong(0)
+        // discard right rows for keys already passed
+        while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
+          rBuf.next()
+        // absorb right rows at this key up to the left time; the LAST
+        // one absorbed is the as-of match (sorted by time, then tie)
+        var advanced = false
+        while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+            && rTimeProj(rBuf.head).getLong(0) <= lt) {
+          held = rBuf.next().copy(); advanced = true
+        }
+        if (advanced) heldKey = lk.copy()
+        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        joined(lrow, if (matched) held else nullRight)
+      }
+    }
+  }
+}
+
+/** DataFrame-level builder + session wiring for the native as-of join. */
+object AsofJoinOps {
+
+  /** Backward inclusive as-of LEFT join; time/tie columns must be
+    * LongType. Children should expose disjoint column names (alias
+    * the right side) — the node does not deduplicate self-join
+    * attribute ids. Keys/times are given by NAME and bound here
+    * against the analyzed children (Spark 4 Columns carry opaque
+    * lazy nodes the analyzer will not resolve inside foreign plans).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lPlan = PlanShim.analyzed(left)
+    val rPlan = PlanShim.analyzed(right)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        sys.error(s"asofBackward: column '$name' not in ${plan.output.map(_.name)}"))
+    PlanShim.ofRows(spark, AsofJoin(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class AsofJoinPlanSpec extends SparkSpec {
+
+  test("native as-of join plans AsofJoinExec with one exchange+sort per side") {
+    val df = Relational.asofNativePurchaseClick(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing from plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges")
+    assert("\\bSort\\b".r.findAllIn(plan).length >= 2,
+      "EnsureRequirements should insert a sort per side")
+  }
+
+  test("native as-of join result equals the window-trick formulation") {
+    val native = Relational.asofNativePurchaseClick(spark, sf).collect()
+    val viaWindow = Relational.asofPurchaseClick(spark, sf).collect()
+    assert(native.length == viaWindow.length)
+    val n = native.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    val w = viaWindow.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(n.toSeq == w.toSeq)
+  }
+
+  test("native as-of join: unmatched purchases yield null click ids") {
+    val rows = Relational.asofNativePurchaseClick(spark, sf).collect()
+    // every matched click must precede-or-equal its purchase in time
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(e(r.getLong(2)) <= e(r.getLong(0)),
+        s"click ${r.getLong(2)} after purchase ${r.getLong(0)}")
+    }
+  }
+}
