@@ -164,6 +164,7 @@ object SparkEntry {
     "pit1_pit_features"    -> ((s, d) => graft.operators.Behavior.pointInTimeFeatures(s, d)),
     "mk1_markov_transitions"-> ((s, d) => graft.operators.Behavior.markovTransitions(s, d)),
     "aj3_asof_native"      -> ((s, d) => Relational.asofNativePurchaseClick(s, d)),
+    "aj4_asof_native_fwd"  -> ((s, d) => Relational.asofNativeNextPurchase(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
@@ -746,6 +747,14 @@ object SparkEntry {
         |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "aj4_asof_native_fwd" ->
+      """SELECT c.event_id, c.user_id, p.pid AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS pid FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "aj3_asof_native" ->
       """SELECT p.event_id, p.user_id, c.cid AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

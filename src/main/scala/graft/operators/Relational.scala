@@ -565,6 +565,25 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Gated aj4: forward variant of [[asofNativePurchaseClick]] — each
+    * click joined to its NEXT purchase through the native operator's
+    * successor mode (tie sorted descending so the greatest id wins at
+    * equal times, mirroring the aj2 oracle's pre-aggregation).
+    */
+  def asofNativeNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pts"),
+        col("event_id").as("pid"))
+    graft.plans.AsofJoinOps.asofForward(
+        clicks, purchases,
+        Seq("user_id"), Seq("pu"), "cts", "pts", "pid")
+      .select(col("event_id"), col("user_id"), col("pid").as("purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
     * market-basket co-occurrence over order baskets. The pair
     * generator is a per-basket self-join, so its cost is Σ k²/2 over

@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -34,7 +34,8 @@ import org.apache.spark.sql.types.LongType
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression, rightTie: Expression)
+    leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,8 +46,8 @@ case class AsofJoin(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsofJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tie, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, tie, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -54,6 +55,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -70,10 +72,14 @@ case class AsofJoinExec(
 
   // Each side sorted by (keys, time[, tie]) — EnsureRequirements
   // inserts the sorts; the merge below then needs no buffering.
+  // Forward mode sorts the tie DESCENDING so the first row at the
+  // matching time is the greatest tie (mirrors the backward mode's
+  // last-absorbed-wins).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) ++
-      Seq(SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending)))
+      Seq(SortOrder(rightTime, Ascending),
+        SortOrder(rightTie, if (forward) Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
@@ -96,25 +102,44 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val rBuf = ri.buffered
-      // O(1) merge state: the as-of predecessor for the current key.
-      var heldKey: UnsafeRow = null
-      var held: InternalRow = null
-      li.map { lrow =>
-        val lk = lKeyProj(lrow)
-        val lt = lTimeProj(lrow).getLong(0)
-        // discard right rows for keys already passed
-        while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
-          rBuf.next()
-        // absorb right rows at this key up to the left time; the LAST
-        // one absorbed is the as-of match (sorted by time, then tie)
-        var advanced = false
-        while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
-            && rTimeProj(rBuf.head).getLong(0) <= lt) {
-          held = rBuf.next().copy(); advanced = true
+      if (forward) {
+        // successor mode: the head row (sorted time asc, tie desc) is
+        // the match once rows strictly before the left time are gone.
+        li.map { lrow =>
+          val lk = lKeyProj(lrow)
+          val lt = lTimeProj(lrow).getLong(0)
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
+            rBuf.next()
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+              && rTimeProj(rBuf.head).getLong(0) < lt)
+            rBuf.next()
+          val matched = rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+          // copy: BufferedIterator caches the reference and upstream
+          // readers reuse row objects across next() calls
+          joined(lrow, if (matched) rBuf.head.copy() else nullRight)
         }
-        if (advanced) heldKey = lk.copy()
-        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
-        joined(lrow, if (matched) held else nullRight)
+      } else {
+        // O(1) merge state: the as-of predecessor for the current key.
+        var heldKey: UnsafeRow = null
+        var held: InternalRow = null
+        li.map { lrow =>
+          val lk = lKeyProj(lrow)
+          val lt = lTimeProj(lrow).getLong(0)
+          // discard right rows for keys already passed
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
+            rBuf.next()
+          // absorb right rows at this key up to the left time; the LAST
+          // one absorbed is the as-of match (sorted by time, then tie)
+          var advanced = false
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+              && rTimeProj(rBuf.head).getLong(0) <= lt) {
+            held = rBuf.next().copy(); advanced = true
+          }
+          if (advanced) heldKey = lk.copy()
+          val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+          joined(lrow, if (matched) held else nullRight)
+        }
       }
     }
   }
@@ -133,7 +158,24 @@ object AsofJoinOps {
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKeys: Seq[String], rightKeys: Seq[String],
                    leftTime: String, rightTime: String,
-                   rightTie: String): DataFrame = {
+                   rightTie: String): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime, rightTie,
+      forward = false)
+
+  /** Forward inclusive as-of LEFT join (earliest right at-or-after the
+    * left time, greatest tie among equals).
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKeys: Seq[String], rightKeys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightTie: String): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime, rightTie,
+      forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   rightTie: String, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
@@ -146,6 +188,7 @@ object AsofJoinOps {
     PlanShim.ofRows(spark, AsofJoin(
       lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie)))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie),
+      forward))
   }
 }

@@ -26,6 +26,16 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(n.toSeq == w.toSeq)
   }
 
+  test("native forward as-of equals the window-trick aj2 formulation") {
+    val native = Relational.asofNativeNextPurchase(spark, sf).collect()
+    val viaWindow = Relational.asofNextPurchase(spark, sf).collect()
+    assert(native.length == viaWindow.length && native.nonEmpty)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(norm(native) == norm(viaWindow))
+  }
+
   test("native as-of join: unmatched purchases yield null click ids") {
     val rows = Relational.asofNativePurchaseClick(spark, sf).collect()
     // every matched click must precede-or-equal its purchase in time
