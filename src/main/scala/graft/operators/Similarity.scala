@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -414,6 +414,53 @@ object Similarity {
       .withColumn("score", round(
         VectorOps.dot(col("q"), col("v")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Gated ss6: HASH-CHECKED hyperplane-LSH ANN — unlike ss2 (whose
+    * xxhash64 planes have no DuckDB counterpart, hence rows-only),
+    * this variant derives its hyperplane signs from md5 (the engine's
+    * cross-engine hash, same construction as rp1's sign matrix), so
+    * the ENTIRE ANN path — signatures, bucket candidate join, exact
+    * cosine re-rank — is replayed bit-for-bit by the oracle. 6
+    * planes → 64 buckets; candidates are same-signature vectors; the
+    * re-rank is the ss1 scoring on the (small) candidate set.
+    *
+    * Scale shape: signatures are per-row plan-literal folds (one
+    * scan, no side data), the candidate join keys on the signature
+    * (bucket-sized partitions), and only candidate pairs pay the
+    * exact cosine.
+    */
+  def lshAnnChecked(spark: SparkSession, dir: String,
+                    planes: Int = 6, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val h = md.digest(s"lsh_${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+    val sigExpr = (0 until planes).map { j =>
+      val dot = (0 until Dim).map { d =>
+        element_at(col("v"), d + 1) * lit(sign(j, d))
+      }.foldLeft(lit(0.0): Column)(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigd = corpus.withColumn("sig", sigExpr)
+    val queries = sigd.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    sigd.join(broadcast(queries),
+        col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(
+        VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("score"))

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Similarity
+
+class LshCheckedSpec extends SparkSpec {
+
+  test("checked LSH ANN: neighbors are a subset of same-bucket candidates with sane scores") {
+    val rows = Similarity.lshAnnChecked(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+      val s = r.getAs[Double]("score")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+    }
+    // per-query ranks are contiguous from 1
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, grp) =>
+      val ranks = grp.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq)
+    }
+  }
+
+  test("checked LSH ANN candidates score no higher than brute-force rank-1") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("score")).toMap
+    Similarity.lshAnnChecked(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1).foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Double]("score") <= brute(q) + 1e-9,
+          s"LSH rank-1 beats brute rank-1 for query $q")
+      }
+  }
+}
