@@ -166,6 +166,10 @@ object SparkEntry {
     "aj3_asof_native"      -> ((s, d) => Relational.asofNativePurchaseClick(s, d)),
     "aj4_asof_native_fwd"  -> ((s, d) => Relational.asofNativeNextPurchase(s, d)),
     "ss6_lsh_ann_checked"  -> ((s, d) => Similarity.lshAnnChecked(s, d)),
+    "cs1_chi_square"       -> ((s, d) => Relational.chiSquareIndependence(s, d)),
+    "ols1_linear_fit"      -> ((s, d) => Relational.olsPriceOnQuantity(s, d)),
+    "seg1_rfm_segments"    -> ((s, d) => graft.operators.Behavior.rfmSegments(s, d)),
+    "w9_group_topk"        -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
@@ -988,6 +992,54 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "cs1_chi_square" ->
+      """WITH o AS (SELECT event_type, user_id % 2 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS obs FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY 1),
+        |ct AS (SELECT cohort, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+        |t AS (SELECT o.event_type, o.cohort, obs,
+        |    CAST(rt.rtot AS DOUBLE) * ct.ctot / n.n AS exp
+        |  FROM o JOIN rt USING (event_type) JOIN ct USING (cohort) CROSS JOIN n)
+        |SELECT event_type, CAST(cohort AS BIGINT) AS cohort, obs,
+        |  round(exp, 6) AS expected,
+        |  round((obs - exp) * (obs - exp) / exp, 6) AS chi2_term
+        |FROM t ORDER BY event_type, cohort""".stripMargin,
+    "ols1_linear_fit" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+        |    * CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+        |    * CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
+    "seg1_rfm_segments" ->
+      """WITH m AS (SELECT o_custkey AS c, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT c, freq, monetary,
+        |    ntile(4) OVER (ORDER BY last_order DESC, c) AS r_q,
+        |    ntile(4) OVER (ORDER BY freq DESC, c) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, c) AS m_q
+        |  FROM m)
+        |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(CAST(round(monetary, 2) AS DECIMAL(30,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_monetary
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "w9_group_topk" ->
+      """WITH j AS (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank FROM j)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM r
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "fi1_frequent_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -86,6 +86,35 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gated seg1: RFM SEGMENTATION — recency/frequency/monetary
+    * quartile codes per customer, then segment-level sizes and
+    * DECIMAL-exact mean spend. The classic lifecycle-marketing
+    * bucketing; three ntile windows over the (small) per-customer
+    * frame after one fact aggregation, so the global windows never
+    * see fact-table cardinality.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).cast("double")
+          .as("monetary"))
+    val q = m
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(desc("last_order"), asc("c"))))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(desc("freq"), asc("c"))))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(desc("monetary"), asc("c"))))
+    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round(col("monetary"), 2).cast("decimal(30,2)")).as("s"))
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
+        round(col("s").cast("double") / col("n_customers"), 6).as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Gated mk1: MARKOV TRANSITION MATRIX over per-user event
     * sequences — the first-order sequence model behind next-action
     * prediction and session simulation. One window pass (lag over

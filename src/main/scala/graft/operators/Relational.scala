@@ -584,6 +584,70 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Gated cs1: CHI-SQUARE independence test cells — the contingency
+    * analysis behind "does event mix differ by cohort" questions.
+    * Observed counts are exact integers; expected counts and χ²
+    * terms are deterministic double ratios (the spec sums the terms
+    * and checks the statistic against the independence threshold).
+    * One count aggregation + two marginal reductions.
+    */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = o.groupBy(col("event_type")).agg(sum(col("obs")).as("rtot"))
+    val ct = o.groupBy(col("cohort")).agg(sum(col("obs")).as("ctot"))
+    val n = o.agg(sum(col("obs"))).head.getLong(0) // control-plane scalar
+    o.join(rt, "event_type").join(ct, "cohort")
+      .select(col("event_type"), col("cohort"), col("obs"),
+        (col("rtot").cast("double") * col("ctot") / lit(n.toDouble)).as("exp"))
+      .select(col("event_type"), col("cohort"), col("obs"),
+        round(col("exp"), 6).as("expected"),
+        round((col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp"), 6).as("chi2_term"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  /** Gated ols1: closed-form simple linear regression
+    * (price ~ quantity) from the same one-pass DECIMAL power sums as
+    * [[corrMatrix]] — the "fit a trend line at table scale" primitive;
+    * model fitting cost = one scan, coefficients read off the
+    * sufficient statistics.
+    */
+  def olsPriceOnQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(30,2)")
+    val y = col("l_extendedprice").cast("decimal(30,2)")
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(x * y).cast("double").as("sxy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6).as("intercept"))
+  }
+
+  /** Gated w9: per-group top-k through Spark's native
+    * WindowGroupLimit optimization — the rank-filter pushdown that
+    * prunes each partition to its local top-k BEFORE the window
+    * shuffle (the optimization [[graft.plans.AsofJoinPlan]]'s design
+    * notes reference; the spec asserts the node appears). At 100 TB
+    * this is the difference between shuffling every order and
+    * shuffling k rows per segment per map partition.
+    */
+  def topOrdersPerSegment(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
   /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
     * market-basket co-occurrence over order baskets. The pair
     * generator is a per-basket self-join, so its cost is Σ k²/2 over

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Behavior, Relational}
+
+class StatsSegmentsSpec extends SparkSpec {
+
+  test("chi-square: parity cohorts are independent of event type") {
+    val rows = Relational.chiSquareIndependence(spark, sf).collect()
+    assert(rows.length == 10) // 5 types x 2 cohorts
+    val chi2 = rows.map(_.getAs[Double]("chi2_term")).sum
+    // dof = (5-1)(2-1) = 4; 0.999 quantile ~ 18.47 — a parity split
+    // of synthetic uniform events must not look dependent
+    assert(chi2 < 18.47, s"chi2 $chi2 flags dependence on a parity split")
+    val totalObs = rows.map(_.getAs[Long]("obs")).sum
+    assert(totalObs == Tables.events(spark, sf).count())
+  }
+
+  test("ols: fitted line reproduces mean price at mean quantity") {
+    val r = Relational.olsPriceOnQuantity(spark, sf).head
+    val (slope, icept) = (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))
+    val m = Tables.lineitem(spark, sf)
+      .agg(avg(col("l_quantity")), avg(col("l_extendedprice"))).head
+    val (mx, my) = (m.getDouble(0), m.getDouble(1))
+    // OLS identity: the regression line passes through (x-bar, y-bar)
+    assert(math.abs(slope * mx + icept - my) / my < 1e-4,
+      s"line misses the centroid: ${slope * mx + icept} vs $my")
+  }
+
+  test("rfm segments: quartiles partition customers evenly per axis") {
+    val rows = Behavior.rfmSegments(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(total == nCust)
+    Seq("r_q", "f_q", "m_q").foreach { axis =>
+      val byAxis = rows.groupBy(_.getAs[Int](axis))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+      assert(byAxis.keys.toSet == Set(1, 2, 3, 4))
+      val sizes = byAxis.values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$axis quartiles uneven: $byAxis")
+    }
+  }
+
+  test("group top-k plans through WindowGroupLimit") {
+    val df = Relational.topOrdersPerSegment(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected native rank-pushdown node in plan:\n${plan.take(1500)}")
+    val rows = df.collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      assert(grp.length <= 3)
+      val prices = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.toSeq == prices.sortBy(-_).toSeq)
+    }
+  }
+}
