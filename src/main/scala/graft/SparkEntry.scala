@@ -170,6 +170,8 @@ object SparkEntry {
     "ols1_linear_fit"      -> ((s, d) => Relational.olsPriceOnQuantity(s, d)),
     "seg1_rfm_segments"    -> ((s, d) => graft.operators.Behavior.rfmSegments(s, d)),
     "w9_group_topk"        -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
+    "cp1_cusum_hourly"     -> ((s, d) => graft.operators.Quality.cusumHourly(s, d)),
+    "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
@@ -992,6 +994,23 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "cp1_cusum_hourly" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean FROM h)
+        |SELECT hour_start, n,
+        |  round(CAST(sum(CAST(round(n - s.mean, 6) AS DECIMAL(20,6)))
+        |    OVER (ORDER BY hour_start ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cusum
+        |FROM h CROSS JOIN s ORDER BY hour_start""".stripMargin,
+    "hh1_top_tokens_source" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, w, n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, w ASC) AS INT) AS rank FROM c)
+        |SELECT source, w, n, rank FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
     "cs1_chi_square" ->
       """WITH o AS (SELECT event_type, user_id % 2 AS cohort,
         |    CAST(count(*) AS BIGINT) AS obs FROM events GROUP BY 1, 2),

@@ -170,6 +170,33 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Gated cp1: CUSUM change-point series — cumulative sums of
+    * per-hour count deviations from the global mean, the classic
+    * sequential drift detector (the |S| peak marks the most likely
+    * change point; the spec locates it and bounds |S| for the
+    * stationary corpus). Deviations round to DECIMAL(20,6) before
+    * the running window sum, so the cumulative series is exact and
+    * engine-identical; the window runs over the hours-cardinality
+    * frame, never the raw events.
+    */
+  def cusumHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.agg(sum(col("n")), count(lit(1))).head
+    val mean = stats.getLong(0).toDouble / stats.getLong(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hour_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hourly
+      .withColumn("dev",
+        round(col("n") - lit(mean), 6).cast("decimal(20,6)"))
+      .withColumn("cusum", round(sum(col("dev")).over(w).cast("double"), 6))
+      .select(col("hour_start"), col("n"), col("cusum"))
+      .orderBy(col("hour_start"))
+  }
+
   /** Gated od1: ROBUST outlier detection via median/MAD — the
     * heavy-tail-safe alternative to z-scores (dq2): median and median
     * absolute deviation are unmoved by the very outliers being

@@ -472,6 +472,24 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated hh1: per-group HEAVY HITTERS — top-3 tokens per source via
+    * a grouped count + rank window; the per-stratum vocabulary
+    * summary corpus cards report. The rank filter hits Spark's
+    * WindowGroupLimit pushdown (see w9), so each map partition ships
+    * only its local top-k per source.
+    */
+  def topTokensPerSource(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("n"), asc("w"))
+    counts.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Gated fh1: FEATURE HASHING (the hashing trick) — project sparse
     * token counts into a fixed 32-dim count vector per document via a
     * hash of the token, no vocabulary table needed. The streaming-

@@ -41,6 +41,27 @@ class StatsSegmentsSpec extends SparkSpec {
     }
   }
 
+  test("cusum: series ends near zero and stays bounded on stationary data") {
+    val rows = graft.operators.Quality.cusumHourly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sum of deviations over the full series is ~0 by construction
+    // (up to the 1e-6 per-term rounding)
+    val last = rows.last.getAs[Double]("cusum")
+    assert(math.abs(last) < rows.length * 1e-5, s"cusum does not close: $last")
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("per-source heavy hitters: 3 ranked tokens per source, counts consistent") {
+    val rows = graft.operators.TextAnalysis.topTokensPerSource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      assert(grp.length <= 3)
+      val ns = grp.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n"))
+      assert(ns.toSeq == ns.sortBy(-_).toSeq)
+    }
+  }
+
   test("group top-k plans through WindowGroupLimit") {
     val df = Relational.topOrdersPerSegment(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
