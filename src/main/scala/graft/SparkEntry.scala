@@ -171,6 +171,8 @@ object SparkEntry {
     "seg1_rfm_segments"    -> ((s, d) => graft.operators.Behavior.rfmSegments(s, d)),
     "w9_group_topk"        -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "cp1_cusum_hourly"     -> ((s, d) => graft.operators.Quality.cusumHourly(s, d)),
+    "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
+    "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
@@ -994,6 +996,28 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "ab1_ab_readout" ->
+      """WITH u AS (SELECT user_id, CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS grp,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS conv FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN grp = 0 THEN n END) AS n_a, max(CASE WHEN grp = 0 THEN conv END) AS c_a,
+        |    max(CASE WHEN grp = 1 THEN n END) AS n_b, max(CASE WHEN grp = 1 THEN conv END) AS c_b
+        |  FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6) AS lift,
+        |  round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0/n_a + 1.0/n_b)), 6) AS z_stat
+        |FROM w""".stripMargin,
+    "rs1_fixed_sample" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
+        |FROM documents ORDER BY priority, doc_id LIMIT 25""".stripMargin,
     "cp1_cusum_hourly" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

@@ -86,6 +86,36 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gated ab1: A/B conversion comparison — per-variant user counts,
+    * conversion rates, lift, and the pooled two-proportion z
+    * statistic (the experiment read-out every growth team computes).
+    * Rates are exact integer ratios; the z arithmetic is a fixed
+    * IEEE sequence mirrored in the oracle. One user-keyed
+    * aggregation; everything after is scalar math on a 2-row frame.
+    */
+  def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        when(col("user_id") % 3 === 0, 0).otherwise(1).as("grp"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 200, 1)
+        .otherwise(0)).as("converted"))
+    val g = u.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val w = g.agg(
+      max(when(col("grp") === 0, col("n"))).as("n_a"),
+      max(when(col("grp") === 0, col("conv"))).as("c_a"),
+      max(when(col("grp") === 1, col("n"))).as("n_b"),
+      max(when(col("grp") === 1, col("conv"))).as("c_b"))
+    val rateA = col("c_a").cast("double") / col("n_a")
+    val rateB = col("c_b").cast("double") / col("n_b")
+    val pooled = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(rateA, 6).as("rate_a"), round(rateB, 6).as("rate_b"),
+      round(rateB - rateA, 6).as("lift"),
+      round((rateB - rateA) / sqrt(pooled * (lit(1) - pooled)
+        * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_stat"))
+  }
+
   /** Gated seg1: RFM SEGMENTATION — recency/frequency/monetary
     * quartile codes per customer, then segment-level sizes and
     * DECIMAL-exact mean spend. The classic lifecycle-marketing

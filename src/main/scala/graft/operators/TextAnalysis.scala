@@ -472,6 +472,19 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated rs1: fixed-SIZE deterministic uniform sample — exactly k
+    * documents chosen by md5 priority (smallest hashes win), the
+    * reservoir-sampling contract without randomness: reproducible
+    * across runs/engines/retries, and at scale a TakeOrderedAndProject
+    * (per-partition top-k, k rows to the driver) rather than a sort.
+    * Complements rate-based sa1 and weighted ws1.
+    */
+  def fixedSizeSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
   /** Gated hh1: per-group HEAVY HITTERS — top-3 tokens per source via
     * a grouped count + rank window; the per-stratum vocabulary
     * summary corpus cards report. The rank filter hits Spark's

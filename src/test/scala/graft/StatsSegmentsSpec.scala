@@ -41,6 +41,26 @@ class StatsSegmentsSpec extends SparkSpec {
     }
   }
 
+  test("ab readout: groups partition users, z consistent with lift sign") {
+    val r = Behavior.abTestReadout(spark, sf).head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(na + nb == users)
+    val (ca, cb) = (r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))
+    assert(ca <= na && cb <= nb)
+    val lift = r.getAs[Double]("lift"); val z = r.getAs[Double]("z_stat")
+    assert(lift.sign == z.sign || lift == 0.0)
+    assert(math.abs(r.getAs[Double]("rate_a") - ca.toDouble / na) < 1e-5)
+  }
+
+  test("fixed-size sample: exactly k docs, stable, priority-ordered") {
+    val a = graft.operators.TextAnalysis.fixedSizeSample(spark, sf).collect()
+    val b = graft.operators.TextAnalysis.fixedSizeSample(spark, sf).collect()
+    assert(a.length == 25 && a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val prios = a.map(_.getString(1))
+    assert(prios.toSeq == prios.sorted.toSeq)
+  }
+
   test("cusum: series ends near zero and stays bounded on stationary data") {
     val rows = graft.operators.Quality.cusumHourly(spark, sf).collect()
     assert(rows.nonEmpty)
