@@ -173,6 +173,8 @@ object SparkEntry {
     "cp1_cusum_hourly"     -> ((s, d) => graft.operators.Quality.cusumHourly(s, d)),
     "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
+    "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
+    "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
@@ -997,6 +999,21 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "kan1_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT) AS l_diversity,
+        |  count(*) < 10 AS k10_violation
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "ts3_seasonal_profile" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    CAST(hour(ts) AS INT) AS hod, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT hod, CAST(sum(n) AS DOUBLE) / count(*) AS seasonal FROM h GROUP BY 1)
+        |SELECT h.hour_start, h.n, round(s.seasonal, 6) AS seasonal_mean,
+        |  round(h.n - s.seasonal, 6) AS residual
+        |FROM h JOIN s USING (hod) ORDER BY hour_start LIMIT 48""".stripMargin,
     "ab1_ab_readout" ->
       """WITH u AS (SELECT user_id, CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS grp,
         |    max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted

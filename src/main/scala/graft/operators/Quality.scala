@@ -170,6 +170,45 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Gated kan1: K-ANONYMITY / L-DIVERSITY audit — for each
+    * quasi-identifier equivalence class (nation × market segment),
+    * the class size and the count of distinct sensitive-value
+    * buckets (account balance in 1k bands), with a k<10 violation
+    * flag. The privacy pre-release check any shared dataset runs;
+    * one grouped aggregation with a two-phase distinct, scale-free.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(floor(col("c_acctbal") / 1000)).as("l_diversity"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("class_size"), col("l_diversity"),
+        (col("class_size") < k).as("k10_violation"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Gated ts3: SEASONAL-PROFILE decomposition — hour-of-day mean
+    * profile subtracted from the hourly series (the cheap STL stand-
+    * in that catches diurnal structure before anomaly thresholds are
+    * set). Two aggregations + a 24-row broadcast join; residuals are
+    * deterministic double differences of integer-ratio means.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String, limit: Int = 48): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val s = h.groupBy(col("hod"))
+      .agg((sum(col("n")).cast("double") / count(lit(1))).as("seasonal"))
+    h.join(broadcast(s), "hod")
+      .select(col("hour_start"), col("n"),
+        round(col("seasonal"), 6).as("seasonal_mean"),
+        round(col("n") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("hour_start"))
+      .limit(limit)
+  }
+
   /** Gated cp1: CUSUM change-point series — cumulative sums of
     * per-hour count deviations from the global mean, the classic
     * sequential drift detector (the |S| peak marks the most likely

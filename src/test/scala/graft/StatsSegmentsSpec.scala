@@ -41,6 +41,28 @@ class StatsSegmentsSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity audit: classes partition customers, diversity bounded by size") {
+    val rows = graft.operators.Quality.kAnonymityAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("class_size")).sum
+    assert(total == Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l_diversity") <= r.getAs[Long]("class_size"))
+      assert(r.getAs[Boolean]("k10_violation") == (r.getAs[Long]("class_size") < 10))
+    }
+  }
+
+  test("seasonal profile: residuals offset the seasonal mean exactly") {
+    val rows = graft.operators.Quality.seasonalProfile(spark, sf).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val m = r.getAs[Double]("seasonal_mean")
+      val res = r.getAs[Double]("residual")
+      assert(math.abs((m + res) - n) < 2e-6, s"decomposition broken: $r")
+    }
+  }
+
   test("ab readout: groups partition users, z consistent with lift sign") {
     val r = Behavior.abTestReadout(spark, sf).head
     val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
