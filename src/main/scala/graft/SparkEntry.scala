@@ -174,6 +174,7 @@ object SparkEntry {
     "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
+    "c3_curation_v2"       -> ((s, d) => graft.operators.Curation.curationV2(s, d)),
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
@@ -999,6 +1000,34 @@ object SparkEntry {
          |$rows
          |ORDER BY var_x, var_y""".stripMargin
     },
+    "c3_curation_v2" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT t.w) AS v FROM (SELECT unnest(ws) AS w FROM w) t),
+        |nll AS (SELECT b.doc_id,
+        |    CAST(round(-ln(CAST(c2.c12 + 1 AS DOUBLE)
+        |      / CAST(c1.c1 + vv.v AS DOUBLE)), 8) AS DECIMAL(20,8)) AS nll
+        |  FROM b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN vv),
+        |ppl AS (SELECT doc_id,
+        |    round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 6) AS ppl
+        |  FROM nll GROUP BY doc_id),
+        |q AS (SELECT doc_id, n_chars, md5(substring(text, 1, 100)) AS h
+        |  FROM documents WHERE n_chars >= 200),
+        |dd AS (SELECT q.doc_id, q.n_chars FROM q
+        |  WHERE NOT EXISTS (SELECT 1 FROM q q2
+        |    WHERE q2.h = q.h AND q2.doc_id < q.doc_id))
+        |SELECT dd.doc_id, dd.n_chars, ppl.ppl,
+        |  round(ln(CAST((dd.doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+        |    / CAST(dd.n_chars AS DOUBLE), 10) AS wkey
+        |FROM dd JOIN ppl USING (doc_id)
+        |WHERE ppl.ppl <= 30.0
+        |ORDER BY wkey DESC, doc_id LIMIT 10""".stripMargin,
     "kan1_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS class_size,

@@ -134,4 +134,43 @@ object Curation {
       .select(col("doc_id"), col("host"), col("rk"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gated c3: the ROUND-5 curation capstone — the new operator
+    * families composed into one pipeline the way a production corpus
+    * build chains them:
+    *
+    *   1. cheap length gate (n_chars ≥ 200),
+    *   2. keep-first prefix dedup (drop any doc whose 100-char md5
+    *      fingerprint appears on a smaller doc_id — dd12's key,
+    *      corpus-wide),
+    *   3. LM quality gate (add-one bigram perplexity ≤ 30 under the
+    *      corpus model — lm1's scores),
+    *   4. weighted selection (Efraimidis–Spirakis key on n_chars —
+    *      ws1's key), top 10.
+    *
+    * Every stage reuses an already-hash-checked fragment, so the
+    * capstone proves the pieces COMPOSE without re-deriving any
+    * math: one anti-join on digests, one score join, one top-k.
+    */
+  def curationV2(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("n_chars") >= 200)
+    val fp = md5(substring(col("text"), 1, 100))
+    val withFp = docs.select(col("doc_id"), col("n_chars"), fp.as("h"))
+    val earlier = withFp.select(col("h").as("h2"), col("doc_id").as("d2"))
+    val deduped = withFp
+      .join(earlier, col("h") === col("h2") && col("d2") < col("doc_id"), "left_anti")
+    val scores = graft.operators.LanguageModel.bigramScoresAll(spark, dir)
+      .select(col("doc_id"), col("ppl"))
+    deduped
+      .join(scores, "doc_id")
+      .filter(col("ppl") <= 30.0)
+      .select(col("doc_id"), col("n_chars"), col("ppl"),
+        round(log((((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1))
+          .cast("double") / lit(1000004.0)))
+          / col("n_chars").cast("double"), 10).as("wkey"))
+      .orderBy(desc("wkey"), asc("doc_id"))
+      .limit(k)
+  }
 }

@@ -40,7 +40,15 @@ object LanguageModel {
     * highest-perplexity documents (the "weird text" a quality filter
     * would drop first).
     */
-  def bigramPerplexity(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def bigramPerplexity(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bigramScoresAll(spark, dir)
+      .orderBy(desc("ppl"), asc("doc_id"))
+      .limit(k)
+
+  /** Per-document scores WITHOUT the top-k cut — the form downstream
+    * curation composes with (see [[Curation.curationV2]]).
+    */
+  def bigramScoresAll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
 
@@ -83,8 +91,6 @@ object LanguageModel {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_nll"),
         round(exp(col("s").cast("double") / col("n_bigrams")), 6).as("ppl"))
-      .orderBy(desc("ppl"), asc("doc_id"))
-      .limit(k)
   }
 
   /** Gated lm2: TRIGRAM stupid-backoff scoring of HELD-OUT documents

@@ -34,6 +34,20 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(top - maxPpl) < 1e-9)
   }
 
+  test("curation v2 capstone: every survivor passes all three gates") {
+    val out = graft.operators.Curation.curationV2(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ppls = graft.operators.LanguageModel.bigramScoresAll(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_chars") >= 200)
+      assert(r.getAs[Double]("ppl") <= 30.0)
+      assert(math.abs(ppls(r.getAs[Long]("doc_id")) - r.getAs[Double]("ppl")) < 1e-9)
+    }
+    val keys = out.map(_.getAs[Double]("wkey"))
+    assert(keys.toSeq == keys.sortBy(-_).toSeq)
+  }
+
   test("trigram backoff: held-out docs only, ppl above the in-corpus bigram model") {
     val rows = LanguageModel.trigramBackoffPerplexity(spark, sf).collect()
     assert(rows.nonEmpty)
