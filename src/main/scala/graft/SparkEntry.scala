@@ -176,6 +176,7 @@ object SparkEntry {
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
     "c3_curation_v2"       -> ((s, d) => graft.operators.Curation.curationV2(s, d)),
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
+    "ewm1_ewma_hourly"     -> ((s, d) => graft.operators.Quality.ewmaHourly(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
@@ -1035,6 +1036,20 @@ object SparkEntry {
         |  count(*) < 10 AS k10_violation
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "ewm1_ewma_hourly" -> {
+      val num = graft.operators.Quality.EwmaWeights.zipWithIndex.map { case (w, k) =>
+        s"(CASE WHEN lag(nd, $k) OVER w IS NOT NULL THEN $w * lag(nd, $k) OVER w ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = graft.operators.Quality.EwmaWeights.zipWithIndex.map { case (w, k) =>
+        s"(CASE WHEN lag(nd, $k) OVER w IS NOT NULL THEN $w ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd
+         |  FROM events GROUP BY 1)
+         |SELECT hour_start, n, round(($num) / ($den), 6) AS ewma
+         |FROM h WINDOW w AS (ORDER BY hour_start)
+         |ORDER BY hour_start LIMIT 48""".stripMargin
+    },
     "ts3_seasonal_profile" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |    CAST(hour(ts) AS INT) AS hod, CAST(count(*) AS BIGINT) AS n

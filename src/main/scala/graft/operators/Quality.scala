@@ -209,6 +209,43 @@ object Quality {
       .limit(limit)
   }
 
+  /** EWMA weights shared between the Spark expression and the
+    * generated oracle SQL (both sides see the SAME doubles:
+    * `Double.toString` is shortest-round-trip, so DuckDB parses the
+    * literal back to the identical bits).
+    */
+  private[graft] val EwmaWeights: Seq[Double] =
+    (0 until 12).map(k => 0.2 * math.pow(0.8, k))
+
+  /** Gated ewm1: EXPONENTIALLY weighted moving average over the
+    * hourly series — the standard smoother under alerting and
+    * forecasting baselines, here in truncated-window form (12 lags,
+    * ≥99% of the mass) so the recursion becomes a FIXED lag chain:
+    * deterministic, windowable, and cross-engine exact (the
+    * textbook recursive form would accumulate engine-specific
+    * rounding forever). Head-of-series terms renormalize over the
+    * available lags. One hours-cardinality window, never the raw
+    * events.
+    */
+  def ewmaHourly(spark: SparkSession, dir: String, limit: Int = 48): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("nd", col("n").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hour_start"))
+    val num = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      when(lag(col("nd"), k).over(w).isNotNull,
+        lit(wt) * lag(col("nd"), k).over(w)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = EwmaWeights.zipWithIndex.map { case (wt, k) =>
+      when(lag(col("nd"), k).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    h.select(col("hour_start"), col("n"), round(num / den, 6).as("ewma"))
+      .orderBy(col("hour_start"))
+      .limit(limit)
+  }
+
   /** Gated cp1: CUSUM change-point series — cumulative sums of
     * per-hour count deviations from the global mean, the classic
     * sequential drift detector (the |S| peak marks the most likely

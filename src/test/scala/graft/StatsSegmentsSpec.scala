@@ -41,6 +41,22 @@ class StatsSegmentsSpec extends SparkSpec {
     }
   }
 
+  test("ewma: smoother stays inside the series envelope and starts at x0") {
+    val rows = graft.operators.Quality.ewmaHourly(spark, sf).collect()
+    assert(rows.length == 48)
+    val ns = rows.map(_.getAs[Long]("n").toDouble)
+    val (lo, hi) = (ns.min, ns.max)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"ewma escaped envelope: $r")
+    }
+    assert(math.abs(rows.head.getAs[Double]("ewma") - ns.head) < 1e-6,
+      "first ewma must equal the first observation after renormalization")
+    // smoothing: the ewma series varies less than the raw series
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(rows.map(_.getAs[Double]("ewma")).toSeq) <= spread(ns.toSeq))
+  }
+
   test("k-anonymity audit: classes partition customers, diversity bounded by size") {
     val rows = graft.operators.Quality.kAnonymityAudit(spark, sf).collect()
     assert(rows.nonEmpty)
