@@ -166,6 +166,8 @@ object SparkEntry {
     "aj3_asof_native"      -> ((s, d) => Relational.asofNativePurchaseClick(s, d)),
     "aj4_asof_native_fwd"  -> ((s, d) => Relational.asofNativeNextPurchase(s, d)),
     "ss6_lsh_ann_checked"  -> ((s, d) => Similarity.lshAnnChecked(s, d)),
+    "ss7_projected_ann"    -> ((s, d) => Similarity.projectedAnn(s, d)),
+    "tok1_encode_roundtrip"-> ((s, d) => TextAnalysis.encodeRoundtrip(s, d)),
     "cs1_chi_square"       -> ((s, d) => Relational.chiSquareIndependence(s, d)),
     "ols1_linear_fit"      -> ((s, d) => Relational.olsPriceOnQuantity(s, d)),
     "seg1_rfm_segments"    -> ((s, d) => graft.operators.Behavior.rfmSegments(s, d)),
@@ -618,6 +620,53 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(${foldCosine("a.v", "b.v")}, 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "ss7_projected_ann" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pr AS (SELECT vec_id, list(value ORDER BY out_dim) AS p FROM (
+         |  SELECT vec_id, CAST(j AS INT) AS out_dim,
+         |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(0,64), d ->
+         |          CAST(e.v[d+1] AS DOUBLE)
+         |          * (CASE WHEN md5(j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
+         |                  ELSE CAST(-1.0 AS DOUBLE) END))),
+         |        (a,b) -> a + b) / 4.0, 6) AS value
+         |    FROM e, unnest(range(0,16)) AS t(j)) GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, pr.p AS qp
+         |  FROM e JOIN pr USING (vec_id) WHERE vec_id < 5),
+         |c AS (SELECT query_id, e.vec_id, qv, e.v,
+         |    round(${foldCosine("qp", "pr.p")}, 6) AS pscore
+         |  FROM q JOIN pr ON pr.vec_id <> q.query_id JOIN e ON e.vec_id = pr.vec_id),
+         |cr AS (SELECT query_id, vec_id, qv, v,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pscore DESC, vec_id ASC) AS crank FROM c),
+         |f AS (SELECT query_id, vec_id,
+         |    round(${foldCosine("qv", "v")}, 6) AS score
+         |  FROM cr WHERE crank <= 20),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM f)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "tok1_encode_roundtrip" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) + 1), i -> ws[i])) AS word,
+        |    unnest(range(1, len(ws) + 1)) AS pos
+        |  FROM w),
+        |v AS (SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS id
+        |  FROM toks GROUP BY word),
+        |enc AS (SELECT doc_id, pos, v.id FROM toks JOIN v USING (word)
+        |  WHERE doc_id < 50),
+        |dec AS (SELECT enc.doc_id, string_agg(v2.word, ' ' ORDER BY enc.pos) AS decoded
+        |  FROM enc JOIN v v2 ON enc.id = v2.id GROUP BY enc.doc_id),
+        |orig AS (SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS normalized
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN decoded = normalized THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+        |FROM orig JOIN dec USING (doc_id)""".stripMargin,
     "ss6_lsh_ann_checked" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

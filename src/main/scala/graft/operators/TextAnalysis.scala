@@ -705,6 +705,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Gated tok1: ENCODE→DECODE round-trip invariant — token ids from
+    * a full-coverage vocabulary decode back to the exact normalized
+    * text (tokens joined by single spaces). The lossless-ness
+    * contract every id-encoded training shard must satisfy; emitted
+    * as a per-corpus attestation row so a single flipped id fails
+    * the gate.
+    */
+  def encodeRoundtrip(spark: SparkSession, dir: String,
+                      maxDocId: Long = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(w))
+      .select(col("word"), col("id"))
+    val decoded = toks.filter(col("doc_id") < maxDocId)
+      .join(broadcast(vocab), Seq("word"))
+      .join(broadcast(vocab.select(col("id"), col("word").as("decoded_word"))),
+        Seq("id"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("decoded_word")))),
+        s => s.getField("decoded_word"))).as("decoded"))
+    val original = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"),
+        concat_ws(" ", words(col("text"))).as("normalized"))
+    original.join(decoded, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decoded") === col("normalized"), 1).otherwise(0))
+          .as("n_roundtrip_ok"))
+  }
+
   /** Repetition quality signals (gate t13) — the Gopher-style
     * within-document repetition filters: type-token ratio, fraction of
     * bigram occurrences that are repeats, and the dominant bigram with
