@@ -137,11 +137,15 @@ object VectorOps {
       val h = md.digest(s"${j}_${d}".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
     }
+    // One native dot-product kernel call per output dim (primitive
+    // loop, codegen) instead of a 64-node Multiply/Add tree per dim —
+    // the interpreted tree walk dominated this gate (3.1 s → see
+    // PERF.md). Accumulation order is identical (left-to-right
+    // v[d]·sign[d]), so results and the oracle are unchanged.
     val ys = (0 until outDims).map { j =>
-      val terms = (0 until dim).map { d =>
-        element_at(col("embedding"), d + 1).cast("double") * lit(sign(j, d))
-      }
-      round(terms.foldLeft(lit(0.0): Column)((acc, t) => acc + t) / lit(4.0), 6)
+      val signs = array((0 until dim).map(d => lit(sign(j, d))): _*)
+      round(graft.operators.VectorOps.dot(
+        toDoubleArray(col("embedding")), signs) / lit(4.0), 6)
     }
     graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("out_dim", "value")))
