@@ -184,6 +184,8 @@ object SparkEntry {
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
     "km1_kmeans"           -> ((s, d) => graft.operators.VectorOps.kmeansGate(s, d)),
+    "vo1_kmeans_outliers"  -> ((s, d) => graft.operators.VectorOps.kmeansOutliers(s, d)),
+    "nrm1_feature_scalers" -> ((s, d) => Relational.featureScalers(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
@@ -987,6 +989,49 @@ object SparkEntry {
         |  round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN nn
         |WHERE tf.doc_id < 20 ORDER BY doc_id, term""".stripMargin,
+    "nrm1_feature_scalers" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      def dec(c: String) = s"CAST($c AS DECIMAL(30,2))"
+      val sums = cols.flatMap { c => Seq(
+        s"min($c) AS min_$c", s"max($c) AS max_$c",
+        s"CAST(sum(${dec(c)}) AS DOUBLE) AS sx_$c",
+        s"CAST(sum(${dec(c)} * ${dec(c)}) AS DOUBLE) AS sxx_$c")
+      }.mkString(",\n  ")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS feature, round(min_$c, 6) AS vmin, round(max_$c, 6) AS vmax,
+           |  round(sx_$c / n, 6) AS mean,
+           |  round(sqrt((sxx_$c - sx_$c * sx_$c / n) / n), 6) AS std FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  $sums
+         |FROM lineitem)
+         |$rows
+         |ORDER BY feature""".stripMargin
+    },
+    "vo1_kmeans_outliers" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v WHERE vec_id < 8),
+        |d1 AS (SELECT v.vec_id, c0.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (v.e[i] - c0.cv[i]) * (v.e[i] - c0.cv[i]))), (a,b) -> a + b) AS d2
+        |  FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (SELECT a1.cid, t.i AS dim,
+        |    CAST(sum(CAST(round(v.e[t.i], 10) AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM a1 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |  GROUP BY a1.cid, t.i),
+        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |dd AS (SELECT v.vec_id, c1.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      i -> (v.e[i] - c1.cv[i]) * (v.e[i] - c1.cv[i]))), (a,b) -> a + b) AS d2
+        |  FROM v CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM dd)
+        |  WHERE rk = 1)
+        |SELECT vec_id, cid, round(d2, 6) AS d2 FROM a2
+        |ORDER BY d2 DESC, vec_id LIMIT 10""".stripMargin,
     "km1_kmeans" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v WHERE vec_id < 8),

@@ -584,6 +584,33 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Gated nrm1: FEATURE SCALER table — per-column min/max/mean/std
+    * from one pass of DECIMAL power sums; the fit() artifact of
+    * min-max and z-score normalization that a feature pipeline
+    * computes once and broadcasts to every scoring job.
+    */
+  def featureScalers(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def dec(c: String): Column = col(c).cast("decimal(30,2)")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(dec(c)).cast("double").as(s"sx_$c"),
+        sum(dec(c) * dec(c)).cast("double").as(s"sxx_$c"))
+    }
+    val g = Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = cols.map { c =>
+      val mean = col(s"sx_$c") / col("n")
+      struct(lit(c).as("feature"),
+        round(col(s"min_$c"), 6).as("vmin"),
+        round(col(s"max_$c"), 6).as("vmax"),
+        round(mean, 6).as("mean"),
+        round(sqrt((col(s"sxx_$c") - col(s"sx_$c") * col(s"sx_$c") / col("n"))
+          / col("n")), 6).as("std"))
+    }
+    g.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("feature"))
+  }
+
   /** Gated cs1: CHI-SQUARE independence test cells — the contingency
     * analysis behind "does event mix differ by cohort" questions.
     * Observed counts are exact integers; expected counts and χ²

@@ -200,6 +200,20 @@ object VectorOps {
     */
   def kmeansGate(spark: org.apache.spark.sql.SparkSession, dir: String,
                  k: Int = 8, dim: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    kmeansAssignments(spark, dir, k, dim)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("d2"), 8).cast("decimal(20,8)")).as("s"))
+      .select(col("cid"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_d2"))
+      .orderBy(col("cid"))
+
+  /** Final-iteration assignments (vec_id, cid, d2) — shared by the
+    * km1 summary and the vo1 outlier ranking.
+    */
+  def kmeansAssignments(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        k: Int = 8, dim: Int = 64)
       : org.apache.spark.sql.DataFrame = {
     val v = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"))
@@ -230,14 +244,22 @@ object VectorOps {
     val c1 = m1.groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
         s => s.getField("mv")).as("cv"))
-    assign(c1)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("d2"), 8).cast("decimal(20,8)")).as("s"))
-      .select(col("cid"), col("n_vecs"),
-        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_d2"))
-      .orderBy(col("cid"))
+    assign(c1).select(col("vec_id"), col("cid"), col("d2"))
   }
+
+  /** Gated vo1: EMBEDDING OUTLIERS — the vectors farthest from their
+    * k-means centroid after the km1 training loop: the cheap
+    * embedding-space anomaly scan (mislabeled/degenerate vectors sit
+    * far from every cluster). Same exact arithmetic as km1, so the
+    * ranking hash-matches; TakeOrderedAndProject on the rounded
+    * distance.
+    */
+  def kmeansOutliers(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     k: Int = 10): org.apache.spark.sql.DataFrame =
+    kmeansAssignments(spark, dir)
+      .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"))
+      .orderBy(desc("d2"), asc("vec_id"))
+      .limit(k)
 
   /** Gated lr1: LINEAR-MODEL scoring + calibration table — the
     * "score every document with a trained quality classifier, then

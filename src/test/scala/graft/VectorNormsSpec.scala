@@ -37,6 +37,29 @@ class VectorNormsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans outliers: top distances dominate their clusters' means") {
+    val out = VectorOps.kmeansOutliers(spark, sf).collect()
+    assert(out.length == 10)
+    val ds = out.map(_.getAs[Double]("d2"))
+    assert(ds.toSeq == ds.sortBy(-_).toSeq && ds.forall(_ > 0))
+    val means = VectorOps.kmeansGate(spark, sf).collect()
+      .map(r => r.getAs[Int]("cid") -> r.getAs[Double]("mean_d2")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("d2") > means(r.getAs[Int]("cid")),
+        s"outlier not above its cluster mean: $r")
+    }
+  }
+
+  test("feature scalers: bounds order and std positivity") {
+    val rows = graft.operators.Relational.featureScalers(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))
+      val (mean, std) = (r.getAs[Double]("mean"), r.getAs[Double]("std"))
+      assert(mn < mx && mean > mn && mean < mx && std > 0)
+    }
+  }
+
   test("kmeans: clusters partition the corpus and beat the 1-cluster inertia") {
     val rows = VectorOps.kmeansGate(spark, sf).collect()
     assert(rows.length == 8)
