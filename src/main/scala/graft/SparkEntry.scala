@@ -176,6 +176,7 @@ object SparkEntry {
     "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
+    "dq3_ref_integrity"    -> ((s, d) => graft.operators.Quality.referentialIntegrity(s, d)),
     "c3_curation_v2"       -> ((s, d) => graft.operators.Curation.curationV2(s, d)),
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "ewm1_ewma_hourly"     -> ((s, d) => graft.operators.Quality.ewmaHourly(s, d)),
@@ -1123,6 +1124,24 @@ object SparkEntry {
         |FROM dd JOIN ppl USING (doc_id)
         |WHERE ppl.ppl <= 30.0
         |ORDER BY wkey DESC, doc_id LIMIT 10""".stripMargin,
+    "dq3_ref_integrity" ->
+      """SELECT * FROM (
+        |SELECT 'customer_nation' AS fk, CAST(count(*) AS BIGINT) AS n_orphans,
+        |  count(*) = 0 AS passed FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem_order', CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_part', CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem_supplier', CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'order_customer', CAST(count(*) AS BIGINT), count(*) = 0 FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |) ORDER BY fk""".stripMargin,
     "kan1_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS class_size,

@@ -170,6 +170,42 @@ object Quality {
       .orderBy(col("bin"))
   }
 
+  /** Gated dq3: REFERENTIAL-INTEGRITY audit — orphan counts for every
+    * foreign-key edge of the star schema (facts without parents),
+    * each one a LEFT ANTI join that reduces to digest-width shuffles.
+    * The "can we trust the joins" gate run before any fact-table
+    * aggregation is published; emits one row per edge with a passed
+    * flag so a single orphan fails the report.
+    */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame = {
+      val n = fact.select(col(fk))
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .count()
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        java.util.List.of(Row(name, n, n == 0L)),
+        StructType(Seq(StructField("fk", StringType),
+          StructField("n_orphans", LongType),
+          StructField("passed", BooleanType))))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      orphans("customer_nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      orphans("lineitem_order", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      orphans("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      orphans("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      orphans("order_customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk"))
+  }
+
   /** Gated kan1: K-ANONYMITY / L-DIVERSITY audit — for each
     * quasi-identifier equivalence class (nation × market segment),
     * the class size and the count of distinct sensitive-value

@@ -39,6 +39,14 @@ class RoundFiveEdgeSpec extends SparkSpec {
     assert(TextAnalysis.fixedSizeSample(spark, sf, k = Int.MaxValue).count() == n)
   }
 
+  test("referential integrity: all five star edges pass on the clean corpus") {
+    val rows = graft.operators.Quality.referentialIntegrity(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0 && r.getAs[Boolean]("passed"), s"$r")
+    }
+  }
+
   test("ngram diversity on a single-doc frame stays consistent") {
     // the operator API takes a dir; restrict via a temp view is not
     // supported — instead check the global invariant n_distinct <= n_total
