@@ -174,6 +174,7 @@ object SparkEntry {
     "w9_group_topk"        -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "cp1_cusum_hourly"     -> ((s, d) => graft.operators.Quality.cusumHourly(s, d)),
     "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
+    "gc1_growth_curve"     -> ((s, d) => graft.operators.Behavior.userGrowthCurve(s, d)),
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
     "dq3_ref_integrity"    -> ((s, d) => graft.operators.Quality.referentialIntegrity(s, d)),
@@ -1171,6 +1172,14 @@ object SparkEntry {
         |SELECT h.hour_start, h.n, round(s.seasonal, 6) AS seasonal_mean,
         |  round(h.n - s.seasonal, 6) AS residual
         |FROM h JOIN s USING (hod) ORDER BY hour_start LIMIT 48""".stripMargin,
+    "gc1_growth_curve" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |h AS (SELECT strftime(date_trunc('hour', first_ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1)
+        |SELECT hour_start, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY hour_start
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM h ORDER BY hour_start LIMIT 48""".stripMargin,
     "ab1_ab_readout" ->
       """WITH u AS (SELECT user_id, CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS grp,
         |    max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted

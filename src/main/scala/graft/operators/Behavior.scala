@@ -86,6 +86,29 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gated gc1: USER GROWTH CURVE — cumulative distinct users over
+    * time WITHOUT a windowed distinct: each user reduces to their
+    * first-seen hour (one map-side-combinable min), then the curve is
+    * an integer cumsum over the hours-cardinality frame. The standard
+    * rewrite that turns an O(users×hours) running-distinct into two
+    * cheap aggregations — the shape that matters at 100 TB of events.
+    */
+  def userGrowthCurve(spark: SparkSession, dir: String, limit: Int = 48): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(date_format(date_trunc("hour", col("first_ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .groupBy(col("hour_start"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy(col("hour_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstSeen
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .orderBy(col("hour_start"))
+      .limit(limit)
+  }
+
   /** Gated ab1: A/B conversion comparison — per-variant user counts,
     * conversion rates, lift, and the pooled two-proportion z
     * statistic (the experiment read-out every growth team computes).

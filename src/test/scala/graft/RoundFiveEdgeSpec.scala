@@ -39,6 +39,15 @@ class RoundFiveEdgeSpec extends SparkSpec {
     assert(TextAnalysis.fixedSizeSample(spark, sf, k = Int.MaxValue).count() == n)
   }
 
+  test("growth curve: monotone cumulative counts reaching total users") {
+    val rows = graft.operators.Behavior.userGrowthCurve(spark, sf, Int.MaxValue).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.toSeq == cums.sorted.toSeq)
+    assert(cums.last == Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(cums.last == rows.map(_.getAs[Long]("n_new_users")).sum)
+  }
+
   test("referential integrity: all five star edges pass on the clean corpus") {
     val rows = graft.operators.Quality.referentialIntegrity(spark, sf).collect()
     assert(rows.length == 5)
