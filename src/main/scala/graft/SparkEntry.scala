@@ -207,6 +207,7 @@ object SparkEntry {
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
     "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
     "dd13_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dd14_capped_coverage" -> ((s, d) => Dedup.containmentCoverage(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -1305,13 +1306,19 @@ object SparkEntry {
         |r AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM b WHERE half = 0 GROUP BY 1),
         |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM b WHERE half = 1 GROUP BY 1),
         |tr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t FROM r),
-        |tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t FROM c)
-        |SELECT r.bin, r.n_ref, c.n_cur,
-        |  round(CAST(r.n_ref AS DOUBLE)/tr.t, 6) AS p,
-        |  round(CAST(c.n_cur AS DOUBLE)/tc.t, 6) AS q,
-        |  round((CAST(c.n_cur AS DOUBLE)/tc.t - CAST(r.n_ref AS DOUBLE)/tr.t)
-        |    * ln((CAST(c.n_cur AS DOUBLE)/tc.t) / (CAST(r.n_ref AS DOUBLE)/tr.t)), 6) AS psi_term
-        |FROM r JOIN c USING (bin) CROSS JOIN tr CROSS JOIN tc
+        |tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t FROM c),
+        |j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+        |    coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin)
+        |SELECT j.bin, j.n_ref, j.n_cur,
+        |  round(CAST(j.n_ref AS DOUBLE)/tr.t, 6) AS p,
+        |  round(CAST(j.n_cur AS DOUBLE)/tc.t, 6) AS q,
+        |  (j.n_ref = 0 OR j.n_cur = 0) AS one_sided,
+        |  round((greatest(CAST(j.n_cur AS DOUBLE)/tc.t, 1e-6)
+        |       - greatest(CAST(j.n_ref AS DOUBLE)/tr.t, 1e-6))
+        |    * ln(greatest(CAST(j.n_cur AS DOUBLE)/tc.t, 1e-6)
+        |       / greatest(CAST(j.n_ref AS DOUBLE)/tr.t, 1e-6)), 6) AS psi_term
+        |FROM j CROSS JOIN tr CROSS JOIN tc
         |ORDER BY bin""".stripMargin,
     "lr1_score_calibration" ->
       """WITH s AS (SELECT vec_id, label,
@@ -2088,6 +2095,23 @@ object SparkEntry {
         |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, containment FROM sc
         |WHERE containment >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd14_capped_coverage" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' '))) AS sset
+        |  FROM w WHERE len(ws) >= 5),
+        |sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
+        |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(sum(CASE WHEN df BETWEEN 2 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS capped_sz,
+        |    CAST(sum(CASE WHEN df > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS hot_sz
+        |  FROM sh JOIN dfs USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(st.sz, 0) AS sz,
+        |  coalesce(st.capped_sz, 0) AS capped_sz,
+        |  coalesce(st.hot_sz, 0) AS hot_sz,
+        |  coalesce(st.capped_sz, 0) > 0 AS covered
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "st10_streaming_hll" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

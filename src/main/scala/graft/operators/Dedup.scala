@@ -236,6 +236,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Gated dd14: COVERAGE AUDIT for the df-capped candidate
+    * generation that [[containmentPairs]] (and [[jaccardPairsFrom]])
+    * rely on. Candidates are only generated from shingles with
+    * df ∈ [2, dfCap]; a pair whose entire overlap consists of
+    * hotter-than-cap shingles (heavy boilerplate corpora) is never
+    * emitted, even at containment 1.0. That bound is deliberate — it
+    * is what keeps candidate generation from going quadratic on stop
+    * shingles — but it must be OBSERVABLE, not silent: this audit
+    * emits, per document, the distinct-shingle count, how many fall
+    * in the capped band, how many are hotter than the cap, and a
+    * `covered` flag (false ⇒ the doc cannot appear in ANY candidate
+    * pair, so its duplicates are invisible to the capped path).
+    * Operators monitor `covered=false` counts per batch; a spike
+    * means the corpus got more boilerplate-heavy and dfCap needs
+    * raising (or the boilerplate needs stripping upstream).
+    *
+    * Scale shape: one shingle explode, one df aggregation, one
+    * shingle-keyed join back, one doc-keyed aggregation — all linear,
+    * no pair enumeration anywhere.
+    */
+  def containmentCoverage(spark: SparkSession, dir: String,
+                          n: Int = 5, dfCap: Int = 1000): DataFrame = {
+    val sh = docWords(spark, dir)
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"), n)).as("shingle"))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val stats = sh.join(dfs, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("df") >= 2 && col("df") <= dfCap, 1L).otherwise(0L))
+          .as("capped_sz"),
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("hot_sz"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(0L)).as("sz"),
+        coalesce(col("capped_sz"), lit(0L)).as("capped_sz"),
+        coalesce(col("hot_sz"), lit(0L)).as("hot_sz"),
+        (coalesce(col("capped_sz"), lit(0L)) > 0).as("covered"))
+      .orderBy(col("doc_id"))
+  }
+
   // MinHash parameters: 96 permutations in 32 bands of 3 rows.
   // For pairs at the 0.7 threshold, P(miss) = (1 - 0.7^3)^32 ≈ 2e-6;
   // the planted near-dups in the corpus sit at J ≈ 0.95+ where

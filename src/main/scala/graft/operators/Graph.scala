@@ -91,7 +91,7 @@ object Graph {
             .as("pr"))
     }
 
-    pr.select(
+    val top = pr.select(
         when(col("node") % 2 === 0,
           concat(lit("c"), (col("node") / 2).cast("long").cast("string")))
           .otherwise(
@@ -100,5 +100,12 @@ object Graph {
         round(col("pr"), 12).as("pr"))
       .orderBy(desc("pr"), asc("node"))
       .limit(k)
+    // Materialize the k-row result (bounded driver transfer) so the
+    // persisted edge frames can be released here instead of leaking
+    // into the caller's session.
+    val rows = top.collect()
+    pairs.unpersist()
+    edgesDeg.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 }

@@ -140,15 +140,24 @@ object Quality {
   /** Gated dp2: POPULATION STABILITY INDEX — the standard drift
     * monitor between a reference and a current distribution (here two
     * deterministic halves of the events stream; in production,
-    * yesterday's batch vs today's). Per shared bin: reference/current
-    * shares and the PSI term (q−p)·ln(q/p); the spec asserts the
-    * total stays under the conventional 0.1 "no drift" threshold for
-    * a same-distribution split.
+    * yesterday's batch vs today's). Per bin: reference/current shares
+    * and the PSI term (q−p)·ln(q/p); the spec asserts the total stays
+    * under the conventional 0.1 "no drift" threshold for a
+    * same-distribution split.
+    *
+    * One-sided bins (present in only one half — the strongest drift
+    * signal a monitor can see, since a new or vanished bin has
+    * unbounded raw PSI) are KEPT via a full outer join with counts
+    * coalesced to 0; their shares are floored at ε=1e-6 inside the
+    * ln() so the term stays finite, and an explicit `one_sided` flag
+    * marks them so downstream alerting can escalate rather than
+    * average them away. An inner join here would silently drop
+    * exactly the bins that matter most.
     *
     * Scale shape: two map-side-combinable bin counts + a bin-keyed
-    * join on a bins-cardinality frame — the corpus is scanned once.
-    * Shares are exact integer ratios; ln() drift is absorbed by
-    * round(6).
+    * full outer join on a bins-cardinality frame — the corpus is
+    * scanned once. Shares are exact integer ratios; ln() drift is
+    * absorbed by round(6).
     */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.events(spark, dir)
@@ -161,12 +170,22 @@ object Quality {
     // two control-plane scalars (the halves' totals)
     val tr = ref.agg(sum(col("n_ref"))).head.getLong(0).toDouble
     val tc = cur.agg(sum(col("n_cur"))).head.getLong(0).toDouble
+    val joined = ref.join(cur, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val p = col("n_ref").cast("double") / lit(tr)
     val q = col("n_cur").cast("double") / lit(tc)
-    ref.join(cur, Seq("bin"))
+    // ε floor applies only inside the PSI term; the reported shares
+    // stay the exact (possibly zero) ratios.
+    val eps = lit(1e-6)
+    val pf = greatest(p, eps)
+    val qf = greatest(q, eps)
+    joined
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(p, 6).as("p"), round(q, 6).as("q"),
-        round((q - p) * log(q / p), 6).as("psi_term"))
+        (col("n_ref") === 0 || col("n_cur") === 0).as("one_sided"),
+        round((qf - pf) * log(qf / pf), 6).as("psi_term"))
       .orderBy(col("bin"))
   }
 

@@ -1200,12 +1200,17 @@ object Relational {
       count(lit(1)).as("exact_union"),
       sum(col("a") * col("b")).as("exact_intersect"))
 
-    est(regs.filter(col("t") === "purchase"), "est_a")
+    val out = est(regs.filter(col("t") === "purchase"), "est_a")
       .crossJoin(est(regs.filter(col("t") === "click"), "est_b"))
       .crossJoin(est(regsU, "est_union"))
       .withColumn("est_intersect",
         round(col("est_a") + col("est_b") - col("est_union"), 6))
       .crossJoin(exact)
+    // One-row result: materialize it so the persisted register frame
+    // can be released here instead of leaking into the session.
+    val rows = out.collect()
+    regs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Wide→long reshape (gate p2): `Dataset.unpivot` — the MELT

@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.LongType
   * Semantics: backward inclusive as-of — for each left row, the last
   * right row with equal keys and rightTime <= leftTime (ties broken
   * by the greatest rightTie), LEFT OUTER (unmatched left rows emit
-  * nulls on the right). Time and tie expressions must be LongType
-  * (callers project timestamps to integer micros, which also
-  * sidesteps ns/µs physical-type skew).
+  * nulls on the right). NULL join keys follow SQL equi-join
+  * semantics: a null-keyed left row emits an unmatched (null-right)
+  * row and null-keyed right rows match nothing. Key expression types
+  * must align pairwise between the sides (enforced), and time/tie
+  * expressions must be LongType (callers project timestamps to
+  * integer micros, which also sidesteps ns/µs physical-type skew).
   */
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -61,6 +64,10 @@ case class AsofJoinExec(
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of times must be LongType (project timestamps to integer micros)")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must align pairwise: " +
+      s"left=${leftKeys.map(_.dataType.simpleString).mkString(",")} " +
+      s"right=${rightKeys.map(_.dataType.simpleString).mkString(",")}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -93,7 +100,12 @@ case class AsofJoinExec(
     val lOut = left.output; val rOut = right.output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      // project to UnsafeRow on emit: downstream consumers (collect,
+      // shuffle) require unsafe rows, same contract as SortMergeJoin's
+      // result projection
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
@@ -107,17 +119,25 @@ case class AsofJoinExec(
         // the match once rows strictly before the left time are gone.
         li.map { lrow =>
           val lk = lKeyProj(lrow)
-          val lt = lTimeProj(lrow).getLong(0)
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
-            rBuf.next()
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
-              && rTimeProj(rBuf.head).getLong(0) < lt)
-            rBuf.next()
-          val matched = rBuf.hasNext &&
-            keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
-          // copy: BufferedIterator caches the reference and upstream
-          // readers reuse row objects across next() calls
-          joined(lrow, if (matched) rBuf.head.copy() else nullRight)
+          if (lk.anyNull) resultProj(joined(lrow, nullRight))
+          else {
+            // SQL equi-join semantics: NULL keys match nothing. Null-
+            // keyed right rows sort first (NULLS FIRST), so this drain
+            // runs once per partition at the first non-null left key.
+            while (rBuf.hasNext && rKeyProj(rBuf.head).anyNull)
+              rBuf.next()
+            val lt = lTimeProj(lrow).getLong(0)
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
+              rBuf.next()
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+                && rTimeProj(rBuf.head).getLong(0) < lt)
+              rBuf.next()
+            val matched = rBuf.hasNext &&
+              keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+            // copy: BufferedIterator caches the reference and upstream
+            // readers reuse row objects across next() calls
+            resultProj(joined(lrow, if (matched) rBuf.head.copy() else nullRight))
+          }
         }
       } else {
         // O(1) merge state: the as-of predecessor for the current key.
@@ -125,20 +145,29 @@ case class AsofJoinExec(
         var held: InternalRow = null
         li.map { lrow =>
           val lk = lKeyProj(lrow)
-          val lt = lTimeProj(lrow).getLong(0)
-          // discard right rows for keys already passed
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
-            rBuf.next()
-          // absorb right rows at this key up to the left time; the LAST
-          // one absorbed is the as-of match (sorted by time, then tie)
-          var advanced = false
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
-              && rTimeProj(rBuf.head).getLong(0) <= lt) {
-            held = rBuf.next().copy(); advanced = true
+          if (lk.anyNull) resultProj(joined(lrow, nullRight))
+          else {
+            // SQL equi-join semantics: NULL keys match nothing (see
+            // the forward branch — null right rows sort first, one
+            // drain per partition).
+            while (rBuf.hasNext && rKeyProj(rBuf.head).anyNull)
+              rBuf.next()
+            val lt = lTimeProj(lrow).getLong(0)
+            // discard right rows for keys already passed
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) < 0)
+              rBuf.next()
+            // absorb right rows at this key up to the left time; the
+            // LAST one absorbed is the as-of match (sorted by time,
+            // then tie)
+            var advanced = false
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+                && rTimeProj(rBuf.head).getLong(0) <= lt) {
+              held = rBuf.next().copy(); advanced = true
+            }
+            if (advanced) heldKey = lk.copy()
+            val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+            resultProj(joined(lrow, if (matched) held else nullRight))
           }
-          if (advanced) heldKey = lk.copy()
-          val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
-          joined(lrow, if (matched) held else nullRight)
         }
       }
     }

@@ -36,6 +36,38 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(norm(native) == norm(viaWindow))
   }
 
+  test("as-of join: NULL keys match nothing (SQL equi-join semantics)") {
+    import spark.implicits._
+    val left = Seq((Option(1L), 10L, "l1"), (Option.empty[Long], 10L, "l2"),
+        (Option(2L), 10L, "l3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((Option(1L), 5L, 100L, "a"),
+        (Option.empty[Long], 5L, 101L, "x"), (Option(2L), 20L, 102L, "b"))
+      .toDF("rk", "rt", "tie", "rv")
+    val out = graft.plans.AsofJoinOps.asofBackward(left, right,
+      Seq("k"), Seq("rk"), "t", "rt", "tie").collect()
+    assert(out.length == 3, "LEFT OUTER: every left row emits exactly once")
+    val byLv = out.map(r => r.getAs[String]("lv") ->
+      Option(r.getAs[String]("rv"))).toMap
+    assert(byLv("l1") == Some("a"))
+    assert(byLv("l2").isEmpty,
+      "null-keyed left row must not match the null-keyed right row")
+    assert(byLv("l3").isEmpty, "no right row at-or-before t=10 for key 2")
+  }
+
+  test("as-of join rejects pairwise-misaligned key types") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq(("1", 5L, 1L)).toDF("rk", "rt", "tie")
+    val ex = intercept[Throwable] {
+      graft.plans.AsofJoinOps.asofBackward(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", "tie").collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("key types must align"), s"unexpected error: $msgs")
+  }
+
   test("native as-of join: unmatched purchases yield null click ids") {
     val rows = Relational.asofNativePurchaseClick(spark, sf).collect()
     // every matched click must precede-or-equal its purchase in time

@@ -219,4 +219,24 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(kept == again)
   }
+
+  test("dd14 coverage audit: one row per doc; containment participants covered") {
+    val cov = Dedup.containmentCoverage(spark, sf).collect()
+    assert(cov.length == Tables.documents(spark, sf).count())
+    cov.foreach { r =>
+      val sz = r.getAs[Long]("sz")
+      val capped = r.getAs[Long]("capped_sz")
+      val hot = r.getAs[Long]("hot_sz")
+      assert(capped + hot <= sz, s"band counts exceed total: $r")
+      assert(r.getAs[Boolean]("covered") == (capped > 0))
+    }
+    // every doc the capped path CAN pair must be flagged covered —
+    // the audit's whole point is that covered=false docs are invisible
+    val covered = cov.filter(_.getAs[Boolean]("covered"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    Dedup.containmentPairs(spark, sf).collect().foreach { p =>
+      assert(covered.contains(p.getAs[Long]("doc_a")), s"uncovered doc_a in $p")
+      assert(covered.contains(p.getAs[Long]("doc_b")), s"uncovered doc_b in $p")
+    }
+  }
 }

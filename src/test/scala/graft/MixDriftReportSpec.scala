@@ -28,7 +28,32 @@ class MixDriftReportSpec extends SparkSpec {
     assert(psi >= 0 && psi < 0.1, s"parity split PSI unexpectedly high: $psi")
     rows.foreach { r =>
       assert(math.abs(r.getAs[Double]("p") - r.getAs[Double]("q")) < 0.2)
+      assert(r.getAs[Boolean]("one_sided") ==
+        (r.getAs[Long]("n_ref") == 0L || r.getAs[Long]("n_cur") == 0L))
     }
+  }
+
+  test("psi drift: one-sided bins survive the outer join, flagged and finite") {
+    import spark.implicits._
+    val dir = tmpDir("psi_onesided")
+    // even event_ids land in the reference half; value 950 puts one
+    // ref-only row in bin 9, which an inner join would silently drop
+    val ns = 1700000000000000000L
+    Seq((0L, 5.0, ns), (1L, 5.0, ns), (2L, 5.0, ns), (3L, 5.0, ns),
+        (4L, 950.0, ns))
+      .toDF("event_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Quality.psiDrift(spark, dir).collect()
+    val bins = out.map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(bins.contains(9), "ref-only bin must survive the outer join")
+    val b9 = bins(9)
+    assert(b9.getAs[Boolean]("one_sided"))
+    assert(b9.getAs[Long]("n_cur") == 0L && b9.getAs[Long]("n_ref") == 1L)
+    assert(b9.getAs[Double]("q") == 0.0)
+    val t = b9.getAs[Double]("psi_term")
+    assert(!t.isNaN && !t.isInfinite && t > 0.0,
+      s"one-sided PSI term must be finite and positive, got $t")
+    assert(!bins(0).getAs[Boolean]("one_sided"))
   }
 
   test("pmi collocations: the BPE step-1 merge pair appears with positive PMI") {
