@@ -208,6 +208,8 @@ object SparkEntry {
     "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
     "dd13_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dd14_capped_coverage" -> ((s, d) => Dedup.containmentCoverage(s, d)),
+    "dd15_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
+    "tc1_triangle_stats"   -> ((s, d) => graft.operators.Graph.triangleStats(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -936,6 +938,43 @@ object SparkEntry {
          |  SELECT r.n, e.b FROM reach r JOIN ed e ON r.m = e.a)
          |SELECT n AS doc_id, min(m) AS cluster_rep
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    "dd15_cluster_canonical" ->
+      s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |jp AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS n, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN ed e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+         |qw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |qm AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n_words,
+         |    CAST(len(list_filter(ws, x -> x IN (${sqlList(TextAnalysis.Stopwords)}))) AS DOUBLE) AS stop
+         |  FROM qw),
+         |q AS (SELECT doc_id, round(least(n_words/100.0,1.0)*0.5
+         |    + least(stop/n_words*5.0,1.0)*0.5, 6) AS quality FROM qm),
+         |j AS (SELECT cl.doc_id, cl.cluster_rep, q.quality FROM cl JOIN q USING (doc_id)),
+         |best AS (SELECT cluster_rep,
+         |    first(doc_id ORDER BY quality DESC, doc_id ASC) AS canonical_doc
+         |  FROM j GROUP BY cluster_rep)
+         |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
+         |  j.doc_id = best.canonical_doc AS keep
+         |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "tc1_triangle_stats" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) / (SELECT sum(d*(d-1)/2.0) FROM deg), 6) AS clustering""".stripMargin,
     "w5_window_stats" ->
       """SELECT o_custkey, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pr,

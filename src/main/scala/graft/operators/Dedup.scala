@@ -655,6 +655,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated dd15: CANONICAL-DOCUMENT SELECTION per duplicate cluster —
+    * the step that turns "these docs are duplicates" into "keep THIS
+    * one". Joins the connected-component labels
+    * ([[duplicateClusters]]) with the per-doc quality score
+    * ([[TextAnalysis.qualityScore]]) and, per cluster, keeps the
+    * highest-quality member (ties → smallest doc_id). Real dedup
+    * stacks keep best-quality, not first-seen: boilerplate-stripped
+    * or longer variants should win over truncated mirrors.
+    *
+    * Scale shape: the argmax is a map-side-combinable
+    * max(struct(quality, −doc_id)) aggregation — NOT a window — so a
+    * pathological million-member cluster costs one combiner tree, not
+    * one sorted partition. The cluster→canonical table (≤ #clusters
+    * rows) joins back on the cluster key. Quality uses the ROUNDED
+    * score so the argmax is engine-independent at ties.
+    */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val cl = duplicateClusters(spark, dir)
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val j = cl.join(q, "doc_id")
+    val best = j.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_rep"), (-col("b.neg_id")).as("canonical_doc"))
+    j.join(best, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("quality"),
+        col("canonical_doc"),
+        (col("doc_id") === col("canonical_doc")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference implementation of [[embeddingDupPairs]]: the broadcast
     * nested-loop form. Correct and simple at test scale; broadcast of
     * the whole corpus makes it a non-starter at 100 TB — kept ONLY as

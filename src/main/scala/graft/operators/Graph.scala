@@ -108,4 +108,76 @@ object Graph {
     edgesDeg.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
+
+  /** Distinct co-purchase edges over parts: (u, v) with u < v when
+    * both parts appear in the same order. Pair enumeration is
+    * per-order and order sizes are bounded (TPC-H lineitems/order
+    * ≤ 7), so the self-join is a bounded within-group expansion — at
+    * corpus scale a pathological hot group would be capped or
+    * sampled upstream, not here.
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** Gated tc1: TRIANGLE COUNT + global clustering coefficient of the
+    * part co-purchase graph — the standard cohesion statistic for
+    * curation graphs (link farms and template clusters show up as
+    * abnormal clustering long before content filters see them).
+    *
+    * Scale shape: the node-iterator wedge join is run on a
+    * DEGREE-ORIENTED edge list (each edge points to its higher-
+    * (degree, id) endpoint), which bounds every out-neighborhood at
+    * O(√m) — the hub that would make the naive wedge join quadratic
+    * gets its edges pointed AT it instead of out of it. Wedges close
+    * against the oriented list itself, so each triangle is counted
+    * exactly once, from its lowest-priority corner. Driver sees four
+    * scalars.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame =
+    triangleStatsFrom(spark, copurchaseEdges(spark, dir))
+
+  /** [[triangleStats]] over an explicit (u, v) u<v edge frame (the
+    * seam synthetic-graph tests drive).
+    */
+  def triangleStatsFrom(spark: SparkSession, edgesUV: DataFrame): DataFrame = {
+    val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // Orient toward the higher (degree, id) endpoint.
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+    val or = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    // Wedges from each lowest corner's out-edges (both dst orders —
+    // only the one matching the closing edge's orientation survives).
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val tri = wedges.join(or.as("e3"),
+        col("x") === col("e3.src") && col("y") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val summary = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1) / lit(2.0)).as("wedge_total"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("wedge_total"), 6)
+          .as("clustering"))
+    val rows = summary.collect()
+    e.unpersist(); or.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
+  }
 }

@@ -220,6 +220,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == again)
   }
 
+  test("dd15 canonical selection: one keeper per cluster, argmax quality") {
+    val rows = Dedup.clusterCanonical(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_rep"))
+    byCluster.foreach { case (rep, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $rep has ${keepers.length} keepers")
+      val canon = keepers.head
+      val maxQ = members.map(_.getAs[Double]("quality")).max
+      assert(canon.getAs[Double]("quality") == maxQ,
+        s"cluster $rep canonical is not max-quality")
+      // tie-break: smallest doc_id among max-quality members
+      val tied = members.filter(_.getAs[Double]("quality") == maxQ)
+        .map(_.getAs[Long]("doc_id")).min
+      assert(canon.getAs[Long]("doc_id") == tied)
+      assert(members.forall(_.getAs[Long]("canonical_doc") ==
+        canon.getAs[Long]("doc_id")))
+    }
+  }
+
   test("dd14 coverage audit: one row per doc; containment participants covered") {
     val cov = Dedup.containmentCoverage(spark, sf).collect()
     assert(cov.length == Tables.documents(spark, sf).count())

@@ -42,4 +42,24 @@ class GraphSpec extends SparkSpec {
     val medianDeg = deg.agg(expr("percentile_approx(count, 0.5)")).head.getLong(0)
     assert(topDeg >= medianDeg, s"top node $top degree $topDeg < median $medianDeg")
   }
+
+  test("triangle stats: K4 has 4 triangles at clustering 1; a path has none") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangleStatsFrom(spark, k4).head
+    assert(r.getAs[Long]("n_nodes") == 4 && r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Double]("clustering") == 1.0)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = Graph.triangleStatsFrom(spark, path).head
+    assert(p.getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("triangle stats on the co-purchase graph: counts positive, clustering in (0,1)") {
+    val r = Graph.triangleStats(spark, sf).head
+    assert(r.getAs[Long]("n_triangles") > 0)
+    val c = r.getAs[Double]("clustering")
+    assert(c > 0.0 && c < 1.0, s"clustering out of range: $c")
+  }
 }
