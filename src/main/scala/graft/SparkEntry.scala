@@ -210,6 +210,7 @@ object SparkEntry {
     "dd14_capped_coverage" -> ((s, d) => Dedup.containmentCoverage(s, d)),
     "dd15_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "tc1_triangle_stats"   -> ((s, d) => graft.operators.Graph.triangleStats(s, d)),
+    "bfs1_seed_distances"  -> ((s, d) => graft.operators.Graph.bfsDistances(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -964,6 +965,20 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "bfs1_seed_distances" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM ed),
+        |seeds AS (SELECT DISTINCT c_custkey*2 AS node FROM customer WHERE c_nationkey = 0),
+        |walk AS (
+        |  SELECT s.node, 0 AS dist FROM seeds s JOIN nodes n ON s.node = n.node
+        |  UNION
+        |  SELECT e.dst AS node, w.dist + 1 AS dist FROM walk w
+        |  JOIN ed e ON w.node = e.src WHERE w.dist < 4),
+        |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+        |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM md GROUP BY dist ORDER BY dist""".stripMargin,
     "tc1_triangle_stats" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),

@@ -109,6 +109,63 @@ object Graph {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
+  /** Gated bfs1: MULTI-SOURCE BFS distance histogram over the
+    * bipartite customer↔supplier trade graph (packed node ids as in
+    * [[pageRank]]), seeded at nation-0 customers. The "how far is
+    * everything from the trusted core" reachability pass curation
+    * uses to propagate trust/spam labels outward from a seed set.
+    *
+    * Scale shape: classic frontier BSP — each hop is ONE join of the
+    * current frontier against the src-keyed edge list plus ONE
+    * anti-join against the visited set; the driver sees one frontier
+    * count per round (and stops early on an empty frontier, so a
+    * saturated graph never pays maxHops rounds). Visited/frontier
+    * frames are node-cardinality, edges are touched once per hop.
+    */
+  def bfsDistances(spark: SparkSession, dir: String,
+                   seedNation: Long = 0, maxHops: Int = 4): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === seedNation)
+      .select((col("c_custkey") * 2).as("node"))
+      .join(nodes, Seq("node"), "left_semi")
+    var dist = seeds.select(col("node"), lit(0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist.select(col("node"))
+    var n = frontier.count() // control-plane scalar per round
+    var h = 0
+    var retired = List.empty[DataFrame]
+    while (n > 0 && h < maxHops) {
+      h += 1
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      n = next.count()
+      val grown = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+      grown.count() // materialize before retiring the parents
+      retired = dist :: next :: retired
+      dist = grown
+      frontier = next.select(col("node"))
+    }
+    val out = dist
+      .groupBy(col("dist").cast("int").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+    val rows = out.collect() // ≤ maxHops+1 rows
+    (dist :: edges :: retired).foreach(_.unpersist())
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Distinct co-purchase edges over parts: (u, v) with u < v when
     * both parts appear in the same order. Pair enumeration is
     * per-order and order sizes are bounded (TPC-H lineitems/order

@@ -43,6 +43,22 @@ class GraphSpec extends SparkSpec {
     assert(topDeg >= medianDeg, s"top node $top degree $topDeg < median $medianDeg")
   }
 
+  test("bfs distances: histogram starts at the seed set and saturates") {
+    val rows = Graph.bfsDistances(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dists = rows.map(_.getAs[Int]("dist")).toSeq
+    assert(dists == (0 until rows.length), s"distances not contiguous: $dists")
+    // seeds = nation-0 customers that actually trade
+    val nSeeds = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") === 0)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(rows.head.getAs[Long]("n_nodes") == nSeeds)
+    // all counts positive, total bounded by graph size
+    assert(rows.forall(_.getAs[Long]("n_nodes") > 0))
+  }
+
   test("triangle stats: K4 has 4 triangles at clustering 1; a path has none") {
     import spark.implicits._
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
