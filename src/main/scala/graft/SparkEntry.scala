@@ -211,6 +211,8 @@ object SparkEntry {
     "dd15_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     "tc1_triangle_stats"   -> ((s, d) => graft.operators.Graph.triangleStats(s, d)),
     "bfs1_seed_distances"  -> ((s, d) => graft.operators.Graph.bfsDistances(s, d)),
+    "rsp1_repeated_spans"  -> ((s, d) => Dedup.repeatedSpans(s, d)),
+    "ps1_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -965,6 +967,29 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "ps1_phrase_search" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM w),
+        |t AS (SELECT doc_id, i, ws[i] AS word FROM p)
+        |SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS start_pos
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |JOIN t c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        |WHERE a.word = 'part' AND b.word = 'filter' AND c.word = 'scan'
+        |ORDER BY a.doc_id, start_pos""".stripMargin,
+    "rsp1_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |ps AS (SELECT doc_id, unnest(range(1, greatest(len(ws) - 3, 1))) AS i, ws FROM w),
+        |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+4], ' ') AS shingle FROM ps),
+        |dfs AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM sh GROUP BY 1),
+        |rep AS (SELECT s.doc_id, s.pos FROM sh s JOIN dfs USING (shingle) WHERE df >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM rep),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |    CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |    CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end, n_grams FROM sp
+        |WHERE n_grams >= 2 ORDER BY doc_id, span_start""".stripMargin,
     "bfs1_seed_distances" ->
       """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -655,6 +655,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated rsp1: REPEATED-SPAN MINING — the corpus-level boilerplate
+    * detector: maximal word spans whose every n-gram occurs in ≥
+    * minDf distinct documents. This is the span-granular complement
+    * of doc-level dedup (Lee et al.'s repeated-substring removal, at
+    * word granularity): headers, license blocks and templated
+    * paragraphs repeat across documents that are NOT duplicates, and
+    * span removal salvages the unique remainder instead of dropping
+    * or keeping whole docs.
+    *
+    * Pipeline: positional n-gram shingles (NOT distinct — position
+    * matters) → distinct-doc df per shingle (two-phase aggregate) →
+    * keep positions whose shingle clears minDf → gaps-and-islands
+    * per doc (row_number delta) merges adjacent repeated positions
+    * into maximal spans. Everything is linear scans, one
+    * shingle-keyed shuffle and one doc-keyed window; no pair
+    * enumeration anywhere, so unlike pairwise dedup this pass is
+    * safe to run on the ENTIRE corpus at any scale.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String, n: Int = 5,
+                    minDf: Int = 2, minGrams: Int = 2): DataFrame = {
+    val shArr = when(size(col("ws")) >= n,
+      transform(sequence(lit(0), size(col("ws")) - lit(n)),
+        i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = docWords(spark, dir)
+      .select(col("doc_id"), posexplode(shArr))
+      .toDF("doc_id", "pos", "shingle")
+    val dfs = sh.groupBy(col("shingle"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val rep = sh.join(dfs.filter(col("df") >= minDf), "shingle")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    rep
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minGrams)
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Gated dd15: CANONICAL-DOCUMENT SELECTION per duplicate cluster —
     * the step that turns "these docs are duplicates" into "keep THIS
     * one". Joins the connected-component labels

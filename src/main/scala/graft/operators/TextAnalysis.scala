@@ -220,6 +220,39 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("word"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Gated ps1: PHRASE SEARCH over the positional inverted index —
+    * exact multi-word phrase lookup as adjacency joins between term
+    * posting lists, the way every search engine answers quoted
+    * queries. Each phrase term's postings are aligned to the phrase
+    * start (pos − offset) and intersected with (doc_id, pos)
+    * equi-joins; a row survives iff every term sits at its offset.
+    *
+    * Scale shape: the isin() filter on the phrase's terms reaches the
+    * scan (only those postings are ever materialized — for a k-word
+    * phrase that is k posting lists, not the corpus), and the k−1
+    * joins are equi-joins on (doc_id, aligned_pos) whose inputs
+    * shrink monotonically: rarest-term-first ordering would tighten
+    * it further; at this k the natural order suffices.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: String = "part filter scan"): DataFrame = {
+    val terms = phrase.split(" ")
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .filter(col("word").isin(terms.map(x => x: Any): _*))
+    val first = postings.filter(col("word") === terms(0))
+      .select(col("doc_id"), col("pos"))
+    terms.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (t, i)) =>
+        acc.join(postings.filter(col("word") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .select(col("doc_id"), col("pos").cast("long").as("start_pos"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
   /** TF-IDF (t10): the canonical sparse text-feature weighting.
     * tf = term count in doc, idf = ln(N / df). One explode + two
     * aggregations; the doc-frequency table joins back on the term —

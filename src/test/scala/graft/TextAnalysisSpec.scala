@@ -219,4 +219,45 @@ class TextAnalysisSpec extends SparkSpec {
     val got = out.find(_.getLong(0) == id).get
     assert(got.getDouble(3) == wantR)
   }
+
+  test("phrase search: every hit has the phrase verbatim at start_pos") {
+    val phrase = "part filter scan".split(" ")
+    val hits = TextAnalysis.phraseSearch(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    hits.foreach { h =>
+      val ws = texts(h.getAs[Long]("doc_id"))
+      val p = h.getAs[Long]("start_pos").toInt
+      assert(ws.slice(p, p + phrase.length).sameElements(phrase),
+        s"phrase mismatch at doc ${h.getAs[Long]("doc_id")} pos $p")
+    }
+  }
+
+  test("repeated spans: islands are maximal, in bounds, and genuinely repeated") {
+    val n = 5
+    val spans = graft.operators.Dedup.repeatedSpans(spark, sf).collect()
+    assert(spans.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    spans.foreach { s =>
+      val start = s.getAs[Long]("span_start")
+      val end = s.getAs[Long]("span_end")
+      val grams = s.getAs[Long]("n_grams")
+      assert(grams == end - start - n + 2, s"island arithmetic broken: $s")
+      assert(end < texts(s.getAs[Long]("doc_id")).length,
+        s"span exceeds doc bounds: $s")
+    }
+    // each span's covered text must appear in at least one OTHER doc
+    spans.take(10).foreach { s =>
+      val ws = texts(s.getAs[Long]("doc_id"))
+      val frag = ws.slice(s.getAs[Long]("span_start").toInt,
+        s.getAs[Long]("span_start").toInt + n).mkString(" ")
+      val holders = texts.count { case (_, w) =>
+        w.sliding(n).exists(_.mkString(" ") == frag) }
+      assert(holders >= 2, s"span fragment '$frag' not repeated across docs")
+    }
+  }
 }
