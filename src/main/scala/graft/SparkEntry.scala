@@ -213,6 +213,8 @@ object SparkEntry {
     "bfs1_seed_distances"  -> ((s, d) => graft.operators.Graph.bfsDistances(s, d)),
     "rsp1_repeated_spans"  -> ((s, d) => Dedup.repeatedSpans(s, d)),
     "ps1_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+    "st11_incremental_upsert" -> ((s, d) =>
+      graft.streaming.IncrementalUpsert.incrementalUpsertGate(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -967,6 +969,10 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "st11_incremental_upsert" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ps1_phrase_search" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |p AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM w),
