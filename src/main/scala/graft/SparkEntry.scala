@@ -215,6 +215,8 @@ object SparkEntry {
     "ps1_phrase_search"    -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "st11_incremental_upsert" -> ((s, d) =>
       graft.streaming.IncrementalUpsert.incrementalUpsertGate(s, d)),
+    "eh1_equidepth_histogram" -> ((s, d) =>
+      graft.operators.Quantiles.equiDepthHistogram(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -969,6 +971,18 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "eh1_equidepth_histogram" ->
+      """WITH t AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+        |    round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+        |    round(quantile_cont(o_totalprice, 0.75), 6) AS q3 FROM orders),
+        |b AS (SELECT CASE WHEN o_totalprice <= q1 THEN 0
+        |    WHEN o_totalprice <= q2 THEN 1
+        |    WHEN o_totalprice <= q3 THEN 2 ELSE 3 END AS bucket, o_totalprice
+        |  FROM orders CROSS JOIN t)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 6) AS lo, round(max(o_totalprice), 6) AS hi,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_price
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "st11_incremental_upsert" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value

@@ -233,6 +233,36 @@ object Quantiles {
       java.util.List.of(Row(vals.map(round6): _*)), schema)
   }
 
+  /** Gated eh1: EQUI-DEPTH HISTOGRAM of order prices — the histogram
+    * optimizers and data-profiling UIs actually want (equal ROW mass
+    * per bucket, unlike x5's fixed-width bins that collapse under
+    * skew). Bucket boundaries are the exact quartiles from
+    * [[exactQuantiles]] (scan-bounded, counters-only driver traffic),
+    * rounded to 6 decimals BEFORE bucketing so Spark and DuckDB bin
+    * against bit-identical literals; per-bucket stats are one
+    * map-side-combinable pass with the DECIMAL sum trick for
+    * order-independence. Two bounded scans total — no global sort,
+    * no ntile window, which is what makes equi-depth viable at scale.
+    */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)
+    val Seq((_, vals)) =
+      exactQuantiles(Tables.orders(spark, dir), "o_totalprice", qs)
+    val Seq(q1, q2, q3) = vals.map(round6)
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice").cast("double").as("x"))
+      .withColumn("bucket",
+        when(col("x") <= q1, 0).when(col("x") <= q2, 1)
+          .when(col("x") <= q3, 2).otherwise(3))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 6).as("lo"),
+        round(max(col("x")), 6).as("hi"),
+        round(sum(col("x").cast("decimal(30,6)")).cast("double"), 6)
+          .as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Gated x6: per-event-type exact p50/p90/p99 of value. */
   def eventValueQuantilesByType(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)

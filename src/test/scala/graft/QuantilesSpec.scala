@@ -101,4 +101,21 @@ class QuantilesSpec extends SparkSpec {
       assert(est(t) == n, s"no collisions expected at this cardinality: $t")
     }
   }
+
+  test("eh1: equi-depth buckets hold ~n/4 rows each and tile the range") {
+    val rows = graft.operators.Quantiles.equiDepthHistogram(spark, sf).collect()
+    assert(rows.length == 4)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val share = r.getAs[Long]("n").toDouble / total
+      assert(math.abs(share - 0.25) < 0.02,
+        s"bucket ${r.getAs[Int]("bucket")} share $share far from 0.25")
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+    // buckets are disjoint and ordered
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
 }
