@@ -217,6 +217,8 @@ object SparkEntry {
       graft.streaming.IncrementalUpsert.incrementalUpsertGate(s, d)),
     "eh1_equidepth_histogram" -> ((s, d) =>
       graft.operators.Quantiles.equiDepthHistogram(s, d)),
+    "ij1_interval_join"    -> ((s, d) => Relational.intervalCountJoin(s, d)),
+    "dp3_noised_counts"    -> ((s, d) => graft.operators.Quality.dpNoisedCounts(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -971,6 +973,23 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "dp3_noised_counts" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 14), i -> CAST(strpos('0123456789abcdef',
+        |        md5(event_type)[i]) - 1 AS BIGINT))),
+        |      (a, c) -> a * 16 + c) AS hv FROM g),
+        |u AS (SELECT event_type, n, hv / 4503599627370496.0 - 0.5 AS u FROM h)
+        |SELECT event_type, n,
+        |  round(n + (-2.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS n_noised
+        |FROM u ORDER BY event_type""".stripMargin,
+    "ij1_interval_join" ->
+      """WITH p AS (SELECT event_id, epoch_ns(ts)//1000 AS pus FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT epoch_ns(ts)//1000 AS cus FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, CAST(count(c.cus) AS BIGINT) AS n_nearby
+        |FROM p LEFT JOIN c ON c.cus BETWEEN p.pus - 60000000 AND p.pus + 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "eh1_equidepth_histogram" ->
       """WITH t AS (SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
         |    round(quantile_cont(o_totalprice, 0.50), 6) AS q2,

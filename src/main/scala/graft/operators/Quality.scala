@@ -137,6 +137,33 @@ object Quality {
     * so both engines clamp against bit-identical literals, and the
     * mean accumulates as DECIMAL for order-independence.
     */
+  /** Gated dp3: SEEDED-LAPLACE NOISED COUNT RELEASE — the
+    * differential-privacy-style publication step for shared
+    * aggregates (ε=0.5, sensitivity 1 ⇒ scale b=2): each released
+    * count carries additive Laplace noise drawn by inverse-CDF from a
+    * uniform DERIVED DETERMINISTICALLY from the group key's md5 (52
+    * mantissa-exact bits). The fixed seed is what makes the release
+    * REPRODUCIBLE pipeline-to-pipeline (and lets the DuckDB oracle
+    * replay it bit-for-bit); a production DP deployment would swap
+    * the hash for a fresh RNG and an accountant — the mechanism,
+    * sensitivity bookkeeping and release shape are exactly this.
+    * One combinable aggregation; noise is a per-row expression.
+    */
+  def dpNoisedCounts(spark: SparkSession, dir: String,
+                     epsilon: Double = 0.5): DataFrame = {
+    val b = 1.0 / epsilon
+    val hv = conv(substring(md5(col("event_type")), 1, 13), 16, 10)
+      .cast("double")
+    val u = hv / lit(4503599627370496.0) - lit(0.5) // 2^52
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        round(col("n")
+          + lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 6)
+          .as("n_noised"))
+      .orderBy(col("event_type"))
+  }
+
   /** Gated dp2: POPULATION STABILITY INDEX — the standard drift
     * monitor between a reference and a current distribution (here two
     * deterministic halves of the events stream; in production,

@@ -236,6 +236,45 @@ object Relational {
       .orderBy(col("tier"))
   }
 
+  /** Gated ij1: BIN-BUCKETED INTERVAL JOIN — "clicks within ±60 s of
+    * each purchase", the proximity join behind attribution, fraud
+    * co-occurrence and sensor alignment. A naive time-window
+    * inequality join plans as a broadcast nested loop (quadratic, and
+    * one side must fit in memory); this form instead BUCKETS time
+    * into window-width bins, EXPLODES each probe interval into the
+    * 2–3 bins it can overlap, and equi-joins on the bin key before a
+    * cheap residual |Δt| ≤ W filter. Each click lives in exactly one
+    * bin, so every qualifying pair is produced exactly once — no
+    * dedup pass. Shuffle is linear in events, the bin key spreads
+    * uniformly, and W tunes the bucket fan-out: the standard way to
+    * make interval joins scale on a hash engine.
+    *
+    * Times compare as integer MICROS on both sides (the oracle
+    * truncates identically): the source timestamps carry nanos, and
+    * mixed-precision boundary comparisons would diverge at the window
+    * edge.
+    */
+  def intervalCountJoin(spark: SparkSession, dir: String,
+                        windowSec: Long = 60): DataFrame = {
+    val W = windowSec * 1000000L
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"))
+      .withColumn("bin", floor(col("cus") / W))
+    val pBins = p.withColumn("bin",
+      explode(sequence(floor((col("pus") - W) / W), floor((col("pus") + W) / W))))
+    val counts = pBins.join(c, "bin")
+      .filter(abs(col("cus") - col("pus")) <= W)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+    p.select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+      .orderBy(col("event_id"))
+  }
+
   /** Compound predicate surface: IN-list, OR, range, LIKE — all still
     * pushdown-eligible (In, Or, StringContains reach the scan).
     */

@@ -33,6 +33,20 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("dp3 noised counts: deterministic, bounded, and not an identity release") {
+    val a = Quality.dpNoisedCounts(spark, sf).collect()
+    val b = Quality.dpNoisedCounts(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "release must be reproducible")
+    a.foreach { r =>
+      val noise = r.getAs[Double]("n_noised") - r.getAs[Long]("n")
+      // Laplace(b=2): P(|x| > 20) = e^{-10} — a violation means the
+      // inverse-CDF transform is broken, not bad luck
+      assert(math.abs(noise) < 20.0, s"implausible noise $noise for $r")
+    }
+    assert(a.exists(r => r.getAs[Double]("n_noised") != r.getAs[Long]("n").toDouble),
+      "at least one released count must actually be perturbed")
+  }
+
   test("psi drift: one-sided bins survive the outer join, flagged and finite") {
     import spark.implicits._
     val dir = tmpDir("psi_onesided")

@@ -128,4 +128,23 @@ class RelationalWideningSpec extends SparkSpec {
       assert(r.getDouble(1) == tied)
     }
   }
+
+  test("ij1 interval join: plans equi-join (no nested loop) and matches brute force") {
+    val df = Relational.intervalCountJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a nested loop:\n$plan")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local brute force over micro-truncated timestamps
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+    val clicks = e.filter(_.getString(1) == "click").map(_.getLong(2))
+    val W = 60000000L
+    e.filter(_.getString(1) == "purchase").foreach { p =>
+      val want = clicks.count(c => math.abs(c - p.getLong(2)) <= W).toLong
+      assert(got(p.getLong(0)) == want,
+        s"purchase ${p.getLong(0)}: got ${got(p.getLong(0))}, want $want")
+    }
+  }
 }
