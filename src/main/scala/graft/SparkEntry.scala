@@ -219,6 +219,7 @@ object SparkEntry {
       graft.operators.Quantiles.equiDepthHistogram(s, d)),
     "ij1_interval_join"    -> ((s, d) => Relational.intervalCountJoin(s, d)),
     "dp3_noised_counts"    -> ((s, d) => graft.operators.Quality.dpNoisedCounts(s, d)),
+    "ss8_hybrid_rrf"       -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -973,6 +974,43 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_rep, j.quality, best.canonical_doc,
          |  j.doc_id = best.canonical_doc AS keep
          |FROM j JOIN best USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "ss8_hybrid_rrf" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') AS ws
+         |  FROM documents),
+         |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM d),
+         |t AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t
+         |  WHERE term IN ('spark','join','window') GROUP BY 1,2,3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |    ln((CAST(g.n AS DOUBLE) - df.df + 0.5)/(df.df + 0.5) + 1) *
+         |    ((CAST(tf.tf AS DOUBLE)*(1.2 + 1)) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(tf.dl AS DOUBLE)/g.avgdl)))
+         |      AS part
+         |  FROM tf JOIN df USING (term), g),
+         |agg AS (SELECT doc_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(part ORDER BY term)), (a,b) -> a + b), 6) AS score
+         |  FROM s GROUP BY doc_id),
+         |rt AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_text
+         |  FROM agg QUALIFY rank_text <= 20),
+         |e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sv AS (SELECT e.vec_id AS doc_id,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS vscore
+         |  FROM e, q WHERE e.vec_id < 500 AND e.vec_id <> 0),
+         |rv AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY vscore DESC, doc_id) AS INT) AS rank_vec
+         |  FROM sv QUALIFY rank_vec <= 20)
+         |SELECT coalesce(rt.doc_id, rv.doc_id) AS doc_id,
+         |  round(coalesce(1.0/(60 + rank_text), 0.0)
+         |    + coalesce(1.0/(60 + rank_vec), 0.0), 6) AS rrf
+         |FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "dp3_noised_counts" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
         |h AS (SELECT event_type, n,

@@ -277,6 +277,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Gated ss8: HYBRID RETRIEVAL via Reciprocal Rank Fusion — the
+    * fusion step every modern RAG/search stack runs to combine a
+    * lexical ranker (BM25, [[bm25TopK]]) with a dense ranker (cosine
+    * over embeddings) without score calibration: each candidate
+    * contributes Σ 1/(60 + rank_i) over the lists it appears in
+    * (Cormack & Clarke's k=60), so incomparable score scales never
+    * mix. Docs are matched to their embedding row by id.
+    *
+    * Scale note: fusion itself is k-bounded — it joins two
+    * CANDIDATE LISTS (each ≤ kCand rows), not corpora; at scale the
+    * dense list comes from the ANN paths (ss2/ss3/ss4) and the
+    * lexical list from the pruned BM25 scan, so the full-outer join
+    * here is trivially small no matter the corpus size. Ranks are
+    * computed on round(6) scores with id tiebreaks — deterministic
+    * across engines.
+    */
+  def hybridRrfTopK(spark: SparkSession, dir: String,
+                    kCand: Int = 20, k: Int = 10): DataFrame = {
+    val wt = Window.orderBy(desc("score"), asc("doc_id"))
+    val rt = bm25TopK(spark, dir, k = kCand)
+      .withColumn("rank_text", row_number().over(wt))
+      .select(col("doc_id"), col("rank_text"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+    val q = corpus.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val wv = Window.orderBy(desc("vscore"), asc("doc_id"))
+    val rv = corpus.filter(col("vec_id") < 500 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("vscore", round(
+        VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .select(col("vec_id").as("doc_id"), col("vscore"))
+      .withColumn("rank_vec", row_number().over(wv))
+      .filter(col("rank_vec") <= kCand)
+      .select(col("doc_id"), col("rank_vec"))
+    rt.join(rv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+  }
+
   // ---- Product quantization (PQ + ADC) ----
   // 64-dim vectors → PqM=8 subspaces × PqSubDim=8 dims; each subvector
   // quantized to one of PqK=16 per-subspace centroids. A vector

@@ -101,4 +101,31 @@ class SimilaritySpec extends SparkSpec {
     // require clearly-better-than-random (uniform data is ANN's worst case)
     assert(recall >= 0.3, s"PQ recall too low: $recall")
   }
+
+  test("ss8 hybrid RRF: scores bounded, ordered, and sourced from both rankers") {
+    val rows = Similarity.hybridRrfTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq, "not ordered by fused score")
+    // one list contributes at most 1/61; both at most 1/61 + 1/61
+    assert(scores.forall(s => s > 0 && s <= 2.0 / 61 + 1e-9))
+    // exact recomputation: fuse the two component rankings locally
+    val rt = Similarity.bm25TopK(spark, sf, k = 20).collect()
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1) }
+      .toMap
+    val knn = Similarity.knnBrute(spark, sf, nQueries = 1, k = 500).collect()
+      .filter(r => r.getAs[Long]("neighbor_id") < 500)
+      .sortBy(_.getAs[Int]("rank"))
+      .take(20)
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("neighbor_id") -> (i + 1) }
+      .toMap
+    val fused = (rt.keySet ++ knn.keySet).toSeq.map { id =>
+      val s = rt.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        knn.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+      == fused, "operator fusion differs from local recomputation")
+  }
 }
