@@ -80,9 +80,25 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val total = timed.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+    // Full per-query detail goes to a FILE; stdout gets a COMPACT line.
+    // The driver captures only the last ~2000 bytes of output and parses
+    // the JSON line out of that tail — with ~200 gated queries the full
+    // per-query map is ~6 KB, so it has never parsed (BENCH_r01–r05 all
+    // record "parsed": null). The compact line (total + slowest 15,
+    // rounded) stays well under the tail window; bench_detail.json keeps
+    // the complete per-query medians and minima for PERF.md and the
+    // BENCH_local_r{N} record.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
       s""""queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},""" +
-      s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}""")
+      s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), fullJson)
+    val slowest = timed.sortBy(-_._2._1).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v._1 * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
+      s""""unit":"sec","reps":$Reps,"n_queries":${timed.length},""" +
+      s""""n_failed":${errors.length},"errors":$errJson,""" +
+      s""""queries":$slowest,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
