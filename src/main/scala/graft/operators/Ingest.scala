@@ -204,6 +204,40 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Gated k9: DataSource V2 AGGREGATE pushdown end-to-end. The quote
+    * universe is the 25 nation names (read from the real parquet dim,
+    * collected — a bounded catalog-size transfer), and the query asks
+    * only `count(*) / min(symbol) / max(symbol)`. The connector
+    * answers all three from the universe itself
+    * ([[graft.sources.v2.QuoteAggScan]]) — zero quote fetches, one
+    * 1-row partition — where the unpushed plan would fan out one
+    * fetch per symbol. Oracle = the same aggregates over `nation`.
+    */
+  def v2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val symbols = Tables.nation(spark, dir)
+      .select(col("n_name")).collect().map(_.getString(0))
+    spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .agg(count(lit(1)).as("n_quotes"),
+        min(col("symbol")).as("first_sym"),
+        max(col("symbol")).as("last_sym"))
+  }
+
+  /** Gated k10: DataSource V2 TOP-N pushdown. `ORDER BY symbol LIMIT
+    * 5` reaches the connector, which sorts the UNIVERSE and plans
+    * partitions for only the 5 winning symbols — 5 fetches instead of
+    * 25 (or 10k). Spark keeps the global Sort+Limit on top (partial
+    * pushdown), so the prune can never change the answer.
+    */
+  def v2TopNPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val symbols = Tables.nation(spark, dir)
+      .select(col("n_name")).collect().map(_.getString(0))
+    spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .orderBy(col("symbol")).limit(5)
+      .select(col("symbol"))
+  }
+
   /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
     * output files. One adaptive count decides the width — the same
     * scalar the planner reads from parquet footers anyway; rows stay

@@ -38,7 +38,16 @@ trait QuoteSource {
   * provider and the DataSource V2 connector.
   */
 object QuoteGen {
+  /** Test instrument: quotes "fetched" since JVM start. Lets specs
+    * PROVE pushdown pruned the fan-out (e.g. a completely-pushed
+    * COUNT must fetch zero quotes). Counts per-JVM — in local mode
+    * that is the whole job; on a real cluster each executor counts
+    * its own fetches.
+    */
+  val fetches = new java.util.concurrent.atomic.AtomicLong(0)
+
   def quote(sym: String, seed: Long): Quote = {
+    fetches.incrementAndGet()
     var z = sym.hashCode.toLong + seed * 0x9e3779b97f4a7c15L
     def next(): Double = {
       z += 0x9e3779b97f4a7c15L

@@ -83,12 +83,81 @@ class QuoteTable(symbols: Array[String], seed: Long) extends Table with Supports
 class QuoteScanBuilder(allSymbols: Array[String], seed: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var symbols: Array[String] = allSymbols
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = QuoteDataSource.Schema
+  private var aggPushed: Option[Aggregation] = None
+
+  private def isSymbolRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("symbol"))
+      case _ => false
+    }
+
+  /** COUNT(*) / MIN(symbol) / MAX(symbol) with no GROUP BY are
+    * answerable from the SYMBOL UNIVERSE alone — the connector never
+    * fetches a single quote. For a remote-fetch source this is the
+    * strongest pushdown there is: `SELECT count(*) FROM quotes` on a
+    * 10k-symbol universe plans one 1-row partition and zero API
+    * calls, where the unpushed plan makes 10k calls to count rows it
+    * then discards. Complete pushdown (not partial): the scan emits
+    * the FINAL aggregate row, positionally matching
+    * `aggregateExpressions`.
+    */
+  private def answerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isSymbolRef(m.column)
+        case m: Max => isSymbolRef(m.column)
+        case _ => false
+      }
+
+  // Both limit and top-N stay PARTIAL (Spark keeps its own
+  // Limit/Sort on top): the connector's cut is a fetch prune, never
+  // load-bearing for correctness. Required explicitly because both
+  // parent traits supply the same Java default method.
+  override def isPartiallyPushed(): Boolean = true
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = answerable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = answerable(agg)
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
+
+  /** One row per symbol makes LIMIT exact at the source: keep the
+    * first n symbols and the fetch fan-out shrinks from |universe| to
+    * n. Spark keeps its own Limit on top (partial pushdown, the
+    * default) — correctness never depends on the connector's cut.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    symbols = symbols.take(n)
+    true
+  }
+
+  /** ORDER BY symbol [ASC|DESC] LIMIT n: sort the universe, keep n —
+    * only the winning n symbols are ever fetched. Spark retains the
+    * global Sort+Limit (partial pushdown), so this is purely a
+    * fan-out prune; any other sort key is refused (it would need the
+    * fetched values we are trying not to fetch).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean =
+    orders match {
+      case Array(o) if isSymbolRef(o.expression) =>
+        val asc = o.direction == SortDirection.ASCENDING
+        symbols = (if (asc) symbols.sorted else symbols.sorted.reverse).take(n)
+        true
+      case _ => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -116,7 +185,53 @@ class QuoteScanBuilder(allSymbols: Array[String], seed: Long)
       QuoteDataSource.Schema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new QuoteScan(symbols, seed, required)
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new QuoteAggScan(symbols, agg)
+    case None      => new QuoteScan(symbols, seed, required)
+  }
+}
+
+/** Scan for a COMPLETELY pushed aggregation: one partition, one row,
+  * computed from the symbol universe without invoking the fetch path.
+  * Output fields are positional per `aggregateExpressions` (LongType
+  * for COUNT(*), StringType for MIN/MAX(symbol)), names cosmetic.
+  */
+class QuoteAggScan(
+    symbols: Array[String],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", StringType)
+    })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => symbols.length.toLong
+      case _: Min       => UTF8String.fromString(symbols.min)
+      case _: Max       => UTF8String.fromString(symbols.max)
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    }
+    Array(QuoteAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = QuoteAggReaderFactory
+}
+
+case class QuoteAggPartition(values: Array[Any]) extends InputPartition
+
+object QuoteAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[QuoteAggPartition]
+    new PartitionReader[InternalRow] {
+      private var consumed = false
+      override def next(): Boolean = if (consumed) false else { consumed = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(p.values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class QuoteScan(symbols: Array[String], seed: Long, required: StructType)

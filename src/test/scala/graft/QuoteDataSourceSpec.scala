@@ -87,6 +87,51 @@ class QuoteDataSourceSpec extends SparkSpec {
       Seq("IXJ", "XT"))
   }
 
+  test("DSv2 complete aggregate pushdown answers COUNT/MIN/MAX with zero fetches") {
+    val before = graft.sources.QuoteGen.fetches.get()
+    val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .agg(count(lit(1)).as("n"), min("symbol").as("lo"), max("symbol").as("hi"))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getString(2)) == (4L, "IXJ", "XT"))
+    assert(graft.sources.QuoteGen.fetches.get() == before,
+      "a completely-pushed aggregate must not fetch any quote")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("QuoteAggScan") || !plan.contains("HashAggregate"),
+      s"aggregate must be answered by the scan, not re-aggregated:\n$plan")
+  }
+
+  test("DSv2 aggregate pushdown refuses shapes it cannot answer (still correct)") {
+    val before = graft.sources.QuoteGen.fetches.get()
+    // avg(market_price) needs real quotes: connector must refuse the
+    // push and the normal fetch+aggregate path must produce the value.
+    val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .agg(avg("market_price").as("m"))
+    assert(df.collect()(0).getDouble(0) > 0)
+    assert(graft.sources.QuoteGen.fetches.get() == before + symbols.length)
+  }
+
+  test("DSv2 top-N pushdown fetches only the winning symbols") {
+    val before = graft.sources.QuoteGen.fetches.get()
+    val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .orderBy(col("symbol")).limit(2).select(col("symbol"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("IXJ", "SCHX"))
+    assert(graft.sources.QuoteGen.fetches.get() == before + 2,
+      "ORDER BY symbol LIMIT 2 must fetch exactly 2 of 4 symbols")
+  }
+
+  test("DSv2 limit pushdown prunes the fan-out") {
+    val before = graft.sources.QuoteGen.fetches.get()
+    val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .limit(3)
+    assert(df.count() == 3)
+    assert(graft.sources.QuoteGen.fetches.get() - before <= 3,
+      "LIMIT 3 must plan at most 3 of 4 symbol fetches")
+  }
+
   test("DSv2 fails fast on a missing symbols option") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft.sources.v2.QuoteDataSource").load().collect()
