@@ -133,6 +133,8 @@ object SparkEntry {
     "t8_text_clean"        -> ((s, d) => TextAnalysis.cleanText(s, d)),
     "t9_pii_redact"        -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "s1_hash_split"        -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "s2_group_split"       -> ((s, d) => TextAnalysis.groupSplit(s, d)),
+    "mi1_mutual_information" -> ((s, d) => Relational.mutualInformation(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
     "set4_intersect_all"   -> ((s, d) => Relational.intersectAllNationKeys(s, d)),
@@ -152,6 +154,8 @@ object SparkEntry {
     "k6_compaction"        -> ((s, d) => Ingest.compactionGate(s, d)),
     "z1_zorder_layout"     -> ((s, d) => Ingest.zorderLayout(s, d)),
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
+    "k9_v2_agg_pushdown"   -> ((s, d) => Ingest.v2AggPushdown(s, d)),
+    "k10_v2_topn_pushdown" -> ((s, d) => Ingest.v2TopNPushdown(s, d)),
     "k8_schema_evolution"  -> ((s, d) => graft.sources.FormatIO.schemaEvolutionGate(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
@@ -186,6 +190,9 @@ object SparkEntry {
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
     "lr1_score_calibration"-> ((s, d) => graft.operators.VectorOps.linearScoreCalibration(s, d)),
     "km1_kmeans"           -> ((s, d) => graft.operators.VectorOps.kmeansGate(s, d)),
+    // rows-only (no SQL eigensolver); spec replays the identical
+    // two-pass computation locally and matches scores exactly
+    "pca1_top_component"   -> ((s, d) => graft.operators.VectorOps.pcaTopComponent(s, d)),
     "vo1_kmeans_outliers"  -> ((s, d) => graft.operators.VectorOps.kmeansOutliers(s, d)),
     "nrm1_feature_scalers" -> ((s, d) => Relational.featureScalers(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
@@ -263,6 +270,8 @@ object SparkEntry {
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
     "t15_nfc_normalize"    -> ((s, d) => TextAnalysis.nfcNormalizeGate(s, d)),
+    // rows-only (no DEFLATE in DuckDB); kernel exact-verified in spec
+    "t16_compress_profile" -> ((s, d) => TextAnalysis.compressionProfile(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
     "u1_domain_stats"      -> ((s, d) => graft.operators.Curation.domainStats(s, d)),
@@ -1728,6 +1737,15 @@ object SparkEntry {
     "k7_v2_sink_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // The V2 connector answers these from its symbol universe (= the
+    // 25 nation names) without fetching a quote; the oracle computes
+    // the same three aggregates from the dim that defined the universe.
+    "k9_v2_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_quotes,
+        |  min(n_name) AS first_sym, max(n_name) AS last_sym
+        |FROM nation""".stripMargin,
+    "k10_v2_topn_pushdown" ->
+      "SELECT n_name AS symbol FROM nation ORDER BY n_name LIMIT 5",
     // mergeSchema union: even-id files predate `value`, odd-id files
     // dropped `user_id` — absent columns read as NULL per file.
     "k8_schema_evolution" ->
@@ -2022,6 +2040,42 @@ object SparkEntry {
         |    ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Group-aware split: the group→split assignment hashes SOURCE, so
+    // the oracle derives the same map from the distinct sources.
+    "s2_group_split" ->
+      """WITH g AS (SELECT source, CASE
+        |    WHEN substring(md5(source),1,1)
+        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+        |    WHEN substring(md5(source),1,1) IN ('c','d') THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT split, CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN g USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Identical operation order to the Spark side — (nxy/n) *
+    // ln((nxy*n)/(nx*ny)) per cell, DECIMAL(38,18)-summed — so the
+    // doubles match bit-for-bit before the round(6).
+    "mi1_mutual_information" ->
+      """WITH c AS (SELECT event_type AS x, user_id % 4 AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy FROM events GROUP BY 1,2),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(c.nxy AS DOUBLE)/t.n
+        |      * ln(CAST(c.nxy AS DOUBLE)*t.n/(CAST(mx.nx AS DOUBLE)*my.ny)) AS mi_t,
+        |    t.n AS n
+        |  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t),
+        |hx AS (SELECT sum(CAST(-(CAST(nx AS DOUBLE)/t.n)*ln(CAST(nx AS DOUBLE)/t.n)
+        |    AS DECIMAL(38,18))) AS v FROM mx CROSS JOIN tot t),
+        |hy AS (SELECT sum(CAST(-(CAST(ny AS DOUBLE)/t.n)*ln(CAST(ny AS DOUBLE)/t.n)
+        |    AS DECIMAL(38,18))) AS v FROM my CROSS JOIN tot t)
+        |SELECT any_value(n) AS n,
+        |  round(CAST(sum(CAST(mi_t AS DECIMAL(38,18))) AS DOUBLE), 6) AS mi_nats,
+        |  round(CAST((SELECT v FROM hx) AS DOUBLE), 6) AS h_x,
+        |  round(CAST((SELECT v FROM hy) AS DOUBLE), 6) AS h_y
+        |FROM terms""".stripMargin,
     "j8_nullsafe_join" ->
       """WITH e AS (SELECT event_id, nullif(event_type, 'error') AS k FROM events),
         |dim(k2, code) AS (VALUES ('click', 1), ('view', 2), (NULL, 99))

@@ -674,6 +674,48 @@ object Relational {
       .orderBy(col("event_type"), col("cohort"))
   }
 
+  /** Gated mi1: mutual information + marginal entropies between two
+    * categorical columns (event_type × user cohort) — the dependence
+    * measure feature-selection and drift pipelines use where
+    * chi-square ([[chiSquareIndependence]]) gives a test statistic.
+    * One shuffle builds the joint contingency table; marginals fold
+    * from the CELLS (≤ |X|·|Y| rows), never from the raw data, so the
+    * raw table is scanned exactly once no matter its size. The
+    * ln-terms are summed through DECIMAL(38,18) for an
+    * order-invariant total (Σ over cells would otherwise depend on
+    * task scheduling); only the single total-count scalar crosses the
+    * control plane.
+    */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("x"), (col("user_id") % 4).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    cells.persist()
+    try {
+      val mx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val my = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val n = cells.agg(sum(col("nxy"))).head.getLong(0) // control-plane scalar
+      def decSum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+      val mi = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .select(((col("nxy").cast("double") / n)
+          * log(col("nxy").cast("double") * n
+            / (col("nx").cast("double") * col("ny")))).as("mi_t"))
+        .agg(round(decSum(col("mi_t")), 6).as("mi_nats"))
+      val hx = mx.select((negate(col("nx").cast("double") / n)
+          * log(col("nx").cast("double") / n)).as("t"))
+        .agg(round(decSum(col("t")), 6).as("h_x"))
+      val hy = my.select((negate(col("ny").cast("double") / n)
+          * log(col("ny").cast("double") / n)).as("t"))
+        .agg(round(decSum(col("t")), 6).as("h_y"))
+      val out = mi.crossJoin(hx).crossJoin(hy) // three 1-row frames
+        .select(lit(n).as("n"), col("mi_nats"), col("h_x"), col("h_y"))
+      // Materialize the 1-row result so the cells cache can be
+      // released here (pageRank's pattern) instead of leaking.
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { cells.unpersist(); () }
+  }
+
   /** Gated ols1: closed-form simple linear regression
     * (price ~ quantity) from the same one-pass DECIMAL power sums as
     * [[corrMatrix]] — the "fit a trend line at table scale" primitive;

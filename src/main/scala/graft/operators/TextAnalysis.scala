@@ -208,6 +208,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
 
+  /** Gated t16 (rows-only: DuckDB has no DEFLATE): per-language
+    * compression-ratio profile via the native
+    * [[graft.functions.DeflateSizeExpr]] kernel — ratio =
+    * deflate(utf8)/octet_length. The scan computes both sizes inside
+    * one codegen stage and only |langs| summary rows shuffle;
+    * `n_repetitive` counts docs under 0.35, the standard
+    * boilerplate/generated-text cut. The kernel itself is
+    * exact-verified against java.util.zip in the spec, and the
+    * aggregate uses order-invariant DECIMAL sums.
+    */
+  def compressionProfile(spark: SparkSession, dir: String,
+                         flagBelow: Double = 0.35): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        graft.functions.DeflateSizeExpr.deflateSize(col("text")).as("zlen"),
+        octet_length(col("text")).cast("long").as("blen"))
+      .select(col("lang"), (col("zlen").cast("double") / col("blen")).as("ratio"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(graft.operators.Analytics.exactAvg(col("ratio"), 38, 18), 6)
+          .as("avg_ratio"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"),
+        sum(when(col("ratio") < flagBelow, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("lang"))
+
+  /** Gated s2: GROUP-AWARE split — the leakage-proof variant of
+    * [[hashSplit]]. Hashing doc_id puts near-identical documents from
+    * one source on both sides of the train/test wall; hashing the
+    * GROUP key (source) sends every document of a source to the same
+    * split, which is how eval contamination via sibling documents is
+    * actually prevented. The distinct group→split map is tiny
+    * (|sources|, not |docs|) and broadcast, so the assignment costs
+    * one scan and zero extra shuffles of the corpus at any scale.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val splits = docs.select(col("source")).distinct()
+      .select(col("source"), substring(md5(col("source")), 1, 1).as("h"))
+      .select(col("source"),
+        when(col("h").isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .when(col("h").isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+    docs.join(broadcast(splits), "source")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
   /** Word-position lateral view (l1): one row per (doc, position,
     * word) — the generator/flatten shape (posexplode) every
     * tokenization pipeline leans on; capped to the first docs to keep

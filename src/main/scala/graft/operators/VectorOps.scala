@@ -13,6 +13,63 @@ import org.apache.spark.sql.functions._
   * dot / (sqrt(na) * sqrt(nb)) — the identical IEEE-754 operation
   * sequence on both engines, hence bit-identical results.
   */
+/** Driver-side linear algebra for [[VectorOps.pcaTopComponent]]:
+  * everything here operates on the O(d²) statistic, never on rows.
+  */
+object PcaMath {
+  /** Rebuild (mean, population covariance) from
+    * [[graft.functions.CovarianceAggregator]]'s packed layout and run
+    * deterministic power iteration. Returns (λ₁, v₁, μ, n).
+    */
+  def powerIteration(stats: Array[Double], iters: Int): (Double, Array[Double], Array[Double], Long) = {
+    val n = stats(0)
+    // len = 1 + d + d(d+1)/2  =>  d = (−3 + √(9 + 8(len−1))) / 2
+    val d = ((math.sqrt(9.0 + 8.0 * (stats.length - 1)) - 3.0) / 2.0).round.toInt
+    val mu = new Array[Double](d)
+    var i = 0
+    while (i < d) { mu(i) = stats(1 + i) / n; i += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    var k = 1 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = stats(k) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        var s = 0.0; var c = 0
+        while (c < d) { s += cov(r)(c) * v(c); c += 1 }
+        w(r) = s; r += 1
+      }
+      var nrm = 0.0
+      r = 0
+      while (r < d) { nrm += w(r) * w(r); r += 1 }
+      nrm = math.sqrt(nrm)
+      r = 0
+      while (r < d) { w(r) /= nrm; r += 1 }
+      v = w
+      lambda = nrm // ||Cv|| with unit v converges to λ₁
+      it += 1
+    }
+    // Canonical sign: largest-|loading| coordinate positive.
+    var am = 0
+    i = 1
+    while (i < d) { if (math.abs(v(i)) > math.abs(v(am))) am = i; i += 1 }
+    if (v(am) < 0) { i = 0; while (i < d) { v(i) = -v(i); i += 1 } }
+    (lambda, v, mu, n.toLong)
+  }
+}
+
 object VectorOps {
 
   /** Cast a float vector to doubles once, up front — float accumulation
@@ -108,6 +165,47 @@ object VectorOps {
       .select(col("cluster"), posexplode(col("centroid")).as(Seq("dim", "mean_c")))
       .select(col("cluster"), col("dim"), round(col("mean_c"), 6).as("mean_c"))
       .orderBy(col("cluster"), col("dim"))
+  }
+
+  /** Gated pca1 (rows-only: no eigensolver in SQL; spec replays the
+    * identical computation locally): top principal component of the
+    * embedding corpus, computed the way PCA actually scales —
+    *
+    *  1. ONE distributed pass folds the corpus into the O(d²)
+    *     covariance sufficient statistics via the typed
+    *     [[graft.functions.CovarianceAggregator]] (map-side-combined
+    *     fixed-size partials; ~17 KB crosses the wire per task at
+    *     d=64, independent of row count);
+    *  2. the driver runs power iteration on the 64×64 matrix — an
+    *     O(d² · iters) microsecond problem not worth distributing;
+    *  3. a second map-only pass projects every vector onto the
+    *     component (x·v − μ·v, one codegen'd dot against a literal
+    *     vector), emitting the top-k |score| rows.
+    *
+    * Determinism: fixed start vector 1/√d, fixed iteration count,
+    * sign canonicalized so the largest-|loading| coordinate is
+    * positive — no RNG, so results replay bit-stable.
+    */
+  def pcaTopComponent(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      iters: Int = 100, k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val stats = vecs.select(col("embedding")).as[Array[Float]]
+      .select(graft.functions.CovarianceAggregator.toColumn).head()
+    val (lambda, v, mu, n) = PcaMath.powerIteration(stats, iters)
+    val vLit = typedLit(v.toSeq)
+    val muDotV = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += mu(i) * v(i); i += 1 }
+      s
+    }
+    vecs.select(col("vec_id"),
+        (VectorOps.dot(toDoubleArray(col("embedding")), vLit) - muDotV).as("s"))
+      .select(col("vec_id"), round(col("s"), 6).as("pc1_score"),
+        round(lit(lambda), 6).as("eigenvalue"), lit(n).as("n"))
+      .orderBy(abs(col("pc1_score")).desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Gated random projection (rp1): Johnson–Lindenstrauss dimension

@@ -16,6 +16,33 @@ class StatsSegmentsSpec extends SparkSpec {
     assert(totalObs == Tables.events(spark, sf).count())
   }
 
+  test("mutual information: bounded by marginal entropies, near zero on independent cohorts") {
+    val r = Relational.mutualInformation(spark, sf).head
+    val (mi, hx, hy) = (r.getAs[Double]("mi_nats"),
+      r.getAs[Double]("h_x"), r.getAs[Double]("h_y"))
+    assert(mi >= 0, s"MI must be non-negative, got $mi")
+    assert(mi <= math.min(hx, hy) + 1e-9, s"MI $mi exceeds min marginal entropy")
+    // user_id % 4 is independent of event_type in the synthetic data:
+    // MI should be a small fraction of the entropies (sampling noise only)
+    assert(mi < 0.01 * math.min(hx, hy), s"independent cohorts look dependent: $mi")
+    assert(hx <= math.log(5.0) + 1e-9 && hy <= math.log(4.0) + 1e-9,
+      "entropies exceed log(cardinality)")
+    assert(r.getAs[Long]("n") == Tables.events(spark, sf).count())
+  }
+
+  test("group split: every source lands in exactly one split (no leakage)") {
+    val rows = graft.operators.TextAnalysis.groupSplit(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_groups")).sum ==
+      docs.select("source").distinct().count(),
+      "splits must partition the group universe — a source in two splits is leakage")
+    // doc-level hash split CANNOT guarantee this: group split must
+    // place all docs of each source together
+    val perSource = docs.select(col("source")).distinct().count()
+    assert(rows.length <= 3 && rows.map(_.getAs[Long]("n_groups")).forall(_ <= perSource))
+  }
+
   test("ols: fitted line reproduces mean price at mean quantity") {
     val r = Relational.olsPriceOnQuantity(spark, sf).head
     val (slope, icept) = (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))

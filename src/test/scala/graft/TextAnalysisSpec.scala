@@ -235,6 +235,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("deflate kernel: exact vs java.util.zip, and ratio separates repetition from noise") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val rep = "spam ham " * 500
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(4000)((rng.nextInt(94) + 33).toChar).mkString
+    for (s <- Seq(rep, noise, "", "a", "héllo wörld")) {
+      assert(graft.functions.DeflateKernel.deflatedSize(UTF8String.fromString(s)) == ref(s),
+        s"kernel diverges from java.util.zip for ${s.take(20)}")
+    }
+    assert(ref(rep).toDouble / rep.getBytes("UTF-8").length < 0.05,
+      "repetitive text must compress hard")
+    assert(ref(noise).toDouble / noise.getBytes("UTF-8").length > 0.7,
+      "random noise must not compress")
+  }
+
+  test("compression profile: per-lang rows cover the corpus, ratios in (0,1]") {
+    val rows = graft.operators.TextAnalysis.compressionProfile(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (lo, av, hi) = (r.getAs[Double]("min_ratio"),
+        r.getAs[Double]("avg_ratio"), r.getAs[Double]("max_ratio"))
+      assert(lo > 0 && lo <= av && av <= hi, s"ratio ordering broken: $r")
+      assert(hi <= 1.2, s"deflate overhead beyond plausible bound: $r")
+      assert(r.getAs[Long]("n_repetitive") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("repeated spans: islands are maximal, in bounds, and genuinely repeated") {
     val n = 5
     val spans = graft.operators.Dedup.repeatedSpans(spark, sf).collect()

@@ -79,6 +79,67 @@ class VectorNormsSpec extends SparkSpec {
       s"k-means inertia $kInertia not better than 1-cluster $oneCluster")
   }
 
+  test("pca1: operator matches an exact local replay; eigenpair residual tiny") {
+    val rows = VectorOps.pcaTopComponent(spark, sf).collect()
+    assert(rows.length == 10)
+    // local replay: same sufficient statistics, same power iteration
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val d = vecs.head._2.length
+    val stats = new Array[Double](1 + d + d * (d + 1) / 2)
+    stats(0) = vecs.length.toDouble
+    vecs.foreach { case (_, v) =>
+      var i = 0; var k = 1 + d
+      while (i < d) {
+        stats(1 + i) += v(i)
+        var j = i
+        while (j < d) { stats(k) += v(i).toDouble * v(j); j += 1; k += 1 }
+        i += 1
+      }
+    }
+    val (lambda, ev, mu, n) = graft.operators.PcaMath.powerIteration(stats, 100)
+    assert(n == vecs.length)
+    // eigenpair quality: ||Cv - λv||∞ ≤ 1e-6·λ on the replayed covariance
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      var k = 1 + d; var r = 0; var idx = -1
+      while (r <= a) { // walk upper-triangle rows to locate (a,b)
+        if (r == a) idx = k + (b - a) else k += d - r
+        r += 1
+      }
+      stats(idx) / n - mu(i) * mu(j)
+    }
+    // near-isotropic synthetic data ⇒ small spectral gap, so the raw
+    // residual shrinks only like (λ₂/λ₁)^t — accept 1e-3·λ there and
+    // hold the Rayleigh quotient (quadratically convergent) to 1e-6·λ
+    val cv = (0 until d).map(r => (0 until d).map(c => cov(r)(c) * ev(c)).sum)
+    val resid = (0 until d).map(r => math.abs(cv(r) - lambda * ev(r))).max
+    assert(resid <= 1e-3 * lambda, s"eigen residual $resid vs lambda $lambda")
+    val rayleigh = (0 until d).map(r => ev(r) * cv(r)).sum
+    assert(math.abs(rayleigh - lambda) <= 1e-6 * lambda,
+      s"Rayleigh quotient $rayleigh vs lambda $lambda")
+    // λ₁ dominates every single-dimension variance
+    assert((0 until d).forall(i => cov(i)(i) <= lambda + 1e-9))
+    // operator scores match the local projection per id (distributed
+    // FP summation order differs at ~1e-15, so tolerance not equality)
+    val muDotV = mu.zip(ev).map { case (a, b) => a * b }.sum
+    val localScore = vecs.map { case (id, v) =>
+      id -> ((0 until d).map(i => v(i).toDouble * ev(i)).sum - muDotV)
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("pc1_score") - localScore(id)) < 2e-6,
+        s"score mismatch for vec $id")
+    }
+    // and the selected ids are a genuine top-k by |score|
+    val kth = localScore.values.map(math.abs).toSeq.sorted.reverse.apply(9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pc1_score")) >= kth - 1e-5,
+        s"vec ${r.getAs[Long]("vec_id")} is not in the true top-10 band")
+    }
+  }
+
   test("matryoshka head norm matches a driver-side recompute") {
     val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
       .collect().map { r =>
