@@ -174,12 +174,23 @@ object Graph {
     * sampled upstream, not here.
     */
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    it.as("a").join(it.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
+    // One shuffle groups each order's DISTINCT parts into a sorted
+    // array (collect_set partials combine map-side); pairs then
+    // expand WITHIN the row — u<v falls out of the sort order — and a
+    // second shuffle dedups the edge list. The former shape (distinct
+    // on (o,p), then a self-join on o, then distinct) paid four edge-
+    // scale shuffles because distinct's (o,p) partitioning cannot be
+    // reused by a join keyed on o alone. Per-order arrays are bounded
+    // (≤ 7 lineitems/order in TPC-H shape), so the in-row pair
+    // expansion is a constant-factor map step.
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("u"), y.as("v"))))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
   }
 
@@ -208,24 +219,41 @@ object Graph {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    // Orient toward the higher (degree, id) endpoint.
+    // Orient toward the higher (degree, id) endpoint. The degree
+    // table is O(|nodes|) — for a product-catalog-sized node set it
+    // broadcasts (two map-side joins, the edge list never shuffles
+    // here); a web-scale node set would drop the hint and take the
+    // shuffle join, changing nothing else.
     val oriented = e
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
     val or = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    // Wedges from each lowest corner's out-edges (both dst orders —
-    // only the one matching the closing edge's orientation survives).
-    val wedges = or.as("e1").join(or.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
-      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val tri = wedges.join(or.as("e3"),
-        col("x") === col("e3.src") && col("y") === col("e3.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR closure: a triangle {u,v,w} oriented from its
+    // lowest-priority corner has out-edges u→v, u→w and closing edge
+    // v→w, so n_triangles = Σ_{(s,t)∈oriented} |N⁺(s) ∩ N⁺(t)|.
+    // Materializing the wedge set instead (self-join on src) is
+    // O(Σ d⁺²) ROWS through a shuffle — ~2·10⁸ at the sf0.1
+    // co-purchase density (avg degree ~200) and growing with density
+    // squared. Adjacency arrays keep that product inside a per-row
+    // two-pointer kernel: the oriented out-degree is O(√m) by
+    // construction, the adjacency table has one row per node (O(n)
+    // state, broadcast-or-shuffle joinable at any scale), and the
+    // only big frame that moves is the edge list itself.
+    val adj = or.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = or
+      .join(adj.withColumnsRenamed(Map("src" -> "s2", "nbrs" -> "nbrs_s")),
+        col("src") === col("s2"))
+      .join(adj.withColumnsRenamed(Map("src" -> "t2", "nbrs" -> "nbrs_t")),
+        col("dst") === col("t2"))
+      .select(graft.functions.SortedIntersectExpr
+        .sortedIntersectCount(col("nbrs_s"), col("nbrs_t")).as("c"))
+      .agg(sum(col("c")).as("n_triangles"))
     val summary = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("d") * (col("d") - 1) / lit(2.0)).as("wedge_total"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))

@@ -72,6 +72,36 @@ class GraphSpec extends SparkSpec {
     assert(p.getAs[Long]("n_triangles") == 0L)
   }
 
+  test("triangle stats: random graph matches a brute-force local count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val n = 60
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n if rng.nextDouble() < 0.2
+    } yield (u.toLong, v.toLong)).toSeq
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    def connected(a: Long, b: Long) = adj(math.min(a, b)).contains(math.max(a, b))
+    val brute = (for {
+      u <- 0L until n; v <- (u + 1) until n if connected(u, v)
+      w <- (v + 1) until n if connected(u, w) && connected(v, w)
+    } yield 1).size
+    val r = Graph.triangleStatsFrom(spark, edges.toDF("u", "v")).head
+    assert(r.getAs[Long]("n_triangles") == brute,
+      s"distributed count ${r.getAs[Long]("n_triangles")} vs brute $brute")
+  }
+
+  test("sorted intersect kernel: exact on crafted arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def c(a: Seq[Long], b: Seq[Long]): Long =
+      graft.functions.SortedIntersectKernel.count(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+    assert(c(Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L)) == 2)
+    assert(c(Seq(), Seq(1L)) == 0)
+    assert(c(Seq(7L), Seq(7L)) == 1)
+    assert(c(Seq(1L, 2L, 3L), Seq(4L, 5L)) == 0)
+  }
+
   test("triangle stats on the co-purchase graph: counts positive, clustering in (0,1)") {
     val r = Graph.triangleStats(spark, sf).head
     assert(r.getAs[Long]("n_triangles") > 0)
