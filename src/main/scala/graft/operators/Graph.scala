@@ -129,8 +129,14 @@ object Graph {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // Persist the edge list HASH-PARTITIONED on src: every hop joins
+    // on that key, so the per-round exchange moves only the frontier
+    // (node-cardinality) while the edge frame — the big side — stays
+    // where it was cached. Without this, each hop re-shuffles the
+    // edges: maxHops × |edges| rows of avoidable network at scale.
     val edges = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
     val seeds = Tables.customer(spark, dir)
@@ -139,9 +145,10 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi")
     var dist = seeds.select(col("node"), lit(0).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = dist.select(col("node"))
-    var n = frontier.count() // control-plane scalar per round
+    var total = dist.count() // control-plane scalar per round
+    var n = total
     var h = 0
+    var frontier = dist.select(col("node"))
     var retired = List.empty[DataFrame]
     while (n > 0 && h < maxHops) {
       h += 1
@@ -149,13 +156,15 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      n = next.count()
       val grown = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count() // materialize before retiring the parents
-      retired = dist :: next :: retired
+      // ONE action per round: materializing `grown` pins next's rows
+      // too, and the frontier size falls out of the running total.
+      val grownTotal = grown.count()
+      n = grownTotal - total
+      total = grownTotal
+      retired = dist :: retired
       dist = grown
-      frontier = next.select(col("node"))
+      frontier = grown.filter(col("dist") === h).select(col("node"))
     }
     val out = dist
       .groupBy(col("dist").cast("int").as("dist"))
