@@ -213,6 +213,7 @@ object SparkEntry {
     "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
     "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
+    "dd16_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDedup(s, d)),
     "dd13_containment"     -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dd14_capped_coverage" -> ((s, d) => Dedup.containmentCoverage(s, d)),
     "dd15_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
@@ -634,6 +635,27 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
     "dd2_minhash_lsh" -> jaccardOracle(0.7),
+    // Exact cross-split Jaccard: the LSH path must find every
+    // (delta, base) pair at J >= 0.7 or the hash check fails.
+    "dd16_incremental_neardup" ->
+      s"""$shingleCtes,
+         |j AS (SELECT doc_a, doc_b,
+         |    round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jac
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+         |p AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS d,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS b, jac
+         |  FROM j WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |m AS (SELECT d, max(jac) AS jac FROM p GROUP BY d),
+         |best AS (SELECT p.d, m.jac, min(p.b) AS matched_doc
+         |  FROM p JOIN m ON p.d = m.d AND p.jac = m.jac GROUP BY p.d, m.jac)
+         |SELECT dd.doc_id, best.matched_doc, best.jac AS jaccard,
+         |  best.d IS NULL AS novel
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+         |LEFT JOIN best ON dd.doc_id = best.d
+         |ORDER BY doc_id""".stripMargin,
     // PPJoin computes the SAME exact pair set, df-cap-free — the oracle
     // is the plain uncapped full Jaccard.
     "dd11_ppjoin_jaccard" -> jaccardOracle(0.7),

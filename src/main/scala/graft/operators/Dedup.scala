@@ -948,6 +948,65 @@ object Dedup {
     * and Spark's runtime bloom filter (see [[graft.plans]] bl1 gate)
     * prunes the delta scan before the shuffle.
     */
+  /** Gated dd16: INCREMENTAL NEAR-dup dedup — [[incrementalIngestDedup]]'s
+    * exact-match shape upgraded to MinHash/LSH similarity: flag each
+    * arriving document (doc_id % 10 == 0 stands in for the delta)
+    * that is ≥ `threshold` Jaccard-similar to SOME existing base
+    * document, with the best match attached (max Jaccard, smallest
+    * base id on ties); deltas with no match come back `novel`.
+    *
+    * Scale shape: delta band keys join only against BASE band keys
+    * (one bucketed equi-join, delta-side small by construction in a
+    * continuous-ingest pipeline); exact Jaccard confirms the
+    * candidate pairs only. At 100 TB the base banding is a persisted
+    * index maintained across ingests — the per-batch cost is banding
+    * the delta and probing, never re-banding the corpus. Same 96/32
+    * signature as [[minhashLshPairs]] (miss probability ≈ 1.4e-6 at
+    * J = 0.7), and the oracle is the EXACT cross-split Jaccard, so
+    * the gate hash-fails if banding ever drops a true pair.
+    */
+  def incrementalNearDedup(spark: SparkSession, dir: String,
+                           threshold: Double = 0.7): DataFrame = {
+    val shingled = docWords(spark, dir)
+      .select(col("doc_id"), shinglesFromWords(col("ws")).as("sh"))
+    val docs = shingled
+      .select(col("doc_id"), col("sh"), shingleHashes(col("sh")).as("shh"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("shh")).as("sig"))
+      .withColumn("is_delta", col("doc_id") % 10 === 0)
+      .cache()
+    val banded = docs.select(col("doc_id"), col("is_delta"),
+      posexplode(array((0 until Bands).map(b =>
+        hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)))
+      .toDF("doc_id", "is_delta", "band_idx", "band_hash")
+    val cand = banded.filter(col("is_delta")).as("x")
+      .join(banded.filter(!col("is_delta")).as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("d"), col("y.doc_id").as("b"))
+      .distinct()
+    val confirmed = cand
+      .join(docs.select(col("doc_id").as("d"), col("sh").as("sh_d")), "d")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("common",
+        size(array_intersect(col("sh_d"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("common") / (size(col("sh_d")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d"), col("b"), col("jaccard"))
+    // Best match per delta doc: max Jaccard, then smallest base id.
+    // Equality on the ROUNDED score is deterministic on both engines.
+    val best = confirmed.groupBy(col("d")).agg(max(col("jaccard")).as("jac"))
+    val bestId = confirmed.join(best, Seq("d"))
+      .filter(col("jaccard") === col("jac"))
+      .groupBy(col("d"), col("jac"))
+      .agg(min(col("b")).as("matched_doc"))
+    docs.filter(col("is_delta")).select(col("doc_id"))
+      .join(bestId, col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("matched_doc"), col("jac").as("jaccard"),
+        col("matched_doc").isNull.as("novel"))
+      .orderBy(col("doc_id"))
+  }
+
   def incrementalIngestDedup(spark: SparkSession, dir: String): DataFrame = {
     // Prefix fingerprint (first 100 chars): the boilerplate-prefix key
     // crawl dedup uses — cheap, order-preserving, and catches template

@@ -240,6 +240,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd16 incremental near-dup: matches agree with the all-pairs LSH restricted to the split") {
+    val rows = graft.operators.Dedup.incrementalNearDedup(spark, sf).collect()
+    val nDelta = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
+    assert(rows.length == nDelta, "one row per delta doc")
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("novel")) {
+        assert(r.isNullAt(r.fieldIndex("matched_doc")) && r.isNullAt(r.fieldIndex("jaccard")))
+      } else {
+        assert(r.getAs[Double]("jaccard") >= 0.7)
+        assert(r.getAs[Long]("matched_doc") % 10 != 0, "match must come from the base side")
+      }
+    }
+    // the flagged delta set == delta docs appearing in a cross-split
+    // pair of the all-pairs operator at the same threshold
+    val crossDeltas = graft.operators.Dedup.minhashLshPairs(spark, sf).collect()
+      .flatMap { p =>
+        val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+        if ((a % 10 == 0) != (b % 10 == 0)) Some(if (a % 10 == 0) a else b) else None
+      }.toSet
+    assert(rows.filterNot(_.getAs[Boolean]("novel")).map(_.getAs[Long]("doc_id")).toSet
+      == crossDeltas)
+  }
+
   test("dd14 coverage audit: one row per doc; containment participants covered") {
     val cov = Dedup.containmentCoverage(spark, sf).collect()
     assert(cov.length == Tables.documents(spark, sf).count())
