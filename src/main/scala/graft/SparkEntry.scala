@@ -156,6 +156,7 @@ object SparkEntry {
     "k7_v2_sink_roundtrip" -> ((s, d) => Ingest.v2SinkRoundtrip(s, d)),
     "k9_v2_agg_pushdown"   -> ((s, d) => Ingest.v2AggPushdown(s, d)),
     "k10_v2_topn_pushdown" -> ((s, d) => Ingest.v2TopNPushdown(s, d)),
+    "k11_v2_runtime_filter" -> ((s, d) => Ingest.v2RuntimeFilter(s, d)),
     "k8_schema_evolution"  -> ((s, d) => graft.sources.FormatIO.schemaEvolutionGate(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
@@ -228,6 +229,7 @@ object SparkEntry {
     "ij1_interval_join"    -> ((s, d) => Relational.intervalCountJoin(s, d)),
     "dp3_noised_counts"    -> ((s, d) => graft.operators.Quality.dpNoisedCounts(s, d)),
     "ss8_hybrid_rrf"       -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
+    "ns1_contrastive_sampling" -> ((s, d) => Similarity.contrastiveSampling(s, d)),
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
@@ -1042,6 +1044,30 @@ object SparkEntry {
          |    + coalesce(1.0/(60 + rank_vec), 0.0), 6) AS rrf
          |FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // Ranks computed on round(6) scores with vid tiebreaks — identical
+    // on both engines; easy negatives are an md5 lottery, same string
+    // key "qid_vid" on both sides.
+    "ns1_contrastive_sampling" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |s AS (SELECT qid, e.vec_id AS vid,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM q JOIN e ON e.vec_id <> q.qid),
+         |r AS (SELECT qid, vid, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rk
+         |  FROM s),
+         |hard AS (SELECT qid, vid, 'hard' AS role, score FROM r
+         |  WHERE rk BETWEEN 11 AND 15),
+         |easy AS (SELECT qid, vid, 'easy' AS role, score FROM (
+         |    SELECT qid, vid, score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY md5(qid || '_' || vid), vid) AS er
+         |    FROM r WHERE rk > 30) WHERE er <= 5)
+         |SELECT qid AS query_id, vid AS vec_id, role, score FROM hard
+         |UNION ALL
+         |SELECT qid AS query_id, vid AS vec_id, role, score FROM easy
+         |ORDER BY query_id, role, vec_id""".stripMargin,
     "dp3_noised_counts" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
         |h AS (SELECT event_type, n,
@@ -1768,6 +1794,8 @@ object SparkEntry {
         |FROM nation""".stripMargin,
     "k10_v2_topn_pushdown" ->
       "SELECT n_name AS symbol FROM nation ORDER BY n_name LIMIT 5",
+    "k11_v2_runtime_filter" ->
+      "SELECT n_name AS symbol FROM nation WHERE n_regionkey = 0 ORDER BY 1",
     // mergeSchema union: even-id files predate `value`, odd-id files
     // dropped `user_id` — absent columns read as NULL per file.
     "k8_schema_evolution" ->

@@ -238,6 +238,26 @@ object Ingest {
       .select(col("symbol"))
   }
 
+  /** Gated k11: DataSource V2 RUNTIME filtering. The quote scan joins
+    * a FILTERED dim (region-0 nations, 5 of 25); Spark broadcasts the
+    * dim, feeds the surviving join keys to the scan's runtime filter,
+    * and only those symbols are fetched — dynamic partition pruning
+    * where the "partitions" are API calls. The spec asserts the
+    * fetch-count cut; this gate asserts the joined result.
+    */
+  def v2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val symbols = Tables.nation(spark, dir)
+      .select(col("n_name")).collect().map(_.getString(0))
+    val quotes = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+    val dim = Tables.nation(spark, dir)
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_name"))
+    quotes.join(broadcast(dim), quotes("symbol") === dim("n_name"))
+      .select(col("symbol"))
+      .orderBy(col("symbol"))
+  }
+
   /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
     * output files. One adaptive count decides the width — the same
     * scalar the planner reads from parquet footers anyway; rows stay

@@ -322,6 +322,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Gated ns1: CONTRASTIVE NEGATIVE SAMPLING — per query, the
+    * candidate batch a contrastive trainer (InfoNCE / triplet) needs:
+    * HARD negatives = ranks 11–15 by cosine (similar but outside the
+    * positive top-10 — the informative gradient region) and EASY
+    * negatives = 5 deterministic md5-lottery picks from beyond rank
+    * 30. Hash-sampling keeps the draw reproducible across engines,
+    * runs, and retries with no RNG state.
+    *
+    * Scale shape: scoring is one broadcast-query pass over the
+    * corpus ([[knnBrute]]'s shape; at index scale the ANN paths
+    * produce the same ranked stream), ranks are per-query windows
+    * over corpus-bounded candidate sets, and scores are rounded to 6
+    * BEFORE ranking so the rank order is identical on every engine.
+    */
+  def contrastiveSampling(spark: SparkSession, dir: String,
+                          nQueries: Int = 3): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        round(VectorOps.cosine(col("qv"), col("v")), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("vid"))
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    val hard = ranked.filter(col("rk").between(11, 15))
+      .select(col("qid"), col("vid"), lit("hard").as("role"), col("score"))
+    val we = Window.partitionBy(col("qid"))
+      .orderBy(md5(concat(col("qid").cast("string"), lit("_"),
+        col("vid").cast("string"))), col("vid"))
+    val easy = ranked.filter(col("rk") > 30)
+      .withColumn("er", row_number().over(we))
+      .filter(col("er") <= 5)
+      .select(col("qid"), col("vid"), lit("easy").as("role"), col("score"))
+    hard.unionAll(easy)
+      .select(col("qid").as("query_id"), col("vid").as("vec_id"),
+        col("role"), col("score"))
+      .orderBy(col("query_id"), col("role"), col("vec_id"))
+  }
+
   // ---- Product quantization (PQ + ADC) ----
   // 64-dim vectors → PqM=8 subspaces × PqSubDim=8 dims; each subvector
   // quantized to one of PqK=16 per-subspace centroids. A vector

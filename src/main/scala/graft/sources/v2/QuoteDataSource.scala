@@ -234,8 +234,33 @@ object QuoteAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class QuoteScan(symbols: Array[String], seed: Long, required: StructType)
-    extends Scan with Batch {
+/** RUNTIME (dynamic) filtering: when the quote scan sits under a join
+  * whose other side is small and filtered — `quotes JOIN dims ON
+  * symbol = ...` — Spark evaluates the dim side first (reusing its
+  * broadcast) and hands the actual join keys to [[filter]] before
+  * input partitions are planned. For a fetch source this is dynamic
+  * partition pruning over API calls: only symbols that can survive
+  * the join are ever fetched. Planner-driven and best-effort — the
+  * scan stays correct (Spark re-applies the join) if the rule never
+  * fires.
+  */
+class QuoteScan(allSymbols: Array[String], seed: Long, required: StructType)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  private var symbols: Array[String] = allSymbols
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("symbol"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("symbol", vs) =>
+      val keep = vs.collect { case s: String => s }.toSet
+      symbols = symbols.filter(keep)
+    case EqualTo("symbol", v: String) => symbols = symbols.filter(_ == v)
+    case _ => () // unknown runtime predicate: prune nothing, stay correct
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =

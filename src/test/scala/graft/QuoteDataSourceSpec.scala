@@ -132,6 +132,29 @@ class QuoteDataSourceSpec extends SparkSpec {
       "LIMIT 3 must plan at most 3 of 4 symbol fetches")
   }
 
+  test("DSv2 runtime filtering prunes the fetch fan-out to the join's key set") {
+    import spark.implicits._
+    val universe = ('a' to 'z').map(c => s"SY$c") // 26 symbols
+    // DPP fires only for a dim side with a selective predicate that
+    // SURVIVES optimization — a filtered LocalRelation constant-folds
+    // away, so stage the dim through parquet like a real dimension.
+    val root = java.nio.file.Files.createTempDirectory("graft_test_dpp_").toString
+    try {
+      universe.toDF("sym").write.parquet(s"$root/dim")
+      val dim = spark.read.parquet(s"$root/dim")
+        .filter(col("sym").isin("SYa", "SYm", "SYz"))
+      val before = graft.sources.QuoteGen.fetches.get()
+      val got = spark.read.format("graft.sources.v2.QuoteDataSource")
+        .option("symbols", universe.mkString(",")).load()
+        .join(broadcast(dim), col("symbol") === col("sym"))
+        .select(col("symbol")).collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("SYa", "SYm", "SYz"))
+      val fetched = graft.sources.QuoteGen.fetches.get() - before
+      assert(fetched <= 3,
+        s"runtime filter must prune the fetch fan-out to the 3 join keys, fetched $fetched")
+    } finally TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("DSv2 fails fast on a missing symbols option") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft.sources.v2.QuoteDataSource").load().collect()

@@ -102,6 +102,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall too low: $recall")
   }
 
+  test("ns1 contrastive sampling: 5 hard + 5 easy per query, hard dominate easy") {
+    val rows = Similarity.contrastiveSampling(spark, sf).collect()
+    assert(rows.length == 30) // 3 queries x (5 hard + 5 easy)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val hard = rs.filter(_.getAs[String]("role") == "hard")
+      val easy = rs.filter(_.getAs[String]("role") == "easy")
+      assert(hard.length == 5 && easy.length == 5, s"query $qid roles off")
+      // hard negatives sit at ranks 11-15; easy come from beyond rank
+      // 30 — so every hard score bounds every easy score from above
+      assert(hard.map(_.getAs[Double]("score")).min
+        >= easy.map(_.getAs[Double]("score")).max,
+        s"query $qid: an easy negative outranks a hard one")
+      // and the query itself is never sampled
+      assert(!rs.exists(_.getAs[Long]("vec_id") == qid))
+    }
+    // hard negatives must exclude the true top-10 (those are positives)
+    val top10 = Similarity.knnBrute(spark, sf, nQueries = 3, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    rows.filter(_.getAs[String]("role") == "hard").foreach { r =>
+      assert(!top10.contains((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))),
+        "hard negative collides with a positive")
+    }
+  }
+
   test("ss8 hybrid RRF: scores bounded, ordered, and sourced from both rankers") {
     val rows = Similarity.hybridRrfTopK(spark, sf).collect()
     assert(rows.length == 10)
