@@ -45,6 +45,7 @@ object SparkEntry {
     "q3_shipping_priority"            -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume"        -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q10_returned_items"              -> ((s, d) => Relational.returnedItemReport(s, d)),
+    "q18_large_orders"                -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
     "j4_semi_customers_with_orders"   -> ((s, d) => Relational.customersWithBigOrders(s, d)),
     "j5_anti_customers_without_orders"-> ((s, d) => Relational.customersWithoutBigOrders(s, d)),
     "j6_outer_order_counts"           -> ((s, d) => Relational.orderCountPerCustomer(s, d)),
@@ -482,6 +483,14 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, big.total_qty
+        |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue

@@ -1033,6 +1033,31 @@ object Relational {
     * final grouping keys on the customer — one fact shuffle end to
     * end, then TakeOrderedAndProject for the top-k.
     */
+  /** Gated q18: TPC-H Large-Volume Customers. The aggregate-then-
+    * semi-join shape: the HAVING aggregate reduces lineitem to the
+    * handful of qualifying orders FIRST, and only that reduced frame
+    * joins orders and customer — so the expensive fact table crosses
+    * the wire once (its groupBy), and the subsequent joins move
+    * qualifying-order cardinality, not fact cardinality. Quantities
+    * are integral doubles, so the HAVING sum is exact and
+    * order-invariant on both engines.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String,
+                           minQty: Double = 300.0, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+  }
+
   def returnedItemReport(spark: SparkSession, dir: String,
                          qStart: String = "1996-01-01",
                          qEnd: String = "1996-04-01"): DataFrame = {
