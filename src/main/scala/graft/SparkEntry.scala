@@ -146,6 +146,7 @@ object SparkEntry {
     "m3_wav_header_info"   -> ((s, d) => Multimodal.wavHeaderRoundtrip(s, d)),
     "m4_image_decode_stats"-> ((s, d) => Multimodal.imageDecodeStats(s, d)),
     "m8_visual_dup_groups" -> ((s, d) => Multimodal.visualDupGroups(s, d)),
+    "m9_resize_stats"      -> ((s, d) => Multimodal.resizeStats(s, d)),
     "m5_audio_decode_stats"-> ((s, d) => Multimodal.audioDecodeStats(s, d)),
     "v1_vector_stats"      -> ((s, d) => graft.operators.VectorOps.vectorStats(s, d)),
     "scd1_dimension_history" -> ((s, d) => Ingest.scd2Gate(s, d)),
@@ -2008,6 +2009,23 @@ object SparkEntry {
     // The Spark side must inflate a real PNG's IDAT (javax.imageio) to
     // recover the planted two-tone pixel statistics; the oracle states
     // them as the doc_id arithmetic they were planted from.
+    // NN-resize replay: na = left-tone columns among the 4 sampled
+    // x' positions (src_x = (x'*w)//4), same integer arithmetic the
+    // decoder-side resampler runs over the real raster.
+    "m9_resize_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 4 AS BIGINT) AS width,
+        |    (doc_id % 16 + 4) // 2 AS wl,
+        |    doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+        |    (doc_id*31) % 256 AS rb, (doc_id*37) % 256 AS gb, (doc_id*41) % 256 AS bb
+        |  FROM documents),
+        |n AS (SELECT *, CAST(len(list_filter(range(0,4),
+        |    x -> (x*width)//4 < wl)) AS BIGINT) AS na FROM p)
+        |SELECT doc_id,
+        |  round(CAST(na*ra + (4-na)*rb AS DOUBLE)/4, 6) AS mean_r4,
+        |  round(CAST(na*ga + (4-na)*gb AS DOUBLE)/4, 6) AS mean_g4,
+        |  round(CAST(na*ba + (4-na)*bb AS DOUBLE)/4, 6) AS mean_b4
+        |FROM n ORDER BY doc_id""".stripMargin,
     "m8_visual_dup_groups" ->
       """WITH p AS (SELECT doc_id,
         |    CAST(doc_id % 16 + 4 AS INT) AS width,

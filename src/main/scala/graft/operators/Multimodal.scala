@@ -387,6 +387,54 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated m9: RESIZE (nearest-neighbor thumbnail) over REAL decoded
+    * rasters — the preprocessing step every vision-model pipeline
+    * runs before feature extraction. Each planted PNG is decoded
+    * with ImageIO and resampled to a 4×4 grid with the standard NN
+    * map src_x = ⌊x'·w/4⌋ (integer arithmetic, no filtering), then
+    * per-channel means over the 16 samples are emitted.
+    *
+    * Decode+resize is embarrassingly parallel (mapPartitions, no
+    * shuffle; at 100 TB the thumbnail table is a constant 48 bytes
+    * per image regardless of source resolution). Sample sums are
+    * exact integers, so the means hash-match the oracle's
+    * closed-form replay of the same NN index arithmetic.
+    */
+  def resizeStats(spark: SparkSession, dir: String,
+                  tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    val resized = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodePlantedPng(id)))
+          require(im != null, s"ImageIO failed to decode planted PNG for doc $id")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < th) {
+            var xx = 0
+            val sy = yy * im.getHeight / th
+            while (xx < tw) {
+              val sx = xx * im.getWidth / tw
+              val rgb = im.getRGB(sx, sy)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = (tw * th).toDouble
+          (id, sr / n, sg / n, sb / n)
+        }
+      }
+      .toDF("doc_id", "mr", "mg", "mb")
+    resized.select(col("doc_id"),
+        round(col("mr"), 6).as("mean_r4"),
+        round(col("mg"), 6).as("mean_g4"),
+        round(col("mb"), 6).as("mean_b4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gated m8: VISUAL near-dup grouping — dedup driven by decoded
     * pixel content, not bytes. Each image's decoded mean RGB is
     * quantized to a coarse color signature (floor(mean/32): 8 cells

@@ -126,6 +126,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Multimodal.ImageIODecoder.decode("not an image".getBytes).isEmpty)
   }
 
+  test("m9 resize: NN 4x4 thumbnail means match the planted-raster replay") {
+    val rows = graft.operators.Multimodal.resizeStats(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs)
+    rows.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val p = graft.operators.Multimodal.PlantedImage(id)
+      // NN sampling: column x' reads src column (x'*w)/4 — left tone iff < wLeft
+      val na = (0 until 4).count(x => x * p.width / 4 < p.wLeft)
+      def mean(a: Int, b: Int): Double = (na * a + (4 - na) * b) / 4.0
+      assert(r.getAs[Double]("mean_r4") == mean(p.rA, p.rB), s"doc $id red")
+      assert(r.getAs[Double]("mean_g4") == mean(p.gA, p.gB), s"doc $id green")
+      assert(r.getAs[Double]("mean_b4") == mean(p.bA, p.bB), s"doc $id blue")
+    }
+  }
+
   test("hybrid decoder uses real decoded dims for decodable images") {
     val bytes = Multimodal.encodePlantedPng(42L)
     val p = Multimodal.PlantedImage(42L)
