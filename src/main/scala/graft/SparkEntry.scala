@@ -271,6 +271,8 @@ object SparkEntry {
     // kept/dropped invariants checked in DedupSpec)
     "dd9_semdedup"         -> ((s, d) => Dedup.semDedup(s, d)),
     "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
+    "st12_stream_static_anti" -> ((s, d) =>
+      graft.streaming.StreamJoins.streamStaticAntiGate(s, d)),
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
@@ -2613,6 +2615,10 @@ object SparkEntry {
     "st9_stream_static_join" ->
       """SELECT event_id, upper(substr(event_type, 1, 2)) AS type_code, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // Stateless per-batch anti join: streaming result == batch filter.
+    "st12_stream_static_anti" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin,
     // DuckDB's jaro_winkler_similarity is the independent oracle for
     // the native kernel (fuzz-verified bit-exact).
     "dd10_jw_fuzzy_pairs" ->

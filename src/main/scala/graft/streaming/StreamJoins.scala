@@ -149,4 +149,44 @@ object StreamJoins {
     GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
       .orderBy(col("event_id"))
   }
+
+  /** Gated st12: STREAMING INGEST DEDUP AGAINST A STATIC BASE — the
+    * streaming sibling of the batch delta-vs-base gates (dd12/dd16):
+    * arriving events LEFT ANTI join the already-ingested id index
+    * (a static parquet table), so only genuinely-new rows reach the
+    * sink. The anti join is stateless per micro-batch (the static
+    * side re-plans into each batch as a broadcast), which is exactly
+    * why this is the scalable shape: no streaming state grows with
+    * the base. At 100 TB the id index is the bucketed digest table
+    * the exact-dedup family maintains; st8 (stateful stream dedup)
+    * covers the WITHIN-stream half of the same problem.
+    */
+  def streamStaticAntiGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = graft.TmpIO.scratchDir("graft_st12_")
+    val e = graft.Tables.events(spark, dir)
+    e.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .coalesce(1).write.parquet(s"$tmp/in")
+    // "Already ingested" base index: every third event id.
+    e.filter(col("event_id") % 3 === 0).select(col("event_id"))
+      .coalesce(1).write.parquet(s"$tmp/base")
+    val base = spark.read.parquet(s"$tmp/base")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(s"$tmp/in")
+    val out = s"$tmp/out"
+    GateIO.runPinned(spark, 4)(stream
+      .join(base, Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start())
+    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
+      .orderBy(col("event_id"))
+  }
 }

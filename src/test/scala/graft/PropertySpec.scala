@@ -115,6 +115,34 @@ class PropertySpec extends SparkSpec {
       s"12/2/2 hex buckets => train dominates: $counts")
   }
 
+  test("prop: sorted-intersect kernel equals set intersection on random sorted arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    check(forAll(Gen.listOf(Gen.chooseNum(0L, 50L)), Gen.listOf(Gen.chooseNum(0L, 50L))) {
+      (a, b) =>
+        val (sa, sb) = (a.distinct.sorted, b.distinct.sorted)
+        graft.functions.SortedIntersectKernel.count(
+          new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray)) ==
+          sa.toSet.intersect(sb.toSet).size.toLong
+    })
+  }
+
+  test("prop: deflate kernel matches java.util.zip and never exceeds input + overhead") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    check(forAll(Gen.asciiPrintableStr) { s =>
+      val k = graft.functions.DeflateKernel.deflatedSize(UTF8String.fromString(s))
+      k == ref(s) && k <= s.getBytes("UTF-8").length + 16
+    })
+  }
+
   test("prop: segment dedup on random corpora — totality, keep-first, no kept duplicates") {
     val wordGen = Gen.oneOf("a", "b", "c", "d")
     val docGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, wordGen))
