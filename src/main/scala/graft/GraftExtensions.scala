@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharTrigramsExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr}
+import graft.functions.{CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -61,7 +61,13 @@ object GraftExtensions {
     "jaro_winkler" ->
       ((c: Seq[Expression]) => { val v = arity("jaro_winkler", 2, c); JaroWinklerExpr(v(0), v(1)) }),
     "nfc_normalize" ->
-      ((c: Seq[Expression]) => NfcNormalizeExpr(arity("nfc_normalize", 1, c).head)))
+      ((c: Seq[Expression]) => NfcNormalizeExpr(arity("nfc_normalize", 1, c).head)),
+    "deflate_size" ->
+      ((c: Seq[Expression]) => DeflateSizeExpr(arity("deflate_size", 1, c).head)),
+    "sorted_intersect_count" ->
+      ((c: Seq[Expression]) => { val v = arity("sorted_intersect_count", 2, c); SortedIntersectCountExpr(v(0), v(1)) }),
+    "simhash64" ->
+      ((c: Seq[Expression]) => SimHashSigExpr(arity("simhash64", 1, c).head)))
 
   private def exprClass(name: String): String = name match {
     case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
@@ -69,5 +75,8 @@ object GraftExtensions {
     case "char_trigrams"    => classOf[CharTrigramsExpr].getName
     case "jaro_winkler"     => classOf[JaroWinklerExpr].getName
     case "nfc_normalize"    => classOf[NfcNormalizeExpr].getName
+    case "deflate_size"     => classOf[DeflateSizeExpr].getName
+    case "sorted_intersect_count" => classOf[SortedIntersectCountExpr].getName
+    case "simhash64"        => classOf[SimHashSigExpr].getName
   }
 }

@@ -45,6 +45,20 @@ class ExtensionsSpec extends SparkSpec {
     val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
       .collect()(0).getDouble(0)
     assert(jw == 0.9611111111111111)
+    // Round-6 kernels: DEFLATE size, sorted intersection, SimHash.
+    val dz = spark.sql("SELECT deflate_size('aaaaaaaaaaaaaaaaaaaa') AS z")
+      .collect()(0).getLong(0)
+    assert(dz > 0 && dz < 20, s"20 repeated bytes must deflate below input size, got $dz")
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c")
+      .collect()(0).getLong(0)
+    assert(ic == 2)
+    val sh = spark.sql("SELECT simhash64(array(5L, 12L)) AS h").collect()(0).getLong(0)
+    assert(sh == graft.functions.SimHashKernel.sig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](5L, 12L))))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT deflate_size('a', 'b')").collect()
+    }
   }
 
   test("nfc kernel: composes decomposed sequences, ASCII fast path returns input") {
