@@ -235,6 +235,7 @@ object SparkEntry {
     "st10_streaming_hll"   -> ((s, d) => graft.streaming.StreamingSketch.streamingHourlyHll(s, d)),
     "wz1_winsorized_stats" -> ((s, d) => graft.operators.Quality.winsorizedStats(s, d)),
     "sa1_hash_sample"      -> ((s, d) => TextAnalysis.hashSample(s, d)),
+    "sk3_aqe_skew_join"    -> ((s, d) => Skew.aqeSkewJoin(s, d)),
     "sk2_salted_join"      -> ((s, d) => {
       val e = graft.Tables.events(s, d).select(col("event_id"), col("event_type"))
       val dim = graft.Tables.events(s, d).select(col("event_type").as("t2"))
@@ -1739,6 +1740,17 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+    // AQE only re-partitions — the answer is threshold-independent,
+    // so the oracle is the plain join+aggregate.
+    "sk3_aqe_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 3 <> 0 THEN 0
+        |      ELSE l_orderkey END AS k, l_extendedprice FROM lineitem),
+        |d AS (SELECT DISTINCT CASE WHEN o_orderkey % 3 <> 0 THEN 0
+        |      ELSE o_orderkey END AS k FROM orders)
+        |SELECT d.k % 7 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sk2_salted_join" ->
       """SELECT upper(event_type) AS code_str, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -61,6 +61,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sk3: AQE really splits the skewed partition (isSkew in the final plan)") {
+    val confs = Seq(
+      // sf0.001's hot partition is only tens of KB — scale thresholds
+      // to the corpus so the split fires the way 256 MB does at 100 TB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE splits a skewed reduce partition at MAPPER-block
+      // boundaries — a single-file corpus has one mapper, leaving
+      // nothing to split. Fan the map side out first, as a real
+      // multi-file table would be.
+      val fact = Tables.lineitem(spark, sf).repartition(16)
+        .select(when(col("l_orderkey") % 3 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      // dim WITHOUT distinct(): an aggregate between the Sort and the
+      // shuffle stage breaks the rule's SMJ(Sort(stage), Sort(stage))
+      // pattern; the payload column must survive pruning or the
+      // all-zeros hot partition compresses below any threshold
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") =!= 0)
+        .select(col("o_orderkey").as("k"))
+        .unionAll(spark.range(1).select(lit(0L).as("k")))
+      val j = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew"),
+        s"AQE skew split did not fire under scaled thresholds:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // and the gated operator's result is threshold-independent
+    val rows = Skew.aqeSkewJoin(spark, sf).collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("nfc kernel: composes decomposed sequences, ASCII fast path returns input") {
     import org.apache.spark.unsafe.types.UTF8String
     def n(s: String): String = graft.functions.NfcKernel.nfc(UTF8String.fromString(s)).toString
