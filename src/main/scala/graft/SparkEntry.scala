@@ -188,6 +188,7 @@ object SparkEntry {
     "c3_curation_v2"       -> ((s, d) => graft.operators.Curation.curationV2(s, d)),
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "ewm1_ewma_hourly"     -> ((s, d) => graft.operators.Quality.ewmaHourly(s, d)),
+    "ts4_rolling_forecast" -> ((s, d) => graft.operators.Quality.rollingForecast(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
@@ -1377,6 +1378,27 @@ object SparkEntry {
         |  count(*) < 10 AS k10_violation
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // Same closed-form expressions over the same integer window sums —
+    // the slope subexpression is inlined unrounded on both sides.
+    "ts4_rolling_forecast" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |x AS (SELECT hour_start, n,
+        |    CAST(row_number() OVER (ORDER BY hour_start) AS BIGINT) AS i FROM h),
+        |s AS (SELECT hour_start, n, i,
+        |    CAST(count(*) OVER w AS BIGINT) AS c,
+        |    CAST(sum(i) OVER w AS BIGINT) AS sx, CAST(sum(n) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(i*i) OVER w AS BIGINT) AS sxx, CAST(sum(i*n) OVER w AS BIGINT) AS sxy
+        |  FROM x WINDOW w AS (ORDER BY i ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT hour_start, n,
+        |  round((CAST(c AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (CAST(c AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - (CAST(c AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (CAST(c AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / c
+        |    + (CAST(c AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (CAST(c AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (i+1), 6) AS forecast_next
+        |FROM s WHERE c = 24 ORDER BY hour_start LIMIT 48""".stripMargin,
     "ewm1_ewma_hourly" -> {
       val num = graft.operators.Quality.EwmaWeights.zipWithIndex.map { case (w, k) =>
         s"(CASE WHEN lag(nd, $k) OVER w IS NOT NULL THEN $w * lag(nd, $k) OVER w ELSE 0.0 END)"

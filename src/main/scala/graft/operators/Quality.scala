@@ -328,6 +328,43 @@ object Quality {
       .limit(limit)
   }
 
+  /** Gated ts4: ROLLING one-step-ahead FORECAST — per hour, an OLS
+    * trend fit over the trailing 24-hour window and its projection to
+    * the next hour (the short-horizon baseline capacity/alerting
+    * forecasters run). The fit comes entirely from window sums of
+    * integers (x = hour index, y = count): cnt/Σx/Σy/Σx²/Σxy over a
+    * ROWS frame are exact on both engines, so slope/forecast are one
+    * closed-form double expression each — no iterative fitting, no
+    * state, and the window runs over the hours-cardinality frame,
+    * never raw events.
+    */
+  def rollingForecast(spark: SparkSession, dir: String,
+                      window: Int = 24, limit: Int = 48): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("hour_start"))
+    val wFrame = wOrd.rowsBetween(-(window - 1), 0)
+    val x = h.withColumn("i", row_number().over(wOrd).cast("long"))
+    val s = x
+      .withColumn("c", count(lit(1)).over(wFrame))
+      .withColumn("sx", sum(col("i")).over(wFrame))
+      .withColumn("sy", sum(col("n")).over(wFrame))
+      .withColumn("sxx", sum(col("i") * col("i")).over(wFrame))
+      .withColumn("sxy", sum(col("i") * col("n")).over(wFrame))
+    val slope = (col("c").cast("double") * col("sxy")
+      - col("sx").cast("double") * col("sy")) /
+      (col("c").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+    s.filter(col("c") === window)
+      .select(col("hour_start"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx")) / col("c")
+          + slope * (col("i") + 1), 6).as("forecast_next"))
+      .orderBy(col("hour_start"))
+      .limit(limit)
+  }
+
   /** Gated cp1: CUSUM change-point series — cumulative sums of
     * per-hour count deviations from the global mean, the classic
     * sequential drift detector (the |S| peak marks the most likely

@@ -43,6 +43,31 @@ class StatsSegmentsSpec extends SparkSpec {
     assert(rows.length <= 3 && rows.map(_.getAs[Long]("n_groups")).forall(_ <= perSource))
   }
 
+  test("rolling forecast: window fit matches a local OLS replay per row") {
+    val rows = graft.operators.Quality.rollingForecast(spark, sf).collect()
+    assert(rows.length > 0)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val idx = hourly.map(_._1).zipWithIndex.toMap
+    rows.take(10).foreach { r =>
+      val i = idx(r.getAs[String]("hour_start")) + 1 // 1-based like row_number
+      val win = ((i - 24) until i).map(j => (j + 1).toDouble -> hourly(j)._2.toDouble)
+      val (c, sx, sy) = (win.size.toDouble, win.map(_._1).sum, win.map(_._2).sum)
+      val sxx = win.map(p => p._1 * p._1).sum
+      val sxy = win.map(p => p._1 * p._2).sum
+      val slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5,
+        s"slope mismatch at ${r.getAs[String]("hour_start")}")
+      val fc = (sy - slope * sx) / c + slope * (i + 1)
+      assert(math.abs(r.getAs[Double]("forecast_next") - fc) < 1e-4,
+        s"forecast mismatch at ${r.getAs[String]("hour_start")}")
+    }
+  }
+
   test("ols: fitted line reproduces mean price at mean quantity") {
     val r = Relational.olsPriceOnQuantity(spark, sf).head
     val (slope, icept) = (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))
