@@ -185,6 +185,7 @@ object SparkEntry {
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
     "dq3_ref_integrity"    -> ((s, d) => graft.operators.Quality.referentialIntegrity(s, d)),
+    "c4_curation_v3"       -> ((s, d) => graft.operators.Curation.curationV3(s, d)),
     "c3_curation_v2"       -> ((s, d) => graft.operators.Curation.curationV2(s, d)),
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "ewm1_ewma_hourly"     -> ((s, d) => graft.operators.Quality.ewmaHourly(s, d)),
@@ -651,6 +652,33 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
     "dd2_minhash_lsh" -> jaccardOracle(0.7),
+    // Round-6 capstone replay: group split + exact cross-split
+    // Jaccard decontamination + length gate, per-source keeps.
+    "c4_curation_v3" ->
+      s"""$shingleCtes,
+         |g AS (SELECT source, CASE
+         |    WHEN substring(md5(source),1,1)
+         |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         |    WHEN substring(md5(source),1,1) IN ('c','d') THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |d AS (SELECT doc_id, d0.source, n_chars, split
+         |  FROM documents d0 JOIN g USING (source)),
+         |j AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(common AS DOUBLE)/(sa.sz + sb.sz - common), 6) >= 0.7),
+         |contaminated AS (
+         |  SELECT da.doc_id FROM j
+         |    JOIN d da ON da.doc_id = j.doc_a JOIN d db ON db.doc_id = j.doc_b
+         |  WHERE da.split = 'train' AND db.split <> 'train'
+         |  UNION
+         |  SELECT db.doc_id FROM j
+         |    JOIN d da ON da.doc_id = j.doc_a JOIN d db ON db.doc_id = j.doc_b
+         |  WHERE db.split = 'train' AND da.split <> 'train')
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM d WHERE split = 'train' AND n_chars BETWEEN 120 AND 20000
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exact cross-split Jaccard: the LSH path must find every
     // (delta, base) pair at J >= 0.7 or the hash check fails.
     "dd16_incremental_neardup" ->

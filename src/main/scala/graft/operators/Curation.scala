@@ -173,4 +173,44 @@ object Curation {
       .orderBy(desc("wkey"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Gated c4: ROUND-6 CAPSTONE — the leakage-controlled training-set
+    * assembly a modern pretraining pipeline runs, composed from this
+    * round's families without re-deriving any math:
+    *
+    *  1. GROUP-aware split ([[TextAnalysis.groupSplitMap]], s2):
+    *     whole sources assigned train/val/test;
+    *  2. SIMILARITY decontamination: any train doc ≥ 0.7 Jaccard to
+    *     some val/test doc (via the recall-guaranteed MinHash/LSH
+    *     pair set, dd2) is dropped — the near-dup leak a hash-based
+    *     decontamination (dc1) cannot see;
+    *  3. length quality gate, then per-source kept counts.
+    *
+    * Costs: the LSH pair set is the dd2 path (band-bucketed),
+    * split map broadcasts at group cardinality, contaminated ids are
+    * a distinct-id anti join. Oracle replays all three stages in SQL
+    * from the exact Jaccard — a banding miss or split drift
+    * hash-fails the gate.
+    */
+  def curationV3(spark: SparkSession, dir: String,
+                 minChars: Long = 120, maxChars: Long = 20000): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(graft.operators.TextAnalysis.groupSplitMap(docs)), "source")
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, dir)
+    val withSplits = pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+    val contaminated = withSplits
+      .filter((col("sa") === "train") =!= (col("sb") === "train"))
+      .select(when(col("sa") === "train", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    d.filter(col("split") === "train"
+        && col("n_chars").between(minChars, maxChars))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
 }

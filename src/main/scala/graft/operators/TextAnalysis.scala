@@ -243,15 +243,21 @@ object TextAnalysis {
     * (|sources|, not |docs|) and broadcast, so the assignment costs
     * one scan and zero extra shuffles of the corpus at any scale.
     */
-  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val splits = docs.select(col("source")).distinct()
+  /** The deterministic source→split assignment shared by [[groupSplit]]
+    * and the curation capstones: md5 first hex nibble, 12/2/2 —
+    * group-cardinality, meant to be broadcast.
+    */
+  def groupSplitMap(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
       .select(col("source"), substring(md5(col("source")), 1, 1).as("h"))
       .select(col("source"),
         when(col("h").isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
           .when(col("h").isin("c", "d"), "val")
           .otherwise("test").as("split"))
-    docs.join(broadcast(splits), "source")
+
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.join(broadcast(groupSplitMap(docs)), "source")
       .groupBy(col("split"))
       .agg(countDistinct(col("source")).as("n_groups"),
         count(lit(1)).as("n_docs"),

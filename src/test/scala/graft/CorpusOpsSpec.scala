@@ -247,4 +247,36 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getLong(4) <= r.getLong(1))           // spans <= hit count
     }
   }
+
+  test("c4 capstone: decontamination is live and accounting closes") {
+    import org.apache.spark.sql.functions._
+    val kept = graft.operators.Curation.curationV3(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val d = docs.join(broadcast(
+      graft.operators.TextAnalysis.groupSplitMap(docs)), "source")
+    val trainInRange = d.filter(col("split") === "train"
+      && col("n_chars").between(120, 20000))
+    // cross-split near-dups exist in the corpus, so c4 must drop them:
+    // kept strictly fewer than the length-gated train docs
+    val keptTotal = kept.map(_.getAs[Long]("n_kept")).sum
+    assert(keptTotal < trainInRange.count(),
+      "no contaminated train doc was dropped - decontamination is vacuous")
+    // every cross-split LSH pair's train member is absent from kept sources' budget
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sf).collect()
+    val split = d.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val contaminated = pairs.flatMap { p =>
+      val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      (split(a) == "train", split(b) == "train") match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None
+      }
+    }.toSet
+    assert(contaminated.nonEmpty, "test corpus must contain cross-split near-dups")
+    val keptPlusDropped = trainInRange
+      .filter(!col("doc_id").isin(contaminated.toSeq: _*))
+    assert(keptTotal == keptPlusDropped.count(),
+      "kept != length-gated train minus contaminated")
+  }
 }
