@@ -276,6 +276,8 @@ object SparkEntry {
     "aj2_asof_next_purchase" -> ((s, d) => Relational.asofNextPurchase(s, d)),
     "st12_stream_static_anti" -> ((s, d) =>
       graft.streaming.StreamJoins.streamStaticAntiGate(s, d)),
+    "st13_v2_stream_source" -> ((s, d) =>
+      graft.streaming.V2StreamSource.v2StreamGate(s, d)),
     "st9_stream_static_join" -> ((s, d) => graft.streaming.StreamJoins.streamStaticGate(s, d)),
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
@@ -2677,6 +2679,10 @@ object SparkEntry {
     "st9_stream_static_join" ->
       """SELECT event_id, upper(substr(event_type, 1, 2)) AS type_code, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // Exactly-once poll-loop semantics: 3 rounds x symbol universe.
+    "st13_v2_stream_source" ->
+      """SELECT n_name AS symbol, CAST(3 AS BIGINT) AS n_polls
+        |FROM nation ORDER BY 1""".stripMargin,
     // Stateless per-batch anti join: streaming result == batch filter.
     "st12_stream_static_anti" ->
       """SELECT event_id, event_type, value FROM events

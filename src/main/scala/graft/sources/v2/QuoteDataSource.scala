@@ -61,9 +61,9 @@ class QuoteTable(symbols: Array[String], seed: Long) extends Table with Supports
   override def name(): String = s"quotes(${symbols.length} symbols)"
   override def schema(): StructType = QuoteDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new QuoteScanBuilder(symbols, seed)
+    new QuoteScanBuilder(symbols, seed, options.getInt("rounds", 3))
 }
 
 /** Pushdown-aware scan builder. For a remote-fetch source, pushdown is
@@ -80,7 +80,7 @@ class QuoteTable(symbols: Array[String], seed: Long) extends Table with Supports
   * we do not accept stays as a post-scan Filter, so accepting only the
   * clean symbol predicates is always safe.
   */
-class QuoteScanBuilder(allSymbols: Array[String], seed: Long)
+class QuoteScanBuilder(allSymbols: Array[String], seed: Long, rounds: Int = 3)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -187,7 +187,7 @@ class QuoteScanBuilder(allSymbols: Array[String], seed: Long)
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new QuoteAggScan(symbols, agg)
-    case None      => new QuoteScan(symbols, seed, required)
+    case None      => new QuoteScan(symbols, seed, required, rounds)
   }
 }
 
@@ -244,7 +244,8 @@ object QuoteAggReaderFactory extends PartitionReaderFactory {
   * scan stays correct (Spark re-applies the join) if the rule never
   * fires.
   */
-class QuoteScan(allSymbols: Array[String], seed: Long, required: StructType)
+class QuoteScan(allSymbols: Array[String], seed: Long, required: StructType,
+                rounds: Int = 3)
     extends Scan with Batch with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -267,6 +268,45 @@ class QuoteScan(allSymbols: Array[String], seed: Long, required: StructType)
     symbols.map(s => QuotePartition(s, seed, required.fieldNames): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     QuoteReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new QuoteMicroBatchStream(symbols, seed, required, rounds)
+}
+
+/** STREAMING form of the quote source — the reference's sensor/poll
+  * loop (sensors.py: poll every >=10 s, fetch, append) as a
+  * first-class DSv2 `MicroBatchStream`. An offset is simply the
+  * number of completed poll rounds; each round fetches one quote per
+  * symbol (deterministic per (symbol, seed+round), standing in for
+  * the live API call), planned one partition per (round, symbol) so
+  * the fan-out parallelizes exactly like the batch path. Offsets are
+  * checkpoint-serializable, so restarts resume at the committed
+  * round — exactly-once ingest with no bespoke state. `rounds` caps
+  * the feed for AvailableNow/test runs; a live deployment would
+  * return an ever-advancing latestOffset instead.
+  */
+class QuoteMicroBatchStream(symbols: Array[String], seed: Long,
+                            required: StructType, rounds: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class RoundOffset(round: Int) extends Offset {
+    override def json(): String = round.toString
+  }
+
+  override def initialOffset(): Offset = RoundOffset(0)
+  override def latestOffset(): Offset = RoundOffset(rounds)
+  override def deserializeOffset(json: String): Offset = RoundOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s0, s1) = (start.asInstanceOf[RoundOffset].round, end.asInstanceOf[RoundOffset].round)
+    (for {
+      r <- s0 until s1
+      sym <- symbols
+    } yield QuotePartition(sym, seed + r, required.fieldNames): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = QuoteReaderFactory
 }
 
 case class QuotePartition(symbol: String, seed: Long,

@@ -155,6 +155,35 @@ class QuoteDataSourceSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(root))
   }
 
+  test("DSv2 micro-batch source: checkpointed offsets resume exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_test_st13_").toString
+    try {
+      def run(rounds: Int): Unit = {
+        val q = spark.readStream.format("graft.sources.v2.QuoteDataSource")
+          .option("symbols", symbols.mkString(",")).option("rounds", rounds.toString)
+          .load()
+          .select(col("symbol"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$root/out")
+          }
+          .start()
+        q.awaitTermination(60000)
+        assert(!q.isActive)
+      }
+      run(2) // rounds 0,1
+      assert(spark.read.parquet(s"$root/out").count() == 2L * symbols.length)
+      run(4) // resumes at committed offset 2 -> only rounds 2,3 are new
+      val per = spark.read.parquet(s"$root/out")
+        .groupBy("symbol").count().collect()
+      assert(per.length == symbols.length)
+      per.foreach(r => assert(r.getLong(1) == 4,
+        s"symbol ${r.getString(0)} emitted ${r.getLong(1)} != 4 rows — offset resume broken"))
+    } finally TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("DSv2 fails fast on a missing symbols option") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft.sources.v2.QuoteDataSource").load().collect()
