@@ -140,6 +140,34 @@ class VectorNormsSpec extends SparkSpec {
     }
   }
 
+  test("power iteration: crafted spectra recover known eigenpairs exactly") {
+    import graft.operators.PcaMath
+    // Diagonal covariance diag(4, 1): centered samples (+a, -a) along
+    // each axis give exact sufficient statistics; top eigenvector must
+    // be e1 with lambda = 4.
+    // points: (2,0), (-2,0), (0,1), (0,-1) -> n=4, sums=0,
+    // ss upper-tri = [sum x^2, sum xy, sum y^2] = [8, 0, 2]
+    val stats = Array[Double](4, 0, 0, 8, 0, 2)
+    val (lambda, v, mu, n) = PcaMath.powerIteration(stats, 200)
+    assert(n == 4 && mu.forall(_ == 0.0))
+    assert(math.abs(lambda - 2.0) < 1e-12) // cov = diag(8,2)/4 = diag(2, .5)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-9 && math.abs(v(1)) < 1e-9)
+    assert(v(0) > 0, "sign canonicalization: dominant loading positive")
+    // Rank-1 covariance along (1,1)/sqrt(2): points (1,1),(-1,-1)
+    // ss = [2, 2, 2], n=2 -> cov = [[1,1],[1,1]], lambda=2, v=(1,1)/sqrt2
+    val stats2 = Array[Double](2, 0, 0, 2, 2, 2)
+    val (l2, v2, _, _) = PcaMath.powerIteration(stats2, 200)
+    assert(math.abs(l2 - 2.0) < 1e-12)
+    assert(math.abs(v2(0) - math.sqrt(0.5)) < 1e-9
+      && math.abs(v2(1) - math.sqrt(0.5)) < 1e-9)
+    // Nonzero mean must be removed: shift the rank-1 case by (10, 20)
+    val stats3 = Array[Double](2, 20, 40, 2 + 200, 2 + 2 * 200, 2 + 800)
+    val (l3, v3, mu3, _) = PcaMath.powerIteration(stats3, 200)
+    assert(mu3(0) == 10.0 && mu3(1) == 20.0)
+    assert(math.abs(l3 - 2.0) < 1e-9, s"mean not removed: lambda $l3")
+    assert(math.abs(v3(0) - math.sqrt(0.5)) < 1e-8)
+  }
+
   test("matryoshka head norm matches a driver-side recompute") {
     val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
       .collect().map { r =>
