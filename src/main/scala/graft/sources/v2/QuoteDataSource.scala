@@ -112,14 +112,20 @@ class QuoteScanBuilder(allSymbols: Array[String], seed: Long, rounds: Int = 3)
     * the FINAL aggregate row, positionally matching
     * `aggregateExpressions`.
     */
-  private def answerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+  private def answerable(agg: Aggregation): Boolean = {
+    // GROUP BY is accepted only when it is exactly [symbol]: one row
+    // per symbol in the universe, each aggregate still derivable
+    // without a fetch (count = 1 per symbol by the source contract).
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 && isSymbolRef(agg.groupByExpressions.head))
+    groupOk && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isSymbolRef(m.column)
         case m: Max => isSymbolRef(m.column)
         case _ => false
       }
+  }
 
   // Both limit and top-N stay PARTIAL (Spark keeps its own
   // Limit/Sort on top): the connector's cut is a fetch prune, never
@@ -191,10 +197,12 @@ class QuoteScanBuilder(allSymbols: Array[String], seed: Long, rounds: Int = 3)
   }
 }
 
-/** Scan for a COMPLETELY pushed aggregation: one partition, one row,
-  * computed from the symbol universe without invoking the fetch path.
-  * Output fields are positional per `aggregateExpressions` (LongType
-  * for COUNT(*), StringType for MIN/MAX(symbol)), names cosmetic.
+/** Scan for a COMPLETELY pushed aggregation, computed from the symbol
+  * universe without invoking the fetch path. Ungrouped: one partition,
+  * one row. GROUP BY symbol: one row per symbol (count = 1 each, by
+  * the one-row-per-symbol source contract). Output fields are
+  * positional — group columns first, then aggregates (LongType for
+  * COUNT(*), StringType for MIN/MAX(symbol)); names cosmetic.
   */
 class QuoteAggScan(
     symbols: Array[String],
@@ -202,21 +210,39 @@ class QuoteAggScan(
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
 
+  private val grouped = agg.groupByExpressions.nonEmpty
+
   override def readSchema(): StructType = StructType(
+    agg.groupByExpressions.zipWithIndex.map {
+      case (_, i) => StructField(s"group_$i", StringType)
+    } ++
     agg.aggregateExpressions.zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (_, i)            => StructField(s"agg_$i", StringType)
     })
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val values: Array[Any] = agg.aggregateExpressions.map {
-      case _: CountStar => symbols.length.toLong
-      case _: Min       => UTF8String.fromString(symbols.min)
-      case _: Max       => UTF8String.fromString(symbols.max)
-      case other => throw new IllegalStateException(s"unpushable agg $other")
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped) {
+      // One row per symbol; per-symbol "universe" is the singleton.
+      symbols.map { s =>
+        val values: Array[Any] = Array[Any](UTF8String.fromString(s)) ++
+          agg.aggregateExpressions.map {
+            case _: CountStar => 1L
+            case _: Min       => UTF8String.fromString(s)
+            case _: Max       => UTF8String.fromString(s)
+            case other => throw new IllegalStateException(s"unpushable agg $other")
+          }
+        QuoteAggPartition(values): InputPartition
+      }
+    } else {
+      val values: Array[Any] = agg.aggregateExpressions.map {
+        case _: CountStar => symbols.length.toLong
+        case _: Min       => UTF8String.fromString(symbols.min)
+        case _: Max       => UTF8String.fromString(symbols.max)
+        case other => throw new IllegalStateException(s"unpushable agg $other")
+      }
+      Array(QuoteAggPartition(values))
     }
-    Array(QuoteAggPartition(values))
-  }
   override def createReaderFactory(): PartitionReaderFactory = QuoteAggReaderFactory
 }
 

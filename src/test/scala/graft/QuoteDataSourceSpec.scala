@@ -101,6 +101,17 @@ class QuoteDataSourceSpec extends SparkSpec {
       s"aggregate must be answered by the scan, not re-aggregated:\n$plan")
   }
 
+  test("DSv2 GROUP BY symbol aggregate pushdown: per-symbol counts, zero fetches") {
+    val before = graft.sources.QuoteGen.fetches.get()
+    val rows = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == symbols.map(_ -> 1L).toMap)
+    assert(graft.sources.QuoteGen.fetches.get() == before,
+      "grouped counts must come from the universe, not fetches")
+  }
+
   test("DSv2 aggregate pushdown refuses shapes it cannot answer (still correct)") {
     val before = graft.sources.QuoteGen.fetches.get()
     // avg(market_price) needs real quotes: connector must refuse the
