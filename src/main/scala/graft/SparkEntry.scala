@@ -135,6 +135,8 @@ object SparkEntry {
     "t9_pii_redact"        -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "s1_hash_split"        -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "s2_group_split"       -> ((s, d) => TextAnalysis.groupSplit(s, d)),
+    "zipf1_token_zipf"     -> ((s, d) => TextAnalysis.tokenZipf(s, d)),
+    "kd1_split_kl"         -> ((s, d) => graft.operators.Quality.splitKlDivergence(s, d)),
     "mi1_mutual_information" -> ((s, d) => Relational.mutualInformation(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
@@ -2185,6 +2187,47 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // Group-aware split: the group→split assignment hashes SOURCE, so
     // the oracle derives the same map from the distinct sources.
+    "zipf1_token_zipf" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk
+        |  FROM c QUALIFY rk <= 1000),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CAST(ln(rk) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ln(n) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ln(rk)*ln(rk) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ln(rk)*ln(n) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        |  FROM r)
+        |SELECT c AS n_tokens,
+        |  round((CAST(c AS DOUBLE)*sxy - sx*sy)/(CAST(c AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+        |  round((sy - (CAST(c AS DOUBLE)*sxy - sx*sy)/(CAST(c AS DOUBLE)*sxx - sx*sx)*sx)/c, 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+    "kd1_split_kl" ->
+      """WITH g AS (SELECT source, CASE
+        |    WHEN substring(md5(source),1,1)
+        |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+        |    WHEN substring(md5(source),1,1) IN ('c','d') THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |d AS (SELECT lang, split FROM documents JOIN g USING (source)),
+        |langs AS (SELECT DISTINCT lang FROM d),
+        |tr AS (SELECT lang, count(*) AS n FROM d WHERE split = 'train' GROUP BY 1),
+        |te AS (SELECT lang, count(*) AS n FROM d WHERE split <> 'train' GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE split = 'train') AS ntr,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE split <> 'train') AS nte,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM langs) AS nl),
+        |sm AS (SELECT l.lang,
+        |    (CAST(coalesce(tr.n,0) AS DOUBLE)+1)/(t.ntr + t.nl) AS p,
+        |    (CAST(coalesce(te.n,0) AS DOUBLE)+1)/(t.nte + t.nl) AS q
+        |  FROM langs l LEFT JOIN tr ON tr.lang = l.lang
+        |  LEFT JOIN te ON te.lang = l.lang CROSS JOIN tot t)
+        |SELECT (SELECT nl FROM tot) AS n_langs,
+        |  round(CAST(sum(CAST(p*ln(p/q) AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_train_eval,
+        |  round(CAST(sum(CAST(q*ln(q/p) AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_eval_train
+        |FROM sm""".stripMargin,
     "s2_group_split" ->
       """WITH g AS (SELECT source, CASE
         |    WHEN substring(md5(source),1,1)

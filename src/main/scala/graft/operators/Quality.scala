@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -326,6 +326,48 @@ object Quality {
     h.select(col("hour_start"), col("n"), round(num / den, 6).as("ewma"))
       .orderBy(col("hour_start"))
       .limit(limit)
+  }
+
+  /** Gated kd1: SPLIT REPRESENTATIVENESS via KL divergence — does the
+    * eval side of the wall look like the train side? Laplace-smoothed
+    * language shares over the union domain (so a language present on
+    * one side only contributes a finite, visible penalty instead of
+    * ∞), both divergence directions emitted. Everything folds from
+    * the |langs|-cardinality share table; the raw corpus is scanned
+    * once for the per-(lang, split) counts. The split comes from
+    * [[TextAnalysis.groupSplitMap]], so this audits exactly the wall
+    * s2/c4 build.
+    */
+  def splitKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val d = docs
+      .join(broadcast(TextAnalysis.groupSplitMap(docs)), "source")
+      .select(col("lang"), (col("split") === "train").as("is_train"))
+    val counts = d.groupBy(col("lang"), col("is_train"))
+      .agg(count(lit(1)).as("n"))
+    counts.persist()
+    try {
+      val tr = counts.filter(col("is_train")).select(col("lang"), col("n").as("ntr"))
+      val te = counts.filter(!col("is_train")).select(col("lang"), col("n").as("nte"))
+      val totals = counts.agg(
+        sum(when(col("is_train"), col("n")).otherwise(0L)),
+        sum(when(!col("is_train"), col("n")).otherwise(0L))).head
+      val (nTrain, nEval) = (totals.getLong(0), totals.getLong(1))
+      val langs = counts.select(col("lang")).distinct()
+      val nLangs = langs.count()
+      val sm = langs
+        .join(tr, Seq("lang"), "left").join(te, Seq("lang"), "left")
+        .select(
+          ((coalesce(col("ntr"), lit(0L)).cast("double") + 1) / lit(nTrain + nLangs)).as("p"),
+          ((coalesce(col("nte"), lit(0L)).cast("double") + 1) / lit(nEval + nLangs)).as("q"))
+      def dec(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+      val out = sm.agg(
+        round(dec(col("p") * log(col("p") / col("q"))), 6).as("kl_train_eval"),
+        round(dec(col("q") * log(col("q") / col("p"))), 6).as("kl_eval_train"))
+        .select(lit(nLangs).as("n_langs"), col("kl_train_eval"), col("kl_eval_train"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { counts.unpersist(); () }
   }
 
   /** Gated ts4: ROLLING one-step-ahead FORECAST — per hour, an OLS

@@ -234,6 +234,35 @@ object TextAnalysis {
         sum(when(col("ratio") < flagBelow, 1L).otherwise(0L)).as("n_repetitive"))
       .orderBy(col("lang"))
 
+  /** Gated zipf1: ZIPF SLOPE of the token rank–frequency curve — the
+    * corpus-health diagnostic (natural text ≈ −1; synthetic/templated
+    * corpora flatten toward 0, spam steepens). One count shuffle
+    * builds the token-TYPE table (vocabulary cardinality ≪ corpus),
+    * ranks it, and fits ln(freq) ~ ln(rank) over the top `topK` by
+    * the same closed-form OLS as ts4 — ln-terms DECIMAL-summed for
+    * order invariance. At web-scale vocabularies the rank window
+    * would be pre-pruned to the top-k band by the hh1 heavy-hitter
+    * sketch; the fit itself is k-bounded either way.
+    */
+  def tokenZipf(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("tok"))
+    val r = counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+    val s = r.agg(count(lit(1)).as("c"),
+      dec(log(col("rk"))).as("sx"), dec(log(col("n"))).as("sy"),
+      dec(log(col("rk")) * log(col("rk"))).as("sxx"),
+      dec(log(col("rk")) * log(col("n"))).as("sxy"))
+    val slope = (col("c").cast("double") * col("sxy") - col("sx") * col("sy")) /
+      (col("c").cast("double") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("c").as("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("c"), 6).as("intercept"))
+  }
+
   /** Gated s2: GROUP-AWARE split — the leakage-proof variant of
     * [[hashSplit]]. Hashing doc_id puts near-identical documents from
     * one source on both sides of the train/test wall; hashing the

@@ -43,6 +43,31 @@ class StatsSegmentsSpec extends SparkSpec {
     assert(rows.length <= 3 && rows.map(_.getAs[Long]("n_groups")).forall(_ <= perSource))
   }
 
+  test("zipf: slope is negative and the fit covers the whole (small) vocabulary") {
+    val r = graft.operators.TextAnalysis.tokenZipf(spark, sf).head
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextAnalysis.words(col("text"))).as("t"))
+      .distinct().count()
+    assert(r.getAs[Long]("n_tokens") == math.min(vocab, 1000L))
+    assert(r.getAs[Double]("slope") < 0, "rank-frequency slope must be negative")
+    // intercept = predicted ln(freq) at rank 1 — bounded by the max count
+    val maxN = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextAnalysis.words(col("text"))).as("t"))
+      .groupBy("t").count().agg(max("count")).head.getLong(0)
+    assert(r.getAs[Double]("intercept") <= math.log(maxN.toDouble) + 1.0)
+  }
+
+  test("split KL: non-negative both directions, near zero for a representative split") {
+    val r = graft.operators.Quality.splitKlDivergence(spark, sf).head
+    val (a, b) = (r.getAs[Double]("kl_train_eval"), r.getAs[Double]("kl_eval_train"))
+    assert(a >= 0 && b >= 0, "KL divergence cannot be negative")
+    // sources are assigned to splits independently of language, so
+    // the language mix should roughly carry over the wall
+    assert(a < 0.5 && b < 0.5, s"split looks unrepresentative: $a / $b")
+    assert(r.getAs[Long]("n_langs") ==
+      Tables.documents(spark, sf).select("lang").distinct().count())
+  }
+
   test("rolling forecast: window fit matches a local OLS replay per row") {
     val rows = graft.operators.Quality.rollingForecast(spark, sf).collect()
     assert(rows.length > 0)
