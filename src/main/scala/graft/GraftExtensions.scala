@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr}
+import graft.functions.{CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr, SortedIntersectWeightSumExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -67,7 +67,9 @@ object GraftExtensions {
     "sorted_intersect_count" ->
       ((c: Seq[Expression]) => { val v = arity("sorted_intersect_count", 2, c); SortedIntersectCountExpr(v(0), v(1)) }),
     "simhash64" ->
-      ((c: Seq[Expression]) => SimHashSigExpr(arity("simhash64", 1, c).head)))
+      ((c: Seq[Expression]) => SimHashSigExpr(arity("simhash64", 1, c).head)),
+    "sorted_intersect_weight_sum" ->
+      ((c: Seq[Expression]) => { val v = arity("sorted_intersect_weight_sum", 3, c); SortedIntersectWeightSumExpr(v(0), v(1), v(2)) }))
 
   private def exprClass(name: String): String = name match {
     case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
@@ -78,5 +80,6 @@ object GraftExtensions {
     case "deflate_size"     => classOf[DeflateSizeExpr].getName
     case "sorted_intersect_count" => classOf[SortedIntersectCountExpr].getName
     case "simhash64"        => classOf[SimHashSigExpr].getName
+    case "sorted_intersect_weight_sum" => classOf[SortedIntersectWeightSumExpr].getName
   }
 }

@@ -137,6 +137,13 @@ object SparkEntry {
     "s2_group_split"       -> ((s, d) => TextAnalysis.groupSplit(s, d)),
     "zipf1_token_zipf"     -> ((s, d) => TextAnalysis.tokenZipf(s, d)),
     "kd1_split_kl"         -> ((s, d) => graft.operators.Quality.splitKlDivergence(s, d)),
+    "ent1_token_entropy"   -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    "w8_distribution_ranks"-> ((s, d) => graft.operators.Behavior.distributionRanks(s, d)),
+    "att1_last_touch"      -> ((s, d) => graft.operators.Behavior.lastTouchAttribution(s, d)),
+    "sky1_pareto_customers"-> ((s, d) => Relational.customerSkyline(s, d)),
+    "fd1_functional_deps"  -> ((s, d) => Relational.functionalDeps(s, d)),
+    "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
+    "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "mi1_mutual_information" -> ((s, d) => Relational.mutualInformation(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
@@ -2228,6 +2235,127 @@ object SparkEntry {
         |  round(CAST(sum(CAST(p*ln(p/q) AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_train_eval,
         |  round(CAST(sum(CAST(q*ln(q/p) AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_eval_train
         |FROM sm""".stripMargin,
+    // Per-doc entropy: c·ln c terms DECIMAL-summed (order-invariant,
+    // mi1's pattern) before the closed-form H = ln N − S/N.
+    "ent1_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text),'\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(c*ln(c) AS DECIMAL(38,18))) AS DOUBLE) AS s
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(ln(n_tokens) - s/n_tokens, 6) AS entropy,
+        |  round(CASE WHEN n_types > 1
+        |    THEN (ln(n_tokens) - s/n_tokens)/ln(n_types) ELSE 0.0 END, 6) AS norm_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Skyline: the oracle states dominance directly (NOT EXISTS);
+    // the operator's window reduction must agree exactly, ties kept.
+    "sky1_pareto_customers" ->
+      """WITH m AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,2))) AS spend FROM orders GROUP BY 1)
+        |SELECT custkey, n_orders, spend FROM m a
+        |WHERE NOT EXISTS (SELECT 1 FROM m b
+        |  WHERE b.n_orders <= a.n_orders AND b.spend >= a.spend
+        |    AND (b.n_orders < a.n_orders OR b.spend > a.spend))
+        |ORDER BY n_orders, custkey""".stripMargin,
+    "fd1_functional_deps" ->
+      """SELECT table_name, lhs, rhs, n_lhs, n_pairs,
+        |  n_pairs = n_lhs AS holds, n_pairs - n_lhs AS n_violating_combos
+        |FROM (
+        |  SELECT 'nation' AS table_name, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+        |    (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS n_lhs,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |      FROM (SELECT DISTINCT n_nationkey, n_regionkey FROM nation)) AS n_pairs
+        |  UNION ALL
+        |  SELECT 'part', 'p_brand', 'p_type',
+        |    (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) FROM part),
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |      FROM (SELECT DISTINCT p_brand, p_type FROM part))
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+        |    (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer))
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |      FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)))
+        |ORDER BY table_name, lhs, rhs""".stripMargin,
+    "k12_cascade_delete" ->
+      """WITH dc AS (SELECT c_custkey FROM customer WHERE c_nationkey = 7),
+        |do_ AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM dc))
+        |SELECT table_name, rows_total, rows_deleted,
+        |  rows_total - rows_deleted AS rows_kept
+        |FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_total,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM dc) AS rows_deleted
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+        |  UNION ALL
+        |  SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM dc)))
+        |ORDER BY table_name""".stripMargin,
+    "w8_distribution_ranks" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT o_custkey, c_mktsegment, spend
+        |  FROM s JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_custkey, c_mktsegment, spend,
+        |  round(percent_rank() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY spend, o_custkey), 6) AS seg_pct_rank,
+        |  round(cume_dist() OVER
+        |    (PARTITION BY c_mktsegment ORDER BY spend, o_custkey), 6) AS seg_cume_dist,
+        |  CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS spend_decile
+        |FROM j ORDER BY o_custkey""".stripMargin,
+    // Last-touch attribution: the sortable-string running max (ts ‖
+    // event id ‖ type, zero-padded) makes "latest prior event" a
+    // bytewise comparison both engines evaluate identically; the NULL
+    // branch is explicit because DuckDB's split_part maps NULL to ''.
+    "att1_last_touch" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (SELECT event_type, max(CASE WHEN event_type <> 'purchase' THEN
+        |      lpad(CAST(us AS VARCHAR),20,'0') || '|' ||
+        |      lpad(CAST(event_id AS VARCHAR),12,'0') || '|' || event_type END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM ev),
+        |p AS (SELECT CASE WHEN prev IS NULL THEN 'none'
+        |    ELSE split_part(prev,'|',3) END AS touch
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(count(*) AS DOUBLE)/(SELECT count(*) FROM p), 6) AS share
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Adamic–Adar edge strength: the oracle materializes the wedge
+    // join the operator's kernel avoids; both rank on the EXACT
+    // scaled-long sum, so the top-k sets agree bit-for-bit. Nodes of
+    // degree 1 can never be common neighbors — their weight is pinned
+    // to 0 so neither engine divides by ln(1).
+    "aa1_edge_strength" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM it a
+        |  JOIN it b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        |deg AS (SELECT b AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        |w AS (SELECT node, CASE WHEN d >= 2
+        |    THEN CAST(round(1e12/ln(d)) AS BIGINT) ELSE 0 END AS wt FROM deg),
+        |sc AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(w.wt) AS BIGINT) AS s
+        |  FROM e JOIN und n1 ON n1.a = e.u
+        |  JOIN und n2 ON n2.a = e.v AND n2.b = n1.b
+        |  JOIN w ON w.node = n1.b
+        |  GROUP BY e.u, e.v)
+        |SELECT u, v, n_common, round(CAST(s AS DOUBLE)/1e12, 6) AS aa_score
+        |FROM sc ORDER BY s DESC, u, v LIMIT 25""".stripMargin,
     "s2_group_split" ->
       """WITH g AS (SELECT source, CASE
         |    WHEN substring(md5(source),1,1)

@@ -86,6 +86,71 @@ object Behavior {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gated w8: DISTRIBUTION RANKS — percent_rank + cume_dist of each
+    * customer's spend within their market segment, plus the global
+    * spend decile: the remaining rank-window family members (w1 rank,
+    * w7 ntile, w9 top-k) in one gate. Both windows run over the
+    * AGGREGATED per-customer frame; the segment window partitions by
+    * a bounded key, and the global decile would switch to x3-style
+    * quantile cut-points once |customers| outgrows one sort partition
+    * (same policy note as [[spendQuartiles]]).
+    */
+  def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("spend"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val bySeg = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend"), col("o_custkey"))
+    val global = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.select(col("o_custkey"), col("c_mktsegment"), col("spend"),
+        round(percent_rank().over(bySeg), 6).as("seg_pct_rank"),
+        round(cume_dist().over(bySeg), 6).as("seg_cume_dist"),
+        ntile(10).over(global).as("spend_decile"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Gated att1: LAST-TOUCH ATTRIBUTION — each purchase is credited
+    * to the user's most recent preceding non-purchase event; the
+    * readout is purchases and share per touch type. The
+    * batch companion of st5's stream-stream attribution join.
+    *
+    * Scale shape: one user-partitioned window pass over events (the
+    * same partitioning every per-user op here reuses) — no self-join
+    * of the event log against itself. The "latest prior event" is a
+    * running MAX of a zero-padded sortable encoding (timestamp ‖
+    * event id ‖ type), so the window state is one string per row and
+    * the comparison is bytewise — deterministic across engines; the
+    * final share table is |touch types| rows.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev
+      .withColumn("prev", max(when(col("event_type") =!= "purchase",
+        concat(lpad(col("us").cast("string"), 20, "0"), lit("|"),
+          lpad(col("event_id").cast("string"), 12, "0"), lit("|"),
+          col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      // explicit null branch: DuckDB's split_part maps NULL to '', so
+      // a coalesce around the split would diverge between engines
+      .select(when(col("prev").isNull, lit("none"))
+        .otherwise(element_at(split(col("prev"), "\\|"), 3)).as("touch"))
+    val counts = touched.groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+    counts
+      .withColumn("share",
+        round(col("n_purchases") / sum(col("n_purchases"))
+          .over(Window.partitionBy()), 6))
+      .orderBy(col("touch"))
+  }
+
   /** Gated gc1: USER GROWTH CURVE — cumulative distinct users over
     * time WITHOUT a windowed distinct: each user reduces to their
     * first-seen hour (one map-side-combinable min), then the curve is

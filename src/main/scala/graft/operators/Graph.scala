@@ -220,6 +220,75 @@ object Graph {
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
     triangleStatsFrom(spark, copurchaseEdges(spark, dir))
 
+  /** Gated aa1: per-edge COMMON-NEIGHBOR strength — |N(u)∩N(v)| and
+    * the Adamic–Adar sum Σ_{w∈N(u)∩N(v)} 1/ln(deg w) for every
+    * existing co-purchase edge, top-k strongest. Link analysis's
+    * embeddedness/link-prediction score: high-AA edges are structural
+    * (template clusters, bundles), zero-AA edges are bridges — the
+    * signal curation uses to separate organic link mass from farms.
+    *
+    * Scale shape: same discipline as [[triangleStatsFrom]] — the
+    * quadratic object (per-edge neighborhood overlap) never
+    * materializes as rows; it stays inside a per-row two-pointer
+    * kernel over sorted adjacency arrays. Full (undirected)
+    * neighborhoods are needed here, so per-node arrays are O(max
+    * degree) rather than tc1's O(√m) oriented bound — the standard
+    * mitigation at web scale is capping/sampling hub adjacency before
+    * scoring (hubs' AA terms are ≈0 anyway: weight 1/ln d); the gate
+    * keeps arrays exact at catalog density. Weights ride ALIGNED with
+    * the neighbor ids (one struct sort, then two projections), scaled
+    * to exact longs (round(1e12/ln d) — common neighbors have d ≥ 2
+    * by construction, so ln d ≥ ln 2) to make every per-edge sum
+    * order-invariant: ranking compares exact integers, cross-engine.
+    */
+  def edgeStrength(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    edgeStrengthFrom(spark, copurchaseEdges(spark, dir), k)
+
+  /** [[edgeStrength]] over an explicit (u, v) u<v edge frame. */
+  def edgeStrengthFrom(spark: SparkSession, edgesUV: DataFrame,
+                       k: Int): DataFrame = {
+    val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
+    val und = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val deg = und.groupBy(col("b").as("node")).agg(count(lit(1)).as("d"))
+    // Neighbor lists annotated with the NEIGHBOR's degree weight: join
+    // on the dst endpoint (node-cardinality degree table broadcasts),
+    // sort once as structs — sort_array orders by the leading field —
+    // and project the aligned id/weight arrays out of the same sort.
+    val adj = und
+      .join(broadcast(deg), col("b") === col("node"))
+      .select(col("a"), struct(col("b"),
+        // d = 1 nodes can never be common neighbors; pin their weight
+        // to 0 rather than divide by ln(1).
+        when(col("d") >= 2,
+          round(lit(1e12) / log(col("d").cast("double"))).cast("long"))
+          .otherwise(lit(0L)).as("w")).as("nw"))
+      .groupBy(col("a"))
+      .agg(sort_array(collect_list(col("nw"))).as("arr"))
+      .select(col("a"),
+        transform(col("arr"), x => x.getField("b")).as("nbrs"),
+        transform(col("arr"), x => x.getField("w")).as("wts"))
+    val scored = e
+      .join(adj.select(col("a").as("u2"), col("nbrs").as("nbrs_u"),
+        col("wts").as("wts_u")), col("u") === col("u2"))
+      .join(adj.select(col("a").as("v2"), col("nbrs").as("nbrs_v")),
+        col("v") === col("v2"))
+      .select(col("u"), col("v"),
+        graft.functions.SortedIntersectExpr
+          .sortedIntersectCount(col("nbrs_u"), col("nbrs_v")).as("n_common"),
+        graft.functions.SortedIntersectExpr
+          .sortedIntersectWeightSum(col("nbrs_u"), col("nbrs_v"), col("wts_u"))
+          .as("aa_scaled"))
+      // rank on the EXACT scaled long; display the rounded double
+      .orderBy(desc("aa_scaled"), asc("u"), asc("v"))
+      .limit(k)
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("aa_scaled").cast("double") / lit(1e12), 6).as("aa_score"))
+    val rows = scored.collect() // k rows
+    e.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+  }
+
   /** [[triangleStats]] over an explicit (u, v) u<v edge frame (the
     * seam synthetic-graph tests drive).
     */

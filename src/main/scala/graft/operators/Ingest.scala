@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sources.TickerStore
@@ -410,5 +410,50 @@ object Ingest {
     }.reduce(_ + _)
     q.withColumn("zval", z)
       .orderBy(col("zval"), col("o_orderkey"))
+  }
+
+  /** Gated k12: ERASURE-CASCADE audit — the "right to be forgotten"
+    * pass: given a subject predicate (here: customers of one nation),
+    * report per table how many rows the cascade removes and keeps,
+    * following the FK chain customer → orders → lineitem.
+    *
+    * Scale shape: the subject key set flows DOWN the chain as
+    * semi-join probes — customer keys prune orders, the surviving
+    * order keys prune lineitem — so each fact table is scanned once
+    * and only key columns shuffle (and at TPC-H-like dim/fact ratios
+    * the key sets broadcast; AQE demotes to shuffle joins when a
+    * cascade front grows past the threshold). The actual delete is
+    * the same anti-join written back via [[partitionReplaceGate]]'s
+    * dynamic-overwrite machinery; the audit IS the delete's plan with
+    * counts instead of a sink.
+    */
+  def cascadeDeleteAudit(spark: SparkSession, dir: String,
+                         nation: Long = 7): DataFrame = {
+    // Rename the cascading key frames so the semi-joins against their
+    // own source tables can't hit ambiguous-lineage resolution.
+    val doomedCust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === nation)
+      .select(col("c_custkey").as("del_key"))
+    val doomedOrders = Tables.orders(spark, dir)
+      .join(broadcast(doomedCust),
+        col("o_custkey") === col("del_key"), "left_semi")
+      .select(col("o_orderkey").as("del_key"))
+    def audit(name: String, df: DataFrame, doomed: DataFrame,
+              key: Column): DataFrame = {
+      val hit = df.join(broadcast(doomed), key === col("del_key"), "left_semi")
+      df.agg(count(lit(1)).as("rows_total"))
+        .crossJoin(hit.agg(count(lit(1)).as("rows_deleted")))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_deleted"),
+          (col("rows_total") - col("rows_deleted")).as("rows_kept"))
+    }
+    (audit("customer", Tables.customer(spark, dir), doomedCust,
+        col("c_custkey")) ::
+      audit("orders", Tables.orders(spark, dir), doomedCust,
+        col("o_custkey")) ::
+      audit("lineitem", Tables.lineitem(spark, dir), doomedOrders,
+        col("l_orderkey")) :: Nil)
+      .reduce(_ unionAll _)
+      .orderBy(col("table_name"))
   }
 }

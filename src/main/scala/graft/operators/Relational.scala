@@ -1413,4 +1413,79 @@ object Relational {
       .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"), col("n"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Gated sky1: 2-D SKYLINE (Pareto frontier) — customers not
+    * dominated on (MINIMIZE order count, MAXIMIZE total spend): the
+    * "whale" frontier, highest spend achieved in at most that many
+    * orders. The multi-criteria "best corpus candidates" cut
+    * (quality × length, freshness × authority, …) expressed on the
+    * star schema; anti-correlated axes keep the frontier non-trivial.
+    *
+    * Scale shape: the naive dominance test is a quadratic theta-join.
+    * This is the sort-free 2-D maxima reduction instead: (a) per-key
+    * aggregate to customer metrics (one shuffle); (b) reduce to the
+    * per-x maximum y — the candidate table is now bounded by
+    * |distinct x| (order-count cardinality: tiny, and any real
+    * skyline axis is binned the same way); (c) one window pass over
+    * that tiny table marks x-groups whose max-y beats every strictly
+    * SMALLER x (range frame, not a self-join); (d) broadcast the
+    * frontier (x, y) pairs back. The corpus is touched by exactly one
+    * aggregation; nothing quadratic ever materializes.
+    *
+    * Ties: equal (x, y) rows dominate nothing and are all kept —
+    * only y < max-y within an x-group, or max-y ≤ some lower-x
+    * max-y, eliminates.
+    */
+  def customerSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).as("spend"))
+    // (b) per-x max: |rows| = |distinct order counts| — double-digit.
+    val perX = m.groupBy(col("n_orders")).agg(max(col("spend")).as("max_spend"))
+    // (c) strictly-smaller-x band via an ascending range frame.
+    val better = Window.orderBy(col("n_orders"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val frontier = perX
+      .withColumn("best_below", max(col("max_spend")).over(better))
+      .filter(col("best_below").isNull || col("max_spend") > col("best_below"))
+      .select(col("n_orders"), col("max_spend"))
+    m.join(broadcast(frontier), Seq("n_orders"))
+      .filter(col("spend") === col("max_spend"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"), col("spend"))
+      .orderBy(asc("n_orders"), asc("custkey"))
+  }
+
+  /** Gated fd1: FUNCTIONAL-DEPENDENCY audit — does A determine B?
+    * A→B holds iff |distinct A| = |distinct (A,B)|; the violation
+    * count is the number of extra (A,B) combinations. The schema-
+    * inference / data-contract profiling primitive (dp1 profiles
+    * single columns; this profiles column RELATIONSHIPS — "is brand
+    * really a function of manufacturer prefix", "does one user stick
+    * to one segment").
+    *
+    * Scale shape: each candidate is two exact distinct counts —
+    * grouped pre-aggregation shuffles (map-side combined), no joins;
+    * candidates over the same table share one scan via a multi-agg.
+    * At 100 TB the same audit swaps count_distinct for HLL (x11's
+    * sketch) when ±2% suffices.
+    */
+  def functionalDeps(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, table: String, a: String, b: String): DataFrame =
+      df.agg(
+        countDistinct(col(a)).as("n_lhs"),
+        countDistinct(col(a), col(b)).as("n_pairs"))
+        .select(lit(table).as("table_name"), lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") === col("n_lhs")).as("holds"),
+          (col("n_pairs") - col("n_lhs")).as("n_violating_combos"))
+    val candidates =
+      audit(Tables.nation(spark, dir), "nation", "n_nationkey", "n_regionkey") ::
+      audit(Tables.part(spark, dir), "part", "p_brand", "p_type") ::
+      audit(Tables.customer(spark, dir), "customer", "c_nationkey", "c_mktsegment") ::
+      audit(Tables.lineitem(spark, dir), "lineitem", "l_orderkey", "l_returnflag") ::
+      Nil
+    candidates.reduce(_ unionAll _)
+      .orderBy(col("table_name"), col("lhs"), col("rhs"))
+  }
 }

@@ -263,6 +263,37 @@ object TextAnalysis {
       round((col("sy") - slope * col("sx")) / col("c"), 6).as("intercept"))
   }
 
+  /** Gated ent1: per-document token ENTROPY — the information-density
+    * quality cut (templated/generated text collapses toward low
+    * entropy long before a human notices; `t13` measures repetition
+    * of the max token, this measures the whole distribution).
+    * H = ln N − (Σ c·ln c)/N over within-doc token counts, plus the
+    * type-count-normalized form in [0,1].
+    *
+    * Scale shape: two doc-keyed shuffles — (doc, token) term
+    * frequency, then the per-doc fold — both combine map-side; no
+    * global state, no vocabulary table. The ln-terms are summed as
+    * DECIMAL(38,18) (mi1's pattern) so the fold is order-invariant
+    * and hash-exact against the oracle.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = col("n_tokens").cast("double")
+    val h = log(n) - col("s") / n
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(38,18)")).cast("double").as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(h, 6).as("entropy"),
+        round(when(col("n_types") > 1, h / log(col("n_types").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gated s2: GROUP-AWARE split — the leakage-proof variant of
     * [[hashSplit]]. Hashing doc_id puts near-identical documents from
     * one source on both sides of the train/test wall; hashing the

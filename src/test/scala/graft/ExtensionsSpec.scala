@@ -56,6 +56,11 @@ class ExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT simhash64(array(5L, 12L)) AS h").collect()(0).getLong(0)
     assert(sh == graft.functions.SimHashKernel.sig(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](5L, 12L))))
+    val iw = spark.sql(
+      "SELECT sorted_intersect_weight_sum(array(1L, 3L, 5L), array(3L, 4L, 5L), " +
+        "array(10L, 20L, 30L)) AS s")
+      .collect()(0).getLong(0)
+    assert(iw == 50)
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT deflate_size('a', 'b')").collect()
     }

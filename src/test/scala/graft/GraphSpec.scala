@@ -102,6 +102,54 @@ class GraphSpec extends SparkSpec {
     assert(c(Seq(1L, 2L, 3L), Seq(4L, 5L)) == 0)
   }
 
+  test("weighted intersect kernel: sums aligned weights over matches") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ws(a: Seq[Long], b: Seq[Long], w: Seq[Long]): Long =
+      graft.functions.SortedIntersectKernel.weightSum(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray),
+        new GenericArrayData(w.toArray))
+    assert(ws(Seq(1L, 3L, 5L), Seq(2L, 3L, 5L, 9L), Seq(10L, 20L, 30L)) == 50)
+    assert(ws(Seq(), Seq(1L), Seq()) == 0)
+    assert(ws(Seq(7L), Seq(7L), Seq(42L)) == 42)
+    assert(ws(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)) == 0)
+  }
+
+  test("edge strength: crafted graph matches hand-computed Adamic-Adar") {
+    // Graph: 1-2, 1-3, 2-3, 2-4, 3-4. Degrees: d1=2, d2=3, d3=3, d4=2.
+    // AA(2,3) = common {1,4} = 2/ln 2; AA(1,2) = common {3} = 1/ln 3.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val rows = Graph.edgeStrengthFrom(spark, e, k = 10).collect()
+    assert(rows.length == 5)
+    val byEdge = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_common"), r.getAs[Double]("aa_score"))).toMap
+    assert(byEdge((2L, 3L))._1 == 2)
+    assert(math.abs(byEdge((2L, 3L))._2 - 2.0 / math.log(2)) < 1e-5)
+    assert(byEdge((1L, 2L))._1 == 1)
+    assert(math.abs(byEdge((1L, 2L))._2 - 1.0 / math.log(3)) < 1e-5)
+    // top edge first: (2,3) has the largest AA
+    assert((rows.head.getLong(0), rows.head.getLong(1)) == ((2L, 3L)))
+  }
+
+  test("edge strength: random graph matches a brute-force local score") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = (for (u <- 1L to 30L; v <- (u + 1) to 30L
+      if rnd.nextDouble() < 0.25) yield (u, v)).toSeq
+    val got = Graph.edgeStrengthFrom(spark, edges.toDF("u", "v"), k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("aa_score"))).toMap
+    val nbrs = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2).map { case (k2, vs) => k2 -> vs.toSet }
+    for ((u, v) <- edges) {
+      val common = nbrs(u) & nbrs(v)
+      val aa = common.toSeq.map(w =>
+        math.round(1e12 / math.log(nbrs(w).size.toDouble))).sum / 1e12
+      assert(got((u, v))._1 == common.size, s"n_common mismatch at ($u,$v)")
+      assert(math.abs(got((u, v))._2 - aa) < 1e-5, s"aa mismatch at ($u,$v)")
+    }
+  }
+
   test("triangle stats on the co-purchase graph: counts positive, clustering in (0,1)") {
     val r = Graph.triangleStats(spark, sf).head
     assert(r.getAs[Long]("n_triangles") > 0)
