@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr, SortedIntersectWeightSumExpr}
+import graft.functions.{CdcBoundsExpr, CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr, SortedIntersectWeightSumExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -69,7 +69,9 @@ object GraftExtensions {
     "simhash64" ->
       ((c: Seq[Expression]) => SimHashSigExpr(arity("simhash64", 1, c).head)),
     "sorted_intersect_weight_sum" ->
-      ((c: Seq[Expression]) => { val v = arity("sorted_intersect_weight_sum", 3, c); SortedIntersectWeightSumExpr(v(0), v(1), v(2)) }))
+      ((c: Seq[Expression]) => { val v = arity("sorted_intersect_weight_sum", 3, c); SortedIntersectWeightSumExpr(v(0), v(1), v(2)) }),
+    "cdc_bounds" ->
+      ((c: Seq[Expression]) => CdcBoundsExpr(arity("cdc_bounds", 1, c).head)))
 
   private def exprClass(name: String): String = name match {
     case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
@@ -81,5 +83,6 @@ object GraftExtensions {
     case "sorted_intersect_count" => classOf[SortedIntersectCountExpr].getName
     case "simhash64"        => classOf[SimHashSigExpr].getName
     case "sorted_intersect_weight_sum" => classOf[SortedIntersectWeightSumExpr].getName
+    case "cdc_bounds"       => classOf[CdcBoundsExpr].getName
   }
 }

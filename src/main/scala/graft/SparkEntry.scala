@@ -144,6 +144,7 @@ object SparkEntry {
     "fd1_functional_deps"  -> ((s, d) => Relational.functionalDeps(s, d)),
     "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
+    "cdc1_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
     "mi1_mutual_information" -> ((s, d) => Relational.mutualInformation(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
     "l1_word_positions"    -> ((s, d) => TextAnalysis.wordPositions(s, d)),
@@ -2335,6 +2336,42 @@ object SparkEntry {
         |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(CAST(count(*) AS DOUBLE)/(SELECT count(*) FROM p), 6) AS share
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC chunk dedup: the oracle recomputes the kernel's window-bag
+    // boundary rule by exploding chars through a windowed SUM — same
+    // mix, same mod-64 coin, same substring character indexing.
+    "cdc1_chunk_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text,'')) AS c,
+        |         generate_subscripts(string_split(text,''), 1) AS i
+        |  FROM documents),
+        |g AS (SELECT doc_id, i,
+        |    (unicode(c) * 2654435761) % 2147483647 AS gv FROM ch),
+        |h AS (SELECT doc_id, i,
+        |    CAST(sum(gv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS BIGINT) AS wh,
+        |    CAST(count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS BIGINT) AS wn
+        |  FROM g),
+        |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos FROM h
+        |  WHERE wn = 16 AND wh % 64 = 0),
+        |bl AS (SELECT doc_id, list_sort(list(pos)) AS bounds FROM b GROUP BY 1),
+        |d AS (SELECT d0.doc_id, d0.text,
+        |    coalesce(bl.bounds, []) AS bounds, length(d0.text) AS n
+        |  FROM documents d0 LEFT JOIN bl ON d0.doc_id = bl.doc_id),
+        |ck AS (SELECT doc_id, unnest(list_transform(
+        |    list_zip(list_prepend(CAST(0 AS BIGINT), bounds),
+        |             list_append(bounds, CAST(n AS BIGINT))),
+        |    p -> substring(text, CAST(p[1] AS INT) + 1,
+        |      CAST(p[2] - p[1] AS INT)))) AS chunk
+        |  FROM d),
+        |cf AS (SELECT doc_id, chunk FROM ck WHERE length(chunk) >= 32)
+        |SELECT md5(chunk) AS chunk_md5,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM cf GROUP BY chunk
+        |HAVING count(*) > 1
+        |ORDER BY n_occurrences DESC, chunk_md5 LIMIT 20""".stripMargin,
     // Adamic–Adar edge strength: the oracle materializes the wedge
     // join the operator's kernel avoids; both rank on the EXACT
     // scaled-long sum, so the top-k sets agree bit-for-bit. Nodes of

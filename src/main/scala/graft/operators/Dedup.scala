@@ -1021,4 +1021,47 @@ object Dedup {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gated cdc1: CONTENT-DEFINED CHUNKING + chunk-level dedup — the
+    * partial-overlap detector exact whole-doc dedup misses and
+    * shingle dedup only scores: boundaries are chosen by a rolling
+    * window hash of the CONTENT ([[graft.functions.CdcBoundsExpr]],
+    * mean chunk ≈ 64 chars), so an insertion shifts at most its two
+    * surrounding chunks and every shared run of text still lands in
+    * identical chunks corpus-wide. The report lists the most-repeated
+    * chunks ≥ `minLen` chars — the shared-boilerplate inventory.
+    *
+    * Scale shape: boundary detection is ONE map pass (native kernel,
+    * no per-char row explosion — the SQL-oracle formulation windows
+    * over exploded chars, which at 100 TB would shuffle a row per
+    * BYTE; the kernel keeps that loop inside the scan). Chunks then
+    * shuffle ONCE keyed by content hash for the global count — the
+    * same digest-not-bodies discipline as [[exactDedup]] would apply
+    * at scale by hashing chunks before the exchange (here the chunk
+    * text rides along only to measure its length).
+    */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 minLen: Int = 32, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.CdcBoundsExpr.cdcBounds(col("text")).as("bounds"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          concat(array(lit(0L)), col("bounds")),
+          concat(col("bounds"), array(length(col("text")).cast("long"))),
+          (s, e) => col("text").substr((s + lit(1L)).cast("int"),
+            (e - s).cast("int")))).as("chunk"))
+      .filter(length(col("chunk")) >= minLen)
+    chunks
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+      .select(md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        col("n_docs"), col("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("chunk_md5"))
+      .limit(k)
+  }
 }
