@@ -200,6 +200,9 @@ object SparkEntry {
     "ts3_seasonal_profile" -> ((s, d) => graft.operators.Quality.seasonalProfile(s, d)),
     "ewm1_ewma_hourly"     -> ((s, d) => graft.operators.Quality.ewmaHourly(s, d)),
     "ts4_rolling_forecast" -> ((s, d) => graft.operators.Quality.rollingForecast(s, d)),
+    "acf1_autocorrelation" -> ((s, d) => graft.operators.Quality.autocorrelation(s, d)),
+    "isl1_batch_sessions"  -> ((s, d) => graft.operators.Behavior.batchSessions(s, d)),
+    "rcte1_batch_packing"  -> ((s, d) => graft.operators.Packing.orderBatchPacking(s, d)),
     "hh1_top_tokens_source"-> ((s, d) => TextAnalysis.topTokensPerSource(s, d)),
     "bp2_bpe_train"        -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "v4_matryoshka_norms"  -> ((s, d) => graft.operators.VectorOps.matryoshkaNorms(s, d)),
@@ -1439,6 +1442,60 @@ object SparkEntry {
         |    + (CAST(c AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
         |    / (CAST(c AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (i+1), 6) AS forecast_next
         |FROM s WHERE c = 24 ORDER BY hour_start LIMIT 48""".stripMargin,
+    // Integer sufficient statistics per lag; one double expression at
+    // the end (same op order both engines).
+    "acf1_autocorrelation" ->
+      """WITH h AS (SELECT epoch(date_trunc('hour', ts))//3600 AS hi,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |l AS (SELECT * FROM (VALUES (1),(2),(3),(4),(6),(12),(24)) AS t(lag_hours)),
+        |p AS (SELECT l.lag_hours, a.n AS x, b.n AS y
+        |  FROM l JOIN h a ON true JOIN h b ON b.hi = a.hi + l.lag_hours),
+        |s AS (SELECT lag_hours, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy FROM p GROUP BY 1)
+        |SELECT CAST(lag_hours AS INT) AS lag_hours, np AS n_pairs,
+        |  round((np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6) AS acf
+        |FROM s ORDER BY lag_hours""".stripMargin,
+    // Durations sum as integer micros; ties inside a session are
+    // gap-0 on any tie order, so the islands are order-ambiguity-free.
+    "isl1_batch_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |o AS (SELECT user_id, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        |m AS (SELECT user_id, us, CASE WHEN prev IS NULL
+        |    OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT user_id, us, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
+        |g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(us)-min(us) AS BIGINT) AS dur_us FROM s GROUP BY 1,2)
+        |SELECT n_events AS session_size, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(sum(dur_us) AS BIGINT)/1000000.0/count(*), 6) AS avg_duration_sec
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The SAME recursive CTE text the Spark side runs (integer cents
+    // end-to-end — nothing to drift).
+    "rcte1_batch_packing" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT o_custkey AS cust, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders),
+        |walk AS (
+        |  SELECT cust, rn, cents AS acc, CAST(1 AS BIGINT) AS batch
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.cust, o.rn,
+        |    CASE WHEN w.acc + o.cents > 30000000 THEN o.cents
+        |         ELSE w.acc + o.cents END AS acc,
+        |    CASE WHEN w.acc + o.cents > 30000000 THEN w.batch + 1
+        |         ELSE w.batch END AS batch
+        |  FROM walk w JOIN o ON o.cust = w.cust AND o.rn = w.rn + 1),
+        |f AS (SELECT cust, max(batch) AS n_batches, max(rn) AS n_orders
+        |      FROM walk GROUP BY 1)
+        |SELECT CAST(n_batches AS BIGINT) AS n_batches,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n_orders) AS BIGINT) AS total_orders
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "ewm1_ewma_hourly" -> {
       val num = graft.operators.Quality.EwmaWeights.zipWithIndex.map { case (w, k) =>
         s"(CASE WHEN lag(nd, $k) OVER w IS NOT NULL THEN $w * lag(nd, $k) OVER w ELSE 0.0 END)"

@@ -291,4 +291,42 @@ object Behavior {
       .agg(count(col("cid")).as("n_clicks_7d"))
       .orderBy(col("event_id"))
   }
+
+  /** Gated isl1: BATCH SESSIONIZATION (gaps-and-islands) — the
+    * offline counterpart of the streaming session windows (st2/st6):
+    * a user's events split into sessions wherever the inactivity gap
+    * exceeds `gapMinutes`; the report is the session-size histogram
+    * with mean duration per size. The shape every engagement /
+    * training-data-locality pipeline computes over its full history,
+    * where streaming state is not an option.
+    *
+    * Scale shape: the classic two-window plan — `lag` marks session
+    * starts, a running sum over the SAME (user_id, ts) ordering
+    * assigns session ids, so both windows (and the session groupBy,
+    * keyed by user) reuse ONE hash exchange on user_id; per-partition
+    * state is a sort, never whole-history buffering. Durations sum as
+    * integer micros (order-invariant) and divide once at the end.
+    */
+  def batchSessions(spark: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions
+      .groupBy(col("n_events").as("session_size"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("dur_us")).cast("double") / lit(1000000.0)
+          / count(lit(1)), 6).as("avg_duration_sec"))
+      .orderBy(col("session_size"))
+  }
 }

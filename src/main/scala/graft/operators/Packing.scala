@@ -120,4 +120,51 @@ object Packing {
             col("n_tokens").cast("int"))).as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** Gated rcte1: CAPPED-ACCUMULATOR BATCH PACKING via `WITH
+    * RECURSIVE` — per customer, orders in date order greedily fill a
+    * batch until the running total would exceed `capCents`, then a
+    * new batch opens. The running state RESETS on overflow, so no
+    * window frame can express it (a windowed sum never forgets) —
+    * this is the canonical inherently-recursive SQL computation, and
+    * the gate proves the engine's `spark.sql` surface runs the same
+    * ANSI recursive CTE text DuckDB does, bit-for-bit (money stays
+    * integer cents end-to-end).
+    *
+    * Scale shape: Spark executes the recursion as bounded loop
+    * unrolling — each step joins the previous frontier (one row per
+    * customer) with the orders CTE on `(cust, rn+1)`, both sides
+    * hash-partitioned on the customer key, so a step exchanges only
+    * frontier-cardinality rows and the round count is the LONGEST
+    * per-customer chain (≈41 orders for TPC-H-shaped data at any SF),
+    * not the row count. The sequential dependence is per-key and
+    * irreducible — exactly the work a 1000-executor cluster can still
+    * spread by customer.
+    */
+  def orderBatchPacking(spark: SparkSession, dir: String,
+                        capCents: Long = 30000000L): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_rcte_orders")
+    spark.sql(
+      s"""WITH RECURSIVE o AS (
+         |  SELECT o_custkey AS cust, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+         |         CAST(row_number() OVER (PARTITION BY o_custkey
+         |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+         |  FROM graft_rcte_orders),
+         |walk AS (
+         |  SELECT cust, rn, cents AS acc, CAST(1 AS BIGINT) AS batch
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.cust, o.rn,
+         |    CASE WHEN w.acc + o.cents > $capCents THEN o.cents
+         |         ELSE w.acc + o.cents END AS acc,
+         |    CASE WHEN w.acc + o.cents > $capCents THEN w.batch + 1
+         |         ELSE w.batch END AS batch
+         |  FROM walk w JOIN o ON o.cust = w.cust AND o.rn = w.rn + 1),
+         |f AS (SELECT cust, max(batch) AS n_batches, max(rn) AS n_orders
+         |      FROM walk GROUP BY 1)
+         |SELECT CAST(n_batches AS BIGINT) AS n_batches,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(n_orders) AS BIGINT) AS total_orders
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

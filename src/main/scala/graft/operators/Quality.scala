@@ -489,4 +489,44 @@ object Quality {
         round(col("mn"), 6).as("min_wins"),
         round(col("mx"), 6).as("max_wins"))
   }
+
+  /** Gated acf1: AUTOCORRELATION FUNCTION of the hourly event-count
+    * series at a fixed lag set — the periodicity detector that picks
+    * the seasonal window ts3 then profiles (a diurnal corpus shows
+    * the ACF spike at lag 24 before any model is fit).
+    *
+    * Exactness/scale shape: the series is one hourly aggregate
+    * (integer hour index, integer count); each lag's Pearson r is
+    * assembled from INTEGER sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) over the lag-aligned self-join, so every aggregate is
+    * order-invariant and one double expression per lag runs at the
+    * end. The self-join is an equi-join on shifted hour index; with
+    * `lags` small it broadcasts the lag table and shuffles the
+    * series once — series cardinality is hours, ~5 orders below the
+    * fact table, so any plan here is control-plane cheap.
+    */
+  def autocorrelation(spark: SparkSession, dir: String,
+                      lags: Seq[Int] = Seq(1, 2, 3, 4, 6, 12, 24)): DataFrame = {
+    val series = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000L")
+        .as("hi"))
+      .agg(count(lit(1)).as("n"))
+    val lagDf = spark.createDataFrame(
+      lags.map(l => Tuple1(l))).toDF("lag_hours")
+    val a = series.select(col("hi"), col("n").as("x"))
+    val b = series.select(col("hi").as("hib"), col("n").as("y"))
+    a.join(broadcast(lagDf))
+      .join(b, col("hib") === col("hi") + col("lag_hours"))
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag_hours"), col("np").as("n_pairs"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("np") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("acf"))
+      .orderBy(col("lag_hours"))
+  }
 }
