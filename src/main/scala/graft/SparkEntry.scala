@@ -169,6 +169,7 @@ object SparkEntry {
     "k9_v2_agg_pushdown"   -> ((s, d) => Ingest.v2AggPushdown(s, d)),
     "k10_v2_topn_pushdown" -> ((s, d) => Ingest.v2TopNPushdown(s, d)),
     "k11_v2_runtime_filter" -> ((s, d) => Ingest.v2RuntimeFilter(s, d)),
+    "k13_v2_reported_partitioning" -> ((s, d) => Ingest.v2PartitionedAgg(s, d)),
     "k8_schema_evolution"  -> ((s, d) => graft.sources.FormatIO.schemaEvolutionGate(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
@@ -1939,6 +1940,11 @@ object SparkEntry {
       "SELECT n_name AS symbol FROM nation ORDER BY n_name LIMIT 5",
     "k11_v2_runtime_filter" ->
       "SELECT n_name AS symbol FROM nation WHERE n_regionkey = 0 ORDER BY 1",
+    // One row per symbol by the source contract; generator prices are
+    // strictly positive (base = 50 + u*450).
+    "k13_v2_reported_partitioning" ->
+      """SELECT n_name AS symbol, CAST(1 AS BIGINT) AS n_rows,
+        |  true AS price_positive FROM nation ORDER BY symbol""".stripMargin,
     // mergeSchema union: even-id files predate `value`, odd-id files
     // dropped `user_id` — absent columns read as NULL per file.
     "k8_schema_evolution" ->

@@ -258,6 +258,29 @@ object Ingest {
       .orderBy(col("symbol"))
   }
 
+  /** Gated k13: DataSource V2 REPORTED PARTITIONING. The quote scan
+    * declares `KeyGroupedPartitioning(symbol)` (one InputPartition per
+    * symbol — [[graft.sources.v2.QuoteScan.outputPartitioning]]), so
+    * with DSv2 bucketing enabled this per-symbol aggregation plans
+    * with ZERO Exchange nodes: the fetch fan-out already IS the
+    * distribution the aggregate needs. The aggregate deliberately
+    * includes `min(market_price)` so the complete-pushdown path (k9)
+    * does NOT fire and a real per-row scan runs. The spec asserts the
+    * shuffle-free plan; this gate pins the result (count 1 per symbol,
+    * generator prices strictly positive).
+    */
+  def v2PartitionedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val symbols = Tables.nation(spark, dir)
+      .select(col("n_name")).collect().map(_.getString(0))
+    spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_rows"),
+        (min(col("market_price")) > 0).as("price_positive"))
+      .orderBy(col("symbol"))
+  }
+
   /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
     * output files. One adaptive count decides the width — the same
     * scalar the planner reads from parquet footers anyway; rows stay

@@ -272,11 +272,31 @@ object QuoteAggReaderFactory extends PartitionReaderFactory {
   */
 class QuoteScan(allSymbols: Array[String], seed: Long, required: StructType,
                 rounds: Int = 3)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
   private var symbols: Array[String] = allSymbols
+
+  /** The connector's layout IS a partitioning: one InputPartition per
+    * symbol (each row's key equals its partition's key), so the scan
+    * reports `KeyGroupedPartitioning(identity(symbol))` and Spark —
+    * with DSv2 bucketing on — satisfies a `groupBy(symbol)` /
+    * storage-partitioned join distribution WITHOUT an Exchange. For a
+    * remote-fetch source that is the difference between "fetch, then
+    * shuffle everything once per query" and "fetch is already the
+    * shuffle": at a 10k-symbol universe the aggregation runs fetch-
+    * local. Reported only while `symbol` survives column pruning — a
+    * clustering key absent from the output is meaningless (Spark
+    * would ignore it, but don't make the planner guess).
+    */
+  override def outputPartitioning(): Partitioning =
+    if (required.fieldNames.contains("symbol"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("symbol")), symbols.length)
+    else new UnknownPartitioning(symbols.length)
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("symbol"))
@@ -336,7 +356,13 @@ class QuoteMicroBatchStream(symbols: Array[String], seed: Long,
 }
 
 case class QuotePartition(symbol: String, seed: Long,
-                          fields: Array[String]) extends InputPartition
+                          fields: Array[String])
+    extends InputPartition with HasPartitionKey {
+  // Contract for KeyGroupedPartitioning: every row this partition
+  // yields has exactly this key (trivially true — one symbol each).
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(symbol))
+}
 
 object QuoteReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -200,4 +200,40 @@ class QuoteDataSourceSpec extends SparkSpec {
       spark.read.format("graft.sources.v2.QuoteDataSource").load().collect()
     }
   }
+
+  test("DSv2 reported partitioning: groupBy(symbol) plans ZERO exchanges") {
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val many = ('a' to 'z').map(c => s"SYM_$c")
+      val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+        .option("symbols", many.mkString(",")).load()
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          (min(col("market_price")) > 0).as("price_positive"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"KeyGroupedPartitioning not honored — plan still shuffles:\n${plan.take(1500)}")
+      val rows = df.collect()
+      assert(rows.length == many.length)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_rows") == 1L)
+        assert(r.getAs[Boolean]("price_positive"))
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  test("DSv2 reported partitioning drops to unknown when symbol is pruned") {
+    // A clustering key absent from the scan output must not be
+    // reported; the plan shuffles as usual and stays correct.
+    val df = spark.read.format("graft.sources.v2.QuoteDataSource")
+      .option("symbols", symbols.mkString(",")).load()
+      .groupBy(col("quote_type")).agg(count(lit(1)).as("n"))
+    assert(df.collect().map(_.getAs[Long]("n")).sum == symbols.length)
+  }
 }
