@@ -170,6 +170,7 @@ object SparkEntry {
     "k10_v2_topn_pushdown" -> ((s, d) => Ingest.v2TopNPushdown(s, d)),
     "k11_v2_runtime_filter" -> ((s, d) => Ingest.v2RuntimeFilter(s, d)),
     "k13_v2_reported_partitioning" -> ((s, d) => Ingest.v2PartitionedAgg(s, d)),
+    "k14_v2_spj" -> ((s, d) => Ingest.v2StoragePartitionedJoin(s, d)),
     "k8_schema_evolution"  -> ((s, d) => graft.sources.FormatIO.schemaEvolutionGate(s, d)),
     "dp1_profile_events"   -> ((s, d) => graft.operators.Quality.profileEvents(s, d)),
     "dq1_expectations"     -> ((s, d) => graft.operators.Quality.expectationsEvents(s, d)),
@@ -1945,6 +1946,12 @@ object SparkEntry {
     "k13_v2_reported_partitioning" ->
       """SELECT n_name AS symbol, CAST(1 AS BIGINT) AS n_rows,
         |  true AS price_positive FROM nation ORDER BY symbol""".stripMargin,
+    // Generator invariants pinned: prices strictly positive, and two
+    // distinct splitmix64 streams never collide on these symbols
+    // (verified against the deterministic generator at both SFs).
+    "k14_v2_spj" ->
+      """SELECT n_name AS symbol, true AS both_positive,
+        |  true AS price_moved FROM nation ORDER BY symbol""".stripMargin,
     // mergeSchema union: even-id files predate `value`, odd-id files
     // dropped `user_id` — absent columns read as NULL per file.
     "k8_schema_evolution" ->

@@ -281,6 +281,34 @@ object Ingest {
       .orderBy(col("symbol"))
   }
 
+  /** Gated k14: STORAGE-PARTITIONED JOIN over two V2 scans. Both
+    * sides are quote fetches of the SAME symbol universe at different
+    * seeds (two "polling rounds" of the feed); each reports
+    * `KeyGroupedPartitioning(symbol)`, so the equi-join on symbol
+    * plans with NO Exchange and NO Sort on either side — partition i
+    * of the left joins partition i of the right, fetch-local. This is
+    * the DSv2 answer to bucketed joins (b1) for sources that are not
+    * files: at 10k symbols the two fan-outs zip together without a
+    * byte of shuffle. The round-over-round delta report every quote
+    * monitor computes (did the price move?).
+    */
+  def v2StoragePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val symbols = Tables.nation(spark, dir)
+      .select(col("n_name")).collect().map(_.getString(0))
+    def read(seed: Long) =
+      spark.read.format("graft.sources.v2.QuoteDataSource")
+        .option("symbols", symbols.mkString(",")).option("seed", seed.toString)
+        .load().select(col("symbol"), col("market_price"))
+    val a = read(42L).withColumnRenamed("market_price", "price_a")
+    val b = read(99L).withColumnRenamed("market_price", "price_b")
+    a.join(b, Seq("symbol"))
+      .select(col("symbol"),
+        (col("price_a") > 0 && col("price_b") > 0).as("both_positive"),
+        (col("price_a") =!= col("price_b")).as("price_moved"))
+      .orderBy(col("symbol"))
+  }
+
   /** Rewrite `df` into `outPath` with ceil(rows / targetRowsPerFile)
     * output files. One adaptive count decides the width — the same
     * scalar the planner reads from parquet footers anyway; rows stay

@@ -228,6 +228,31 @@ class QuoteDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 storage-partitioned join: symbol equi-join plans zero exchanges") {
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val many = ('a' to 'z').map(c => s"SYM_$c")
+      def read(seed: Long) = spark.read
+        .format("graft.sources.v2.QuoteDataSource")
+        .option("symbols", many.mkString(",")).option("seed", seed.toString)
+        .load().select(col("symbol"), col("market_price"))
+      val j = read(1L).withColumnRenamed("market_price", "pa")
+        .join(read(2L).withColumnRenamed("market_price", "pb"), Seq("symbol"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ did not fire — join still shuffles:\n${plan.take(1500)}")
+      val rows = j.collect()
+      assert(rows.length == many.length)
+      rows.foreach(r => assert(r.getAs[Double]("pa") != r.getAs[Double]("pb")))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   test("DSv2 reported partitioning drops to unknown when symbol is pruned") {
     // A clustering key absent from the scan output must not be
     // reported; the plan shuffles as usual and stays correct.
