@@ -144,6 +144,7 @@ object SparkEntry {
     "fd1_functional_deps"  -> ((s, d) => Relational.functionalDeps(s, d)),
     "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
+    "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
     "cdc1_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
     "mi1_mutual_information" -> ((s, d) => Relational.mutualInformation(s, d)),
     "j8_nullsafe_join"     -> ((s, d) => Relational.nullSafeJoin(s, d)),
@@ -1197,6 +1198,35 @@ object SparkEntry {
         |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
         |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM md GROUP BY dist ORDER BY dist""".stripMargin,
+    // Unrolled to exactly the operator's round budget — bounded-round
+    // peel is the CONTRACT (see Graph.kCorePeel doc), so the CTE
+    // chain and the BSP loop agree round by round. Every CTE is
+    // MATERIALIZED: round r reads e(r-1) three times, so inlined CTEs
+    // expand 3^r-fold (DuckDB dies on fd exhaustion before finishing)
+    // — the same lineage blowup localCheckpoint cuts on the Spark side.
+    "kc1_kcore_peel" -> {
+      val k = 80; val rounds = 8
+      val head = new StringBuilder(
+        """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM it a JOIN it b
+          |       ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)""".stripMargin)
+      (1 to rounds).foreach { r =>
+        head ++= s""",
+          |kp$r AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${r - 1}
+          |    UNION ALL SELECT v AS node FROM e${r - 1})
+          |  GROUP BY 1 HAVING count(*) >= $k),
+          |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+          |  WHERE u IN (SELECT node FROM kp$r)
+          |    AND v IN (SELECT node FROM kp$r))""".stripMargin
+      }
+      val rows = (1 to rounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS round,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |     FROM (SELECT u FROM e$r UNION SELECT v FROM e$r)) AS n_nodes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$head\n$rows\nORDER BY round"
+    },
     "tc1_triangle_stats" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),

@@ -343,4 +343,61 @@ object Graph {
     e.unpersist(); or.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
   }
+
+  /** Gated kc1: BOUNDED-ROUND k-CORE PEEL over the co-purchase graph
+    * — iteratively drop every node with degree < `k` and the edges
+    * touching it, `rounds` times, reporting the (nodes, edges)
+    * trajectory per round. The cohesion filter that isolates the
+    * densely-connected "core catalog" from long-tail attachments
+    * (in curation: the template/boilerplate cluster detector's
+    * preprocessing step — cores survive, tendrils don't).
+    *
+    * ROUND COUNT IS PART OF THE CONTRACT: both this operator and the
+    * SQL oracle run exactly `rounds` peels (the unrolled-CTE oracle
+    * cannot loop to fixpoint), so results agree even when the peel
+    * has not yet converged; at the gated SFs the cascade settles by
+    * round 5 and the tail rows repeat the fixpoint. A production run
+    * would loop on the same per-round counter until Δedges = 0.
+    *
+    * Scale shape: classic BSP peel — each round is one map-side-
+    * combinable degree count plus two semi-joins of the edge frame
+    * against the (node-cardinality) survivor set, all keyed shuffles;
+    * the driver sees two counters per round (they'd drive the
+    * convergence check in production), never rows.
+    *
+    * LINEAGE MUST BE CUT EVERY ROUND: round r references round r-1's
+    * frame three times (degree union ×2 + join input), so a
+    * persist()-only loop grows the LOGICAL plan 3^r — at 8 rounds
+    * Catalyst optimizes a ~6.5k-leaf tree and the driver OOMs before
+    * any executor works. `localCheckpoint(eager)` rewrites the plan
+    * to a scan of the materialized blocks, keeping every round's plan
+    * constant-size. (The SQL oracle needs the same guard: its CTEs
+    * are `AS MATERIALIZED`, else DuckDB inlines them exponentially.)
+    */
+  def kCorePeel(spark: SparkSession, dir: String,
+                k: Int = 80, rounds: Int = 8): DataFrame = {
+    var edges = copurchaseEdges(spark, dir).localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val keep = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      val next = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val nEdges = next.count()
+      val nNodes = next.select(col("u").as("n"))
+        .unionAll(next.select(col("v").as("n"))).distinct().count()
+      stats += ((r, nNodes, nEdges))
+      edges = next
+    }
+    spark.createDataFrame(stats.toSeq)
+      .toDF("round", "n_nodes", "n_edges")
+      .select(col("round").cast("int").as("round"),
+        col("n_nodes"), col("n_edges"))
+      .orderBy(col("round"))
+  }
 }
