@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default LoggedOutput
+// wraps every forked-process line in "[info] ", which breaks the
+// driver's tail-parse of Bench's final JSON line (BENCH_r01–r06 all
+// recorded parsed:null). StdoutOutput inherits the parent's stdout
+// unprefixed; Spark's own logging goes to stderr and stays out of it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,6 +35,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Enabled session-wide (not per-operator): the DSv2 gates
+      // (k13/k14) need it at EXECUTION time, and a per-operator
+      // conf.set on the shared session would leak into whichever gate
+      // runs next — all gates see one deterministic config instead.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,6 +50,16 @@ object Bench {
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       spark.catalog.clearCache()
+      // clearCache() drops CATALOG-tracked cached plans only; the BSP
+      // operators (dd6/dd15/kc1/bfs1/tc1, rcte1) cut lineage with
+      // localCheckpoint(), whose blocks live in the BlockManager as
+      // persistent RDDs and are never freed by the catalog. Across 241
+      // queries × 4 runs in one 8 g JVM those blocks accumulate and GC
+      // pressure turns into the bimodal multi-second stalls seen in the
+      // round-6 driver record (st6 0.7 s min vs 9.5 s median). Unpersist
+      // them between runs — every query builds its plan from scratch, so
+      // nothing still references the old blocks.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

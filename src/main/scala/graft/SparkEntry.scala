@@ -143,6 +143,7 @@ object SparkEntry {
     "sky1_pareto_customers"-> ((s, d) => Relational.customerSkyline(s, d)),
     "fd1_functional_deps"  -> ((s, d) => Relational.functionalDeps(s, d)),
     "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
+    "tt1_time_travel"      -> ((s, d) => Ingest.timeTravelGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
     "cdc1_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
@@ -1485,10 +1486,15 @@ object SparkEntry {
         |s AS (SELECT lag_hours, CAST(count(*) AS BIGINT) AS np,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
-        |    CAST(sum(y*y) AS BIGINT) AS syy FROM p GROUP BY 1)
+        |    CAST(sum(y*y) AS BIGINT) AS syy FROM p GROUP BY 1),
+        |d AS (SELECT lag_hours, np, CAST(np AS DOUBLE) AS npd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM s)
         |SELECT CAST(lag_hours AS INT) AS lag_hours, np AS n_pairs,
-        |  round((np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy)), 6) AS acf
-        |FROM s ORDER BY lag_hours""".stripMargin,
+        |  round((npd*sxyd - sxd*syd)
+        |    / (sqrt(npd*sxxd - sxd*sxd) * sqrt(npd*syyd - syd*syd)), 6) AS acf
+        |FROM d ORDER BY lag_hours""".stripMargin,
     // Durations sum as integer micros; ties inside a session are
     // gap-0 on any tie order, so the islands are order-ambiguity-free.
     "isl1_batch_sessions" ->
@@ -2355,7 +2361,8 @@ object SparkEntry {
     // the operator's window reduction must agree exactly, ties kept.
     "sky1_pareto_customers" ->
       """WITH m AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
-        |    sum(CAST(o_totalprice AS DECIMAL(30,2))) AS spend FROM orders GROUP BY 1)
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS spend
+        |  FROM orders GROUP BY 1)
         |SELECT custkey, n_orders, spend FROM m a
         |WHERE NOT EXISTS (SELECT 1 FROM m b
         |  WHERE b.n_orders <= a.n_orders AND b.spend >= a.spend
@@ -2404,6 +2411,20 @@ object SparkEntry {
         |    (SELECT CAST(count(*) AS BIGINT) FROM orders
         |      WHERE o_custkey IN (SELECT c_custkey FROM dc)))
         |ORDER BY table_name""".stripMargin,
+    // Each TxTable snapshot version restated as a plain filter over the
+    // source table: v1 = even orderkeys, v2 = all, v3 = every 100th.
+    "tt1_time_travel" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(30,2)) AS p FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(p) AS DECIMAL(30,2)) AS total FROM o WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(p) AS DECIMAL(30,2)) FROM o
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(p) AS DECIMAL(30,2)) FROM o WHERE o_orderkey % 100 = 0
+        |ORDER BY version""".stripMargin,
     "w8_distribution_ranks" ->
       """WITH s AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend

@@ -21,17 +21,35 @@ object Tables {
 
   /** Vectorized columnar scan of one test table (SURVEY §2.1 S3). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    // default; read it as raw nanos (long) and restore a timestamp below.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations and TIMESTAMP(MICROS, NTZ) in others; normalize BOTH to
+    // a session-TZ (UTC) TimestampType so every downstream micros/window
+    // computation is generation-independent. nanosAsLong makes Spark 4
+    // read the NANOS form as a raw long instead of refusing the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer `div` (not `/`): ns-since-epoch ~1.7e18 exceeds a double's
-      // 53-bit mantissa, so floating division would corrupt timestamps.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize `ts` to session-TZ TimestampType whatever the parquet
+    * generation shipped (raw nanos long under nanosAsLong, micros-NTZ,
+    * or already LTZ). Shared by the batch scan and the file-stream
+    * sources that read the raw events file.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // integer `div` (not `/`): ns-since-epoch ~1.7e18 exceeds a
+      // double's 53-bit mantissa; floating division would corrupt.
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros-NTZ → LTZ is exact under the UTC session timezone and
+      // restores the type every micros/streaming consumer expects.
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

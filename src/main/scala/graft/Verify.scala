@@ -16,6 +16,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Session-wide for the same reason as Bench: DSv2 bucketing must
+      // be on when the k13/k14 plans EXECUTE, and per-operator sets on
+      // the shared session would make later gates order-dependent.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,7 +32,12 @@ object Verify {
       }
       // Operators cache() intermediates internally; dropping them here
       // keeps one long verify session from accumulating cached blocks.
+      // localCheckpoint() blocks (BSP operators) live in the
+      // BlockManager, not the catalog — unpersist those too, or a
+      // 241-query session accumulates them until GC stalls (round-6
+      // driver bench bimodality).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

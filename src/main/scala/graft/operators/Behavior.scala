@@ -67,22 +67,25 @@ object Behavior {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  /** Gated w7: customer spend quartiles via ntile — the bucketed-rank
-    * window the reference's "top customers" reporting would need.
-    * The global-order window runs over the AGGREGATED per-customer
-    * frame (|customers| rows), never the fact table; a key space too
-    * big for one sort partition would switch to exact quantile
-    * cut-points (the x3 histogram machinery) joined back as bucket
-    * bounds.
+  /** Gated w7: customer spend quartiles — SQL-ntile(4) semantics
+    * computed scale-safe: [[Ranks.withGlobalRowNumber]] range-
+    * partitions the per-customer frame, ranks each range band in
+    * parallel, and the quartile is closed-form arithmetic over
+    * (global rank, total count). No single-partition WindowExec
+    * anywhere, so the plan survives a customer frame that outgrows
+    * one sort task. Bucket assignment is bit-identical to
+    * `ntile(4) OVER (ORDER BY spend DESC, custkey)`.
     */
   def spendQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("spend"))
-    spend
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (ranked, n) = Ranks.withGlobalRowNumber(spend,
+      Seq(col("spend").desc, col("o_custkey").asc), np, "_rn")
+    ranked
       .select(col("o_custkey"), col("spend"),
-        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey")))
-          .as("quartile"))
+        Ranks.ntileOfRank(col("_rn"), n, 4).as("quartile"))
       .orderBy(col("o_custkey"))
   }
 
@@ -104,11 +107,16 @@ object Behavior {
         col("o_custkey") === col("c_custkey"))
     val bySeg = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("spend"), col("o_custkey"))
-    val global = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.select(col("o_custkey"), col("c_mktsegment"), col("spend"),
+    // Global decile via the range-partitioned exact rank (same rewrite
+    // as w7) — the former ntile-over-global-Window was the one
+    // single-partition sort left in this gate.
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (ranked, n) = Ranks.withGlobalRowNumber(spend,
+      Seq(col("spend").desc, col("o_custkey").asc), np, "_grn")
+    ranked.select(col("o_custkey"), col("c_mktsegment"), col("spend"),
         round(percent_rank().over(bySeg), 6).as("seg_pct_rank"),
         round(cume_dist().over(bySeg), 6).as("seg_cume_dist"),
-        ntile(10).over(global).as("spend_decile"))
+        Ranks.ntileOfRank(col("_grn"), n, 10).as("spend_decile"))
       .orderBy(col("o_custkey"))
   }
 
@@ -207,9 +215,11 @@ object Behavior {
   /** Gated seg1: RFM SEGMENTATION — recency/frequency/monetary
     * quartile codes per customer, then segment-level sizes and
     * DECIMAL-exact mean spend. The classic lifecycle-marketing
-    * bucketing; three ntile windows over the (small) per-customer
-    * frame after one fact aggregation, so the global windows never
-    * see fact-table cardinality.
+    * bucketing. Each quartile code is SQL-ntile(4) semantics computed
+    * through [[Ranks.withGlobalRowNumber]] (range-partitioned exact
+    * rank + closed-form bucket) — three parallel range sorts instead
+    * of three single-partition global windows, so the plan holds when
+    * the customer frame outgrows one sort task.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.orders(spark, dir)
@@ -218,13 +228,17 @@ object Behavior {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(30,2)")).cast("double")
           .as("monetary"))
-    val q = m
-      .withColumn("r_q", ntile(4).over(
-        Window.orderBy(desc("last_order"), asc("c"))))
-      .withColumn("f_q", ntile(4).over(
-        Window.orderBy(desc("freq"), asc("c"))))
-      .withColumn("m_q", ntile(4).over(
-        Window.orderBy(desc("monetary"), asc("c"))))
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (r1, n) = Ranks.withGlobalRowNumber(m,
+      Seq(col("last_order").desc, col("c").asc), np, "_rrn")
+    val (r2, _) = Ranks.withGlobalRowNumber(r1,
+      Seq(col("freq").desc, col("c").asc), np, "_frn")
+    val (r3, _) = Ranks.withGlobalRowNumber(r2,
+      Seq(col("monetary").desc, col("c").asc), np, "_mrn")
+    val q = r3
+      .withColumn("r_q", Ranks.ntileOfRank(col("_rrn"), n, 4))
+      .withColumn("f_q", Ranks.ntileOfRank(col("_frn"), n, 4))
+      .withColumn("m_q", Ranks.ntileOfRank(col("_mrn"), n, 4))
     q.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         sum(round(col("monetary"), 2).cast("decimal(30,2)")).as("s"))

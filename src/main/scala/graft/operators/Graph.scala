@@ -279,6 +279,12 @@ object Graph {
         graft.functions.SortedIntersectExpr
           .sortedIntersectWeightSum(col("nbrs_u"), col("nbrs_v"), col("wts_u"))
           .as("aa_scaled"))
+      // Embedded edges only: the oracle's wedge join never produces an
+      // edge with zero common neighbors, so scoring (and possibly
+      // top-k-admitting) n_common = 0 bridges here would diverge on a
+      // sparse graph where fewer than k edges are embedded. Both sides
+      // rank the same population.
+      .filter(col("n_common") > 0)
       // rank on the EXACT scaled long; display the rounded double
       .orderBy(desc("aa_scaled"), asc("u"), asc("v"))
       .limit(k)
@@ -388,9 +394,16 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      val nEdges = next.count()
-      val nNodes = next.select(col("u").as("n"))
-        .unionAll(next.select(col("v").as("n"))).distinct().count()
+      // ONE action per round: the edge count rides the endpoint-union
+      // frame as a flag sum (each edge contributes exactly one
+      // flag-1 row via its u side), so the round's counters cost one
+      // job instead of two passes over the checkpointed blocks.
+      val counts = next.select(col("u").as("nd"), lit(1L).as("fl"))
+        .unionAll(next.select(col("v").as("nd"), lit(0L).as("fl")))
+        .agg(sum(col("fl")).as("e"), countDistinct(col("nd")).as("nn"))
+        .head()
+      val nEdges = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+      val nNodes = counts.getLong(1)
       stats += ((r, nNodes, nEdges))
       edges = next
     }

@@ -270,6 +270,11 @@ object Ingest {
     * generator prices strictly positive).
     */
   def v2PartitionedAgg(spark: SparkSession, dir: String): DataFrame = {
+    // Needed at EXECUTION time; the bench/verify harness enables it
+    // session-wide so gates are order-independent — this set only
+    // covers standalone use on a vanilla session (and is then a
+    // deliberate session-level enable, not a scoped toggle: the
+    // returned plan is lazy, so save/restore here would be a no-op).
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val symbols = Tables.nation(spark, dir)
       .select(col("n_name")).collect().map(_.getString(0))
@@ -293,6 +298,7 @@ object Ingest {
     * monitor computes (did the price move?).
     */
   def v2StoragePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level enable, same rationale as [[v2PartitionedAgg]].
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val symbols = Tables.nation(spark, dir)
       .select(col("n_name")).collect().map(_.getString(0))
@@ -506,5 +512,34 @@ object Ingest {
         col("l_orderkey")) :: Nil)
       .reduce(_ unionAll _)
       .orderBy(col("table_name"))
+  }
+
+  /** Gated tt1: TIME-TRAVEL read through the [[graft.sources.TxTable]]
+    * commit log — three commits (append evens, append odds, OVERWRITE
+    * down to every-100th order), then one snapshot aggregate per
+    * version. Proves the log semantics end-to-end: v1 sees only the
+    * first append, v2 the union, v3 only the overwrite — and v1/v2
+    * remain exactly reproducible AFTER the overwrite landed, which is
+    * the reproducible-training-snapshot property a bare parquet
+    * directory cannot give. The oracle states each version as a plain
+    * filter over `orders`, so the gate hash-fails if any commit leaks
+    * into, or drops from, the wrong snapshot.
+    */
+  def timeTravelGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt1_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    t.overwrite(o.filter(col("o_orderkey") % 100 === 0))
+    def snapAgg(v: Long): DataFrame = t.snapshot(spark, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(30,2)"))
+          .cast("decimal(30,2)").as("total"))
+      .select(lit(v).cast("long").as("version"), col("n_rows"), col("total"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        snapAgg(1).unionAll(snapAgg(2)).unionAll(snapAgg(3)))
+      .orderBy(col("version"))
   }
 }

@@ -143,13 +143,26 @@ object Packing {
     */
   def orderBatchPacking(spark: SparkSession, dir: String,
                         capCents: Long = 30000000L): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_rcte_orders")
+    // The ordered/numbered per-customer frame is MATERIALIZED once
+    // (cached, hash-partitioned on the customer key) instead of living
+    // inside the recursive CTE text: the recursion unrolls to ~41
+    // rounds (longest per-customer chain), and an inline CTE would
+    // re-scan orders and re-run the numbering window EVERY round. A
+    // hash(cust) cache also satisfies the per-round join's clustering
+    // requirement, so each iteration exchanges only the one-row-per-
+    // customer frontier, never this frame. The oracle keeps the pure
+    // single-statement ANSI form — same semantics, DuckDB materializes
+    // CTEs on its own.
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_custkey AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents",
+        """CAST(row_number() OVER (PARTITION BY o_custkey
+          |  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn""".stripMargin)
+      .repartition(col("cust"))
+      .cache()
+    o.createOrReplaceTempView("graft_rcte_o")
     spark.sql(
-      s"""WITH RECURSIVE o AS (
-         |  SELECT o_custkey AS cust, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
-         |         CAST(row_number() OVER (PARTITION BY o_custkey
-         |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
-         |  FROM graft_rcte_orders),
+      s"""WITH RECURSIVE o AS (SELECT * FROM graft_rcte_o),
          |walk AS (
          |  SELECT cust, rn, cents AS acc, CAST(1 AS BIGINT) AS batch
          |  FROM o WHERE rn = 1

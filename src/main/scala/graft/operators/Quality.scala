@@ -522,11 +522,19 @@ object Quality {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("lag_hours"), col("np").as("n_pairs"),
-        round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("np") * col("syy") - col("sy") * col("sy")).cast("double"))),
-          6).as("acf"))
+      .select(col("lag_hours"), col("np").as("n_pairs"), {
+        // Each sufficient statistic casts to double BEFORE the
+        // products: BIGINT np*sxy wraps silently in non-ANSI Spark at
+        // a large-enough SF while DuckDB raises — the engines would
+        // diverge without either failing loudly. Double-first is the
+        // same IEEE sequence on both engines (the oracle mirrors the
+        // casts term-for-term), so the hash stays exact.
+        def d(c: String) = col(c).cast("double")
+        round((d("np") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("np") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("np") * d("syy") - d("sy") * d("sy"))),
+          6).as("acf")
+      })
       .orderBy(col("lag_hours"))
   }
 }

@@ -1450,9 +1450,15 @@ object Relational {
       .withColumn("best_below", max(col("max_spend")).over(better))
       .filter(col("best_below").isNull || col("max_spend") > col("best_below"))
       .select(col("n_orders"), col("max_spend"))
+    // Final spend re-cast to DECIMAL(30,2): sum(DECIMAL(30,2)) widens to
+    // DECIMAL(38,2), and wide decimals take the 16-byte fixed-len parquet
+    // path; the oracle CTE casts identically so both sides hash the same
+    // physical representation (round-6 red row was a hash-only mismatch
+    // on the uncast wide decimal).
     m.join(broadcast(frontier), Seq("n_orders"))
       .filter(col("spend") === col("max_spend"))
-      .select(col("o_custkey").as("custkey"), col("n_orders"), col("spend"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"),
+        col("spend").cast("decimal(30,2)").as("spend"))
       .orderBy(asc("n_orders"), asc("custkey"))
   }
 

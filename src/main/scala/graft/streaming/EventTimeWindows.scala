@@ -73,8 +73,8 @@ object EventTimeWindows {
     */
   def streamingHourly(spark: SparkSession, upstreamDir: String): DataFrame = {
     val schema = spark.read.parquet(upstreamDir).schema
-    spark.readStream.schema(schema).parquet(upstreamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(upstreamDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

@@ -143,10 +143,16 @@ class GraphSpec extends SparkSpec {
       .groupMap(_._1)(_._2).map { case (k2, vs) => k2 -> vs.toSet }
     for ((u, v) <- edges) {
       val common = nbrs(u) & nbrs(v)
-      val aa = common.toSeq.map(w =>
-        math.round(1e12 / math.log(nbrs(w).size.toDouble))).sum / 1e12
-      assert(got((u, v))._1 == common.size, s"n_common mismatch at ($u,$v)")
-      assert(math.abs(got((u, v))._2 - aa) < 1e-5, s"aa mismatch at ($u,$v)")
+      if (common.isEmpty)
+        // zero-common bridges are excluded from the scored population
+        // (matches the oracle's inner wedge join — see edgeStrengthFrom)
+        assert(!got.contains((u, v)), s"unexpected zero-common edge ($u,$v)")
+      else {
+        val aa = common.toSeq.map(w =>
+          math.round(1e12 / math.log(nbrs(w).size.toDouble))).sum / 1e12
+        assert(got((u, v))._1 == common.size, s"n_common mismatch at ($u,$v)")
+        assert(math.abs(got((u, v))._2 - aa) < 1e-5, s"aa mismatch at ($u,$v)")
+      }
     }
   }
 
