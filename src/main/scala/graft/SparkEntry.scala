@@ -144,6 +144,8 @@ object SparkEntry {
     "fd1_functional_deps"  -> ((s, d) => Relational.functionalDeps(s, d)),
     "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
     "tt1_time_travel"      -> ((s, d) => Ingest.timeTravelGate(s, d)),
+    "tt2_tx_merge"         -> ((s, d) => Ingest.txMergeGate(s, d)),
+    "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
     "cdc1_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
@@ -2425,6 +2427,27 @@ object SparkEntry {
         |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(p) AS DECIMAL(30,2)) FROM o WHERE o_orderkey % 100 = 0
         |ORDER BY version""".stripMargin,
+    // Merge semantics restated declaratively: v2 = update-wins over the
+    // delta (x2 cents on keys ≡ 0 mod 6 or ≡ 1 mod 3), keep elsewhere.
+    "tt2_tx_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |v1 AS (SELECT k, cents FROM o WHERE k % 3 = 0),
+        |v2 AS (SELECT k, CASE WHEN k % 6 = 0 OR k % 3 = 1
+        |    THEN 2*cents ELSE cents END AS cents
+        |  FROM o WHERE k % 3 = 0 OR k % 3 = 1)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
+    // Exactly-once proof: despite the forced full re-delivery, the
+    // table equals ONE copy of the upstream — the plain batch GROUP BY.
+    "st14_stream_tx_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "w8_distribution_ranks" ->
       """WITH s AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend

@@ -542,4 +542,40 @@ object Ingest {
         snapAgg(1).unionAll(snapAgg(2)).unionAll(snapAgg(3)))
       .orderBy(col("version"))
   }
+
+  /** Gated tt2: transactional MERGE (upsert) through the TxTable log —
+    * base commit (orderkeys ≡ 0 mod 3), then a delta that UPDATES the
+    * ≡ 0 mod 6 subset (doubled cents) and INSERTS the ≡ 1 mod 3 keys,
+    * applied as one full-outer merge committed atomically as version
+    * 2. The readout aggregates BOTH versions, so the gate proves (a)
+    * merge semantics (update-wins / keep / insert in one pass) and
+    * (b) that the pre-merge snapshot stays bit-exactly readable after
+    * the merge landed — the SCD/feature-store maintenance pattern on
+    * a log-structured table. The merge itself is one shuffle on the
+    * key (full outer join); at 100 TB the same plan runs with the
+    * base side bucketed by key and only the delta shuffling.
+    */
+  def txMergeGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt2_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o.filter(col("k") % 3 === 0)) // v1: base
+    val delta = o.filter(col("k") % 6 === 0 || col("k") % 3 === 1)
+      .select(col("k").as("dk"), (col("cents") * 2).as("dcents"))
+    val base = t.snapshot(spark, Some(1))
+    val merged = base.join(delta, col("k") === col("dk"), "full_outer")
+      .select(coalesce(col("k"), col("dk")).as("k"),
+        coalesce(col("dcents"), col("cents")).as("cents"))
+    t.overwrite(merged) // v2: the merge result, atomically visible
+    def snapAgg(v: Long): DataFrame = t.snapshot(spark, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(v).cast("long").as("version"), col("n_rows"),
+        col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        snapAgg(1).unionAll(snapAgg(2)))
+      .orderBy(col("version"))
+  }
 }

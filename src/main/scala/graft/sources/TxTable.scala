@@ -1,46 +1,60 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** TxTable — a minimal TRANSACTIONAL table over parquet: an ordered
   * commit log of immutable manifest files on top of immutable data
-  * files, giving snapshot isolation, optimistic concurrency, and time
-  * travel. The one storage capability a 100 TB pipeline needs that a
-  * bare parquet directory cannot provide: a reader must never observe
-  * a half-written batch, a re-run must never double-append, and
-  * yesterday's training snapshot must stay reproducible after today's
-  * ingest. (Same design family as open-source log-structured table
-  * formats — commit log + immutable files — reduced to the minimal
-  * protocol this engine needs; no external dependency.)
+  * directories, giving snapshot isolation, optimistic concurrency,
+  * idempotent (exactly-once) commits, time travel, log compaction and
+  * orphan vacuum. The storage capability a 100 TB pipeline needs that
+  * a bare parquet directory cannot provide: a reader must never
+  * observe a half-written batch, a re-delivered batch must never
+  * double-append, and yesterday's training snapshot must stay
+  * reproducible after today's ingest. (Same design family as
+  * open-source log-structured table formats — commit log + immutable
+  * files — reduced to the minimal protocol this engine needs; no
+  * external dependency.)
   *
   * Layout:
   * {{{
-  *   <root>/data/<uuid>/part-*.parquet   -- immutable data files, one dir per commit
-  *   <root>/_txlog/v%010d.json           -- manifest: action + data dir
+  *   <root>/data/<uuid>/part-*.parquet   -- immutable data dirs, one per commit
+  *   <root>/_txlog/v%010d.json           -- manifest: action + data dirs
   * }}}
   *
   * Protocol:
   *  - WRITE: stage the batch's parquet files into a fresh uuid dir
-  *    (invisible to readers — only manifests make data visible), then
-  *    publish manifest version N+1 via an atomic CREATE-EXCLUSIVE
-  *    hard link. Two writers racing to the same version: exactly one
-  *    link succeeds (EEXIST for the loser), the loser re-reads the
-  *    log and retries against the new head — optimistic concurrency
-  *    with no lock server, the standard object-store commit trick.
-  *  - READ: resolve the manifest list ONCE into a concrete file set
-  *    (the snapshot); subsequent commits add new manifests + new dirs
-  *    and never touch resolved files, so an in-flight reader is
+  *    (invisible — only manifests make data visible), then publish
+  *    manifest version N+1 via an atomic CREATE-EXCLUSIVE hard link.
+  *    Two writers racing to one version: exactly one link succeeds
+  *    (EEXIST for the loser), the loser re-reads the log head and
+  *    retries — optimistic concurrency with no lock server, the
+  *    standard object-store commit trick.
+  *  - IDEMPOTENT WRITE: [[commitIfAbsent]] pins the version instead
+  *    of retrying — a REPLAYED batch (streaming re-delivery after a
+  *    checkpoint reset, a re-run backfill) re-attempts the same
+  *    version, loses the create-exclusive race against its own first
+  *    delivery, and becomes a no-op. Exactly-once sinks reduce to
+  *    "version = f(batch id)".
+  *  - READ: [[snapshot]] resolves the manifest list ONCE into a
+  *    concrete directory set; later commits add new manifests + new
+  *    dirs and never touch resolved ones, so an in-flight reader is
   *    isolated by construction.
   *  - TIME TRAVEL: `snapshot(spark, asOf = Some(v))` replays the log
-  *    only up to v — an `overwrite` manifest resets the visible set,
-  *    an `append` extends it.
+  *    up to v — an `overwrite` manifest resets the visible set, an
+  *    `append` extends it.
+  *  - COMPACTION: [[checkpointCompact]] publishes one `overwrite`
+  *    manifest holding the CURRENT resolved dir list — no data moves;
+  *    readers at or after it fold from one manifest instead of the
+  *    whole log. Keeps log replay O(recent) as versions accumulate.
+  *  - VACUUM: [[vacuum]] deletes data dirs referenced by NO manifest
+  *    — the leakage mode of this protocol is an orphan dir from a
+  *    crash (or lost race) between staging and publish; orphans are
+  *    invisible to readers and reclaimable at any time.
   *
   * Scale notes: manifests carry directory names, not per-row state —
   * commit cost is O(1) in table size; reads plan a normal multi-dir
-  * vectorized parquet scan (pushdown/pruning intact). Log compaction
-  * (manifest checkpointing) is the known growth path once versions
-  * reach many thousands; out of scope here.
+  * vectorized parquet scan (pushdown/pruning intact).
   */
 class TxTable(val root: String) {
 
@@ -54,11 +68,13 @@ class TxTable(val root: String) {
     if (!Files.isDirectory(logDir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(logDir).iterator().asScala
+      val it = Files.list(logDir)
+      try it.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq.sorted
+      finally it.close()
     }
 
   def latestVersion(): Option[Long] = versions().lastOption
@@ -69,8 +85,23 @@ class TxTable(val root: String) {
   /** Replace the visible table with `df` as a new committed version. */
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
 
+  /** Idempotent commit PINNED to `version` (exactly-once sinks:
+    * version = batch id + base). Returns true if this call published
+    * the version, false if it already existed — in which case the
+    * staged data is removed again and the table is untouched, so a
+    * re-delivered batch is a no-op rather than a duplicate.
+    */
+  def commitIfAbsent(df: DataFrame, version: Long,
+                     action: String = "append"): Boolean = {
+    if (Files.exists(manifestPath(version))) return false // cheap pre-check
+    val stage = stageData(df)
+    val won = tryPublish(version, action, Seq(stage))
+    if (!won) graft.TmpIO.deleteRecursively(new java.io.File(stage))
+    won
+  }
+
   /** Snapshot read: replay manifests up to `asOf` (default: head) into
-    * a concrete parquet-directory set, resolved EAGERLY — the returned
+    * a concrete directory set, resolved EAGERLY — the returned
     * DataFrame is pinned to this snapshot no matter how many commits
     * land while it is being consumed.
     */
@@ -86,38 +117,78 @@ class TxTable(val root: String) {
   def resolveDirs(asOf: Option[Long] = None): Seq[String] = {
     val kept = versions().filter(v => asOf.forall(v <= _))
     kept.foldLeft(Vector.empty[String]) { (acc, v) =>
-      val (action, dir) = readManifest(v)
+      val (action, dirs) = readManifest(v)
       action match {
-        case "overwrite" => Vector(dir)
-        case _           => acc :+ dir
+        case "overwrite" => dirs.toVector
+        case _           => acc ++ dirs
       }
     }
   }
 
-  private def readManifest(v: Long): (String, String) = {
-    val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
-    def field(k: String): String = {
-      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
-      m.findFirstMatchIn(s).map(_.group(1))
-        .getOrElse(throw new IllegalStateException(
-          s"TxTable $root: manifest v$v missing field $k"))
+  /** Log compaction: one `overwrite` manifest holding the CURRENT
+    * resolved dir list — no data is rewritten; replay from here on
+    * starts at this manifest. Returns the checkpoint version.
+    */
+  def checkpointCompact(): Long = {
+    var v = latestVersion().getOrElse(0L) + 1
+    while (!tryPublish(v, "overwrite", resolveDirs())) {
+      v = latestVersion().getOrElse(0L) + 1
     }
-    (field("action"), field("dir"))
+    v
+  }
+
+  /** Delete data dirs referenced by NO manifest (crash/lost-race
+    * orphans — invisible to every reader by construction). Returns
+    * the deleted dir names.
+    */
+  def vacuum(): Seq[String] = {
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val referenced = versions()
+      .flatMap(v => readManifest(v)._2)
+      .map(d => Paths.get(d).getFileName.toString).toSet
+    import scala.jdk.CollectionConverters._
+    val it = Files.list(dataDir)
+    val orphans =
+      try it.iterator().asScala
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+        .map(_.toString).toList
+      finally it.close()
+    orphans.foreach(o => graft.TmpIO.deleteRecursively(new java.io.File(o)))
+    orphans.map(Paths.get(_).getFileName.toString)
+  }
+
+  private def readManifest(v: Long): (String, Seq[String]) = {
+    val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
+    val action = "\"action\"\\s*:\\s*\"([^\"]*)\"".r
+      .findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"TxTable $root: manifest v$v missing action"))
+    val dirs = "\"dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"TxTable $root: manifest v$v missing dirs"))
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    (action, dirs)
+  }
+
+  private def stageData(df: DataFrame): String = {
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+    val stage = dataDir.resolve(java.util.UUID.randomUUID().toString)
+    df.write.parquet(stage.toString)
+    stage.toString
   }
 
   /** Stage the batch invisibly, then publish with create-exclusive
-    * retry. Data files are written BEFORE any manifest exists for
-    * them, so a crash between the two steps leaks an orphan dir
-    * (vacuumable) but never a torn table.
+    * retry against the moving head. Data files exist BEFORE any
+    * manifest names them, so a crash between the steps leaks an
+    * orphan dir ([[vacuum]]able) but never a torn table.
     */
   private def commit(df: DataFrame, action: String): Long = {
-    Files.createDirectories(logDir)
-    Files.createDirectories(dataDir)
-    val uuid = java.util.UUID.randomUUID().toString
-    val stage = dataDir.resolve(uuid)
-    df.write.parquet(stage.toString)
+    val stage = stageData(df)
     var attempt = latestVersion().getOrElse(0L) + 1
-    while (!tryPublish(attempt, action, stage.toString)) {
+    while (!tryPublish(attempt, action, Seq(stage))) {
       attempt = latestVersion().getOrElse(0L) + 1
     }
     attempt
@@ -127,11 +198,14 @@ class TxTable(val root: String) {
     * an atomic hard link into place — link(2) fails with EEXIST if the
     * version was taken, and a reader can never observe partial JSON
     * because the content exists in full before the name does. Returns
-    * false on losing the race (caller re-reads the head and retries).
+    * false on losing the race.
     */
-  private[graft] def tryPublish(v: Long, action: String, dir: String): Boolean = {
-    val json =
-      s"""{"version":$v,"action":"$action","dir":"${dir.replace("\\", "/")}"}"""
+  private[graft] def tryPublish(v: Long, action: String,
+                                dirs: Seq[String]): Boolean = {
+    Files.createDirectories(logDir)
+    val dirsJson = dirs.map(d => "\"" + d.replace("\\", "/") + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"version":$v,"action":"$action","dirs":$dirsJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

@@ -57,11 +57,11 @@ class TxTableSpec extends SparkSpec {
       val da = s"$dir/t/data/race-a"; val db = s"$dir/t/data/race-b"
       Seq(7).toDF("x").write.parquet(da)
       Seq(8).toDF("x").write.parquet(db)
-      val winA = t.tryPublish(2L, "append", da)
-      val winB = t.tryPublish(2L, "append", db)
+      val winA = t.tryPublish(2L, "append", Seq(da))
+      val winB = t.tryPublish(2L, "append", Seq(db))
       assert(winA && !winB) // create-exclusive: second EEXISTs
       // The loser retries against the new head, as commit() does.
-      assert(t.tryPublish(3L, "append", db))
+      assert(t.tryPublish(3L, "append", Seq(db)))
       assert(t.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
         == Seq(1, 7, 8))
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
@@ -79,6 +79,43 @@ class TxTableSpec extends SparkSpec {
       val versions = Await.result(Future.sequence(futures), 120.seconds)
       assert(versions.sorted == Seq(1L, 2L, 3L, 4L)) // no gaps, no dupes
       assert(t.snapshot(spark).count() == 8L)        // every batch visible
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("commitIfAbsent: a replayed batch is a no-op, not a duplicate") {
+    val (dir, t) = freshTable()
+    try {
+      assert(t.commitIfAbsent(Seq(1, 2).toDF("x"), 1L))
+      assert(t.commitIfAbsent(Seq(3).toDF("x"), 2L))
+      // Re-delivery of batch 1 (same pinned version): dropped.
+      assert(!t.commitIfAbsent(Seq(1, 2).toDF("x"), 1L))
+      assert(t.snapshot(spark).count() == 3L)
+      assert(t.latestVersion().contains(2L))
+      // The replay's staged dir was cleaned up (no orphans left).
+      assert(t.vacuum().isEmpty)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("checkpointCompact preserves every snapshot; vacuum only eats orphans") {
+    val (dir, t) = freshTable()
+    try {
+      t.append(Seq(1).toDF("x"))
+      t.append(Seq(2).toDF("x"))
+      t.overwrite(Seq(9).toDF("x"))
+      t.append(Seq(10).toDF("x"))
+      val cp = t.checkpointCompact() // v5 = overwrite([v3dir, v4dir])
+      assert(cp == 5L)
+      t.append(Seq(11).toDF("x"))
+      def xs(asOf: Option[Long]) = t.snapshot(spark, asOf)
+        .select(col("x")).as[Int].collect().sorted.toSeq
+      assert(xs(Some(cp)) == Seq(9, 10))     // checkpoint = same snapshot
+      assert(xs(None) == Seq(9, 10, 11))     // appends continue past it
+      assert(xs(Some(2L)) == Seq(1, 2))      // pre-checkpoint history intact
+      // An orphan dir (crashed commit: staged, never published).
+      Seq(99).toDF("x").write.parquet(s"$dir/t/data/orphan-crash")
+      val removed = t.vacuum()
+      assert(removed == Seq("orphan-crash")) // referenced dirs untouched
+      assert(xs(None) == Seq(9, 10, 11))
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
