@@ -145,6 +145,7 @@ object SparkEntry {
     "k12_cascade_delete"   -> ((s, d) => Ingest.cascadeDeleteAudit(s, d)),
     "tt1_time_travel"      -> ((s, d) => Ingest.timeTravelGate(s, d)),
     "tt2_tx_merge"         -> ((s, d) => Ingest.txMergeGate(s, d)),
+    "tt3_zone_skip"        -> ((s, d) => Ingest.zoneSkipGate(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2442,6 +2443,19 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM v2
         |ORDER BY version""".stripMargin,
+    // Zone-map range reads restated as plain BETWEENs — skipping is an
+    // optimization the residual filter makes invisible to the answer.
+    "tt3_zone_skip" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS range_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM o WHERE k BETWEEN 1 AND 5000
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k BETWEEN 30000 AND 45000
+        |ORDER BY range_id""".stripMargin,
     // Exactly-once proof: despite the forced full re-delivery, the
     // table equals ONE copy of the upstream — the plain batch GROUP BY.
     "st14_stream_tx_sink" ->

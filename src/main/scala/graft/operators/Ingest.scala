@@ -578,4 +578,39 @@ object Ingest {
         snapAgg(1).unionAll(snapAgg(2)))
       .orderBy(col("version"))
   }
+
+  /** Gated tt3: ZONE-MAP DATA SKIPPING through the TxTable log —
+    * orders committed in 8 orderkey bands (each manifest records the
+    * band's min/max), then two fixed-range reads answered through
+    * [[graft.sources.TxTable.snapshotRange]]: dirs whose zone misses
+    * the range are never opened. Correctness never depends on the
+    * pruning (a residual filter runs either way — the oracle is the
+    * plain BETWEEN over `orders`); the SKIPPING itself is asserted in
+    * TxTableSpec on a synthetic layout. This is the manifest-level
+    * min/max index that makes a range query on a 100 TB range-
+    * clustered log table open O(matching bands) files, not O(table).
+    */
+  def zoneSkipGate(spark: SparkSession, dir: String,
+                   bands: Int = 8): DataFrame = {
+    val tmp = freshDir("graft_tt3_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    val maxK = o.agg(max(col("k"))).head.getLong(0)
+    val w = maxK / bands + 1
+    (0 until bands).foreach { i =>
+      t.appendWithStats(
+        o.filter(col("k") >= i * w && col("k") < (i + 1) * w), "k")
+    }
+    def rangeAgg(id: Int, lo: Long, hi: Long): DataFrame =
+      t.snapshotRange(spark, "k", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(id).cast("int").as("range_id"), col("n_rows"),
+          col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        rangeAgg(1, 1L, 5000L).unionAll(rangeAgg(2, 30000L, 45000L)))
+      .orderBy(col("range_id"))
+  }
 }

@@ -82,6 +82,74 @@ class TxTable(val root: String) {
   /** Append `df` as a new committed version; returns the version. */
   def append(df: DataFrame): Long = commit(df, "append")
 
+  /** Append with a ZONE MAP: the manifest additionally records
+    * min/max of long column `statsCol` over the batch (one extra tiny
+    * aggregate at commit time), so range reads can skip whole data
+    * dirs without opening a file — manifest-level data skipping, the
+    * capability that turns a 100 TB log table into a range-indexed
+    * one when commits are range-clustered (time, id band, partition).
+    */
+  def appendWithStats(df: DataFrame, statsCol: String): Long = {
+    val r = df.agg(org.apache.spark.sql.functions.min(statsCol),
+      org.apache.spark.sql.functions.max(statsCol)).head()
+    val stats =
+      if (r.isNullAt(0)) None // empty/all-null batch: no zone, never skipped
+      else Some((statsCol, r.getLong(0), r.getLong(1)))
+    val stage = stageData(df)
+    var attempt = latestVersion().getOrElse(0L) + 1
+    while (!tryPublish(attempt, "append", Seq(stage), stats)) {
+      attempt = latestVersion().getOrElse(0L) + 1
+    }
+    attempt
+  }
+
+  /** Range read with manifest-level data skipping: dirs whose zone
+    * [min,max] provably misses [lo,hi] are never opened; dirs WITHOUT
+    * a zone for `statsCol` are kept (skipping is an optimization, the
+    * residual filter below keeps the answer exact either way).
+    */
+  def snapshotRange(spark: SparkSession, statsCol: String,
+                    lo: Long, hi: Long,
+                    asOf: Option[Long] = None): DataFrame = {
+    val dirs = resolveDirsRange(statsCol, lo, hi, asOf)
+    import org.apache.spark.sql.functions.col
+    if (dirs.isEmpty)
+      snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
+    else
+      spark.read.parquet(dirs: _*)
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** The dirs a range read must open ([[snapshotRange]]'s pruning,
+    * exposed for inspection/testing).
+    */
+  def resolveDirsRange(statsCol: String, lo: Long, hi: Long,
+                       asOf: Option[Long] = None): Seq[String] = {
+    val zones = zoneMaps(asOf)
+    resolveDirs(asOf).filter { d =>
+      zones.get(d) match {
+        case Some((c, mn, mx)) if c == statsCol => mx >= lo && mn <= hi
+        case _ => true // no usable zone: must read
+      }
+    }
+  }
+
+  /** dir → (statsCol, min, max) across every manifest ≤ asOf. Data
+    * dirs are IMMUTABLE, so a zone recorded by the manifest that
+    * created a dir stays valid for that dir forever — even when a
+    * later compaction overwrite (which computes no stats) re-lists
+    * the dir. Visibility is resolveDirs' job; this only annotates.
+    */
+  private def zoneMaps(asOf: Option[Long]): Map[String, (String, Long, Long)] = {
+    versions().filter(v => asOf.forall(v <= _))
+      .foldLeft(Map.empty[String, (String, Long, Long)]) { (acc, v) =>
+        readManifest(v) match {
+          case Manifest(_, dirs, Some(s)) => acc ++ dirs.map(_ -> s)
+          case _ => acc
+        }
+      }
+  }
+
   /** Replace the visible table with `df` as a new committed version. */
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
 
@@ -117,10 +185,10 @@ class TxTable(val root: String) {
   def resolveDirs(asOf: Option[Long] = None): Seq[String] = {
     val kept = versions().filter(v => asOf.forall(v <= _))
     kept.foldLeft(Vector.empty[String]) { (acc, v) =>
-      val (action, dirs) = readManifest(v)
-      action match {
-        case "overwrite" => dirs.toVector
-        case _           => acc ++ dirs
+      val m = readManifest(v)
+      m.action match {
+        case "overwrite" => m.dirs.toVector
+        case _           => acc ++ m.dirs
       }
     }
   }
@@ -144,7 +212,7 @@ class TxTable(val root: String) {
   def vacuum(): Seq[String] = {
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val referenced = versions()
-      .flatMap(v => readManifest(v)._2)
+      .flatMap(v => readManifest(v).dirs)
       .map(d => Paths.get(d).getFileName.toString).toSet
     import scala.jdk.CollectionConverters._
     val it = Files.list(dataDir)
@@ -157,7 +225,10 @@ class TxTable(val root: String) {
     orphans.map(Paths.get(_).getFileName.toString)
   }
 
-  private def readManifest(v: Long): (String, Seq[String]) = {
+  private case class Manifest(action: String, dirs: Seq[String],
+                              stats: Option[(String, Long, Long)])
+
+  private def readManifest(v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
     val action = "\"action\"\\s*:\\s*\"([^\"]*)\"".r
       .findFirstMatchIn(s).map(_.group(1))
@@ -169,7 +240,12 @@ class TxTable(val root: String) {
         s"TxTable $root: manifest v$v missing dirs"))
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-    (action, dirs)
+    val stats =
+      ("\"stats\"\\s*:\\s*\\{\"column\":\"([^\"]*)\"," +
+        "\"min\":(-?\\d+),\"max\":(-?\\d+)\\}").r
+        .findFirstMatchIn(s)
+        .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+    Manifest(action, dirs, stats)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -200,12 +276,15 @@ class TxTable(val root: String) {
     * because the content exists in full before the name does. Returns
     * false on losing the race.
     */
-  private[graft] def tryPublish(v: Long, action: String,
-                                dirs: Seq[String]): Boolean = {
+  private[graft] def tryPublish(v: Long, action: String, dirs: Seq[String],
+                                stats: Option[(String, Long, Long)] = None): Boolean = {
     Files.createDirectories(logDir)
     val dirsJson = dirs.map(d => "\"" + d.replace("\\", "/") + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"version":$v,"action":"$action","dirs":$dirsJson}"""
+    val statsJson = stats.map { case (c, mn, mx) =>
+      s""","stats":{"column":"$c","min":$mn,"max":$mx}""" }.getOrElse("")
+    val json =
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

@@ -119,6 +119,34 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("zone maps: range reads open only overlapping dirs; answers stay exact") {
+    val (dir, t) = freshTable()
+    try {
+      // Four range-clustered commits: [0,99], [100,199], [200,299], [300,399].
+      (0 until 4).foreach { i =>
+        t.appendWithStats(
+          (i * 100 until i * 100 + 100).toDF("k").select(col("k").cast("long").as("k")),
+          "k")
+      }
+      // A dir with NO zone (plain append): must always be read.
+      t.append(Seq(1000L).toDF("k"))
+      val all = t.resolveDirs()
+      assert(all.size == 5)
+      // [150, 250] overlaps bands 2 and 3 only — plus the zoneless dir.
+      val pruned = t.resolveDirsRange("k", 150L, 250L)
+      assert(pruned.size == 3, s"expected 3 dirs, got ${pruned.size}")
+      assert(t.snapshotRange(spark, "k", 150L, 250L).count() == 101L)
+      // Unknown stats column: nothing is skippable.
+      assert(t.resolveDirsRange("other", 150L, 250L).size == 5)
+      // Zones survive a compaction overwrite (dirs are immutable).
+      t.checkpointCompact()
+      assert(t.resolveDirsRange("k", 150L, 250L).size == 3)
+      // Fully-missing range: zero zone dirs, zoneless dir still read.
+      assert(t.resolveDirsRange("k", 5000L, 6000L).size == 1)
+      assert(t.snapshotRange(spark, "k", 5000L, 6000L).count() == 0L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("tt1 gate matches the per-version filter semantics") {
     val df = graft.operators.Ingest.timeTravelGate(spark, sf)
     val rows = df.collect()
