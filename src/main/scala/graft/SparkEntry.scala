@@ -146,6 +146,7 @@ object SparkEntry {
     "tt1_time_travel"      -> ((s, d) => Ingest.timeTravelGate(s, d)),
     "tt2_tx_merge"         -> ((s, d) => Ingest.txMergeGate(s, d)),
     "tt3_zone_skip"        -> ((s, d) => Ingest.zoneSkipGate(s, d)),
+    "cf1_changes_feed"     -> ((s, d) => Ingest.changesFeedGate(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2456,6 +2457,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // The changes feed after v1 is exactly commits 2 and 3 — restated
+    // as the residue-class filters those commits were built from.
+    "cf1_changes_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE k % 3 = 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE k % 3 = 2
+        |ORDER BY commit_version""".stripMargin,
     // Exactly-once proof: despite the forced full re-delivery, the
     // table equals ONE copy of the upstream — the plain batch GROUP BY.
     "st14_stream_tx_sink" ->

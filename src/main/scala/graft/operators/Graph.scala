@@ -268,6 +268,9 @@ object Graph {
       .select(col("a"),
         transform(col("arr"), x => x.getField("b")).as("nbrs"),
         transform(col("arr"), x => x.getField("w")).as("wts"))
+      // joined twice (u side + v side): persist, or the degree-join +
+      // groupBy+sort adjacency build runs twice
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val scored = e
       .join(adj.select(col("a").as("u2"), col("nbrs").as("nbrs_u"),
         col("wts").as("wts_u")), col("u") === col("u2"))
@@ -291,7 +294,7 @@ object Graph {
       .select(col("u"), col("v"), col("n_common"),
         round(col("aa_scaled").cast("double") / lit(1e12), 6).as("aa_score"))
     val rows = scored.collect() // k rows
-    e.unpersist()
+    e.unpersist(); adj.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
   }
 
@@ -328,8 +331,11 @@ object Graph {
     // construction, the adjacency table has one row per node (O(n)
     // state, broadcast-or-shuffle joinable at any scale), and the
     // only big frame that moves is the edge list itself.
+    // Joined twice below (src side + dst side) — persist, or the
+    // groupBy+sort pass over the edge list runs twice.
     val adj = or.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = or
       .join(adj.withColumnsRenamed(Map("src" -> "s2", "nbrs" -> "nbrs_s")),
         col("src") === col("s2"))
@@ -346,7 +352,7 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("wedge_total"), 6)
           .as("clustering"))
     val rows = summary.collect()
-    e.unpersist(); or.unpersist()
+    e.unpersist(); or.unpersist(); adj.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
   }
 

@@ -613,4 +613,29 @@ object Ingest {
         rangeAgg(1, 1L, 5000L).unionAll(rangeAgg(2, 30000L, 45000L)))
       .orderBy(col("range_id"))
   }
+
+  /** Gated cf1: CHANGES-FEED consumption — three append commits
+    * (orderkeys by residue mod 3), then
+    * [[graft.sources.TxTable.readChanges]] after version 1: the
+    * consumer sees EXACTLY the rows of commits 2 and 3, each stamped
+    * with its commit version. This is the incremental half of the
+    * table contract (tt1/tt2/tt3 prove reads, st14 proves exactly-
+    * once writes): a downstream rollup or dedup-index maintainer
+    * processes O(new commits), never table history — the only shape
+    * that survives a table that grows by 100 TB a month.
+    */
+  def changesFeedGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_cf1_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    (0 until 3).foreach(i => t.append(o.filter(col("k") % 3 === i)))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        t.readChanges(spark, afterVersion = 1)
+          .groupBy(col("_commit_version").cast("long").as("commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("bigint").as("total_cents")))
+      .orderBy(col("commit_version"))
+  }
 }

@@ -120,6 +120,37 @@ class TxTable(val root: String) {
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** CHANGES FEED: every row appended in versions (afterVersion,
+    * untilVersion], stamped with its `_commit_version` — the
+    * incremental-consumer contract (downstream rollups, dedup-index
+    * maintenance, feature backfills process exactly the new commits,
+    * never table history; cost is O(changed data)). An `overwrite`
+    * manifest inside the range is a history rewrite that CANNOT be
+    * expressed as row-level appends — the feed throws and the consumer
+    * must re-read a full snapshot (the same contract log-structured
+    * table formats expose for non-append commits).
+    */
+  def readChanges(spark: SparkSession, afterVersion: Long,
+                  untilVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions()
+      .filter(v => v > afterVersion && untilVersion.forall(v <= _))
+    val parts = vs.flatMap { v =>
+      val m = readManifest(v)
+      if (m.action == "overwrite")
+        throw new IllegalStateException(
+          s"TxTable $root: overwrite at version $v inside the changes " +
+            "range — re-read a full snapshot")
+      if (m.dirs.isEmpty) None
+      else Some(spark.read.parquet(m.dirs: _*)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty)
+      throw new IllegalStateException(
+        s"TxTable $root: no appends after version $afterVersion")
+    parts.reduce(_ unionByName _)
+  }
+
   /** The dirs a range read must open ([[snapshotRange]]'s pruning,
     * exposed for inspection/testing).
     */

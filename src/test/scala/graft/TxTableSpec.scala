@@ -147,6 +147,31 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("changes feed: exactly the appended rows per version; overwrite breaks it") {
+    val (dir, t) = freshTable()
+    try {
+      t.append(Seq(1, 2).toDF("x"))
+      t.append(Seq(3).toDF("x"))
+      t.append(Seq(4, 5).toDF("x"))
+      val ch = t.readChanges(spark, afterVersion = 1)
+        .select(col("_commit_version").as[Long], col("x").as[Int]).collect()
+      assert(ch.sorted.toSeq == Seq((2L, 3), (3L, 4), (3L, 5)))
+      // Incremental-consumer identity: v1 snapshot + changes = head.
+      val incremental = t.snapshot(spark, Some(1)).select("x")
+        .unionByName(t.readChanges(spark, 1).select("x"))
+        .as[Int].collect().sorted.toSeq
+      assert(incremental ==
+        t.snapshot(spark).select("x").as[Int].collect().sorted.toSeq)
+      // A history rewrite cannot be expressed as row appends.
+      t.overwrite(Seq(9).toDF("x"))
+      intercept[IllegalStateException](t.readChanges(spark, 1).collect())
+      // ...but changes AFTER the rewrite flow again.
+      t.append(Seq(10).toDF("x"))
+      assert(t.readChanges(spark, afterVersion = 4)
+        .select("x").as[Int].collect().toSeq == Seq(10))
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("tt1 gate matches the per-version filter semantics") {
     val df = graft.operators.Ingest.timeTravelGate(spark, sf)
     val rows = df.collect()
