@@ -147,6 +147,8 @@ object SparkEntry {
     "tt2_tx_merge"         -> ((s, d) => Ingest.txMergeGate(s, d)),
     "tt3_zone_skip"        -> ((s, d) => Ingest.zoneSkipGate(s, d)),
     "cf1_changes_feed"     -> ((s, d) => Ingest.changesFeedGate(s, d)),
+    "tt4_tx_delete"        -> ((s, d) => Ingest.txDeleteGate(s, d)),
+    "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -340,6 +342,29 @@ object SparkEntry {
   /** Word 3-gram shingle CTEs over documents (mirrors Dedup.shingleArray:
     * distinct shingles; docs with <3 words contribute none).
     */
+  /** Exact cross-split best-match semantics shared by dd16 (monolithic)
+    * and c5 (composed through the TxTable seam).
+    */
+  private lazy val incrementalNearDupOracle: String =
+    s"""$shingleCtes,
+       |j AS (SELECT doc_a, doc_b,
+       |    round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jac
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+       |p AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS d,
+       |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS b, jac
+       |  FROM j WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+       |m AS (SELECT d, max(jac) AS jac FROM p GROUP BY d),
+       |best AS (SELECT p.d, m.jac, min(p.b) AS matched_doc
+       |  FROM p JOIN m ON p.d = m.d AND p.jac = m.jac GROUP BY p.d, m.jac)
+       |SELECT dd.doc_id, best.matched_doc, best.jac AS jaccard,
+       |  best.d IS NULL AS novel
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+       |LEFT JOIN best ON dd.doc_id = best.d
+       |ORDER BY doc_id""".stripMargin
+
   private val shingleCtes: String =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -704,25 +729,11 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exact cross-split Jaccard: the LSH path must find every
     // (delta, base) pair at J >= 0.7 or the hash check fails.
-    "dd16_incremental_neardup" ->
-      s"""$shingleCtes,
-         |j AS (SELECT doc_a, doc_b,
-         |    round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jac
-         |  FROM inter
-         |  JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b
-         |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
-         |p AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS d,
-         |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS b, jac
-         |  FROM j WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
-         |m AS (SELECT d, max(jac) AS jac FROM p GROUP BY d),
-         |best AS (SELECT p.d, m.jac, min(p.b) AS matched_doc
-         |  FROM p JOIN m ON p.d = m.d AND p.jac = m.jac GROUP BY p.d, m.jac)
-         |SELECT dd.doc_id, best.matched_doc, best.jac AS jaccard,
-         |  best.d IS NULL AS novel
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
-         |LEFT JOIN best ON dd.doc_id = best.d
-         |ORDER BY doc_id""".stripMargin,
+    "dd16_incremental_neardup" -> incrementalNearDupOracle,
+    // c5 composes the SAME computation through the TxTable commit log,
+    // changes feed and a persisted band-index table — same contract,
+    // same exact oracle: the composition must reproduce the monolith.
+    "c5_tx_incremental_dedup" -> incrementalNearDupOracle,
     // PPJoin computes the SAME exact pair set, df-cap-free — the oracle
     // is the plain uncapped full Jaccard.
     "dd11_ppjoin_jaccard" -> jaccardOracle(0.7),
@@ -2457,6 +2468,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // v1 = all orders; v2 = the erasure's complement, stated as NOT IN.
+    "tt4_tx_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE cust NOT IN (SELECT c_custkey FROM d)
+        |ORDER BY version""".stripMargin,
     // The changes feed after v1 is exactly commits 2 and 3 — restated
     // as the residue-class filters those commits were built from.
     "cf1_changes_feed" ->

@@ -1064,4 +1064,81 @@ object Dedup {
       .orderBy(desc("n_occurrences"), asc("chunk_md5"))
       .limit(k)
   }
+
+  /** Gated c5: the INCREMENTAL DEDUP PIPELINE composed ON the
+    * transactional table — the round's storage seam and the dedup
+    * machinery working as one system, the way a production corpus
+    * actually runs:
+    *
+    *  1. base corpus commits to a [[graft.sources.TxTable]] (v1);
+    *  2. its MinHash BAND INDEX is materialized into a SECOND TxTable
+    *     — the persisted index every incremental ingest probes;
+    *  3. a delta batch commits (v2);
+    *  4. the consumer reads EXACTLY the delta via the changes feed
+    *     (O(new commits), never corpus history), probes the index
+    *     snapshot for candidates, confirms with exact Jaccard against
+    *     refetched base shingles, and
+    *  5. appends the delta's band entries to the index table — the
+    *     index is MAINTAINED, not rebuilt, so the next ingest probes
+    *     base+delta without ever re-banding the corpus.
+    *
+    * The readout is [[incrementalNearDedup]]'s contract (best base
+    * match or novel, per delta doc) and shares its exact-Jaccard
+    * oracle: the composition through commit log + changes feed +
+    * persisted index must reproduce the monolithic computation
+    * bit-for-bit, or the gate hash-fails.
+    */
+  def txIncrementalDedupGate(spark: SparkSession, dir: String,
+                             threshold: Double = 0.7): DataFrame = {
+    val tmp = graft.TmpIO.scratchDir("graft_c5_")
+    val corpus = new graft.sources.TxTable(s"$tmp/corpus")
+    val index = new graft.sources.TxTable(s"$tmp/index")
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    corpus.append(d.filter(col("doc_id") % 10 =!= 0)) // v1: base
+    def bandEntries(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          minhashSignature(shingleHashes(shinglesFromWords(col("ws"))))
+            .as("sig"))
+        .select(col("doc_id"), posexplode(array((0 until Bands).map(b =>
+          hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand),
+            lit(b))): _*)))
+        .toDF("doc_id", "band_idx", "band_hash")
+    index.append(bandEntries(corpus.snapshot(spark, Some(1))))
+    corpus.append(d.filter(col("doc_id") % 10 === 0)) // v2: delta
+    val delta = corpus.readChanges(spark, afterVersion = 1)
+      .select(col("doc_id"), col("text"))
+    val deltaBands = bandEntries(delta).cache()
+    val cand = deltaBands.as("x")
+      .join(index.snapshot(spark).as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("dd"), col("y.doc_id").as("bb"))
+      .distinct()
+    def shingleSets(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        shinglesFromWords(TextAnalysis.words(col("text"))).as("sh"))
+    val shD = shingleSets(delta)
+      .select(col("doc_id").as("dd"), col("sh").as("sh_d"))
+    val shB = shingleSets(corpus.snapshot(spark, Some(1)))
+      .select(col("doc_id").as("bb"), col("sh").as("sh_b"))
+    val confirmed = cand.join(shD, "dd").join(shB, "bb")
+      .withColumn("common",
+        size(array_intersect(col("sh_d"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("common")
+        / (size(col("sh_d")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("dd"), col("bb"), col("jaccard"))
+    val best = confirmed.groupBy(col("dd")).agg(max(col("jaccard")).as("jac"))
+    val bestId = confirmed.join(best, Seq("dd"))
+      .filter(col("jaccard") === col("jac"))
+      .groupBy(col("dd"), col("jac")).agg(min(col("bb")).as("matched_doc"))
+    index.append(deltaBands) // step 5: the index is maintained, not rebuilt
+    val out = delta.select(col("doc_id"))
+      .join(bestId, col("doc_id") === col("dd"), "left")
+      .select(col("doc_id"), col("matched_doc"), col("jac").as("jaccard"),
+        col("matched_doc").isNull.as("novel"))
+    deltaBands.unpersist()
+    graft.TmpIO.collectAndClean(spark, tmp)(out).orderBy(col("doc_id"))
+  }
 }

@@ -638,4 +638,42 @@ object Ingest {
             sum(col("cents")).cast("bigint").as("total_cents")))
       .orderBy(col("commit_version"))
   }
+
+  /** Gated tt4: ROW-LEVEL DELETE through the TxTable log — the
+    * right-to-erasure path: all orders committed as v1, then "erase
+    * every order of nation-7 customers" applied as one broadcast
+    * anti-join and committed atomically as v2. The readout aggregates
+    * both versions: v2 proves the deletion is complete-and-only (any
+    * over- or under-delete hash-fails), v1 proves the pre-delete
+    * snapshot is still bit-exactly readable — which is precisely what
+    * time travel means for compliance: the DELETE is logical until
+    * [[graft.sources.TxTable.checkpointCompact]] + vacuum retire the
+    * old dirs (physical erasure = compact to the post-delete snapshot
+    * and vacuum, the documented two-step every log-structured table
+    * format shares).
+    */
+  def txDeleteGate(spark: SparkSession, dir: String,
+                   nation: Long = 7): DataFrame = {
+    val tmp = freshDir("graft_tt4_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o) // v1
+    val doomed = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === nation)
+      .select(col("c_custkey").as("del_key"))
+    val kept = t.snapshot(spark, Some(1))
+      .join(broadcast(doomed), col("cust") === col("del_key"), "left_anti")
+      .select(col("k"), col("cust"), col("cents"))
+    t.overwrite(kept) // v2: the delete, atomically visible
+    def snapAgg(v: Long): DataFrame = t.snapshot(spark, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(v).cast("long").as("version"), col("n_rows"),
+        col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        snapAgg(1).unionAll(snapAgg(2)))
+      .orderBy(col("version"))
+  }
 }
