@@ -149,6 +149,8 @@ object SparkEntry {
     "cf1_changes_feed"     -> ((s, d) => Ingest.changesFeedGate(s, d)),
     "tt4_tx_delete"        -> ((s, d) => Ingest.txDeleteGate(s, d)),
     "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
+    "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
+    "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2468,6 +2470,32 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Point lookups restated as plain equality filters; a lookup on an
+    // absent key is a 0-row/NULL-sum row on both engines.
+    "tt5_bloom_skip" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS probe_id, CAST(7 AS BIGINT) AS key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o WHERE k = 7
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(68 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE k = 68
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(999999999 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k = 999999999
+        |ORDER BY probe_id""".stripMargin,
+    // The union-schema read bucketed by the evolved column, nulls
+    // (pre-evolution rows) as 'legacy'.
+    "tt6_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CASE WHEN k % 2 = 0 THEN 'legacy'
+        |    WHEN k % 4 = 1 THEN 'web' ELSE 'store' END AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM o GROUP BY 1 ORDER BY channel""".stripMargin,
     // v1 = all orders; v2 = the erasure's complement, stated as NOT IN.
     "tt4_tx_delete" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS cust,

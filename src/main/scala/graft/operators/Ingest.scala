@@ -639,6 +639,65 @@ object Ingest {
       .orderBy(col("commit_version"))
   }
 
+  /** Gated tt5: BLOOM point-lookup skipping — orders committed in 6
+    * hash-clustered batches, each manifest referencing a sidecar
+    * Bloom filter over the orderkey; three point lookups (two present
+    * keys, one absent) answered through
+    * [[graft.sources.TxTable.snapshotEquals]], which opens only dirs
+    * whose filter says "maybe". Zone maps (tt3) index RANGES on
+    * range-clustered layout; blooms index MEMBERSHIP on any layout —
+    * together they are the two skipping primitives a log table needs.
+    * Correctness never depends on the filter (residual equality runs
+    * either way; a Bloom "maybe" on an absent key just reads a dir
+    * and finds nothing); the actual pruning is asserted in
+    * TxTableSpec.
+    */
+  def bloomSkipGate(spark: SparkSession, dir: String,
+                    buckets: Int = 6): DataFrame = {
+    val tmp = freshDir("graft_tt5_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    (0 until buckets).foreach(i =>
+      t.appendWithBloom(o.filter(col("k") % buckets === i), "k"))
+    def probe(id: Int, key: Long): DataFrame =
+      t.snapshotEquals(spark, "k", key)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(id).cast("int").as("probe_id"), lit(key).as("key"),
+          col("n_rows"), col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        probe(1, 7L).unionAll(probe(2, 68L)).unionAll(probe(3, 999999999L)))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Gated tt6: ADDITIVE SCHEMA EVOLUTION across commits — v1 writes
+    * (k, cents), v2 appends the same shape PLUS a `channel` column;
+    * [[graft.sources.TxTable.snapshotEvolved]] reads the union schema
+    * with nulls where the older commit predates the column, and the
+    * readout buckets nulls as 'legacy'. The contract every long-lived
+    * ingest needs: old data stays readable untouched, new columns
+    * arrive without a table rewrite.
+    */
+  def schemaEvolutionGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt6_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o.filter(col("k") % 2 === 0)) // v1: pre-evolution shape
+    t.append(o.filter(col("k") % 2 === 1)  // v2: + channel column
+      .withColumn("channel",
+        when(col("k") % 4 === 1, lit("web")).otherwise(lit("store"))))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        t.snapshotEvolved(spark)
+          .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("bigint").as("total_cents")))
+      .orderBy(col("channel"))
+  }
+
   /** Gated tt4: ROW-LEVEL DELETE through the TxTable log — the
     * right-to-erasure path: all orders committed as v1, then "erase
     * every order of nation-7 customers" applied as one broadcast

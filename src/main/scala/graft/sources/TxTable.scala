@@ -120,6 +120,82 @@ class TxTable(val root: String) {
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** Append with a BLOOM FILTER on long column `bloomCol`: the filter
+    * is written to a SIDECAR file next to the log (sized from the
+    * batch's exact count, fpp 3%) and referenced by the manifest —
+    * point lookups ([[snapshotEquals]]) then skip every dir whose
+    * filter proves the key absent. Zone maps bound RANGES; blooms
+    * bound MEMBERSHIP — the "find this document id / user id in a
+    * 100 TB log" path. Sidecars keep manifests O(bytes): real table
+    * formats make the same split (tiny commit record, fat index
+    * files).
+    */
+  def appendWithBloom(df: DataFrame, bloomCol: String): Long = {
+    val n = df.count()
+    val bf = df.stat.bloomFilter(bloomCol, math.max(n, 1L), 0.03)
+    val stage = stageData(df)
+    var attempt = latestVersion().getOrElse(0L) + 1
+    var published = false
+    while (!published) {
+      val sidecar = f"b$attempt%010d.bloom"
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      // Sidecar exists in full BEFORE the manifest names it (same
+      // write-then-publish discipline as the data dirs); a losing race
+      // leaves an orphan sidecar, deleted below.
+      Files.write(logDir.resolve(sidecar), bos.toByteArray)
+      published = tryPublish(attempt, "append", Seq(stage), None,
+        Some((bloomCol, sidecar)))
+      if (!published) {
+        Files.deleteIfExists(logDir.resolve(sidecar))
+        attempt = latestVersion().getOrElse(0L) + 1
+      }
+    }
+    attempt
+  }
+
+  /** Point-lookup read: dirs whose Bloom filter proves `value` absent
+    * are never opened; dirs without a filter for `eqCol` are kept.
+    * The residual equality filter keeps the answer exact regardless
+    * of skipping (a Bloom hit is only "maybe").
+    */
+  def snapshotEquals(spark: SparkSession, eqCol: String, value: Long,
+                     asOf: Option[Long] = None): DataFrame = {
+    val dirs = resolveDirsEquals(eqCol, value, asOf)
+    import org.apache.spark.sql.functions.col
+    if (dirs.isEmpty)
+      snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(dirs: _*).filter(col(eqCol) === value)
+  }
+
+  /** The dirs a point lookup must open (exposed for testing). */
+  def resolveDirsEquals(eqCol: String, value: Long,
+                        asOf: Option[Long] = None): Seq[String] = {
+    val blooms = bloomRefs(asOf)
+    resolveDirs(asOf).filter { d =>
+      blooms.get(d) match {
+        case Some((c, sidecar)) if c == eqCol =>
+          val in = Files.newInputStream(logDir.resolve(sidecar))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(value)
+          finally in.close()
+        case _ => true // no usable filter: must read
+      }
+    }
+  }
+
+  /** dir → (bloomCol, sidecar) across manifests ≤ asOf — like
+    * [[zoneMaps]], filters stick to immutable dirs permanently.
+    */
+  private def bloomRefs(asOf: Option[Long]): Map[String, (String, String)] =
+    versions().filter(v => asOf.forall(v <= _))
+      .foldLeft(Map.empty[String, (String, String)]) { (acc, v) =>
+        readManifest(v) match {
+          case m if m.bloom.isDefined => acc ++ m.dirs.map(_ -> m.bloom.get)
+          case _ => acc
+        }
+      }
+
   /** CHANGES FEED: every row appended in versions (afterVersion,
     * untilVersion], stamped with its `_commit_version` — the
     * incremental-consumer contract (downstream rollups, dedup-index
@@ -175,7 +251,7 @@ class TxTable(val root: String) {
     versions().filter(v => asOf.forall(v <= _))
       .foldLeft(Map.empty[String, (String, Long, Long)]) { (acc, v) =>
         readManifest(v) match {
-          case Manifest(_, dirs, Some(s)) => acc ++ dirs.map(_ -> s)
+          case Manifest(_, dirs, Some(s), _) => acc ++ dirs.map(_ -> s)
           case _ => acc
         }
       }
@@ -210,6 +286,22 @@ class TxTable(val root: String) {
       throw new IllegalStateException(s"TxTable $root: no committed data" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Snapshot read under SCHEMA EVOLUTION: commits may ADD columns
+    * over the table's life (the additive evolution every long-lived
+    * ingest needs); the merged read is the union schema, with nulls
+    * where an older commit predates a column. Kept separate from
+    * [[snapshot]] because schema merging pays a footer read per dir —
+    * the log-structured growth path is caching the union schema in a
+    * compaction manifest.
+    */
+  def snapshotEvolved(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    val dirs = resolveDirs(asOf)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"TxTable $root: no committed data" +
+        asOf.map(v => s" at or before version $v").getOrElse(""))
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** The data directories visible at `asOf` (testing/inspection). */
@@ -257,7 +349,8 @@ class TxTable(val root: String) {
   }
 
   private case class Manifest(action: String, dirs: Seq[String],
-                              stats: Option[(String, Long, Long)])
+                              stats: Option[(String, Long, Long)],
+                              bloom: Option[(String, String)])
 
   private def readManifest(v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
@@ -276,7 +369,11 @@ class TxTable(val root: String) {
         "\"min\":(-?\\d+),\"max\":(-?\\d+)\\}").r
         .findFirstMatchIn(s)
         .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
-    Manifest(action, dirs, stats)
+    val bloom =
+      "\"bloom\"\\s*:\\s*\\{\"column\":\"([^\"]*)\",\"file\":\"([^\"]*)\"\\}".r
+        .findFirstMatchIn(s)
+        .map(m => (m.group(1), m.group(2)))
+    Manifest(action, dirs, stats, bloom)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -308,14 +405,17 @@ class TxTable(val root: String) {
     * false on losing the race.
     */
   private[graft] def tryPublish(v: Long, action: String, dirs: Seq[String],
-                                stats: Option[(String, Long, Long)] = None): Boolean = {
+                                stats: Option[(String, Long, Long)] = None,
+                                bloom: Option[(String, String)] = None): Boolean = {
     Files.createDirectories(logDir)
     val dirsJson = dirs.map(d => "\"" + d.replace("\\", "/") + "\"")
       .mkString("[", ",", "]")
     val statsJson = stats.map { case (c, mn, mx) =>
       s""","stats":{"column":"$c","min":$mn,"max":$mx}""" }.getOrElse("")
+    val bloomJson = bloom.map { case (c, f) =>
+      s""","bloom":{"column":"$c","file":"$f"}""" }.getOrElse("")
     val json =
-      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson}"""
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

@@ -147,6 +147,38 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("bloom sidecars: point lookups open only maybe-dirs; evolution merges schemas") {
+    val (dir, t) = freshTable()
+    try {
+      // Four disjoint key sets, each with a Bloom sidecar.
+      (0 until 4).foreach { i =>
+        t.appendWithBloom(
+          (i * 1000 until i * 1000 + 50).toDF("k")
+            .select(col("k").cast("long").as("k")), "k")
+      }
+      assert(t.resolveDirs().size == 4)
+      // Key 2007 lives in dir 2 — the other three filters prove absence
+      // (disjoint ranges; fpp 3% could theoretically add a dir, so
+      // assert <= 2 and that the right answer comes back).
+      val opened = t.resolveDirsEquals("k", 2007L)
+      assert(opened.nonEmpty && opened.size <= 2,
+        s"expected ~1 dir, got ${opened.size}")
+      assert(t.snapshotEquals(spark, "k", 2007L).count() == 1L)
+      // Absent key: usually zero dirs opened; never a wrong answer.
+      assert(t.snapshotEquals(spark, "k", 999999L).count() == 0L)
+      // A dir without a filter is always read.
+      t.append(Seq(7L).toDF("k"))
+      assert(t.resolveDirsEquals("k", 999999L).size >= 1)
+      // Schema evolution: a later commit adds a column; merged read
+      // nulls it for older rows.
+      t.append(Seq((8L, "x")).toDF("k", "tag"))
+      val ev = t.snapshotEvolved(spark)
+      assert(ev.columns.sorted.toSeq == Seq("k", "tag"))
+      assert(ev.filter(col("tag").isNull).count() == 201L) // all pre-evolution rows
+      assert(ev.filter(col("tag") === "x").count() == 1L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("changes feed: exactly the appended rows per version; overwrite breaks it") {
     val (dir, t) = freshTable()
     try {
