@@ -151,6 +151,7 @@ object SparkEntry {
     "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
+    "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2470,6 +2471,18 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // The permutation restated as a rank window over the same md5 sort
+    // key — any divergence in epoch order or tiebreak hash-fails.
+    "sh1_epoch_shuffle" ->
+      """WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+        |h AS (SELECT e.epoch, d.doc_id,
+        |    md5(e.epoch || ':' || d.doc_id) AS h
+        |  FROM documents d CROSS JOIN e),
+        |r AS (SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT CAST(epoch AS INT) AS epoch, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 10 ORDER BY epoch, rk""".stripMargin,
     // Point lookups restated as plain equality filters; a lookup on an
     // absent key is a 0-row/NULL-sum row on both engines.
     "tt5_bloom_skip" ->

@@ -105,17 +105,36 @@ object Behavior {
       .join(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
-    val bySeg = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("spend"), col("o_custkey"))
-    // Global decile via the range-partitioned exact rank (same rewrite
-    // as w7) — the former ntile-over-global-Window was the one
-    // single-partition sort left in this gate.
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val (ranked, n) = Ranks.withGlobalRowNumber(spend,
+    // ONE range-partitioned exact rank over (segment, spend, custkey)
+    // serves every rank statistic in the gate — no WindowExec anywhere,
+    // global or per-segment (a per-segment frame is |customers in
+    // segment|: just as unbounded at corpus scale as the global one).
+    // Under this TOTAL order, SQL's window functions reduce to exact
+    // arithmetic on (in-segment rank, segment size): percent_rank =
+    // (rk-1)/(n-1), cume_dist = rk/n — tie-free because the order key
+    // includes the unique custkey, so the reductions are bit-identical
+    // to the window forms. Segment offsets/sizes come from a
+    // 5-row aggregate joined back broadcast.
+    val (ranked, _) = Ranks.withGlobalRowNumber(spend,
+      Seq(col("c_mktsegment").asc, col("spend").asc, col("o_custkey").asc),
+      np, "_rn")
+    val segBounds = broadcast(ranked.groupBy(col("c_mktsegment").as("_seg"))
+      .agg(min(col("_rn")).as("_seg_off"), count(lit(1)).as("_seg_n")))
+    // The decile ranks by (spend DESC, custkey ASC) — recover that rank
+    // from the ascending one: over the tie-free total order of the
+    // global frame, desc-rank = N - asc-rank(spend asc, custkey desc).
+    // custkey sorts the WRONG way inside equal spends for that identity,
+    // so rank the decile independently (same machinery, second pass).
+    val (ranked2, n) = Ranks.withGlobalRowNumber(
+      ranked.join(segBounds, col("c_mktsegment") === col("_seg")),
       Seq(col("spend").desc, col("o_custkey").asc), np, "_grn")
-    ranked.select(col("o_custkey"), col("c_mktsegment"), col("spend"),
-        round(percent_rank().over(bySeg), 6).as("seg_pct_rank"),
-        round(cume_dist().over(bySeg), 6).as("seg_cume_dist"),
+    val segRk = (col("_rn") - col("_seg_off") + 1).cast("double")
+    val segN = col("_seg_n").cast("double")
+    ranked2.select(col("o_custkey"), col("c_mktsegment"), col("spend"),
+        round(when(col("_seg_n") === 1, lit(0.0))
+          .otherwise((segRk - 1) / (segN - 1)), 6).as("seg_pct_rank"),
+        round(segRk / segN, 6).as("seg_cume_dist"),
         Ranks.ntileOfRank(col("_grn"), n, 10).as("spend_decile"))
       .orderBy(col("o_custkey"))
   }

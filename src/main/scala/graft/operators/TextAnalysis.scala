@@ -439,6 +439,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gated sh1: DETERMINISTIC EPOCH SHUFFLE — a reproducible, seeded
+    * permutation of the corpus per training epoch: sort key =
+    * md5(epoch ‖ ':' ‖ doc_id), so every epoch is a different but
+    * bit-reproducible order (across runs, machines, partitionings,
+    * engines — `rand()` is none of these), and no epoch's order leaks
+    * into another's. The data-loader contract behind "resume epoch 2
+    * at step 41337" on a 100 TB corpus.
+    *
+    * Scale shape: materializing a full epoch order is ONE
+    * `repartitionByRange` on the hash (range exchange + parallel
+    * per-partition sorts — the writer's partition files ARE the
+    * shuffled shards, no single-partition sort anywhere; exact global
+    * positions, if a loader needs them, come from the same
+    * [[Ranks.withGlobalRowNumber]] machinery as w7). The gate probes
+    * the first k positions of each epoch via per-epoch
+    * TakeOrderedAndProject — k-bounded, and any divergence in the
+    * permutation hash-fails against the oracle's window rank.
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   epochs: Int = 2, k: Int = 10): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    val perEpoch = (1 to epochs).map { e =>
+      val top = d.select(lit(e).as("epoch"), col("doc_id"),
+          md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(k)
+      // k-bounded rank (same non-foldable constant-partition idiom as
+      // tokenZipf — the frame is ≤ k rows by construction).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(hash(col("h")), lit(1)))
+        .orderBy(col("h"), col("doc_id"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("rk"), col("doc_id"))
+    }
+    perEpoch.reduce(_ unionAll _).orderBy(col("epoch"), col("rk"))
+  }
+
   /** Gated sa2: deterministic STRATIFIED sampling — exactly n docs per
     * language, chosen by md5-hash rank within the stratum (not by
     * position or randomness, so the sample is stable across runs,
