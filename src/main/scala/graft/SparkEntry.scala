@@ -152,6 +152,8 @@ object SparkEntry {
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
     "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
+    "te1_target_encoding"  -> ((s, d) => Relational.targetEncoding(s, d)),
+    "cuped1_cuped_readout" -> ((s, d) => graft.operators.Behavior.cupedReadout(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2471,6 +2473,48 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Leave-fold-out by subtraction: enc(cat, f) = mean over cat minus
+    // fold f; guard NULLs a category living entirely in one fold.
+    "te1_target_encoding" ->
+      """WITH r AS (SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |ct AS (SELECT cat, CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS nc FROM r GROUP BY 1),
+        |cf AS (SELECT cat, fold, CAST(sum(cents) AS BIGINT) AS sf,
+        |    CAST(count(*) AS BIGINT) AS nf FROM r GROUP BY 1, 2)
+        |SELECT cat, CAST(fold AS BIGINT) AS fold, nf AS n_rows,
+        |  round(CASE WHEN nc > nf
+        |    THEN CAST(sc - sf AS DOUBLE) / (nc - nf) END, 6) AS target_enc
+        |FROM cf JOIN ct USING (cat) ORDER BY cat, fold""".stripMargin,
+    // CUPED: theta and the adjusted means from DECIMAL-summed
+    // sufficient statistics, every product double-first (acf1 rule).
+    "cuped1_cuped_readout" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS grp,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(30,6))
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(30,6))
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx FROM u),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS gx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS gy FROM u GROUP BY 1),
+        |t AS (SELECT (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |      / (CAST(n AS DOUBLE)*sxx - sx*sx) AS theta,
+        |    sx / CAST(n AS DOUBLE) AS mean_x FROM s)
+        |SELECT CAST(grp AS INT) AS grp, ng AS n_users,
+        |  round(gy / CAST(ng AS DOUBLE), 6) AS mean_y,
+        |  round((gy - theta * (gx - CAST(ng AS DOUBLE) * mean_x))
+        |    / CAST(ng AS DOUBLE), 6) AS mean_y_adj,
+        |  round(theta, 6) AS theta
+        |FROM g CROSS JOIN t ORDER BY grp""".stripMargin,
     // The permutation restated as a rank window over the same md5 sort
     // key — any divergence in epoch order or tiebreak hash-fails.
     "sh1_epoch_shuffle" ->

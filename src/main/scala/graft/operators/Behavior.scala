@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -229,6 +229,57 @@ object Behavior {
       round(rateB - rateA, 6).as("lift"),
       round((rateB - rateA) / sqrt(pooled * (lit(1) - pooled)
         * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_stat"))
+  }
+
+  /** Gated cuped1: CUPED variance-reduced experiment readout — the
+    * industry-standard covariate adjustment (y_adj = y − θ·(x − x̄)
+    * with θ = cov(x,y)/var(x)) using each user's CLICK spend as the
+    * pre-exposure covariate for their PURCHASE outcome. The
+    * experimentation readout every growth platform runs at
+    * fact-table scale when raw-metric variance would demand 5–10×
+    * the traffic.
+    *
+    * Exactness/scale shape: one user-keyed aggregation produces the
+    * per-user (x, y) frame (per-user sums accumulate as DECIMAL —
+    * order-invariant — then cast); θ and the group adjustments derive
+    * entirely from DECIMAL-summed sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², per-group Σx, Σy), each cast to double BEFORE the
+    * products (the acf1 overflow discipline), so the whole readout is
+    * two shuffles + scalar IEEE math mirrored term-for-term in the
+    * oracle. No window, no per-user second pass: the adjusted group
+    * mean folds algebraically to (Σy_g − θ·(Σx_g − n_g·x̄))/n_g.
+    */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(30,6)"
+    val zero = lit(0).cast(dec)
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        when(col("user_id") % 3 === 0, 0).otherwise(1).as("grp"))
+      .agg(
+        sum(when(col("event_type") === "click", col("value").cast(dec))
+          .otherwise(zero)).cast("double").as("x"),
+        sum(when(col("event_type") === "purchase", col("value").cast(dec))
+          .otherwise(zero)).cast("double").as("y"))
+      .cache() // feeds both the global-stat and per-group aggregates
+    def d38(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val s = u.agg(count(lit(1)).as("n"),
+      d38(col("x")).as("sx"), d38(col("y")).as("sy"),
+      d38(col("x") * col("y")).as("sxy"), d38(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    val t = s.select(
+      ((nd * col("sxy") - col("sx") * col("sy"))
+        / (nd * col("sxx") - col("sx") * col("sx"))).as("theta"),
+      (col("sx") / nd).as("mean_x"))
+    val g = u.groupBy(col("grp")).agg(count(lit(1)).as("ng"),
+      d38(col("x")).as("gx"), d38(col("y")).as("gy"))
+    val ngd = col("ng").cast("double")
+    g.crossJoin(broadcast(t))
+      .select(col("grp").cast("int").as("grp"), col("ng").as("n_users"),
+        round(col("gy") / ngd, 6).as("mean_y"),
+        round((col("gy") - col("theta") * (col("gx") - ngd * col("mean_x")))
+          / ngd, 6).as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy(col("grp"))
   }
 
   /** Gated seg1: RFM SEGMENTATION — recency/frequency/monetary

@@ -1462,6 +1462,40 @@ object Relational {
       .orderBy(asc("n_orders"), asc("custkey"))
   }
 
+  /** Gated te1: K-FOLD TARGET ENCODING — the leakage-protected
+    * categorical feature every tabular training pipeline derives: a
+    * category's encoding for fold f is the target mean over the
+    * category EXCLUDING fold f, so no row's own target leaks into its
+    * feature ((Σcat − Σcat,fold) / (ncat − ncat,fold) — leave-fold-out
+    * by subtraction, never a second scan). Deterministic folds
+    * (orderkey mod k) make the gate cross-engine exact; money stays
+    * integer cents until the one division.
+    *
+    * Scale shape: two map-side-combinable aggregations (category ×
+    * fold, category), the category table broadcast back — categories
+    * are bounded, rows never move twice, no window. At 100 TB this is
+    * the same plan with the (cat, fold) aggregate as the only
+    * fact-scale shuffle.
+    */
+  def targetEncoding(spark: SparkSession, dir: String,
+                     folds: Int = 5): DataFrame = {
+    val r = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("cat"),
+      (col("o_orderkey") % folds).as("fold"),
+      expr("CAST(round(o_totalprice*100) AS BIGINT)").as("cents"))
+    val ct = r.groupBy(col("cat"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+    val cf = r.groupBy(col("cat"), col("fold"))
+      .agg(sum(col("cents")).as("sf"), count(lit(1)).as("nf"))
+    cf.join(broadcast(ct), "cat")
+      .select(col("cat"), col("fold").cast("long").as("fold"),
+        col("nf").as("n_rows"),
+        round(when(col("nc") > col("nf"),
+          (col("sc") - col("sf")).cast("double") / (col("nc") - col("nf"))),
+          6).as("target_enc"))
+      .orderBy(col("cat"), col("fold"))
+  }
+
   /** Gated fd1: FUNCTIONAL-DEPENDENCY audit — does A determine B?
     * A→B holds iff |distinct A| = |distinct (A,B)|; the violation
     * count is the number of extra (A,B) combinations. The schema-
