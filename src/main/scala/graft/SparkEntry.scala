@@ -154,6 +154,9 @@ object SparkEntry {
     "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
     "te1_target_encoding"  -> ((s, d) => Relational.targetEncoding(s, d)),
     "cuped1_cuped_readout" -> ((s, d) => graft.operators.Behavior.cupedReadout(s, d)),
+    "dcg1_ndcg_at_k"       -> ((s, d) => Similarity.ndcgAtK(s, d)),
+    "iaa1_labeler_kappa"   -> ((s, d) => graft.operators.Quality.labelerAgreement(s, d)),
+    "cal1_calibration_ece" -> ((s, d) => graft.operators.Quality.calibrationTable(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -835,6 +838,36 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // nDCG over ss1's ranking: binary label relevance, the same k-row
+    // discount table for hits and ideal, DECIMAL-accumulated sums.
+    "dcg1_ndcg_at_k" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, e.vec_id,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s),
+         |disc AS (SELECT CAST(i AS INT) AS i,
+         |    1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)) AS d
+         |  FROM range(1, 11) t(i)),
+         |rel AS (SELECT r.query_id,
+         |    CASE WHEN lq.label = lnb.label THEN 1.0 ELSE 0.0 END AS rel, disc.d
+         |  FROM r JOIN e lq ON lq.vec_id = r.query_id
+         |  JOIN e lnb ON lnb.vec_id = r.neighbor_id
+         |  JOIN disc ON disc.i = r.rank
+         |  WHERE r.rank <= 10),
+         |byq AS (SELECT query_id,
+         |    CAST(sum(CAST(rel * d AS DECIMAL(38,18))) AS DOUBLE) AS dcg,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+         |f AS (SELECT b.query_id, b.dcg, b.n_rel,
+         |    coalesce(CAST(sum(CAST(d.d AS DECIMAL(38,18))) AS DOUBLE), 0.0) AS idcg
+         |  FROM byq b LEFT JOIN disc d ON d.i <= b.n_rel GROUP BY 1, 2, 3)
+         |SELECT query_id, n_rel, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+         |FROM f ORDER BY query_id""".stripMargin,
     "c1_curation_pipeline" -> curationOracle,
     "q6_forecast_revenue" ->
       """SELECT
@@ -2473,6 +2506,45 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Cohen's kappa from the 2x2 contingency, products double-first.
+    "iaa1_labeler_kappa" ->
+      """WITH d AS (SELECT (n_chars > 500) AS a, (lang = 'en') AS b FROM documents),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM d),
+        |m AS (SELECT n11, n10, n01, n00,
+        |    CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS n FROM c),
+        |k AS (SELECT n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |      / (n * n) AS pe
+        |  FROM m)
+        |SELECT n11, n10, n01, n00, round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round((po - pe) / (1.0 - pe), 6) AS kappa FROM k""".stripMargin,
+    // Reliability table + ECE: DECIMAL-accumulated confidence sums,
+    // per-bin gap terms DECIMAL-summed for the order-invariant fold.
+    "cal1_calibration_ece" ->
+      """WITH e AS (SELECT greatest(least(value, 500.0), 0.0) / 500.0 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, y FROM e),
+        |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS nt,
+        |    CAST(sum(CAST(abs(CAST(sy AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |      - sp / CAST(n_events AS DOUBLE)) * CAST(n_events AS DOUBLE)
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS gapsum FROM per)
+        |SELECT bin, n_events,
+        |  round(sp / CAST(n_events AS DOUBLE) + 1e-12, 6) AS confidence,
+        |  round(CAST(sy AS DOUBLE) / CAST(n_events AS DOUBLE) + 1e-12, 6) AS accuracy,
+        |  round(abs(CAST(sy AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    - sp / CAST(n_events AS DOUBLE)) + 1e-12, 6) AS gap,
+        |  round(gapsum / CAST(nt AS DOUBLE) + 1e-12, 6) AS ece
+        |FROM per CROSS JOIN t ORDER BY bin""".stripMargin,
     // Leave-fold-out by subtraction: enc(cat, f) = mean over cat minus
     // fold f; guard NULLs a category living entirely in one fold.
     "te1_target_encoding" ->

@@ -490,6 +490,84 @@ object Quality {
         round(col("mx"), 6).as("max_wins"))
   }
 
+  /** Gated iaa1: INTER-LABELER AGREEMENT (Cohen's κ) between two
+    * labeling functions — here the length heuristic (n_chars > 500)
+    * vs the language gate (lang = 'en'). The weak-supervision
+    * diagnostic every labeling-function stack runs: raw overlap (p_o)
+    * overstates agreement when the marginals are skewed; κ corrects
+    * by chance agreement (p_e). One map-side-combinable aggregation
+    * builds the 2×2 contingency; everything after is scalar IEEE math
+    * on four counts, products double-first (acf1 discipline).
+    */
+  def labelerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      (col("n_chars") > 500).as("a"), (col("lang") === "en").as("b"))
+    val c = d.agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    def dd(c0: Column): Column = c0.cast("double")
+    val n = dd(col("n11") + col("n10") + col("n01") + col("n00"))
+    val po = dd(col("n11") + col("n00")) / n
+    val pe = (dd(col("n11") + col("n10")) * dd(col("n11") + col("n01"))
+      + dd(col("n01") + col("n00")) * dd(col("n10") + col("n00"))) / (n * n)
+    c.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Gated cal1: CALIBRATION TABLE + expected calibration error (ECE)
+    * — score-vs-outcome reliability over 10 fixed confidence bins
+    * (score = capped value/500 as the pseudo-probability, outcome =
+    * purchase). The companion of lr1's calibration fit: lr1 adjusts
+    * scores, this AUDITS them — the quality-classifier health check a
+    * filtering pipeline runs before trusting its thresholds.
+    *
+    * Exactness/scale shape: one aggregation over the fact table into
+    * ≤ bins rows (confidence sums DECIMAL-accumulated → order-
+    * invariant), then the ECE fold over the 10-row frame, per-bin gap
+    * terms DECIMAL-summed the same way. Nothing bigger than the bin
+    * table ever moves twice.
+    */
+  def calibrationTable(spark: SparkSession, dir: String,
+                       bins: Int = 10): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      (greatest(least(col("value"), lit(500.0)), lit(0.0)) / lit(500.0)).as("p"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val b = e.select(
+      least(floor(col("p") * bins), lit(bins - 1)).cast("int").as("bin"),
+      col("p"), col("y"))
+    val per = b.groupBy(col("bin")).agg(
+      count(lit(1)).as("n_events"),
+      sum(col("p").cast("decimal(38,18)")).cast("double").as("sp"),
+      sum(col("y")).as("sy"))
+    def nd = col("n_events").cast("double")
+    val conf = col("sp") / nd
+    val acc = col("sy").cast("double") / nd
+    val tot = per.agg(
+      sum(col("n_events")).as("nt"),
+      sum((abs(col("sy").cast("double") / col("n_events").cast("double")
+        - col("sp") / col("n_events").cast("double"))
+        * col("n_events").cast("double")).cast("decimal(38,18)"))
+        .cast("double").as("gapsum"))
+    // Tie-consistent rounding: the raw p values terminate at ≤5
+    // decimals, so conf = Σp/n can land EXACTLY on a 6-dp rounding
+    // tie (n = 8 did at sf0.001), where Spark (binary-exact HALF_UP)
+    // and DuckDB (decimal-tie up) disagree by 1 ulp of the output.
+    // +1e-12 pushes exact ties up on BOTH engines (mirrored in the
+    // oracle) and cannot move a non-tie: a repeating expansion within
+    // 1e-12 of a boundary would need a denominator ~1e12.
+    def r6(c: Column): Column = round(c + lit(1e-12), 6)
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_events"),
+        r6(conf).as("confidence"),
+        r6(acc).as("accuracy"),
+        r6(abs(acc - conf)).as("gap"),
+        r6(col("gapsum") / col("nt").cast("double")).as("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** Gated acf1: AUTOCORRELATION FUNCTION of the hourly event-count
     * series at a fixed lag set — the periodicity detector that picks
     * the seasonal window ts3 then profiles (a diurnal corpus shows

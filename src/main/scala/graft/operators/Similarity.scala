@@ -616,4 +616,55 @@ object Similarity {
         col("rank"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Gated dcg1: nDCG@k RETRIEVAL EVALUATION — the ranking-quality
+    * metric for the similarity-search family: graded relevance
+    * (here binary: neighbor label == query label) discounted by rank,
+    * normalized by the ideal ordering. The eval harness every
+    * embedding/retrieval pipeline runs next to its index builds; at
+    * corpus scale the candidate lists come from the ANN index
+    * (ss2/ss3/ss7) over a SAMPLED query set — the metric fold below
+    * is identical, k-bounded per query either way.
+    *
+    * Exactness: each discount 1/(log2(rank+1)) is the one fixed IEEE
+    * expression, generated ONCE as a k-row table from the same
+    * Catalyst log as the per-hit terms and mirrored in the oracle;
+    * per-query sums accumulate as DECIMAL(38,18) (order-invariant),
+    * and the ideal DCG for binary relevance is the first `n_rel`
+    * discounts — joined from that same table, never a second ranking.
+    */
+  def ndcgAtK(spark: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val knn = knnBrute(spark, dir, nQueries, k)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val spark2 = spark
+    import spark2.implicits._
+    val discounts = broadcast((1 to k).toDF("i")
+      .select(col("i"), (lit(1.0)
+        / (log(col("i").cast("double") + 1.0) / log(lit(2.0)))).as("d")))
+    val rel = knn
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), "query_id")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), "neighbor_id")
+      .join(discounts, col("rank") === col("i"))
+      .select(col("query_id"),
+        when(col("ql") === col("nl"), 1.0).otherwise(0.0).as("rel"),
+        col("d"))
+    def decSum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+    val byQ = rel.groupBy(col("query_id"))
+      .agg(decSum(col("rel") * col("d")).as("dcg"),
+        sum(col("rel")).cast("bigint").as("n_rel"))
+    // Ideal DCG for binary relevance = the first n_rel discounts.
+    byQ.join(discounts, col("i") <= col("n_rel"), "left")
+      .groupBy(col("query_id"), col("dcg"), col("n_rel"))
+      .agg(coalesce(decSum(col("d")), lit(0.0)).as("idcg"))
+      .select(col("query_id"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+          .otherwise(0.0), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
 }
