@@ -157,6 +157,8 @@ object SparkEntry {
     "dcg1_ndcg_at_k"       -> ((s, d) => Similarity.ndcgAtK(s, d)),
     "iaa1_labeler_kappa"   -> ((s, d) => graft.operators.Quality.labelerAgreement(s, d)),
     "cal1_calibration_ece" -> ((s, d) => graft.operators.Quality.calibrationTable(s, d)),
+    "gini1_spend_gini"     -> ((s, d) => Relational.spendGini(s, d)),
+    "rec1_ann_recall"      -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2506,6 +2508,61 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Gini from the rank-ordered closed form, both sums DECIMAL-summed.
+    "gini1_spend_gini" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(rn AS DOUBLE) * x AS DECIMAL(38,6))) AS DOUBLE) AS six,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx FROM r)
+        |SELECT n AS n_customers,
+        |  round((2.0 * six - (CAST(n AS DOUBLE) + 1.0) * sx)
+        |    / (CAST(n AS DOUBLE) * sx), 6) AS gini FROM a""".stripMargin,
+    // Recall@5 of the ss7 two-stage index against the ss1 exact top-5:
+    // both deterministic chains replayed, intersected per query.
+    "rec1_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |sx AS (SELECT query_id, e.vec_id,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM qx JOIN e ON e.vec_id <> qx.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rank FROM sx)
+         |  WHERE rank <= 5),
+         |pr AS (SELECT vec_id, list(value ORDER BY out_dim) AS p FROM (
+         |  SELECT vec_id, CAST(j AS INT) AS out_dim,
+         |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(0,64), d ->
+         |          CAST(e.v[d+1] AS DOUBLE)
+         |          * (CASE WHEN md5(j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
+         |                  ELSE CAST(-1.0 AS DOUBLE) END))),
+         |        (a,b) -> a + b) / 4.0, 6) AS value
+         |    FROM e, unnest(range(0,16)) AS t(j)) GROUP BY vec_id),
+         |qa AS (SELECT e.vec_id AS query_id, e.v AS qv, pr.p AS qp
+         |  FROM e JOIN pr USING (vec_id) WHERE vec_id < 5),
+         |c AS (SELECT query_id, e.vec_id, qv, e.v,
+         |    round(${foldCosine("qp", "pr.p")}, 6) AS pscore
+         |  FROM qa JOIN pr ON pr.vec_id <> qa.query_id JOIN e ON e.vec_id = pr.vec_id),
+         |cr AS (SELECT query_id, vec_id, qv, v,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pscore DESC, vec_id ASC) AS crank FROM c),
+         |f AS (SELECT query_id, vec_id,
+         |    round(${foldCosine("qv", "v")}, 6) AS score
+         |  FROM cr WHERE crank <= 20),
+         |ra AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rank FROM f)
+         |  WHERE rank <= 5),
+         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ex JOIN ra USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
     // Cohen's kappa from the 2x2 contingency, products double-first.
     "iaa1_labeler_kappa" ->
       """WITH d AS (SELECT (n_chars > 500) AS a, (lang = 'en') AS b FROM documents),

@@ -1496,6 +1496,38 @@ object Relational {
       .orderBy(col("cat"), col("fold"))
   }
 
+  /** Gated gini1: GINI COEFFICIENT of customer spend — the
+    * concentration statistic (0 = uniform, →1 = one whale) every
+    * mixture/curation report needs for "is this source dominated by a
+    * few heavy keys" (u1/u2 cap domains; this MEASURES the skew being
+    * capped). Closed form over the rank-ordered frame:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), xᵢ ascending.
+    *
+    * Scale shape: the rank comes from [[Ranks.withGlobalRowNumber]]
+    * (range partition + parallel local sort — no single-partition
+    * window), and both sums are DECIMAL-accumulated in one pass over
+    * the ranked frame. Products are exact in doubles (rank ≤ 1e9,
+    * 2-dp spend) before the decimal cast, so the statistic is
+    * bit-reproducible cross-engine.
+    */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.operators.Analytics.exactSum(col("o_totalprice"), 30, 2)
+        .as("x"))
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (ranked, n) = graft.operators.Ranks.withGlobalRowNumber(spend,
+      Seq(col("x").asc, col("o_custkey").asc), np, "_rn")
+    def decSum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+    val nd = lit(n).cast("double")
+    ranked
+      .agg(decSum(col("_rn").cast("double") * col("x")).as("six"),
+        decSum(col("x")).as("sx"))
+      .select(lit(n).as("n_customers"),
+        round((lit(2.0) * col("six") - (nd + 1.0) * col("sx"))
+          / (nd * col("sx")), 6).as("gini"))
+  }
+
   /** Gated fd1: FUNCTIONAL-DEPENDENCY audit — does A determine B?
     * A→B holds iff |distinct A| = |distinct (A,B)|; the violation
     * count is the number of extra (A,B) combinations. The schema-

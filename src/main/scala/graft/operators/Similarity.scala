@@ -667,4 +667,30 @@ object Similarity {
           .otherwise(0.0), 6).as("ndcg"))
       .orderBy(col("query_id"))
   }
+
+  /** Gated rec1: ANN RECALL@k — the index-fidelity metric pairing
+    * dcg1's ranking quality: per query, what fraction of the EXACT
+    * top-k ([[knnBrute]]) the two-stage projected index ([[
+    * projectedAnn]]) returned. The eval every ANN deployment runs
+    * when tuning candidate depth / projection dims — and because
+    * both paths are deterministic md5-derived constructions, the
+    * oracle replays BOTH sides and the recall is hash-exact, not a
+    * statistical bound (contrast ss2/ss3/ss4's rows-only recall
+    * assertions in spec).
+    */
+  def annRecallAtK(spark: SparkSession, dir: String,
+                   nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val exact = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = projectedAnn(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
 }
