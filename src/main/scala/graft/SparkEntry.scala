@@ -159,6 +159,7 @@ object SparkEntry {
     "cal1_calibration_ece" -> ((s, d) => graft.operators.Quality.calibrationTable(s, d)),
     "gini1_spend_gini"     -> ((s, d) => Relational.spendGini(s, d)),
     "rec1_ann_recall"      -> ((s, d) => Similarity.annRecallAtK(s, d)),
+    "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2508,6 +2509,29 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // RR per query from the first label match in the exact top-10; the
+    // corpus MRR (DECIMAL-summed fold) rides every row.
+    "mrr1_mean_recip_rank" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+         |  FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, ql, e.vec_id, e.label AS nl,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, ql, nl,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s),
+         |fh AS (SELECT query_id, CAST(min(rank) AS INT) AS first_rel
+         |  FROM r WHERE rank <= 10 AND ql = nl GROUP BY 1),
+         |pq AS (SELECT q.query_id, fh.first_rel,
+         |    coalesce(1.0 / CAST(fh.first_rel AS DOUBLE), 0.0) AS rr
+         |  FROM (SELECT DISTINCT query_id FROM r) q
+         |  LEFT JOIN fh USING (query_id)),
+         |m AS (SELECT CAST(sum(CAST(rr AS DECIMAL(38,18))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS m FROM pq)
+         |SELECT query_id, first_rel, round(rr, 6) AS rr, round(m.m, 6) AS mrr
+         |FROM pq CROSS JOIN m ORDER BY query_id""".stripMargin,
     // Gini from the rank-ordered closed form, both sums DECIMAL-summed.
     "gini1_spend_gini" ->
       """WITH s AS (SELECT o_custkey,

@@ -668,6 +668,40 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Gated mrr1: MEAN RECIPROCAL RANK — the third member of the
+    * retrieval-eval family (dcg1 graded quality, rec1 index fidelity,
+    * this: how high does the FIRST relevant hit land). Per query
+    * 1/rank of the first label match in the exact top-k (0 when none);
+    * the readout is per-query RR plus the corpus MRR on every row (a
+    * bounded crossJoin of one scalar). Exact: reciprocal ranks are
+    * k-bounded rationals, the mean folds over nQueries DECIMAL-summed
+    * terms.
+    */
+  def mrrAtK(spark: SparkSession, dir: String,
+             nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val knn = knnBrute(spark, dir, nQueries, k)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val firstHit = knn
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), "query_id")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl"))), "neighbor_id")
+      .filter(col("ql") === col("nl"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rel"))
+    val perQ = knn.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)).as("rr"))
+    val mrr = perQ.agg(
+      (sum(col("rr").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double")).as("m"))
+    perQ.crossJoin(broadcast(mrr))
+      .select(col("query_id"), col("first_rel"),
+        round(col("rr"), 6).as("rr"), round(col("m"), 6).as("mrr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Gated rec1: ANN RECALL@k — the index-fidelity metric pairing
     * dcg1's ranking quality: per query, what fraction of the EXACT
     * top-k ([[knnBrute]]) the two-stage projected index ([[
