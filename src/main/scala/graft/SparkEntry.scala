@@ -160,6 +160,7 @@ object SparkEntry {
     "gini1_spend_gini"     -> ((s, d) => Relational.spendGini(s, d)),
     "rec1_ann_recall"      -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
+    "tt7_optimize"         -> ((s, d) => Ingest.txOptimizeGate(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2509,6 +2510,17 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Lossless rewrite: pre- and post-optimize snapshots are both the
+    // whole table — two identical aggregates, distinct phase labels.
+    "tt7_optimize" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS INT) AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o
+        |ORDER BY phase""".stripMargin,
     // RR per query from the first label match in the exact top-10; the
     // corpus MRR (DECIMAL-summed fold) rides every row.
     "mrr1_mean_recip_rank" ->

@@ -698,6 +698,36 @@ object Ingest {
       .orderBy(col("channel"))
   }
 
+  /** Gated tt7: OPTIMIZE (data compaction) — six small append commits
+    * (the streaming-sink small-files pattern), then
+    * [[graft.sources.TxTable.optimizeCompact]] rewrites the snapshot
+    * into one dir committed as an overwrite. The readout aggregates
+    * the PRE-optimize head and the POST-optimize head: identical
+    * numbers prove the rewrite is lossless, and the pre-optimize
+    * version staying readable proves history survived the rewrite
+    * (physical reclaim is a deliberate later vacuum). The tx-native
+    * form of k6's compaction. TxTableSpec asserts the dir collapse
+    * itself.
+    */
+  def txOptimizeGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt7_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    (0 until 6).foreach(i => t.append(o.filter(col("k") % 6 === i)))
+    val pre = t.latestVersion().get
+    t.optimizeCompact(spark)
+    def snapAgg(label: Int, v: Long): DataFrame = t.snapshot(spark, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(label).cast("int").as("phase"), col("n_rows"),
+        col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        snapAgg(1, pre).unionAll(snapAgg(2, pre + 1)))
+      .orderBy(col("phase"))
+  }
+
   /** Gated tt4: ROW-LEVEL DELETE through the TxTable log — the
     * right-to-erasure path: all orders committed as v1, then "erase
     * every order of nation-7 customers" applied as one broadcast

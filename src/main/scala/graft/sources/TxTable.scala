@@ -316,6 +316,33 @@ class TxTable(val root: String) {
     }
   }
 
+  /** DATA compaction (OPTIMIZE): rewrite the current snapshot into
+    * `targetPartitions` files in ONE new dir and commit it as an
+    * overwrite — the small-files remedy after many little appends
+    * (streaming sinks, per-batch commits). History is untouched:
+    * every pre-optimize version still resolves to its original
+    * immutable dirs (reclaim them with [[vacuum]] only after dropping
+    * history on purpose — they stay manifest-referenced until then).
+    * Optimistic like every commit: losing the race to a concurrent
+    * append re-reads the new head and rewrites, so no commit is ever
+    * clobbered.
+    */
+  def optimizeCompact(spark: SparkSession, targetPartitions: Int = 1): Long = {
+    while (true) {
+      val head = latestVersion().getOrElse(0L)
+      val dirs = resolveDirs()
+      if (dirs.isEmpty)
+        throw new IllegalStateException(s"TxTable $root: nothing to optimize")
+      val stage = stageData(
+        spark.read.parquet(dirs: _*).coalesce(math.max(targetPartitions, 1)))
+      if (tryPublish(head + 1, "overwrite", Seq(stage))) return head + 1
+      // Lost to a concurrent commit: the rewrite is stale — drop it
+      // and rebuild against the new head.
+      graft.TmpIO.deleteRecursively(new java.io.File(stage))
+    }
+    -1L // unreachable
+  }
+
   /** Log compaction: one `overwrite` manifest holding the CURRENT
     * resolved dir list — no data is rewritten; replay from here on
     * starts at this manifest. Returns the checkpoint version.

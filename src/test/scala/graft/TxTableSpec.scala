@@ -204,6 +204,22 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("optimizeCompact collapses dirs losslessly and preserves history") {
+    val (dir, t) = freshTable()
+    try {
+      (1 to 5).foreach(i => t.append(Seq(i).toDF("x")))
+      assert(t.resolveDirs().size == 5)
+      val v = t.optimizeCompact(spark)
+      assert(v == 6L)
+      assert(t.resolveDirs().size == 1) // one rewritten dir at head
+      assert(t.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
+        == (1 to 5))
+      // History intact: pre-optimize versions resolve to original dirs.
+      assert(t.snapshot(spark, Some(3L)).count() == 3L)
+      assert(t.vacuum().isEmpty) // originals still manifest-referenced
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("tt1 gate matches the per-version filter semantics") {
     val df = graft.operators.Ingest.timeTravelGate(spark, sf)
     val rows = df.collect()
