@@ -161,6 +161,7 @@ object SparkEntry {
     "rec1_ann_recall"      -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
     "tt7_optimize"         -> ((s, d) => Ingest.txOptimizeGate(s, d)),
+    "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
@@ -2510,6 +2511,26 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
         |ORDER BY range_id""".stripMargin,
+    // Exact two-sample KS over the distinct-length spine: cumulative
+    // per-source counts, D = max ecdf gap.
+    "ks1_length_ks" ->
+      """WITH d AS (SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |n AS (SELECT
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM d),
+        |c AS (SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS cumb FROM c),
+        |x AS (SELECT e.v, e.cuma, e.cumb, n.na, n.nb FROM e CROSS JOIN n)
+        |SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  round(max(abs(cuma / CAST(na AS DOUBLE)
+        |    - cumb / CAST(nb AS DOUBLE))), 6) AS ks_d
+        |FROM x""".stripMargin,
     // Lossless rewrite: pre- and post-optimize snapshots are both the
     // whole table — two identical aggregates, distinct phase labels.
     "tt7_optimize" ->

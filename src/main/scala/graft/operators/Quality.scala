@@ -490,6 +490,45 @@ object Quality {
         round(col("mx"), 6).as("max_wins"))
   }
 
+  /** Gated ks1: two-sample KOLMOGOROV–SMIRNOV statistic between two
+    * sources' document-length distributions — the exact nonparametric
+    * drift test beside dp2's binned PSI: D = max |F̂_a(v) − F̂_b(v)|,
+    * sensitive to ANY distributional difference, no bin choices.
+    * The source-intake gate "does the new crawl look like the old
+    * one" runs exactly this.
+    *
+    * Scale shape: one fact aggregation to per-distinct-VALUE counts
+    * (map-side combinable; the frame is value-domain cardinality —
+    * document lengths — NOT corpus cardinality, the same bounded-
+    * spine class as the hour/month windows), then one cumulative pass
+    * over that spine and a scalar max. Constant-key window idiom
+    * (see tokenZipf) keeps the single bounded partition warning-free.
+    */
+  def ksTwoSample(spark: SparkSession, dir: String,
+                  srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), col("n_chars"))
+    val c = d.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(hash(col("v")), lit(1)))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val e = c.select(col("v"),
+      sum(col("ca")).over(w).cast("double").as("cuma"),
+      sum(col("cb")).over(w).cast("double").as("cumb"))
+    val n = d.agg(
+      sum(when(col("source") === srcA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("source") === srcB, 1L).otherwise(0L)).as("nb"))
+    e.crossJoin(broadcast(n))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(max(abs(col("cuma") / col("na").cast("double")
+          - col("cumb") / col("nb").cast("double"))), 6).as("ks_d"))
+  }
+
   /** Gated iaa1: INTER-LABELER AGREEMENT (Cohen's κ) between two
     * labeling functions — here the length heuristic (n_chars > 500)
     * vs the language gate (lang = 'en'). The weak-supervision
