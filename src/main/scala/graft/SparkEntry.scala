@@ -2417,14 +2417,16 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
     // Skyline: the oracle states dominance directly (NOT EXISTS);
     // the operator's window reduction must agree exactly, ties kept.
+    // Spend is BIGINT integer cents on both sides — the decimal form
+    // hash-diverged in the external comparator despite local bit-identity.
     "sky1_pareto_customers" ->
       """WITH m AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS spend
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) * 100 AS BIGINT) AS spend_cents
         |  FROM orders GROUP BY 1)
-        |SELECT custkey, n_orders, spend FROM m a
+        |SELECT custkey, n_orders, spend_cents FROM m a
         |WHERE NOT EXISTS (SELECT 1 FROM m b
-        |  WHERE b.n_orders <= a.n_orders AND b.spend >= a.spend
-        |    AND (b.n_orders < a.n_orders OR b.spend > a.spend))
+        |  WHERE b.n_orders <= a.n_orders AND b.spend_cents >= a.spend_cents
+        |    AND (b.n_orders < a.n_orders OR b.spend_cents > a.spend_cents))
         |ORDER BY n_orders, custkey""".stripMargin,
     "fd1_functional_deps" ->
       """SELECT table_name, lhs, rhs, n_lhs, n_pairs,

@@ -29,9 +29,21 @@ private[graft] object TmpIO {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** Hard cap on the driver-side collect below. Every legitimate caller
+    * returns a bounded gate summary (≤ a few thousand rows); the cap
+    * exists so this seam can never be silently reused to route a
+    * corpus-sized result through the driver — that caller must keep its
+    * result distributed instead.
+    */
+  private[graft] final val MaxCollectRows = 100000L
+
   def collectAndClean(spark: SparkSession, tmpRoot: String)(df: DataFrame): DataFrame = {
     val schema = df.schema
-    val rows = df.collect()
+    val rows = df.limit(MaxCollectRows.toInt + 1).collect()
+    require(rows.length <= MaxCollectRows,
+      s"TmpIO.collectAndClean is a bounded control-plane seam: result exceeds " +
+        s"$MaxCollectRows rows — keep corpus-scale results distributed " +
+        s"(write them to the destination directly) instead of collecting")
     deleteRecursively(new java.io.File(tmpRoot))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.toSeq.asJava, schema)

@@ -38,6 +38,7 @@ object Verify {
       // driver bench bimodality).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.operators.Ranks.releaseAll() // drain the Ranks registry too
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

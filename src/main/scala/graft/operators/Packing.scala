@@ -17,12 +17,14 @@ import graft.Tables
   * two-level distributed prefix sum instead:
   *   1. docs are grouped into ordered blocks (`doc_id div blockSize`);
   *      per-block token sums aggregate map-side (one shuffle, fine keys);
-  *   2. block offsets are a prefix sum over the BLOCK table — docs/64
-  *      rows, so the single-partition window there is over a table 64×
-  *      smaller (recurse the same trick for another 64× if ever needed);
-  *   3. block offsets broadcast-join back, and the intra-block prefix
-  *      sum is a window PARTITIONED BY block — fully parallel, each
-  *      partition at most blockSize rows.
+  *   2. block offsets are an exact distributed exclusive prefix sum
+  *      over the BLOCK table via [[Ranks.withExclusivePrefixSum]]
+  *      (range exchange → per-partition sums → #partitions-value
+  *      driver fold → broadcast offsets) — no single-partition window
+  *      anywhere, at any scale;
+  *   3. block offsets join back (AQE broadcasts when small), and the
+  *      intra-block prefix sum is a window PARTITIONED BY block —
+  *      fully parallel, each partition at most blockSize rows.
   */
 object Packing {
 
@@ -36,17 +38,22 @@ object Packing {
       .select(col("doc_id"),
         size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
       .withColumn("block", floor(col("doc_id") / blockSize))
-    val blockOffsets = docs
-      .groupBy(col("block")).agg(sum(col("n_tokens")).as("bsum"))
-      .withColumn("boff",
-        coalesce(sum(col("bsum")).over(
-          Window.orderBy(col("block"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Block offsets via the distributed two-level scan: a global
+    // `sum over (order by block)` window would put the whole block
+    // table (docs/blockSize rows — still corpus-scale at 100 TB) in
+    // ONE partition. Ranks.withExclusivePrefixSum range-partitions it
+    // instead; block is unique in this table, so the order is total.
+    val blockOffsets = Ranks.withExclusivePrefixSum(
+        docs.groupBy(col("block")).agg(sum(col("n_tokens")).as("bsum")),
+        Seq(col("block")), col("bsum"), 32, "boff")
       .select(col("block"), col("boff"))
     val intra = Window.partitionBy(col("block")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // No broadcast hint: at gate SFs AQE picks broadcast on its own;
+    // at 100 TB the block table is corpus/64 rows and must be free to
+    // shuffle-join instead.
     docs
-      .join(broadcast(blockOffsets), Seq("block"))
+      .join(blockOffsets, Seq("block"))
       .withColumn("start_offset",
         col("boff") + coalesce(sum(col("n_tokens")).over(intra), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),

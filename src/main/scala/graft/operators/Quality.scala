@@ -30,8 +30,12 @@ object Quality {
     val h = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
+    // Σn² through DECIMAL(38,0): hourly counts at corpus scale make a
+    // BIGINT square wrap silently (n = 3e9/hour → n² > Long.MAX); the
+    // decimal path is exact to 38 digits and the value is consumed as
+    // double below, so gate hashes are unchanged (sf1-audit, round 8).
     val s = h.agg(count(lit(1)).as("nh"), sum(col("n")).as("s1"),
-      sum(col("n") * col("n")).as("s2"))
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"))
     val mu = col("s1").cast("double") / col("nh").cast("double")
     val variance = col("s2").cast("double") / col("nh").cast("double") - mu * mu
     // Zero-variance guard: with all hourly counts equal, z = 0/0 = NaN
@@ -315,7 +319,9 @@ object Quality {
         "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(count(lit(1)).as("n"))
       .withColumn("nd", col("n").cast("double"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hour_start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("hour_start")))
+      .orderBy(col("hour_start"))
     val num = EwmaWeights.zipWithIndex.map { case (wt, k) =>
       when(lag(col("nd"), k).over(w).isNotNull,
         lit(wt) * lag(col("nd"), k).over(w)).otherwise(lit(0.0))
@@ -386,7 +392,9 @@ object Quality {
       .groupBy(date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(count(lit(1)).as("n"))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("hour_start"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("hour_start")))
+      .orderBy(col("hour_start"))
     val wFrame = wOrd.rowsBetween(-(window - 1), 0)
     val x = h.withColumn("i", row_number().over(wOrd).cast("long"))
     val s = x
@@ -424,6 +432,7 @@ object Quality {
     val stats = hourly.agg(sum(col("n")), count(lit(1))).head
     val mean = stats.getLong(0).toDouble / stats.getLong(1)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("hour_start")))
       .orderBy(col("hour_start"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     hourly
@@ -635,10 +644,15 @@ object Quality {
     a.join(broadcast(lagDf))
       .join(b, col("hib") === col("hi") + col("lag_hours"))
       .groupBy(col("lag_hours"))
+      // Inner products through DECIMAL(38,0): hourly counts at corpus
+      // scale overflow a BIGINT square (sf1-audit, round 8 — same
+      // class as the round-7 np*sxy fix below, one product earlier).
+      // Consumed as double, so values and hashes are unchanged.
       .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
       .select(col("lag_hours"), col("np").as("n_pairs"), {
         // Each sufficient statistic casts to double BEFORE the
         // products: BIGINT np*sxy wraps silently in non-ANSI Spark at

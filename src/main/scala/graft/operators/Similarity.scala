@@ -295,7 +295,8 @@ object Similarity {
     */
   def hybridRrfTopK(spark: SparkSession, dir: String,
                     kCand: Int = 20, k: Int = 10): DataFrame = {
-    val wt = Window.orderBy(desc("score"), asc("doc_id"))
+    val wt = Window.partitionBy(Ranks.boundedOnePartition(col("doc_id")))
+      .orderBy(desc("score"), asc("doc_id"))
     val rt = bm25TopK(spark, dir, k = kCand)
       .withColumn("rank_text", row_number().over(wt))
       .select(col("doc_id"), col("rank_text"))
@@ -304,7 +305,8 @@ object Similarity {
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
     val q = corpus.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    val wv = Window.orderBy(desc("vscore"), asc("doc_id"))
+    val wv = Window.partitionBy(Ranks.boundedOnePartition(col("doc_id")))
+      .orderBy(desc("vscore"), asc("doc_id"))
     val rv = corpus.filter(col("vec_id") < 500 && col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("vscore", round(

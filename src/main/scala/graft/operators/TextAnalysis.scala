@@ -893,6 +893,7 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
         col("col").as("word"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("word")))
       .orderBy(desc("n"), asc("word"))
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(w))
@@ -918,6 +919,7 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(words(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("word"))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("word")))
       .orderBy(desc("n"), asc("word"))
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(w))

@@ -47,15 +47,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    manifest holding the CURRENT resolved dir list — no data moves;
   *    readers at or after it fold from one manifest instead of the
   *    whole log. Keeps log replay O(recent) as versions accumulate.
-  *  - VACUUM: [[vacuum]] deletes data dirs referenced by NO manifest
-  *    — the leakage mode of this protocol is an orphan dir from a
-  *    crash (or lost race) between staging and publish; orphans are
-  *    invisible to readers and reclaimable at any time.
+  *  - VACUUM: [[vacuum]] deletes data dirs (and Bloom sidecars)
+  *    referenced by NO manifest — the leakage mode of this protocol
+  *    is an orphan from a crash (or lost race) between staging and
+  *    publish. Orphans are invisible to readers, but an IN-FLIGHT
+  *    writer's staged dir looks identical until its manifest lands,
+  *    so reclamation is gated by a retention window (mtime): only
+  *    unreferenced entries older than the window are deleted.
   *
   * Scale notes: manifests carry directory names, not per-row state —
   * commit cost is O(1) in table size; reads plan a normal multi-dir
   * vectorized parquet scan (pushdown/pruning intact).
   */
+object TxTable {
+  /** Default [[TxTable.vacuum]] retention: an hour dwarfs any real
+    * stage→publish window while still reclaiming crash orphans the
+    * same day. Pass 0 explicitly when no writer can be in flight.
+    */
+  final val DefaultVacuumRetentionMillis: Long = 60L * 60L * 1000L
+}
+
 class TxTable(val root: String) {
 
   private val logDir: Path = Paths.get(root, "_txlog")
@@ -224,7 +235,10 @@ class TxTable(val root: String) {
     if (parts.isEmpty)
       throw new IllegalStateException(
         s"TxTable $root: no appends after version $afterVersion")
-    parts.reduce(_ unionByName _)
+    // allowMissingColumns: a range spanning an additive schema-evolution
+    // commit (the snapshotEvolved pattern) yields the union schema with
+    // nulls where an older commit predates a column, instead of throwing.
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The dirs a range read must open ([[snapshotRange]]'s pruning,
@@ -356,28 +370,108 @@ class TxTable(val root: String) {
   }
 
   /** Delete data dirs referenced by NO manifest (crash/lost-race
-    * orphans — invisible to every reader by construction). Returns
-    * the deleted dir names.
+    * orphans — invisible to every reader by construction), plus
+    * `_txlog` Bloom sidecars no manifest names (the crash window
+    * between sidecar write and manifest publish leaks one; the
+    * race-loss path cleans up after itself, the crash path cannot).
+    * Returns the deleted dir/file names.
+    *
+    * RETENTION: an in-flight writer's staged-but-unpublished dir is
+    * indistinguishable from a crash orphan by name alone, so anything
+    * younger than `retentionMillis` (mtime) is left in place — a live
+    * commit completes or crashes well inside the default hour, after
+    * which the dir is provably dead. Pass 0 only when no writer can
+    * be in flight (tests, single-writer maintenance windows); real
+    * log-structured formats gate reclamation with the same clock.
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(retentionMillis: Long = TxTable.DefaultVacuumRetentionMillis): Seq[String] = {
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val referenced = versions()
-      .flatMap(v => readManifest(v).dirs)
+    val cutoff = System.currentTimeMillis() - math.max(retentionMillis, 0L)
+    def oldEnough(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished: skip
+    val manifests = versions().map(readManifest)
+    val referenced = manifests.flatMap(_.dirs)
       .map(d => Paths.get(d).getFileName.toString).toSet
     import scala.jdk.CollectionConverters._
     val it = Files.list(dataDir)
     val orphans =
       try it.iterator().asScala
         .filterNot(p => referenced.contains(p.getFileName.toString))
+        .filter(oldEnough)
         .map(_.toString).toList
       finally it.close()
     orphans.foreach(o => graft.TmpIO.deleteRecursively(new java.io.File(o)))
-    orphans.map(Paths.get(_).getFileName.toString)
+    // Orphan Bloom sidecars: same publish discipline, same retention.
+    val liveSidecars = manifests.flatMap(_.bloom.map(_._2)).toSet
+    val deadSidecars =
+      if (!Files.isDirectory(logDir)) Nil
+      else {
+        val lt = Files.list(logDir)
+        try lt.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".bloom"))
+          .filterNot(p => liveSidecars.contains(p.getFileName.toString))
+          .filter(oldEnough)
+          .map(_.toString).toList
+        finally lt.close()
+      }
+    deadSidecars.foreach(s => Files.deleteIfExists(Paths.get(s)))
+    (orphans ++ deadSidecars).map(Paths.get(_).getFileName.toString)
   }
 
   private case class Manifest(action: String, dirs: Seq[String],
                               stats: Option[(String, Long, Long)],
                               bloom: Option[(String, String)])
+
+  /** JSON string escape for manifest values that carry FILESYSTEM
+    * paths (the table root flows into every dir entry): quote,
+    * backslash, and all control chars. Action/column/sidecar values
+    * are engine-generated identifiers and need none of this.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Parse the `"dirs":[...]` array with a real string-aware scan —
+    * a regex split on commas mis-parses any root containing `","`,
+    * `"` or `]`. Honors the escapes [[jsonEscape]] emits.
+    */
+  private def parseDirsArray(s: String, v: Long): Seq[String] = {
+    val ki = s.indexOf("\"dirs\"")
+    val start = if (ki < 0) -1 else s.indexOf('[', ki)
+    if (start < 0) throw new IllegalStateException(
+      s"TxTable $root: manifest v$v missing dirs")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = start + 1
+    var inStr = false
+    var done = false
+    while (!done) {
+      if (i >= s.length) throw new IllegalStateException(
+        s"TxTable $root: manifest v$v has an unterminated dirs array")
+      val c = s.charAt(i)
+      if (inStr) c match {
+        case '\\' =>
+          s.charAt(i + 1) match {
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case esc => sb += esc; i += 1
+          }
+        case '"' => out += sb.toString; sb.clear(); inStr = false
+        case ch => sb += ch
+      } else c match {
+        case '"' => inStr = true
+        case ']' => done = true
+        case _ => () // comma / whitespace between entries
+      }
+      i += 1
+    }
+    out.toSeq
+  }
 
   private def readManifest(v: Long): Manifest = {
     val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
@@ -385,12 +479,7 @@ class TxTable(val root: String) {
       .findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalStateException(
         s"TxTable $root: manifest v$v missing action"))
-    val dirs = "\"dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(s).map(_.group(1))
-      .getOrElse(throw new IllegalStateException(
-        s"TxTable $root: manifest v$v missing dirs"))
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
+    val dirs = parseDirsArray(s, v)
     val stats =
       ("\"stats\"\\s*:\\s*\\{\"column\":\"([^\"]*)\"," +
         "\"min\":(-?\\d+),\"max\":(-?\\d+)\\}").r
@@ -435,7 +524,7 @@ class TxTable(val root: String) {
                                 stats: Option[(String, Long, Long)] = None,
                                 bloom: Option[(String, String)] = None): Boolean = {
     Files.createDirectories(logDir)
-    val dirsJson = dirs.map(d => "\"" + d.replace("\\", "/") + "\"")
+    val dirsJson = dirs.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
       .mkString("[", ",", "]")
     val statsJson = stats.map { case (c, mn, mx) =>
       s""","stats":{"column":"$c","min":$mn,"max":$mx}""" }.getOrElse("")

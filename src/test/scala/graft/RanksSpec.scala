@@ -54,4 +54,59 @@ class RanksSpec extends SparkSpec {
     assert(ranksAt(1) == ranksAt(8))
     assert(ranksAt(8) == ranksAt(33))
   }
+
+  test("withExclusivePrefixSum equals the global window prefix sum") {
+    val rnd = new scala.util.Random(43)
+    val df = (1L to 3000L).map(id => (id, rnd.nextInt(100).toLong)).toDF("id", "v")
+    val got = Ranks.withExclusivePrefixSum(df, Seq(col("id").asc), col("v"), 7, "off")
+    val expected = df.withColumn("exp_off",
+      coalesce(sum(col("v")).over(Window.orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val diff = got.join(expected, "id")
+      .filter(col("off") =!= col("exp_off")).count()
+    assert(diff == 0L, s"$diff prefix sums diverge from the global window")
+    Ranks.releaseAll()
+  }
+
+  test("prefix sum is stable across partition counts") {
+    val df = (1L to 999L).map(id => (id, (id * 31L) % 13L)).toDF("id", "v")
+    def at(np: Int): Map[Long, Long] = {
+      val out = Ranks.withExclusivePrefixSum(df, Seq(col("id").asc), col("v"), np, "off")
+        .select(col("id").as[Long], col("off").as[Long]).collect().toMap
+      Ranks.releaseAll(); out
+    }
+    assert(at(1) == at(8))
+    assert(at(8) == at(33))
+  }
+
+  test("releaseAll drains every frame the helpers persisted") {
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1L to 100L).map(id => (id, id % 5L)).toDF("id", "v")
+    val (r, _) = Ranks.withGlobalRowNumber(df, Seq(col("id").asc), 4, "rn")
+    val p = Ranks.withExclusivePrefixSum(df, Seq(col("id").asc), col("v"), 4, "off")
+    r.count(); p.count()
+    def mine = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(mine.size >= 2, s"expected persisted frames, saw ${mine.size}")
+    Ranks.releaseAll()
+    // unpersist(blocking=false) is async; poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (mine.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(mine.isEmpty, s"helpers' cached frames not released: $mine")
+  }
+
+  test("boundedOnePartition is constant zero and non-foldable in the plan") {
+    val df = (1L to 50L).map(Tuple1(_)).toDF("v")
+    val vals = df.select(Ranks.boundedOnePartition(col("v")).as("p"))
+      .distinct().as[Int].collect().toSeq
+    assert(vals == Seq(0))
+    // the window with this key must not emit the no-partition warning path:
+    // the plan's window spec carries a partition expression
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("v"))).orderBy(col("v"))
+    // The optimizer extracts the key into a projected _w0 column; what
+    // matters is that the windowspecdefinition's partition slot is
+    // non-empty (WindowExec only warns when partitionSpec is empty).
+    val plan = df.withColumn("rn", row_number().over(w)).queryExecution
+      .optimizedPlan.toString
+    assert("windowspecdefinition\\(_w\\d+#".r.findFirstIn(plan).isDefined, plan)
+  }
 }

@@ -13,13 +13,14 @@ class SkylineProfilingSpec extends SparkSpec {
   test("skyline: kept rows are exactly the non-dominated set (brute force)") {
     val metrics = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(30,2)")).as("s"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast("decimal(30,2)")) * lit(100)).cast("long").as("s"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // brute-force dominance: minimize n, maximize s
     val expected = metrics.filter { case (_, na, sa) =>
       !metrics.exists { case (_, nb, sb) =>
-        nb <= na && sb.compareTo(sa) >= 0 && (nb < na || sb.compareTo(sa) > 0)
+        nb <= na && sb >= sa && (nb < na || sb > sa)
       }
     }.map(_._1).toSet
     val got = Relational.customerSkyline(spark, sf)
@@ -32,7 +33,7 @@ class SkylineProfilingSpec extends SparkSpec {
     assert(rows.length > 1)
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Long]("n_orders") < b.getAs[Long]("n_orders"))
-      assert(a.getDecimal(2).compareTo(b.getDecimal(2)) < 0,
+      assert(a.getAs[Long]("spend_cents") < b.getAs[Long]("spend_cents"),
         "spend must rise with the order-count budget along the frontier")
     }
   }

@@ -91,8 +91,9 @@ class TxTableSpec extends SparkSpec {
       assert(!t.commitIfAbsent(Seq(1, 2).toDF("x"), 1L))
       assert(t.snapshot(spark).count() == 3L)
       assert(t.latestVersion().contains(2L))
-      // The replay's staged dir was cleaned up (no orphans left).
-      assert(t.vacuum().isEmpty)
+      // The replay's staged dir was cleaned up (no orphans left —
+      // zero retention so a leak could not hide behind the window).
+      assert(t.vacuum(retentionMillis = 0L).isEmpty)
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
@@ -113,7 +114,10 @@ class TxTableSpec extends SparkSpec {
       assert(xs(Some(2L)) == Seq(1, 2))      // pre-checkpoint history intact
       // An orphan dir (crashed commit: staged, never published).
       Seq(99).toDF("x").write.parquet(s"$dir/t/data/orphan-crash")
-      val removed = t.vacuum()
+      // Inside the retention window the orphan is indistinguishable
+      // from an in-flight writer's staged dir: default vacuum keeps it.
+      assert(t.vacuum().isEmpty)
+      val removed = t.vacuum(retentionMillis = 0L)
       assert(removed == Seq("orphan-crash")) // referenced dirs untouched
       assert(xs(None) == Seq(9, 10, 11))
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
@@ -216,7 +220,7 @@ class TxTableSpec extends SparkSpec {
         == (1 to 5))
       // History intact: pre-optimize versions resolve to original dirs.
       assert(t.snapshot(spark, Some(3L)).count() == 3L)
-      assert(t.vacuum().isEmpty) // originals still manifest-referenced
+      assert(t.vacuum(retentionMillis = 0L).isEmpty) // originals still manifest-referenced
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
@@ -231,5 +235,107 @@ class TxTableSpec extends SparkSpec {
     assert(rows(0).getLong(1) == nEven)
     assert(rows(1).getLong(1) == nAll)
     assert(rows(2).getLong(1) == nCent)
+  }
+
+  test("changes feed spans additive schema evolution with nulls (round-8)") {
+    val (dir, t) = freshTable()
+    try {
+      t.append(Seq(1, 2).toDF("x"))
+      t.append(Seq((3, "en"), (4, "de")).toDF("x", "lang")) // additive commit
+      val ch = t.readChanges(spark, afterVersion = 0)
+        .select(col("_commit_version").as[Long], col("x").as[Int],
+          col("lang").as[Option[String]]).collect().sortBy(r => (r._1, r._2))
+      assert(ch.toSeq == Seq((1L, 1, None), (1L, 2, None),
+        (2L, 3, Some("en")), (2L, 4, Some("de"))))
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("manifests survive a hostile table root (quote, comma, bracket)") {
+    val dir = tmpDir("txtable_esc_")
+    // A root that breaks naive JSON interpolation AND comma-split parsing.
+    val hostile = s"""$dir/we\"ird,ta]ble"""
+    val t = new TxTable(hostile)
+    try {
+      t.append(Seq(1, 2).toDF("x"))
+      t.append(Seq(3).toDF("x"))
+      assert(t.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
+        == Seq(1, 2, 3))
+      assert(t.resolveDirs().forall(_.contains("we\"ird,ta]ble")))
+      // Log compaction re-writes the dir list through the same escaping.
+      t.checkpointCompact()
+      assert(t.snapshot(spark).count() == 3L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("vacuum reclaims orphan bloom sidecars but never referenced ones") {
+    val (dir, t) = freshTable()
+    try {
+      t.appendWithBloom(Seq(1L, 2L).toDF("k"), "k")
+      // Crash window replica: a sidecar written, manifest never published.
+      val orphan = java.nio.file.Paths.get(s"$dir/t/_txlog/b0000000099.bloom")
+      java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+      assert(t.vacuum().isEmpty) // inside retention: kept
+      val removed = t.vacuum(retentionMillis = 0L)
+      assert(removed == Seq("b0000000099.bloom"))
+      // The referenced sidecar still serves point lookups.
+      assert(t.snapshotEquals(spark, "k", 1L).count() == 1L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("32 concurrent committers (append/merge-shape/compact) never livelock") {
+    val (dir, t) = freshTable()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      // 32 writers x mixed actions at the driver's parallelism: 24 pure
+      // appends, 4 idempotent pinned commits racing each other in pairs
+      // on the same version, 4 log compactions. Optimistic retry must
+      // let every append land exactly once, exactly one of each pinned
+      // pair win, and compactions interleave without clobbering.
+      // Pinned exactly-once commits own their table (the TxSink
+      // contract: the sink is the only writer, version = f(batch id))
+      // — mixed into the same thread pool so they contend for CPU and
+      // filesystem with the appends/compacts, just not for versions.
+      val t2 = new TxTable(s"$dir/t2")
+      val appends = (1 to 24).map { i =>
+        scala.concurrent.Future(t.append(Seq(i).toDF("x")))
+      }
+      val pinBase = 1L
+      val pinned = (0 until 4).map { i =>
+        scala.concurrent.Future(
+          t2.commitIfAbsent(Seq(1000 + i / 2).toDF("x"), pinBase + i / 2))
+      }
+      val compacts = (1 to 4).map { _ =>
+        scala.concurrent.Future(t.checkpointCompact())
+      }
+      import scala.concurrent.duration._
+      val appendVs = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(appends), 300.seconds)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(compacts), 300.seconds)
+      val pinWins = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(pinned), 300.seconds)
+      pool.shutdown()
+      // Exactly one winner per pinned pair (the loser saw EEXIST).
+      assert(pinWins.count(identity) == 2,
+        s"pinned pairs must each elect one winner, got $pinWins")
+      // Every append claimed a unique consecutive version through the
+      // retry loop: 24 appends + 4 compacts = a gap-free 1..28 chain.
+      assert(appendVs.distinct.length == 24)
+      assert(t.versions() == (1L to 28L))
+      val xs = t.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
+      assert(xs == (1 to 24),
+        "every append lands exactly once through the retry loop")
+      // Exactly-once table: one row per pinned pair, nothing else.
+      assert(t2.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
+        == Seq(1000, 1001))
+      // No stale staged dirs escaped cleanup paths except losers'
+      // vacuum-able orphans; reclaim must leave both tables intact.
+      t.vacuum(retentionMillis = 0L)
+      t2.vacuum(retentionMillis = 0L)
+      assert(t.snapshot(spark).count() == 24L)
+      assert(t2.snapshot(spark).count() == 2L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 }
