@@ -159,10 +159,13 @@ object SparkEntry {
     "cal1_calibration_ece" -> ((s, d) => graft.operators.Quality.calibrationTable(s, d)),
     "gini1_spend_gini"     -> ((s, d) => Relational.spendGini(s, d)),
     "rec1_ann_recall"      -> ((s, d) => Similarity.annRecallAtK(s, d)),
+    "rec2_ann_recall_wide" -> ((s, d) =>
+      Similarity.annRecallAtK(s, d, nQueries = 20, k = 10, candidates = 50)),
     "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
     "tt7_optimize"         -> ((s, d) => Ingest.txOptimizeGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
+    "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
     "aa1_edge_strength"    -> ((s, d) => graft.operators.Graph.edgeStrength(s, d)),
     "kc1_kcore_peel"       -> ((s, d) => graft.operators.Graph.kCorePeel(s, d)),
     "cdc1_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
@@ -351,6 +354,56 @@ object SparkEntry {
   private def foldCosine(a: String, b: String): String =
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** Full replay of the two-stage projected-ANN recall pipeline
+    * (Similarity.annRecallAtK): exact top-k, md5-sign 16-dim
+    * projection, coarse top-`cand` by projected cosine, exact re-rank
+    * to top-k, recall vs the exact set. Parameterized so rec1 (5
+    * queries, k=5) and rec2 (20 queries, k=10, 50 candidates) share
+    * one definition — the projection table is corpus-sized either
+    * way, so the wide gate costs the oracle almost nothing extra.
+    */
+  private def annRecallOracle(nq: Int, cand: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
+       |sx AS (SELECT query_id, e.vec_id,
+       |    round(${foldCosine("qv", "e.v")}, 6) AS score
+       |  FROM qx JOIN e ON e.vec_id <> qx.query_id),
+       |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rank FROM sx)
+       |  WHERE rank <= $k),
+       |pr AS (SELECT vec_id, list(value ORDER BY out_dim) AS p FROM (
+       |  SELECT vec_id, CAST(j AS INT) AS out_dim,
+       |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(0,64), d ->
+       |          CAST(e.v[d+1] AS DOUBLE)
+       |          * (CASE WHEN md5(j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
+       |                  ELSE CAST(-1.0 AS DOUBLE) END))),
+       |        (a,b) -> a + b) / 4.0, 6) AS value
+       |    FROM e, unnest(range(0,16)) AS t(j)) GROUP BY vec_id),
+       |qa AS (SELECT e.vec_id AS query_id, e.v AS qv, pr.p AS qp
+       |  FROM e JOIN pr USING (vec_id) WHERE vec_id < $nq),
+       |c AS (SELECT query_id, e.vec_id, qv, e.v,
+       |    round(${foldCosine("qp", "pr.p")}, 6) AS pscore
+       |  FROM qa JOIN pr ON pr.vec_id <> qa.query_id JOIN e ON e.vec_id = pr.vec_id),
+       |cr AS (SELECT query_id, vec_id, qv, v,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pscore DESC, vec_id ASC) AS crank FROM c),
+       |f AS (SELECT query_id, vec_id,
+       |    round(${foldCosine("qv", "v")}, 6) AS score
+       |  FROM cr WHERE crank <= $cand),
+       |ra AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rank FROM f)
+       |  WHERE rank <= $k),
+       |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ex JOIN ra USING (query_id, vec_id) GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
   /** Word 3-gram shingle CTEs over documents (mirrors Dedup.shingleArray:
     * distinct shingles; docs with <3 words contribute none).
@@ -2581,47 +2634,8 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * sx), 6) AS gini FROM a""".stripMargin,
     // Recall@5 of the ss7 two-stage index against the ss1 exact top-5:
     // both deterministic chains replayed, intersected per query.
-    "rec1_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         |sx AS (SELECT query_id, e.vec_id,
-         |    round(${foldCosine("qv", "e.v")}, 6) AS score
-         |  FROM qx JOIN e ON e.vec_id <> qx.query_id),
-         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, vec_id ASC) AS rank FROM sx)
-         |  WHERE rank <= 5),
-         |pr AS (SELECT vec_id, list(value ORDER BY out_dim) AS p FROM (
-         |  SELECT vec_id, CAST(j AS INT) AS out_dim,
-         |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(range(0,64), d ->
-         |          CAST(e.v[d+1] AS DOUBLE)
-         |          * (CASE WHEN md5(j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
-         |                  ELSE CAST(-1.0 AS DOUBLE) END))),
-         |        (a,b) -> a + b) / 4.0, 6) AS value
-         |    FROM e, unnest(range(0,16)) AS t(j)) GROUP BY vec_id),
-         |qa AS (SELECT e.vec_id AS query_id, e.v AS qv, pr.p AS qp
-         |  FROM e JOIN pr USING (vec_id) WHERE vec_id < 5),
-         |c AS (SELECT query_id, e.vec_id, qv, e.v,
-         |    round(${foldCosine("qp", "pr.p")}, 6) AS pscore
-         |  FROM qa JOIN pr ON pr.vec_id <> qa.query_id JOIN e ON e.vec_id = pr.vec_id),
-         |cr AS (SELECT query_id, vec_id, qv, v,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY pscore DESC, vec_id ASC) AS crank FROM c),
-         |f AS (SELECT query_id, vec_id,
-         |    round(${foldCosine("qv", "v")}, 6) AS score
-         |  FROM cr WHERE crank <= 20),
-         |ra AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, vec_id ASC) AS rank FROM f)
-         |  WHERE rank <= 5),
-         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
-         |  FROM ex JOIN ra USING (query_id, vec_id) GROUP BY 1)
-         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6) AS recall
-         |FROM (SELECT DISTINCT query_id FROM ex) q
-         |LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+    "rec1_ann_recall" -> annRecallOracle(nq = 5, cand = 20, k = 5),
+    "rec2_ann_recall_wide" -> annRecallOracle(nq = 20, cand = 50, k = 10),
     // Cohen's kappa from the 2x2 contingency, products double-first.
     "iaa1_labeler_kappa" ->
       """WITH d AS (SELECT (n_chars > 500) AS a, (lang = 'en') AS b FROM documents),
@@ -2771,6 +2785,29 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // LRU+TTL cache closed form (validated against an online
+    // simulation): final cache = the cap most-recently-seen types
+    // among those within TTL of the user's last event. Recency is the
+    // (last_us, last_event_id) total order the operator folds in.
+    "st15_state_ttl_cache" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    event_type, value FROM events),
+        |le AS (SELECT user_id, event_type, us, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM ev),
+        |lastx AS (SELECT user_id, event_type, us AS last_us,
+        |    event_id AS last_eid, value AS last_value FROM le WHERE rn = 1),
+        |um AS (SELECT user_id, max(us) AS uus FROM ev GROUP BY 1),
+        |alive AS (SELECT l.user_id, l.event_type, l.last_us, l.last_value,
+        |  row_number() OVER (PARTITION BY l.user_id
+        |    ORDER BY l.last_us DESC, l.last_eid DESC) AS rk
+        |  FROM lastx l JOIN um ON l.user_id = um.user_id
+        |  WHERE l.last_us >= um.uus - 21600000000)
+        |SELECT user_id, event_type,
+        |  strftime(make_timestamp((last_us // 1000) * 1000),
+        |    '%Y-%m-%d %H:%M:%S.%g') AS last_seen,
+        |  last_value
+        |FROM alive WHERE rk <= 3 ORDER BY user_id, event_type""".stripMargin,
     "w8_distribution_ranks" ->
       """WITH s AS (SELECT o_custkey,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend

@@ -715,10 +715,12 @@ object Similarity {
     * assertions in spec).
     */
   def annRecallAtK(spark: SparkSession, dir: String,
-                   nQueries: Int = 5, k: Int = 5): DataFrame = {
+                   nQueries: Int = 5, k: Int = 5,
+                   candidates: Int = 20): DataFrame = {
     val exact = knnBrute(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val ann = projectedAnn(spark, dir)
+    val ann = projectedAnn(spark, dir, nQueries = nQueries,
+        candidates = candidates, k = k)
       .select(col("query_id"), col("neighbor_id"))
     val hits = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("h"))

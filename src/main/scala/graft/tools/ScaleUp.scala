@@ -78,16 +78,27 @@ object ScaleUp {
       .withColumn("user_id", off("user_id", uS))
       .drop("_r"), "events")
 
-    // Documents: per-replica salt token → every source doc becomes a
-    // NEAR-dup group of size rep (one-token difference), stressing the
-    // LSH/PPJoin/SimHash candidate machinery with realistic dup mass.
+    // Documents — realistic duplicate mass, not an adversarial one:
+    // replica 0 is the original, replicas 1-3 are salted NEAR-dups
+    // (one appended token → ~30% near-dup rate, the typical web-crawl
+    // ballpark), and replicas 4+ are word-REVERSED + tagged — same
+    // length/vocabulary statistics but distinct content (reversal
+    // defeats aligned-segment and n-gram matches, so candidate
+    // machinery sees realistic group sizes). The first rehearsal run
+    // salted ALL replicas: a 1000% dup rate drove dd7's Levenshtein
+    // verification to ~45 full-text pairs per source doc and the gate
+    // ran for tens of minutes — a useful worst-case datum (recorded in
+    // PERF.md), but not the operating point to rehearse at.
     val d = read("documents")
     val dS = step(d, "doc_id")
     write(reps(d)
       .withColumn("doc_id", off("doc_id", dS))
       .withColumn("text",
         when(col("_r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" repsalt"), col("_r"))))
+          .when(col("_r") <= 3, concat(col("text"), lit(" repsalt"), col("_r")))
+          .otherwise(concat(
+            concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))),
+            lit(" reptag"), col("_r"))))
       .drop("_r"), "documents")
 
     val v = read("embeddings")

@@ -152,4 +152,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
       == fused, "operator fusion differs from local recomputation")
   }
+
+  test("rec2 wide recall: shape, bounds, and candidate-depth dominance") {
+    val wide = Similarity.annRecallAtK(spark, sf, nQueries = 20, k = 10,
+      candidates = 50).collect()
+    assert(wide.length == 20)
+    wide.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= 10L)
+    }
+    // More candidates can only help: per query, recall at depth 50
+    // dominates recall at depth 10 (the exact re-rank sees a superset).
+    val narrow = Similarity.annRecallAtK(spark, sf, nQueries = 20, k = 10,
+      candidates = 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    wide.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("recall") >= narrow(q) - 1e-9,
+        s"query $q: recall shrank when candidate depth grew")
+    }
+  }
 }
