@@ -57,6 +57,12 @@ object Bench {
       // conf.set on the shared session would leak into whichever gate
       // runs next — all gates see one deterministic config instead.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // rcte1's recursion touches each order once ACROSS rounds, so the
+      // cumulative-row safety valve scales with the table and tripped at
+      // the 10x rehearsal (default 1M rows). The LEVEL limit (default
+      // 100) stays: rounds = longest per-customer chain (~41), which is
+      // the bound that actually protects against runaway recursion.
+      .config("spark.sql.cteRecursionRowLimit", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

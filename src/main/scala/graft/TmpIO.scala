@@ -37,6 +37,33 @@ private[graft] object TmpIO {
     */
   private[graft] final val MaxCollectRows = 100000L
 
+  /** Stable per-gate staging for CORPUS-SIZED gate results, which must
+    * never ride the driver (the sf1 rehearsal caught st8 collecting
+    * the whole deduped event table through [[collectAndClean]]'s cap):
+    * the dir is wiped and recreated at gate START, the gate writes its
+    * output there, and the caller returns a LAZY reader over it.
+    * Residue is bounded to one output per gate — overwritten by the
+    * next invocation — instead of growing per run; bulky staging
+    * subdirs (inputs, checkpoints) are still deleted eagerly via
+    * [[deleteSubdirs]] once the gate's stream has terminated.
+    */
+  def stableDir(gate: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(base, s"graft_stable_$gate")
+    deleteRecursively(d)
+    d.mkdirs()
+    d.toString
+  }
+
+  /** Eagerly reclaim named staging subdirs under a [[stableDir]] once
+    * the gate no longer reads them (streams terminated, stores read).
+    */
+  def deleteSubdirs(root: String, names: String*): Unit =
+    names.foreach(n => deleteRecursively(new java.io.File(root, n)))
+
   def collectAndClean(spark: SparkSession, tmpRoot: String)(df: DataFrame): DataFrame = {
     val schema = df.schema
     val rows = df.limit(MaxCollectRows.toInt + 1).collect()

@@ -20,6 +20,10 @@ object Verify {
       // be on when the k13/k14 plans EXECUTE, and per-operator sets on
       // the shared session would make later gates order-dependent.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Recursion's cumulative-row valve scales with the table (rcte1
+      // touches each order once across rounds) — the level limit is the
+      // real runaway guard; see Bench.scala.
+      .config("spark.sql.cteRecursionRowLimit", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1090,7 +1090,7 @@ object Dedup {
     */
   def txIncrementalDedupGate(spark: SparkSession, dir: String,
                              threshold: Double = 0.7): DataFrame = {
-    val tmp = graft.TmpIO.scratchDir("graft_c5_")
+    val tmp = graft.TmpIO.stableDir("c5") // delta-sized output: staged + lazy
     val corpus = new graft.sources.TxTable(s"$tmp/corpus")
     val index = new graft.sources.TxTable(s"$tmp/index")
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -1139,6 +1139,11 @@ object Dedup {
       .select(col("doc_id"), col("matched_doc"), col("jac").as("jaccard"),
         col("matched_doc").isNull.as("novel"))
     deltaBands.unpersist()
-    graft.TmpIO.collectAndClean(spark, tmp)(out).orderBy(col("doc_id"))
+    // The delta scales with the corpus (1/10 of docs): stage the result
+    // to parquet inside the stable dir, reclaim the TxTable trees
+    // eagerly, and return a lazy reader - never a driver collect.
+    out.write.mode("overwrite").parquet(s"$tmp/result")
+    graft.TmpIO.deleteSubdirs(tmp, "corpus", "index")
+    spark.read.parquet(s"$tmp/result").orderBy(col("doc_id"))
   }
 }

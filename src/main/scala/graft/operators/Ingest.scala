@@ -28,14 +28,15 @@ object Ingest {
     * sink neither drops, duplicates, nor mutates rows.
     */
   def appendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = freshDir("graft_k1_")
+    // Corpus-sized read-back: stable per-gate staging + LAZY return
+    // (the store itself is the bounded residue, wiped next invocation).
+    val storeDir = graft.TmpIO.stableDir("k1")
     val store = new TickerStore(storeDir)
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     store.append(src, "20240101")
-    graft.TmpIO.collectAndClean(spark, storeDir)(
-        store.read(spark)
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
+    store.read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
 
@@ -68,12 +69,11 @@ object Ingest {
     * breadth — reader/writer symmetry proven through the oracle gate).
     */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = freshDir("graft_orc_")
+    val root = graft.TmpIO.stableDir("k2orc") // corpus round-trip: lazy
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     graft.sources.FormatIO.write(src, "orc", root + "/t")
-    graft.TmpIO.collectAndClean(spark, root)(
-        graft.sources.FormatIO.read(spark, "orc", root + "/t", src.schema))
+    graft.sources.FormatIO.read(spark, "orc", root + "/t", src.schema)
       .orderBy(col("event_id"))
   }
 
@@ -90,12 +90,11 @@ object Ingest {
 
   private def textFormatRoundtrip(spark: SparkSession, dir: String,
                                   format: String): DataFrame = {
-    val root = freshDir(s"graft_${format}_")
+    val root = graft.TmpIO.stableDir(format) // corpus round-trip: lazy
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     graft.sources.FormatIO.write(src, format, root + "/t")
-    graft.TmpIO.collectAndClean(spark, root)(
-        graft.sources.FormatIO.read(spark, format, root + "/t", src.schema))
+    graft.sources.FormatIO.read(spark, format, root + "/t", src.schema)
       .orderBy(col("event_id"))
   }
 
@@ -136,7 +135,7 @@ object Ingest {
     * the overwrite, this proves its SELECTIVITY.
     */
   def partitionReplaceGate(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = freshDir("graft_k5_")
+    val storeDir = graft.TmpIO.stableDir("k5") // corpus read-back: lazy
     val store = new TickerStore(storeDir)
     val e = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
@@ -154,10 +153,9 @@ object Ingest {
       src.filter(col("day") === days(1)).drop("day")
         .withColumn("value", col("value") + lit(500.0)),
       days(1))
-    graft.TmpIO.collectAndClean(spark, storeDir)(
-        store.read(spark)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("partition_date")))
+    store.read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("partition_date"))
       .orderBy(col("event_id"))
   }
 
@@ -173,14 +171,14 @@ object Ingest {
     * asserted in FormatIOSpec.
     */
   def compactionGate(spark: SparkSession, dir: String): DataFrame = {
-    val root = freshDir("graft_k6_")
+    val root = graft.TmpIO.stableDir("k6") // corpus read-back: lazy
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     src.repartition(40).write.parquet(root + "/fragmented")
     val frag = spark.read.parquet(root + "/fragmented")
     compact(frag, root + "/compacted", targetRowsPerFile = 2000000)
-    graft.TmpIO.collectAndClean(spark, root)(
-        spark.read.parquet(root + "/compacted"))
+    graft.TmpIO.deleteSubdirs(root, "fragmented")
+    spark.read.parquet(root + "/compacted")
       .orderBy(col("event_id"))
   }
 
@@ -192,15 +190,14 @@ object Ingest {
     * every row, no more (duplicate attempts), no less (torn commits).
     */
   def v2SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = freshDir("graft_k7_")
+    val root = graft.TmpIO.stableDir("k7") // corpus read-back: lazy
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     src.write.format("graft.sources.v2.LocalFileSink")
       .option("path", root + "/out").mode("append").save()
-    graft.TmpIO.collectAndClean(spark, root)(
-        spark.read
-          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-          .csv(root + "/out"))
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .csv(root + "/out")
       .orderBy(col("event_id"))
   }
 

@@ -44,7 +44,7 @@ object FormatIO {
     */
   def schemaEvolutionGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = graft.TmpIO.scratchDir("graft_k8_")
+    val tmp = graft.TmpIO.stableDir("k8") // corpus-sized union read: lazy
     val e = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // early files: no `value` column yet
@@ -58,7 +58,6 @@ object FormatIO {
     val merged = spark.read.option("mergeSchema", "true")
       .option("recursiveFileLookup", "true").parquet(s"$tmp/t")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    graft.TmpIO.collectAndClean(spark, tmp)(merged)
-      .orderBy(col("event_id"))
+    merged.orderBy(col("event_id"))
   }
 }

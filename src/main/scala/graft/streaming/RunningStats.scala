@@ -68,7 +68,7 @@ object RunningStats {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val tmp = graft.TmpIO.scratchDir("graft_st7_")
+    val tmp = graft.TmpIO.stableDir("st7") // user-scaling output: lazy read-back
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
@@ -102,7 +102,8 @@ object RunningStats {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(s"$tmp/out"))
+    graft.TmpIO.deleteSubdirs(tmp, "in", "ckpt")
+    spark.read.parquet(s"$tmp/out")
       .orderBy(col("user_id"))
   }
 }

@@ -59,7 +59,9 @@ object StreamJoins {
     */
   def dedupStreamGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = graft.TmpIO.scratchDir("graft_st8_")
+    // Corpus-sized output: stable per-gate staging, LAZY read-back
+    // (the sf1 rehearsal caught the old collect blowing the 100k cap).
+    val tmp = graft.TmpIO.stableDir("st8")
     val e = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     e.coalesce(1).write.parquet(s"$tmp/in")
@@ -75,7 +77,8 @@ object StreamJoins {
         batch.write.mode("append").parquet(s"$tmp/out")
       }
       .start())
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(s"$tmp/out"))
+    graft.TmpIO.deleteSubdirs(tmp, "in", "ckpt")
+    spark.read.parquet(s"$tmp/out")
       .orderBy(col("event_id"))
   }
 
@@ -88,7 +91,7 @@ object StreamJoins {
     */
   def attributionGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = graft.TmpIO.scratchDir("graft_st5_")
+    val tmp = graft.TmpIO.stableDir("st5") // corpus-sized matches: lazy read-back
     val e = graft.Tables.events(spark, dir)
     e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
@@ -111,7 +114,8 @@ object StreamJoins {
         batch.write.mode("append").parquet(out)
       }
       .start())
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
+    graft.TmpIO.deleteSubdirs(tmp, "clicks", "purchases", "ckpt")
+    spark.read.parquet(out)
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
@@ -125,7 +129,7 @@ object StreamJoins {
     */
   def streamStaticGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = graft.TmpIO.scratchDir("graft_st9_")
+    val tmp = graft.TmpIO.stableDir("st9") // corpus-sized enrichment: lazy read-back
     val e = graft.Tables.events(spark, dir)
     e.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
@@ -146,7 +150,8 @@ object StreamJoins {
         batch.write.mode("append").parquet(out)
       }
       .start())
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
+    graft.TmpIO.deleteSubdirs(tmp, "in", "ckpt")
+    spark.read.parquet(out)
       .orderBy(col("event_id"))
   }
 
@@ -163,7 +168,7 @@ object StreamJoins {
     */
   def streamStaticAntiGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = graft.TmpIO.scratchDir("graft_st12_")
+    val tmp = graft.TmpIO.stableDir("st12") // corpus-sized survivors: lazy read-back
     val e = graft.Tables.events(spark, dir)
     e.select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .coalesce(1).write.parquet(s"$tmp/in")
@@ -186,7 +191,8 @@ object StreamJoins {
         batch.write.mode("append").parquet(out)
       }
       .start())
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
+    graft.TmpIO.deleteSubdirs(tmp, "in", "base", "ckpt")
+    spark.read.parquet(out)
       .orderBy(col("event_id"))
   }
 }

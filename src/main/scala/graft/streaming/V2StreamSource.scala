@@ -37,9 +37,12 @@ object V2StreamSource {
         batch.write.mode("append").parquet(out)
       }
       .start())
-    GateIO.collectAndClean(spark, tmp)(spark.read.parquet(out))
-      .groupBy(col("symbol"))
-      .agg(count(lit(1)).as("n_polls"))
+    // Aggregate BEFORE the bounded collect: the raw poll log is
+    // corpus-sized, the per-symbol count is symbol-bounded.
+    GateIO.collectAndClean(spark, tmp)(
+        spark.read.parquet(out)
+          .groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n_polls")))
       .orderBy(col("symbol"))
   }
 }
