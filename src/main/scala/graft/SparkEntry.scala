@@ -163,6 +163,7 @@ object SparkEntry {
       Similarity.annRecallAtK(s, d, nQueries = 20, k = 10, candidates = 50)),
     "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
     "tt7_optimize"         -> ((s, d) => Ingest.txOptimizeGate(s, d)),
+    "tt8_optimize_zorder"  -> ((s, d) => Ingest.txOptimizeZorderGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -244,6 +245,9 @@ object SparkEntry {
     "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
     "cor1_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
     "fi1_frequent_pairs"   -> ((s, d) => Relational.frequentItemPairs(s, d)),
+    "fi2_frequent_triples" -> ((s, d) => Relational.frequentItemTriples(s, d)),
+    "q7_nation_volume"     -> ((s, d) => Relational.nationTradeVolume(s, d)),
+    "q14_promo_share"      -> ((s, d) => Relational.promoRevenueShare(s, d)),
     "fh1_feature_hashing"  -> ((s, d) => TextAnalysis.featureHashing(s, d)),
     "w7_spend_quartiles"   -> ((s, d) => graft.operators.Behavior.spendQuartiles(s, d)),
     "t12_winnowing"        -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
@@ -254,6 +258,11 @@ object SparkEntry {
     "pmi1_collocations"    -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "lm2_trigram_backoff"  -> ((s, d) => graft.operators.LanguageModel.trigramBackoffPerplexity(s, d)),
     "pr1_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    "lp1_label_propagation" -> ((s, d) => graft.operators.Graph.labelPropagation(s, d)),
+    "sp1_cheapest_routes"  -> ((s, d) => graft.operators.Graph.cheapestRoutes(s, d)),
+    "tr1_textrank_keywords" -> ((s, d) => graft.operators.Graph.textRankKeywords(s, d)),
+    "rl1_record_linkage"   -> ((s, d) => Dedup.recordLinkage(s, d)),
+    "st16_stream_outer_join" -> ((s, d) => graft.streaming.StreamJoins.attributionOuterGate(s, d)),
     "ws1_weighted_sample"  -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "div1_ngram_diversity" -> ((s, d) => TextAnalysis.ngramDiversity(s, d)),
     "dd12_ingest_dedup"    -> ((s, d) => Dedup.incrementalIngestDedup(s, d)),
@@ -1762,6 +1771,40 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank FROM j)
         |SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM r
         |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    // The oracle states the NAIVE triple count; the Spark plan runs
+    // the apriori-pruned enumeration — downward closure makes them
+    // provably identical (the prune cuts candidates, not answers).
+    "fi2_frequent_triples" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |t AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc
+        |  FROM i a
+        |  JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN i c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey)
+        |SELECT pa AS part_a, pb AS part_b, pc AS part_c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, part_a, part_b, part_c""".stripMargin,
+    "q7_nation_volume" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN n sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN n cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+        |  round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "fi1_frequent_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -1928,6 +1971,136 @@ object SparkEntry {
         |  GROUP BY e.dst)
         |SELECT node, round(pr, 12) AS pr FROM p3
         |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    // Fixed-round synchronous LPA; argmax by (count DESC, label ASC)
+    // stated as a window here, computed as a min-struct aggregation
+    // in Spark — same deterministic winner.
+    "lp1_label_propagation" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |l1 AS (SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label,
+        |      row_number() OVER (PARTITION BY e.dst
+        |        ORDER BY count(*) DESC, l.label ASC) AS rn
+        |    FROM edges e JOIN l0 l ON e.src = l.node GROUP BY e.dst, l.label)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label,
+        |      row_number() OVER (PARTITION BY e.dst
+        |        ORDER BY count(*) DESC, l.label ASC) AS rn
+        |    FROM edges e JOIN l1 l ON e.src = l.node GROUP BY e.dst, l.label)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT dst AS node, label FROM (
+        |    SELECT e.dst, l.label,
+        |      row_number() OVER (PARTITION BY e.dst
+        |        ORDER BY count(*) DESC, l.label ASC) AS rn
+        |    FROM edges e JOIN l2 l ON e.src = l.node GROUP BY e.dst, l.label)
+        |  WHERE rn = 1)
+        |SELECT label AS community, count(*) AS n_nodes FROM l3
+        |GROUP BY 1 ORDER BY n_nodes DESC, community ASC LIMIT 25""".stripMargin,
+    // Fixed-round Bellman-Ford; distances exact BIGINT cents.
+    "sp1_cheapest_routes" ->
+      """WITH wt AS (
+        |  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+        |    min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT c AS src, s AS dst, w FROM wt
+        |  UNION ALL SELECT s, c, w FROM wt),
+        |d0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_nationkey = 0
+        |  AND c_custkey * 2 IN (SELECT src FROM edges)),
+        |d1 AS (SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d0 UNION ALL
+        |    SELECT e.dst, p.d + e.w FROM edges e JOIN d0 p ON e.src = p.node)
+        |  GROUP BY 1),
+        |d2 AS (SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d1 UNION ALL
+        |    SELECT e.dst, p.d + e.w FROM edges e JOIN d1 p ON e.src = p.node)
+        |  GROUP BY 1),
+        |d3 AS (SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d2 UNION ALL
+        |    SELECT e.dst, p.d + e.w FROM edges e JOIN d2 p ON e.src = p.node)
+        |  GROUP BY 1),
+        |d4 AS (SELECT node, min(d) AS d FROM (
+        |    SELECT node, d FROM d3 UNION ALL
+        |    SELECT e.dst, p.d + e.w FROM edges e JOIN d3 p ON e.src = p.node)
+        |  GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |    ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+        |  d AS dist_cents
+        |FROM d4 WHERE d > 0 ORDER BY dist_cents, node LIMIT 25""".stripMargin,
+    // Weighted PageRank over the word co-occurrence graph; same
+    // integer-scaled contribution discipline as pr1.
+    "tr1_textrank_keywords" ->
+      """WITH ww AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> least(ws[i], ws[i+1]))) AS u,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> greatest(ws[i], ws[i+1]))) AS v
+        |  FROM ww WHERE len(ws) >= 2),
+        |und AS (SELECT u, v, count(*) AS cw FROM b GROUP BY 1, 2),
+        |edges AS (SELECT u AS src, v AS dst, cw FROM und
+        |  UNION ALL SELECT v, u, cw FROM und),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |wdeg AS (SELECT src AS node, CAST(sum(cw) AS BIGINT) AS wd
+        |  FROM edges GROUP BY 1),
+        |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+        |p1 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr * e.cw / d.wd * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
+        |  FROM edges e JOIN p0 p ON e.src = p.node JOIN wdeg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |p2 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr * e.cw / d.wd * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
+        |  FROM edges e JOIN p1 p ON e.src = p.node JOIN wdeg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |p3 AS (SELECT e.dst AS node,
+        |    0.15 / any_value(nn.n) + 0.85 * (CAST(sum(CAST(round(p.pr * e.cw / d.wd * 100000000000000.0) AS BIGINT)) AS DOUBLE) / 100000000000000.0) AS pr
+        |  FROM edges e JOIN p2 p ON e.src = p.node JOIN wdeg d ON e.src = d.node CROSS JOIN nn
+        |  GROUP BY e.dst)
+        |SELECT node AS word, round(pr, 12) AS pr FROM p3
+        |ORDER BY pr DESC, word ASC LIMIT 20""".stripMargin,
+    // Fellegi-Sunter: nationkey blocking, three cents-band agreement
+    // fields, micro-nat integer log-odds weights (same literals as
+    // the Spark plan).
+    "rl1_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey AS blk,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cb FROM customer),
+        |s AS (SELECT s_suppkey, s_nationkey AS blk,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS sb FROM supplier),
+        |p AS (SELECT c_custkey, s_suppkey,
+        |    (cb >= 0) = (sb >= 0) AS a1,
+        |    floor(cb / 100000.0) = floor(sb / 100000.0) AS a2,
+        |    floor(cb / 1000.0) = floor(sb / 1000.0) AS a3
+        |  FROM c JOIN s USING (blk)),
+        |sc AS (SELECT c_custkey, s_suppkey,
+        |    CAST(a1 AS INT) + CAST(a2 AS INT) + CAST(a3 AS INT) AS n_agree,
+        |    (CASE WHEN a1 THEN 492476 ELSE -1504077 END
+        |     + CASE WHEN a2 THEN 1763589 ELSE -1076139 END
+        |     + CASE WHEN a3 THEN 3601868 ELSE -783394 END) AS su
+        |  FROM p)
+        |SELECT c_custkey, s_suppkey, n_agree,
+        |  round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score
+        |FROM sc ORDER BY su DESC, c_custkey, s_suppkey LIMIT 20""".stripMargin,
+    // Left-outer watermarked stream-stream join == the batch left
+    // range join once sentinel rows flush all held state.
+    "st16_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  p.value AS amount
+        |FROM e p LEFT JOIN e c
+        |  ON c.event_type = 'click'
+        |  AND p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "lm2_trigram_backoff" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |base AS (SELECT * FROM w WHERE doc_id % 10 != 0),
@@ -2596,6 +2769,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM o
+        |ORDER BY phase""".stripMargin,
+    // Phases: 1 = pre-optimize head, 2 = post-z-order rewrite
+    // (lossless ⇒ identical), 3 = zone-pruned custkey range read.
+    "tt8_optimize_zorder" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE cust BETWEEN 100 AND 200
         |ORDER BY phase""".stripMargin,
     // RR per query from the first label match in the exact top-10; the
     // corpus MRR (DECIMAL-summed fold) rides every row.

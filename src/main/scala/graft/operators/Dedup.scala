@@ -1146,4 +1146,66 @@ object Dedup {
     graft.TmpIO.deleteSubdirs(tmp, "corpus", "index")
     spark.read.parquet(s"$tmp/result").orderBy(col("doc_id"))
   }
+
+  /** Gated rl1: FELLEGI–SUNTER PROBABILISTIC RECORD LINKAGE — the
+    * multi-field, log-odds-scored member of the dedup/entity-
+    * resolution family (the dd-series scores ONE string similarity;
+    * real linkage combines evidence across fields with per-field
+    * match weights; Fellegi & Sunter 1969 is the canonical model).
+    * Links customer records against supplier records: block on
+    * nationkey, compare three account-balance-derived fields of
+    * increasing specificity, score each candidate pair with
+    * Σ agree(i) ? ln(mᵢ/uᵢ) : ln((1-mᵢ)/(1-uᵢ)), top-k by score.
+    *
+    * Scale shape: BLOCKING is the lever — candidate mass is
+    * Σ_blocks |C_b|·|S_b|, not |C|·|S|; the block key rides one hash
+    * shuffle of each input and the quadratic expansion happens only
+    * within co-partitioned blocks (the same discipline as the LSH
+    * band join). At 100 TB the block key gets coarser fields and
+    * multi-pass OR-blocking; scoring is unchanged. Field agreements
+    * and weights are exact integers end to end (cents-derived bands;
+    * weights pre-scaled to BIGINT micro-nats in the plan), so
+    * ranking compares exact integers and the gate is hash-exact.
+    */
+  def recordLinkage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // Per-field (m, u) conditional-agreement probabilities, fixed by
+    // contract; weights = round(ln(m/u)·10⁶) / round(ln((1-m)/(1-u))·10⁶)
+    // inlined as exact micro-nat integer LITERALS (not computed at
+    // runtime) so both engines sum the same constants bit-for-bit:
+    //   f1 sign agreement:       m=.90 u=.55  → wa= 492476 wd=-1504077
+    //   f2 $1000 band agreement: m=.70 u=.12  → wa=1763589 wd=-1076139
+    //   f3 $10 band agreement:   m=.55 u=.015 → wa=3601868 wd= -783394
+    val (wa1, wd1) = (492476L, -1504077L)
+    val (wa2, wd2) = (1763589L, -1076139L)
+    val (wa3, wd3) = (3601868L, -783394L)
+
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("blk"),
+        round(col("c_acctbal") * 100).cast("long").as("cb"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("blk"),
+        round(col("s_acctbal") * 100).cast("long").as("sb"))
+    // Block join: both sides hash-shuffle on the block key once; the
+    // within-block pair expansion is the only quadratic site.
+    // Bands via floor(x/step): cents magnitudes ≪ 2^53, so the double
+    // division is exact and floors identically on both engines.
+    val scored = c.join(s, Seq("blk"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        ((col("cb") >= 0) === (col("sb") >= 0)).as("a1"),
+        (floor(col("cb") / lit(100000.0)) === floor(col("sb") / lit(100000.0))).as("a2"),
+        (floor(col("cb") / lit(1000.0)) === floor(col("sb") / lit(1000.0))).as("a3"))
+      .select(col("c_custkey"), col("s_suppkey"),
+        (col("a1").cast("int") + col("a2").cast("int") + col("a3").cast("int"))
+          .as("n_agree"),
+        (when(col("a1"), lit(wa1)).otherwise(lit(wd1))
+          + when(col("a2"), lit(wa2)).otherwise(lit(wd2))
+          + when(col("a3"), lit(wa3)).otherwise(lit(wd3))).as("su"))
+    val top = scored
+      .orderBy(desc("su"), asc("c_custkey"), asc("s_suppkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("s_suppkey"), col("n_agree"),
+        round(col("su").cast("double") / lit(1e6), 6).as("score"))
+    val rows = top.collect() // k rows
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
 }

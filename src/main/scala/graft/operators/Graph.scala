@@ -356,6 +356,217 @@ object Graph {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
   }
 
+  /** Gated lp1: SYNCHRONOUS LABEL PROPAGATION community detection
+    * over the bipartite customer↔supplier trade graph (packed int
+    * ids as in [[pageRank]]) — each round every node adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label. The cheap community pass curation runs before expensive
+    * per-cluster work (template clusters, market segments, link
+    * farms all surface as label basins).
+    *
+    * ROUND COUNT IS PART OF THE CONTRACT (same policy as
+    * [[kCorePeel]]): both engines run exactly `rounds` synchronous
+    * updates — synchronous LPA on a bipartite graph can oscillate
+    * rather than converge, so a fixpoint loop would be
+    * non-deterministic across engines; a fixed-round contract with a
+    * deterministic tie-break is exact.
+    *
+    * Scale shape: each round is ONE join of the (node-cardinality)
+    * label vector against the src-hash-partitioned edge list plus a
+    * two-level aggregation — (dst, label) counts combine map-side,
+    * then the per-dst argmax folds as `min(struct(-count, label))`,
+    * an aggregation, never a window. The edge frame is exchanged
+    * once and reused every round; only labels move per round. The
+    * argmax-by-(count desc, label asc) is exact integer arithmetic,
+    * so the gate is hash-identical cross-engine.
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+                       rounds: Int = 3, k: Int = 25): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hash-partition the mirrored edge list on src once: every round
+    // joins on that key, so the per-round exchange moves only the
+    // label vector (node-cardinality), never the edges.
+    val edges = pairs
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Initial label = own node id (the standard seeding).
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val prev = labels
+      // Label vectors are node-cardinality — broadcast them to the
+      // partitioned edges (at web scale, drop the hint and the join
+      // reuses the edge partitioning; the loop body is unchanged).
+      labels = edges
+        .join(broadcast(prev), edges("src") === prev("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count DESC, label ASC) = min of the struct
+        // (-count, label): one aggregation, exact integers, no window
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("dst").as("node"), col("m.label").as("label"))
+    }
+
+    val top = labels
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), asc("community"))
+      .limit(k)
+    val rows = top.collect() // k rows
+    pairs.unpersist(); edges.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
+  /** Gated sp1: BOUNDED-ROUND WEIGHTED SHORTEST PATHS (Bellman–Ford
+    * BSP) over the trade graph — edge weight = the CHEAPEST trade
+    * (min extended price, integer cents) between the pair; seeds =
+    * nation-0 customers at distance 0; `rounds` relaxations; top-k
+    * nearest non-seed nodes. The weighted sibling of [[bfsDistances]]
+    * (reach in "cost" rather than hops — supply-chain proximity /
+    * trust-propagation with edge costs).
+    *
+    * ROUND COUNT IS PART OF THE CONTRACT (as in [[kCorePeel]]): both
+    * engines run exactly `rounds` relaxations, so results agree even
+    * before the distance map converges.
+    *
+    * Scale shape: each relaxation is ONE join of the current distance
+    * vector (node-cardinality) against the src-hash-partitioned edge
+    * list plus one map-side-combinable MIN aggregation — the textbook
+    * BSP SSSP round. Distances are exact BIGINT cents end to end, so
+    * the min-fold is order-invariant and the gate hash-exact. The
+    * driver never sees rows until the final k-row top list.
+    */
+  def cheapestRoutes(spark: SparkSession, dir: String,
+                     seedNation: Long = 0, rounds: Int = 4,
+                     k: Int = 25): DataFrame = {
+    val w = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = w.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionAll(w.select(col("s").as("src"), col("c").as("dst"), col("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === seedNation)
+      .select((col("c_custkey") * 2).as("node"))
+      .join(nodes, Seq("node"), "left_semi")
+
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val prev = dist
+      // Relax: keep every known distance, add every one-more-edge
+      // candidate, min-fold per node. The distance vector is
+      // node-cardinality — broadcast to the partitioned edges (drop
+      // the hint at web scale, as in [[labelPropagation]]).
+      dist = prev
+        .unionAll(edges
+          .join(broadcast(prev), edges("src") === prev("node"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
+        .groupBy(col("node"))
+        .agg(min(col("d")).as("d"))
+    }
+
+    val top = dist
+      .filter(col("d") > 0) // non-seed nodes: seeds pin at 0
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("c"), (col("node") / 2).cast("long").cast("string")))
+          .otherwise(
+            concat(lit("s"), ((col("node") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        col("d").as("dist_cents"))
+      .orderBy(asc("dist_cents"), asc("node"))
+      .limit(k)
+    val rows = top.collect() // k rows
+    w.unpersist(); edges.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
+  /** Gated tr1: TEXTRANK KEYWORDS — weighted PageRank over the word
+    * co-occurrence graph of the documents corpus (adjacent-token
+    * pairs, undirected, weight = corpus-wide adjacency count), 3
+    * damped iterations, top-k words. The classic unsupervised
+    * keyword/keyphrase extractor (Mihalcea & Tarau 2004), and the
+    * graph-centrality member of the text-analysis family: unlike
+    * frequency rankings (t5/hh1) it scores a word by the RANK of its
+    * neighbors, not its own count.
+    *
+    * Determinism: per-edge contributions round(pr·w/wdeg·10¹⁴) to
+    * exact longs before the per-dst sum — order-invariant, so both
+    * engines iterate bit-identical vectors (same discipline as
+    * [[pageRank]]).
+    *
+    * Scale shape: tokenization + pair counting are two map-side-
+    * combinable aggregations over the corpus; from there every
+    * iteration touches only the word graph (vocabulary-cardinality,
+    * tiny relative to the corpus — the whole point of the reduction).
+    * The corpus is scanned exactly once however many iterations run.
+    */
+  def textRankKeywords(spark: SparkSession, dir: String,
+                       iterations: Int = 3, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    // Undirected co-occurrence weight: ordered adjacency counts fold
+    // into the (least, greatest) key — one corpus-scale aggregation.
+    val und = toks
+      .select(explode(transform(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        (x, i) => struct(
+          least(x, element_at(col("ws"), i + 2)).as("u"),
+          greatest(x, element_at(col("ws"), i + 2)).as("v")))).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // Self-loops (a word adjacent to itself) mirror into TWO equal
+    // edges; that double-count is part of the contract on both sides.
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    val edgesDeg = edges.join(broadcast(wdeg), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count().toDouble // control-plane scalar
+    val base = 0.15 / n
+
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val prev = pr
+      pr = edgesDeg
+        .join(broadcast(prev), edgesDeg("src") === prev("node"))
+        .select(col("dst"),
+          round(col("pr") * col("w") / col("wd") * lit(1e14))
+            .cast("long").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + lit(0.85) * (col("s").cast("double") / lit(1e14)))
+            .as("pr"))
+    }
+
+    val top = pr
+      .select(col("node").as("word"), round(col("pr"), 12).as("pr"))
+      .orderBy(desc("pr"), asc("word"))
+      .limit(k)
+    val rows = top.collect() // k rows
+    und.unpersist(); edgesDeg.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
   /** Gated kc1: BOUNDED-ROUND k-CORE PEEL over the co-purchase graph
     * — iteratively drop every node with degree < `k` and the edges
     * touching it, `rounds` times, reporting the (nodes, edges)

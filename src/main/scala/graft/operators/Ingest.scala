@@ -445,6 +445,19 @@ object Ingest {
     * scale the write is `repartitionByRange(zval)` + sortWithinPartitions
     * — one range shuffle, no driver data.
     */
+  /** 16-bit equi-width quantizer cell (shared by z1 and tt8). */
+  def zorderCell(v: org.apache.spark.sql.Column, lo: Double, hi: Double): org.apache.spark.sql.Column =
+    floor((v.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
+
+  /** 32-bit Morton interleave of two 16-bit cells — a static 16-term
+    * shift/mask chain inside codegen (shared by z1 and tt8).
+    */
+  def mortonZval(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(cx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(cy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val s = o.agg(
@@ -453,16 +466,10 @@ object Ingest {
       .collect()(0)
     val (minc, maxc, minp, maxp) =
       (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
-    def cell(v: org.apache.spark.sql.Column, lo: Double, hi: Double) =
-      floor((v.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
     val q = o.select(col("o_orderkey"),
-      cell(col("o_custkey"), minc, maxc).as("cx"),
-      cell(col("o_totalprice"), minp, maxp).as("cy"))
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(col("cx"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("cy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
-    q.withColumn("zval", z)
+      zorderCell(col("o_custkey"), minc, maxc).as("cx"),
+      zorderCell(col("o_totalprice"), minp, maxp).as("cy"))
+    q.withColumn("zval", mortonZval(col("cx"), col("cy")))
       .orderBy(col("zval"), col("o_orderkey"))
   }
 
@@ -722,6 +729,54 @@ object Ingest {
         col("total_cents"))
     graft.TmpIO.collectAndClean(spark, tmp)(
         snapAgg(1, pre).unionAll(snapAgg(2, pre + 1)))
+      .orderBy(col("phase"))
+  }
+
+  /** Gated tt8: OPTIMIZE with Z-ORDER CLUSTERING — three time-sliced
+    * append commits (each spanning the FULL custkey range: the layout
+    * that defeats skipping), then
+    * [[graft.sources.TxTable.optimizeClustered]] rewrites the
+    * snapshot bucketed by the Morton zval of (custkey, cents) and
+    * publishes per-bucket custkey zones in ONE atomic overwrite.
+    * The readout proves the rewrite lossless (pre/post full
+    * aggregates identical) and the skipping path correct (a custkey
+    * range query through [[graft.sources.TxTable.snapshotRange]]
+    * equals the plain SQL range select). The SPEC asserts the part
+    * SQL cannot see: post-optimize the range read opens a strict
+    * subset of bucket dirs, pre-optimize it had to open every
+    * commit. Same layout idea as z1, pushed into the storage seam
+    * where it belongs at 100 TB — skipping metadata rides the commit
+    * record, not a side computation.
+    */
+  def txOptimizeZorderGate(spark: SparkSession, dir: String,
+                           custLo: Long = 100, custHi: Long = 200): DataFrame = {
+    val tmp = freshDir("graft_tt8_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    (0 until 3).foreach(i => t.append(o.filter(col("k") % 3 === i)))
+    val pre = t.latestVersion().get
+    // Morton cluster over (cust, cents): bounds are a 4-scalar
+    // control-plane read of the snapshot.
+    val s = t.snapshot(spark).agg(
+      min(col("cust").cast("double")), max(col("cust").cast("double")),
+      min(col("cents").cast("double")), max(col("cents").cast("double")))
+      .head()
+    val zval = mortonZval(
+      zorderCell(col("cust"), s.getDouble(0), s.getDouble(1)),
+      zorderCell(col("cents"), s.getDouble(2), s.getDouble(3)))
+    t.optimizeClustered(spark, zval, "cust", nBuckets = 8)
+    def agg(df: DataFrame, phase: Int): DataFrame = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(phase).cast("int").as("phase"), col("n_rows"),
+        col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        agg(t.snapshot(spark, Some(pre)), 1)         // pre-optimize head
+          .unionAll(agg(t.snapshot(spark), 2))       // post-optimize: lossless
+          .unionAll(agg(                             // zone-pruned range read
+            t.snapshotRange(spark, "cust", custLo, custHi), 3)))
       .orderBy(col("phase"))
   }
 

@@ -778,6 +778,120 @@ object Relational {
       .orderBy(desc("support"), col("part_a"), col("part_b"))
   }
 
+  /** Gated fi2: FREQUENT ITEM TRIPLES via the full A-PRIORI candidate
+    * prune — basket pairs are counted first (the fi1 pass), then the
+    * triple enumeration runs ONLY over basket pairs that are already
+    * corpus-frequent, and assembled candidates (a,b,c) are kept only
+    * when their third side (a,c) is frequent too. Downward closure
+    * guarantees the pruned plan returns exactly the naive triple
+    * count (which is what the oracle states) — the prune changes the
+    * CANDIDATE MASS, not the answer, and that is the entire point at
+    * scale: the naive per-basket triple expansion is Σ k³/6 rows
+    * through a shuffle, the pruned one is bounded by coincidences of
+    * already-frequent pairs (vanishingly sparser as the corpus
+    * grows). Same discipline as the LSH band join: filter with a
+    * cheap corpus-level structure before the combinatorial step.
+    */
+  def frequentItemTriples(spark: SparkSession, dir: String,
+                          minSupport: Long = 2): DataFrame = {
+    val i = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // Basket pairs (one per-basket self-join; bounded by basket size).
+    val p = i.as("a").join(i.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("o"),
+        col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // L2: corpus-frequent pairs — node-scale, reused twice.
+    val l2 = p.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select(col("pa"), col("pb"))
+    // Apriori prune 1: keep only frequent pairs inside each basket.
+    val pf = p.join(l2, Seq("pa", "pb"), "left_semi")
+    // Triple assembly: (a,b) ⋈ (b,c) within the basket, then prune 2
+    // on the closing side (a,c). All three sides frequent by now.
+    val cand = pf.as("x").join(pf.as("y"),
+        col("x.o") === col("y.o") && col("x.pb") === col("y.pa"))
+      .select(col("x.o"), col("x.pa").as("part_a"),
+        col("x.pb").as("part_b"), col("y.pb").as("part_c"))
+      .join(l2.select(col("pa").as("part_a"), col("pb").as("part_c")),
+        Seq("part_a", "part_c"), "left_semi")
+    val out = cand.groupBy(col("part_a"), col("part_b"), col("part_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(desc("support"), col("part_a"), col("part_b"), col("part_c"))
+    val rows = out.collect() // frequent triples: corpus-sparse by construction
+    p.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Gated q7: TPC-H Q7-shaped BI-NATION TRADE VOLUME — revenue
+    * shipped between a nation pair (either direction), by supplier
+    * nation, customer nation, and ship year. The classic two-
+    * dimension-table star with a disjunctive pair predicate: both
+    * nation filters broadcast, the fact table shuffles once for the
+    * final grouping, and the pair condition prunes suppliers/
+    * customers BEFORE their fact joins (not after the multiply).
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String,
+                        nationA: String = "NATION_1",
+                        nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name") === nationA || col("n_name") === nationB)
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Analytics.exactSum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 30, 6)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Gated q14: TPC-H Q14-shaped PROMO REVENUE SHARE by ship month —
+    * a conditional-aggregation ratio (promo revenue / all revenue)
+    * over the part-enriched fact table. The part dimension broadcasts;
+    * numerator and denominator ride ONE aggregation as exact decimal
+    * sums, so the share is a single fact-table pass however many
+    * months report.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(30, 6))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+        .as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(dec(lit(0)))).as("promo"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total"))
+      .select(col("ship_month"),
+        round(lit(100.0) * col("promo").cast("double")
+          / col("total").cast("double"), 6).as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
   /** Gated cor1: full correlation MATRIX in one pass — all pairwise
     * Pearson correlations of four lineitem measures from a single
     * scan of DECIMAL-exact power sums (4 sums + 4 sums of squares +

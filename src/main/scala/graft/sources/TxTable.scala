@@ -264,9 +264,15 @@ class TxTable(val root: String) {
   private def zoneMaps(asOf: Option[Long]): Map[String, (String, Long, Long)] = {
     versions().filter(v => asOf.forall(v <= _))
       .foldLeft(Map.empty[String, (String, Long, Long)]) { (acc, v) =>
-        readManifest(v) match {
-          case Manifest(_, dirs, Some(s), _) => acc ++ dirs.map(_ -> s)
-          case _ => acc
+        val m = readManifest(v)
+        val commitLevel = m.stats match {
+          case Some(s) => acc ++ m.dirs.map(_ -> s)
+          case None => acc
+        }
+        // Per-dir zones win over the commit-level annotation; dirs
+        // are immutable so a zone stays true however often re-listed.
+        commitLevel ++ m.zones.flatMap { case (i, c, mn, mx) =>
+          m.dirs.lift(i).map(_ -> (c, mn, mx))
         }
       }
   }
@@ -357,6 +363,72 @@ class TxTable(val root: String) {
     -1L // unreachable
   }
 
+  /** OPTIMIZE with CLUSTERING (the Delta `OPTIMIZE ... ZORDER BY`
+    * analog): rewrite the visible snapshot bucketed by `cluster`
+    * (any deterministic numeric expression — callers pass a Morton
+    * zval for multi-dimensional clustering) and publish ONE atomic
+    * overwrite manifest carrying PER-DIR `statsCol` zones, so
+    * [[snapshotRange]]/[[resolveDirsRange]] prune buckets after the
+    * rewrite. Data is bit-identical before/after (lossless rewrite);
+    * only the physical layout and the skipping metadata change.
+    *
+    * Scale shape: one pass over the snapshot (bucket column is plan-
+    * time arithmetic from a 2-scalar min/max read), one partitioned
+    * write, one ≤ nBuckets-row stats read-back. Concurrency: same
+    * optimistic loop as [[optimizeCompact]] — losing the head race
+    * discards the staged rewrite and rebuilds against the new head;
+    * readers never observe an intermediate state because the swap is
+    * a single manifest. `statsCol` must be a BIGINT column (same
+    * contract as [[appendWithStats]]); `__zb` is reserved.
+    */
+  def optimizeClustered(spark: SparkSession,
+                        cluster: org.apache.spark.sql.Column,
+                        statsCol: String, nBuckets: Int = 8): Long = {
+    import org.apache.spark.sql.functions._
+    val n = math.max(nBuckets, 1)
+    while (true) {
+      val head = latestVersion().getOrElse(0L)
+      val dirs = resolveDirs()
+      if (dirs.isEmpty)
+        throw new IllegalStateException(s"TxTable $root: nothing to optimize")
+      val snap = spark.read.parquet(dirs: _*)
+      val ck = cluster.cast("long")
+      val r = snap.agg(min(ck), max(ck)).head()
+      if (r.isNullAt(0)) return optimizeCompact(spark, 1) // no key values: plain compact
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val span = math.max(hi - lo + 1, 1L).toDouble
+      // Equi-width bucket from plan-time literals: deterministic
+      // across the write pass and the stats pass.
+      val bucket = least(
+        floor((ck - lit(lo)).cast("double") * lit(n) / lit(span)),
+        lit((n - 1).toLong)).cast("int")
+      val stage = dataDir.resolve(java.util.UUID.randomUUID().toString)
+      Files.createDirectories(dataDir)
+      snap.withColumn("__zb", bucket)
+        .repartition(n, col("__zb"))
+        .write.partitionBy("__zb").parquet(stage.toString)
+      // Per-bucket zones: a ≤ n-row control-plane read (columnar scan
+      // of two columns over the staged rewrite).
+      val zs = spark.read.parquet(stage.toString)
+        .groupBy(col("__zb"))
+        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .collect()
+        .sortBy(_.getAs[Int]("__zb"))
+      val bucketDirs = zs.map(row =>
+        stage.resolve(s"__zb=${row.getAs[Int]("__zb")}").toString).toSeq
+      val zones = zs.zipWithIndex.flatMap { case (row, i) =>
+        if (row.isNullAt(1)) None // all-null bucket: no zone, never skipped
+        else Some((i, statsCol, row.getAs[Long]("mn"), row.getAs[Long]("mx")))
+      }.toSeq
+      if (tryPublish(head + 1, "overwrite", bucketDirs, zones = zones))
+        return head + 1
+      // Lost to a concurrent commit: the rewrite is stale — drop it
+      // and rebuild against the new head.
+      graft.TmpIO.deleteRecursively(new java.io.File(stage.toString))
+    }
+    -1L // unreachable
+  }
+
   /** Log compaction: one `overwrite` manifest holding the CURRENT
     * resolved dir list — no data is rewritten; replay from here on
     * starts at this manifest. Returns the checkpoint version.
@@ -391,8 +463,17 @@ class TxTable(val root: String) {
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.io.IOException => false } // vanished: skip
     val manifests = versions().map(readManifest)
-    val referenced = manifests.flatMap(_.dirs)
-      .map(d => Paths.get(d).getFileName.toString).toSet
+    // Reference by the TOP-LEVEL dataDir component: clustered-rewrite
+    // commits list NESTED bucket dirs (<uuid>/__zb=k), and vacuuming
+    // the <uuid> parent because only its children are named would
+    // delete live data.
+    val dataRoot = dataDir.toAbsolutePath.normalize
+    val referenced = manifests.flatMap(_.dirs).map { d =>
+      val p = Paths.get(d).toAbsolutePath.normalize
+      if (p.startsWith(dataRoot) && p.getNameCount > dataRoot.getNameCount)
+        p.getName(dataRoot.getNameCount).toString
+      else p.getFileName.toString
+    }.toSet
     import scala.jdk.CollectionConverters._
     val it = Files.list(dataDir)
     val orphans =
@@ -419,9 +500,17 @@ class TxTable(val root: String) {
     (orphans ++ deadSidecars).map(Paths.get(_).getFileName.toString)
   }
 
+  /** `zones` are PER-DIR stats keyed by INDEX into `dirs` (no paths
+    * repeated in the zones JSON, so the hostile-root escaping problem
+    * stays confined to the one dirs array): (dirIndex, column, min,
+    * max). Commit-level `stats` annotates every dir of the commit
+    * (the append path); `zones` annotates dirs individually (the
+    * clustered-rewrite path) — Delta's per-file stats, one level up.
+    */
   private case class Manifest(action: String, dirs: Seq[String],
                               stats: Option[(String, Long, Long)],
-                              bloom: Option[(String, String)])
+                              bloom: Option[(String, String)],
+                              zones: Seq[(Int, String, Long, Long)] = Nil)
 
   /** JSON string escape for manifest values that carry FILESYSTEM
     * paths (the table root flows into every dir entry): quote,
@@ -489,7 +578,16 @@ class TxTable(val root: String) {
       "\"bloom\"\\s*:\\s*\\{\"column\":\"([^\"]*)\",\"file\":\"([^\"]*)\"\\}".r
         .findFirstMatchIn(s)
         .map(m => (m.group(1), m.group(2)))
-    Manifest(action, dirs, stats, bloom)
+    // Index-keyed per-dir zones: engine-generated identifiers and
+    // integers only, so a regex scan is exact here (unlike dirs).
+    val zones =
+      ("\\{\"i\":(\\d+),\"column\":\"([^\"]*)\"," +
+        "\"min\":(-?\\d+),\"max\":(-?\\d+)\\}").r
+        .findAllMatchIn(s)
+        .map(m => (m.group(1).toInt, m.group(2),
+          m.group(3).toLong, m.group(4).toLong))
+        .toSeq
+    Manifest(action, dirs, stats, bloom, zones)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -522,7 +620,8 @@ class TxTable(val root: String) {
     */
   private[graft] def tryPublish(v: Long, action: String, dirs: Seq[String],
                                 stats: Option[(String, Long, Long)] = None,
-                                bloom: Option[(String, String)] = None): Boolean = {
+                                bloom: Option[(String, String)] = None,
+                                zones: Seq[(Int, String, Long, Long)] = Nil): Boolean = {
     Files.createDirectories(logDir)
     val dirsJson = dirs.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
       .mkString("[", ",", "]")
@@ -530,8 +629,13 @@ class TxTable(val root: String) {
       s""","stats":{"column":"$c","min":$mn,"max":$mx}""" }.getOrElse("")
     val bloomJson = bloom.map { case (c, f) =>
       s""","bloom":{"column":"$c","file":"$f"}""" }.getOrElse("")
+    val zonesJson =
+      if (zones.isEmpty) ""
+      else zones.map { case (i, c, mn, mx) =>
+        s"""{"i":$i,"column":"$c","min":$mn,"max":$mx}""" }
+        .mkString(""","zones":[""", ",", "]")
     val json =
-      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson}"""
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

@@ -119,6 +119,76 @@ object StreamJoins {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Gated st16: WATERMARKED LEFT-OUTER stream-stream join — the
+    * emit-on-timeout semantic [[attributionGate]] (inner) cannot
+    * express: a purchase with NO click in its 30-minute lookback
+    * must still emit, with nulls, and it can only do so once the
+    * clicks-side watermark proves no matching click can ever arrive.
+    * This is THE canonical "did marketing touch this conversion"
+    * readout, and the state-eviction contract is the load-bearing
+    * part: unmatched left rows are held exactly until the global
+    * watermark passes their join window, then emitted and dropped —
+    * state stays O(watermark horizon), not O(stream).
+    *
+    * Determinism plumbing: the watermark only advances to
+    * max(event time) − delay, so rows near the end of a finite
+    * stream would be held forever and AvailableNow would close the
+    * query without emitting them. Each side therefore stages one
+    * far-future SENTINEL row (ids = −1, matching nothing) that
+    * pushes both side watermarks past all real data; the final
+    * micro-batches then flush every held row and the streaming
+    * result equals the batch left range join — which is what the
+    * oracle states. The left sentinel (the only one that could emit)
+    * is dropped on the batch side of the sink.
+    */
+  def attributionOuterGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = graft.TmpIO.stableDir("st16") // corpus-sized result: lazy read-back
+    val e = graft.Tables.events(spark, dir)
+    val mx = e.agg(max(col("ts"))).head().getTimestamp(0) // control-plane scalar
+    val far = new java.sql.Timestamp(mx.getTime + 10L * 24 * 3600 * 1000)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    clicks.unionByName(spark.createDataFrame(Seq((-1L, far, -1L)))
+        .toDF("user_id", "ts", "click_id"))
+      .coalesce(1).write.parquet(s"$tmp/clicks")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("amount"))
+    purchases.unionByName(spark.createDataFrame(Seq((-1L, far, -1L, 0.0)))
+        .toDF("user_id", "ts", "purchase_id", "amount"))
+      .coalesce(1).write.parquet(s"$tmp/purchases")
+
+    val out = s"$tmp/out"
+    val cs = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, click_id LONG")
+      .parquet(s"$tmp/clicks")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+    val ps = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, purchase_id LONG, amount DOUBLE")
+      .parquet(s"$tmp/purchases")
+      .withWatermark("ts", "1 hour")
+    GateIO.runPinned(spark, 4)(ps.join(cs,
+        col("user_id") === col("c_user")
+          && col("c_ts") <= col("ts")
+          && col("c_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("amount"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.filter(col("purchase_id") =!= -1L)
+          .write.mode("append").parquet(out)
+      }
+      .start())
+    graft.TmpIO.deleteSubdirs(tmp, "clicks", "purchases", "ckpt")
+    spark.read.parquet(out)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Gated stream-STATIC join (st9): the third canonical streaming
     * join mode — a stream enriched against a static dimension frame.
     * The static side needs no watermark and no state: Spark re-plans
