@@ -164,6 +164,8 @@ object SparkEntry {
     "mrr1_mean_recip_rank" -> ((s, d) => Similarity.mrrAtK(s, d)),
     "tt7_optimize"         -> ((s, d) => Ingest.txOptimizeGate(s, d)),
     "tt8_optimize_zorder"  -> ((s, d) => Ingest.txOptimizeZorderGate(s, d)),
+    "tt9_restore"          -> ((s, d) => Ingest.txRestoreGate(s, d)),
+    "tt10_shallow_clone"   -> ((s, d) => Ingest.txCloneGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -2783,6 +2785,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM o WHERE cust BETWEEN 100 AND 200
+        |ORDER BY phase""".stripMargin,
+    // Phases: 1 = v1 full table, 2 = the half-deleting incident
+    // overwrite, 3 = restored head (== phase 1, zero data movement).
+    "tt9_restore" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o
+        |ORDER BY phase""".stripMargin,
+    // Phases: 1 source, 2 clone == source, 3 range read via the
+    // clone's inherited zones, 4 clone after re-ingesting nation-3
+    // customers' orders, 5 source unchanged (independence).
+    "tt10_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |n3 AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+        |extra AS (SELECT o.* FROM o SEMI JOIN n3 ON o.cust = n3.c_custkey)
+        |SELECT CAST(1 AS INT) AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE cust BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT CAST(4 AS INT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) + (SELECT count(*) FROM extra),
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o)
+        |    + (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM extra)
+        |UNION ALL
+        |SELECT CAST(5 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o
         |ORDER BY phase""".stripMargin,
     // RR per query from the first label match in the exact top-10; the
     // corpus MRR (DECIMAL-summed fold) rides every row.

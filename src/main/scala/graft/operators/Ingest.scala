@@ -780,6 +780,75 @@ object Ingest {
       .orderBy(col("phase"))
   }
 
+  /** Gated tt9: RESTORE — commit the full table (v1), apply a "bad"
+    * half-deleting overwrite (v2: the fat-finger incident), then
+    * [[graft.sources.TxTable.restore]] republishes v1's resolved dirs
+    * as v3 with ZERO data movement. The readout aggregates all three
+    * versions: v3 ≡ v1 proves the rollback exact, v2 staying readable
+    * proves restore is a forward commit, not a log rewind — the
+    * incident remains auditable. Completes the time-travel story:
+    * tt1 reads history, tt9 promotes it back to the head.
+    */
+  def txRestoreGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt9_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o)                                  // v1: good state
+    t.overwrite(o.filter(col("k") % 2 === 0))    // v2: the incident
+    val restored = t.restore(1)                  // v3 == v1, zero copy
+    def snapAgg(phase: Int, v: Long): DataFrame = t.snapshot(spark, Some(v))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(phase).cast("int").as("phase"), col("n_rows"),
+        col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        snapAgg(1, 1).unionAll(snapAgg(2, 2)).unionAll(snapAgg(3, restored)))
+      .orderBy(col("phase"))
+  }
+
+  /** Gated tt10: SHALLOW CLONE — zero-copy table fork.
+    * [[graft.sources.TxTable.shallowCloneTo]] publishes one manifest
+    * referencing the source's data dirs (zone annotations carried
+    * over), then the clone DIVERGES with its own append while the
+    * source stays frozen. Phases: 1 source, 2 clone ≡ source,
+    * 3 zone-served range read through the clone, 4 clone after its
+    * divergent append, 5 source after the clone's append ≡ phase 1
+    * (independence). The dev/experiment-branch workflow every
+    * log-structured format ships; at 100 TB the fork costs one
+    * manifest write however big the table is.
+    */
+  def txCloneGate(spark: SparkSession, dir: String,
+                  custLo: Long = 100, custHi: Long = 200): DataFrame = {
+    val tmp = freshDir("graft_tt10_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    (0 until 3).foreach(i =>
+      t.appendWithStats(o.filter(col("k") % 3 === i), "cust"))
+    val c = t.shallowCloneTo(s"$tmp/clone")
+    def agg(df: DataFrame, phase: Int): DataFrame = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(phase).cast("int").as("phase"), col("n_rows"),
+        col("total_cents"))
+    val p1 = agg(t.snapshot(spark), 1)
+    val p2 = agg(c.snapshot(spark), 2)
+    val p3 = agg(c.snapshotRange(spark, "cust", custLo, custHi), 3)
+    // Divergence: the clone ingests nation-3 customers' orders AGAIN;
+    // the source must not see them.
+    val n3 = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 3).select(col("c_custkey").as("cc"))
+    c.append(o.join(broadcast(n3), col("cust") === col("cc"), "left_semi"))
+    val p4 = agg(c.snapshot(spark), 4)
+    val p5 = agg(t.snapshot(spark), 5)
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        p1.unionAll(p2).unionAll(p3).unionAll(p4).unionAll(p5))
+      .orderBy(col("phase"))
+  }
+
   /** Gated tt4: ROW-LEVEL DELETE through the TxTable log — the
     * right-to-erasure path: all orders committed as v1, then "erase
     * every order of nation-7 customers" applied as one broadcast

@@ -441,6 +441,55 @@ class TxTable(val root: String) {
     v
   }
 
+  /** RESTORE to `toVersion` (the Delta `RESTORE TABLE ... TO VERSION`
+    * analog): publish the RESOLVED dir set of that version as a new
+    * overwrite head. Zero data movement — history after `toVersion`
+    * stays readable (time travel is untouched; this is a new commit,
+    * not a log rewind), and zone/Bloom annotations keep working
+    * because they stick to the immutable dirs via their CREATING
+    * manifests. Same optimistic loop as every other writer.
+    */
+  def restore(toVersion: Long): Long = {
+    val dirs = resolveDirs(Some(toVersion))
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"TxTable $root: nothing to restore at version $toVersion")
+    var v = latestVersion().getOrElse(0L) + 1
+    while (!tryPublish(v, "overwrite", dirs)) {
+      v = latestVersion().getOrElse(0L) + 1
+    }
+    v
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` analog):
+    * create an independent table at `dstRoot` whose v1 manifest
+    * REFERENCES this table's resolved data dirs — zero data copied,
+    * one manifest written. Zone annotations are carried over as
+    * per-dir zones so the clone's range reads prune exactly like the
+    * source's. The clone is fully independent afterwards: its commits
+    * land in its own log/data dirs, and its vacuum only ever scans its
+    * OWN dataDir (borrowed source dirs are never orphan candidates).
+    * The shared-fate contract is the same as every shallow-clone
+    * implementation: vacuuming the SOURCE can retire dirs a clone
+    * still references — retention discipline spans clones.
+    */
+  def shallowCloneTo(dstRoot: String, asOf: Option[Long] = None): TxTable = {
+    val dirs = resolveDirs(asOf)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"TxTable $root: nothing to clone" +
+          asOf.map(v => s" at or before version $v").getOrElse(""))
+    val zm = zoneMaps(asOf)
+    val zones = dirs.zipWithIndex.flatMap { case (d, i) =>
+      zm.get(d).map { case (c, mn, mx) => (i, c, mn, mx) }
+    }
+    val dst = new TxTable(dstRoot)
+    if (!dst.tryPublish(1, "overwrite", dirs, zones = zones))
+      throw new IllegalStateException(
+        s"TxTable $dstRoot: destination already has a version 1")
+    dst
+  }
+
   /** Delete data dirs referenced by NO manifest (crash/lost-race
     * orphans — invisible to every reader by construction), plus
     * `_txlog` Bloom sidecars no manifest names (the crash window

@@ -208,6 +208,47 @@ class Round8WideningSpec extends SparkSpec {
     assert(postVacuum == preSnap, "vacuum broke the clustered snapshot")
   }
 
+  // ---- tt9 restore / tt10 shallow clone --------------------------
+
+  test("tt9: restore promotes v1 back to head with zero copy; the incident stays readable") {
+    import spark.implicits._
+    val t = new sources.TxTable(tmpDir("tt9spec_") + "/t")
+    t.append((0L until 100L).map(k => (k, k * 3)).toDF("k", "cents"))
+    t.overwrite((0L until 100L).filter(_ % 2 == 0)
+      .map(k => (k, k * 3)).toDF("k", "cents"))
+    val v3 = t.restore(1)
+    assert(v3 == 3)
+    assert(t.snapshot(spark).count() == 100)
+    assert(t.snapshot(spark, Some(2)).count() == 50) // audit trail intact
+    // restore wrote no data: v3's dirs are exactly v1's
+    assert(t.resolveDirs(Some(3)).toSet == t.resolveDirs(Some(1)).toSet)
+  }
+
+  test("tt10: shallow clone is zero-copy, inherits zones, and diverges independently") {
+    import spark.implicits._
+    val base = tmpDir("tt10spec_")
+    val t = new sources.TxTable(s"$base/src")
+    t.appendWithStats((0L until 500L).map(k => (k, k)).toDF("k", "cust"), "cust")
+    t.appendWithStats((500L until 1000L).map(k => (k, k)).toDF("k", "cust"), "cust")
+    val c = t.shallowCloneTo(s"$base/clone")
+    // zero-copy: the clone has no data dir of its own yet
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/clone/data")) ||
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/clone/data")).count() == 0)
+    assert(c.snapshot(spark).count() == 1000)
+    // zones carried over: a low-range read opens ONE borrowed dir
+    assert(c.resolveDirsRange("cust", 0, 10).size == 1)
+    // divergence: clone grows, source frozen
+    c.append(Seq((9999L, 9999L)).toDF("k", "cust"))
+    assert(c.snapshot(spark).count() == 1001)
+    assert(t.snapshot(spark).count() == 1000)
+    // the clone's vacuum never touches borrowed source dirs
+    assert(c.vacuum(0).isEmpty)
+    assert(t.snapshot(spark).count() == 1000)
+    assert(c.snapshot(spark).count() == 1001)
+  }
+
   // ---- st16 left-outer stream-stream join ------------------------
 
   test("st16: streaming left-outer equals the batch left range join") {
