@@ -149,6 +149,8 @@ object SparkEntry {
     "cf1_changes_feed"     -> ((s, d) => Ingest.changesFeedGate(s, d)),
     "tt4_tx_delete"        -> ((s, d) => Ingest.txDeleteGate(s, d)),
     "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
+    "c6_entity_resolution" -> ((s, d) => graft.operators.Curation.entityResolution(s, d)),
+    "st17_space_saving_topk" -> ((s, d) => graft.streaming.SpaceSaving.topUsersGate(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
     "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
@@ -2786,6 +2788,44 @@ object SparkEntry {
         |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM o WHERE cust BETWEEN 100 AND 200
         |ORDER BY phase""".stripMargin,
+    // ER capstone: blocked FS scoring -> n_agree>=2 match edges ->
+    // recursive-closure components (Spark: min-label BSP) -> golden
+    // record summary per cluster.
+    "c6_entity_resolution" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey * 2 AS id, c_nationkey AS blk,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |s AS (SELECT s_suppkey * 2 + 1 AS id, s_nationkey AS blk,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier),
+        |e AS (SELECT c.id AS a, s.id AS b FROM c JOIN s USING (blk)
+        |  WHERE CAST((c.cents >= 0) = (s.cents >= 0) AS INT)
+        |    + CAST(floor(c.cents / 100000.0) = floor(s.cents / 100000.0) AS INT)
+        |    + CAST(floor(c.cents / 1000.0) = floor(s.cents / 1000.0) AS INT) >= 2),
+        |ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS (SELECT id FROM c UNION ALL SELECT id FROM s),
+        |reach AS (SELECT id AS n, id AS m FROM nodes
+        |  UNION
+        |  SELECT r.n, ed.b FROM reach r JOIN ed ON r.m = ed.a),
+        |lab AS (SELECT n AS id, min(m) AS rep FROM reach GROUP BY 1),
+        |bal AS (SELECT id, cents FROM c UNION ALL SELECT id, cents FROM s)
+        |SELECT l.rep AS cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(CASE WHEN l.id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN l.id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+        |  CAST(max(b.cents) AS BIGINT) AS max_bal_cents
+        |FROM lab l JOIN bal b USING (id)
+        |GROUP BY 1 ORDER BY n_members DESC, cluster_rep ASC LIMIT 20""".stripMargin,
+    // Exact-by-capacity space-saving: cap 2048 >= distinct users at
+    // every gated SF, so the sketch equals the batch top-k and
+    // max_err is 0 (the eviction path is spec-driven at cap 2).
+    "st17_space_saving_topk" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id ASC) AS rank
+        |  FROM c)
+        |SELECT event_type, CAST(rank AS INT) AS rank, user_id,
+        |  CAST(n AS BIGINT) AS est_count, CAST(0 AS BIGINT) AS max_err
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     // Phases: 1 = v1 full table, 2 = the half-deleting incident
     // overwrite, 3 = restored head (== phase 1, zero data movement).
     "tt9_restore" ->

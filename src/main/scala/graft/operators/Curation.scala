@@ -214,4 +214,57 @@ object Curation {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy(col("source"))
   }
+
+  /** Gated c6: END-TO-END ENTITY RESOLUTION — the capstone that
+    * chains the round-8 linkage pieces into the canonical ER
+    * pipeline shape (the master-data/"golden record" flow):
+    *
+    *   blocked Fellegi-Sunter scoring ([[Dedup.recordLinkage]]'s
+    *   discipline, full candidate set) → match edges (n_agree ≥ 2)
+    *   → connected components ([[Dedup.duplicateClustersFrom]]'s
+    *   min-label BSP, lineage-checkpointed) → per-cluster golden-
+    *   record summary.
+    *
+    * Scale shape inherits from its parts: blocking bounds the pair
+    * mass, components move only node-cardinality label vectors after
+    * one edge exchange, and the summary is a single aggregation. The
+    * only new cost is the final groupBy on cluster reps.
+    */
+  def entityResolution(spark: SparkSession, dir: String,
+                       minAgree: Int = 2, k: Int = 20): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select((col("c_custkey") * 2).as("id"), col("c_nationkey").as("blk"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val s = Tables.supplier(spark, dir)
+      .select((col("s_suppkey") * 2 + 1).as("id"), col("s_nationkey").as("blk"),
+        round(col("s_acctbal") * 100).cast("long").as("cents"))
+    // Blocked multi-field agreement (rl1's fields); edges = pairs
+    // agreeing on at least `minAgree` of the three.
+    val edges = c.select(col("id").as("ca"), col("blk"), col("cents").as("cb"))
+      .join(s.select(col("id").as("sb"), col("blk"), col("cents").as("sbal")),
+        Seq("blk"))
+      .select(col("ca"), col("sb"),
+        (((col("cb") >= 0) === (col("sbal") >= 0)).cast("int")
+          + (floor(col("cb") / lit(100000.0)) === floor(col("sbal") / lit(100000.0))).cast("int")
+          + (floor(col("cb") / lit(1000.0)) === floor(col("sbal") / lit(1000.0))).cast("int"))
+          .as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("ca").as("doc_a"), col("sb").as("doc_b"))
+    val nodes = c.select(col("id").as("doc_id"))
+      .unionAll(s.select(col("id").as("doc_id")))
+    val labels = Dedup.duplicateClustersFrom(nodes, edges)
+    val balances = c.select(col("id"), col("cents"))
+      .unionAll(s.select(col("id"), col("cents")))
+    val top = labels
+      .join(balances, col("doc_id") === col("id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum((col("doc_id") % 2 === 0).cast("long")).as("n_customers"),
+        sum((col("doc_id") % 2 === 1).cast("long")).as("n_suppliers"),
+        max(col("cents")).as("max_bal_cents"))
+      .orderBy(desc("n_members"), asc("cluster_rep"))
+      .limit(k)
+    val rows = top.collect() // k rows
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
 }

@@ -249,6 +249,90 @@ class Round8WideningSpec extends SparkSpec {
     assert(c.snapshot(spark).count() == 1001)
   }
 
+  // ---- st17 space-saving heavy hitters ---------------------------
+
+  test("st17: exact-by-capacity path equals the batch top-k") {
+    val sketch = streaming.SpaceSaving.topUsersGate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(desc("n"), asc("user_id"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("user_id"),
+        col("n").as("est_count"), lit(0L).as("max_err"))
+      .orderBy(col("event_type"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    assert(sketch == batch)
+    assert(sketch.nonEmpty)
+  }
+
+  test("st17: eviction path keeps the space-saving guarantees at cap 2") {
+    import streaming.SpaceSaving._
+    // Sequence: a,a,a,b,c — c evicts b (min counter), inheriting
+    // est=2/err=1; the majority item a must survive with exact count.
+    val evs = Seq(
+      SsEv("t", 1L, 1, 1, flush = false), SsEv("t", 1L, 2, 2, flush = false),
+      SsEv("t", 1L, 3, 3, flush = false), SsEv("t", 2L, 4, 4, flush = false),
+      SsEv("t", 3L, 5, 5, flush = false), SsEv("t", -1L, 6, 6, flush = true))
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[SsState](
+      org.apache.spark.api.java.Optional.empty[SsState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L,
+      org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val rows = updateType(cap = 2, k = 5)("t", evs.iterator, state).toSeq
+    val byUser = rows.map(r => r.user_id -> r).toMap
+    assert(byUser.contains(1L), "majority item evicted")
+    assert(byUser(1L).est_count == 3 && byUser(1L).max_err == 0)
+    assert(byUser.contains(3L) && !byUser.contains(2L))
+    // over-estimate bounds: true(c)=1 <= est=2 <= true + err = 1+1
+    assert(byUser(3L).est_count == 2 && byUser(3L).max_err == 1)
+    // flush cleared state
+    assert(!state.exists)
+  }
+
+  // ---- c6 entity resolution capstone -----------------------------
+
+  test("c6: clusters partition the entity set and members sum consistently") {
+    val rows = operators.Curation.entityResolution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") + r.getAs[Long]("n_suppliers")
+        == r.getAs[Long]("n_members"))
+    }
+    val sizes = rows.map(_.getAs[Long]("n_members"))
+    assert(sizes.toSeq == sizes.sortBy(-_).toSeq)
+    // deterministic rerun
+    val again = operators.Curation.entityResolution(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("c6: synthetic block resolves two customers + one supplier into one golden cluster") {
+    import spark.implicits._
+    val dir = tmpDir("c6_")
+    // nation 0: custkeys 1,2 and suppkey 1 all share sign + $1000 band
+    // + $10 band (n_agree=3); nation 1: custkey 3 alone (singleton).
+    Seq((1L, 0, 500.00), (2L, 0, 500.40), (3L, 1, -90.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 0, 500.20), (2L, 1, 999999.0))
+      .toDF("s_suppkey", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    val rows = operators.Curation.entityResolution(spark, dir).collect()
+    val bySize = rows.map(r => (r.getAs[Long]("cluster_rep"),
+      r.getAs[Long]("n_members"), r.getAs[Long]("max_bal_cents")))
+    // cluster {c1(id2), c2(id4), s1(id3)} -> rep = 2, members 3,
+    // golden balance = 50040 cents; two singletons (c3 id6, s2 id5)
+    assert(bySize.head == ((2L, 3L, 50040L)), s"got ${bySize.toSeq}")
+    assert(rows.length == 3)
+    assert(rows.count(_.getAs[Long]("n_members") == 1L) == 2)
+  }
+
   // ---- st16 left-outer stream-stream join ------------------------
 
   test("st16: streaming left-outer equals the batch left range join") {
