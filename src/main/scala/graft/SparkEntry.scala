@@ -151,6 +151,13 @@ object SparkEntry {
     "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
     "c6_entity_resolution" -> ((s, d) => graft.operators.Curation.entityResolution(s, d)),
     "st17_space_saving_topk" -> ((s, d) => graft.streaming.SpaceSaving.topUsersGate(s, d)),
+    "cv1_kfold_stats"      -> ((s, d) => TextAnalysis.kfoldStats(s, d)),
+    "twa1_time_weighted"   -> ((s, d) => Relational.timeWeightedAverage(s, d)),
+    "ts4_dow_hod_profile"  -> ((s, d) => Relational.dowHodProfile(s, d)),
+    "imp1_median_impute"   -> ((s, d) => graft.operators.Quality.medianImpute(s, d)),
+    "dc3_bloom_decontaminate" -> ((s, d) =>
+      graft.operators.Decontamination.bloomPrefilteredOverlap(s, d)),
+    "ttd1_version_diff"    -> ((s, d) => Ingest.txVersionDiffGate(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
     "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
@@ -2826,6 +2833,120 @@ object SparkEntry {
         |SELECT event_type, CAST(rank AS INT) AS rank, user_id,
         |  CAST(n AS BIGINT) AS est_count, CAST(0 AS BIGINT) AS max_err
         |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    // Fold = first md5 byte of doc_id mod 5 (hex-fold via strpos —
+    // DuckDB has no conv()); train(fold) = global − fold.
+    "cv1_kfold_stats" ->
+      """WITH folds AS (
+        |  SELECT doc_id, n_chars,
+        |    ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1]) - 1) * 16
+        |     + strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2]) - 1) % 5 AS fold
+        |  FROM documents
+        |), agg AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS fold_chars
+        |  FROM folds GROUP BY fold
+        |), tot AS (SELECT SUM(n_docs) AS n_all, SUM(fold_chars) AS chars_all FROM agg)
+        |SELECT CAST(fold AS BIGINT) AS fold, n_docs, fold_chars,
+        |  CAST(n_all - n_docs AS BIGINT) AS train_docs,
+        |  CAST(chars_all - fold_chars AS BIGINT) AS train_chars,
+        |  round(CAST(chars_all - fold_chars AS DOUBLE)
+        |    / CAST(n_all - n_docs AS DOUBLE), 6) AS train_mean_chars
+        |FROM agg, tot ORDER BY fold""".stripMargin,
+    // Interval weight = ms to the user's next event capped at 1 h;
+    // open tails dropped; weighted sum exact in DECIMAL(20,6)×ms.
+    "twa1_time_weighted" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, date_trunc('hour', ts) AS hr,
+        |    CAST(value AS DECIMAL(20,6)) AS v,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, hr, v,
+        |    LEAST(date_diff('millisecond', ts, nxt), 3600000) AS dur_ms
+        |  FROM d WHERE nxt IS NOT NULL
+        |), f AS (SELECT * FROM w WHERE dur_ms > 0)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  round(CAST(SUM(v * dur_ms) AS DOUBLE)
+        |    / CAST(SUM(dur_ms) AS DOUBLE), 6) AS twa_value
+        |FROM f GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY user_id, hour_start""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday; Spark side emits dayofweek()-1.
+    // Sums of v and v*v exact in DECIMAL(18,6)/(36,12).
+    "ts4_dow_hod_profile" ->
+      """WITH e AS (
+        |  SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |)
+        |SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value,
+        |  round((CAST(sum(v*v) AS DOUBLE)
+        |    - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
+        |    / count(*), 6) AS var_value
+        |FROM e GROUP BY 1,2 HAVING count(*) >= 5 ORDER BY 1,2""".stripMargin,
+    // Lower median by exact integer rank (no interpolation): both
+    // engines pick row ⌊(n+1)/2⌋ of (bal, custkey) order.
+    "imp1_median_impute" ->
+      """WITH masked AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer
+        |), obs AS (
+        |  SELECT c_nationkey, bal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY bal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_obs
+        |  FROM masked WHERE bal IS NOT NULL
+        |), med AS (
+        |  SELECT c_nationkey, bal AS grp_median FROM obs
+        |  WHERE rn = CAST(floor((n_obs + 1) / 2.0) AS BIGINT)
+        |)
+        |SELECT m.c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN m.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  round(g.grp_median, 6) AS grp_median,
+        |  CAST(sum(CAST(COALESCE(m.bal, 0) AS DECIMAL(30,2))) AS DOUBLE) AS observed_total
+        |FROM masked m JOIN med g USING (c_nationkey)
+        |GROUP BY 1, g.grp_median ORDER BY 1""".stripMargin,
+    // The Bloom prefilter is a bandwidth valve only (no false
+    // negatives; FPs removed by the exact confirm join), so the
+    // oracle is the plain exact 7-gram overlap with no sketch.
+    "dc3_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-5),
+        |        i -> array_to_string(ws[i:i+6], ' '))) AS grams
+        |      FROM w WHERE len(ws) >= 7),
+        |tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 != 7),
+        |ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 = 7),
+        |hits AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |  FROM ev e JOIN tr t ON e.gram = t.gram GROUP BY 1
+        |), per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM ev GROUP BY 1)
+        |SELECT p.doc_id, p.n_grams, h.n_contaminated
+        |FROM per p JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // v_a = orders sans every 4th key; v_b = orders sans every 5th
+    // with F-status prices +1000 cents; diff classes from the same
+    // derivation — all-BIGINT arithmetic.
+    "ttd1_version_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT * FROM o WHERE k % 4 != 0),
+        |b AS (SELECT k, status,
+        |    CASE WHEN status = 'F' THEN cents + 1000 ELSE cents END AS cents
+        |  FROM o WHERE k % 5 != 0),
+        |d AS (SELECT COALESCE(a.k, b.k) AS k, a.cents AS ca, b.cents AS cb,
+        |    a.status AS sa, b.status AS sb
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT CASE WHEN ca IS NULL THEN 'added' WHEN cb IS NULL THEN 'removed'
+        |    WHEN ca != cb OR sa != sb THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(COALESCE(ca, 0)) AS BIGINT) AS cents_before,
+        |  CAST(sum(COALESCE(cb, 0)) AS BIGINT) AS cents_after
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // Phases: 1 = v1 full table, 2 = the half-deleting incident
     // overwrite, 3 = restored head (== phase 1, zero data movement).
     "tt9_restore" ->

@@ -117,4 +117,78 @@ object Decontamination {
         countDistinct(col("grp")).as("n_spans"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gated dc3: Bloom-prefiltered exact decontamination — the shape the
+    * overlap check takes once the training gram set outgrows what an
+    * exact shuffle join should carry. The training side is folded into
+    * B per-bucket Bloom sketches (Spark's own `bloom_filter_agg`
+    * machinery via [[graft.functions.BloomFns]] — a partial+final
+    * typed aggregate, built distributed, probe codegen'd); held-out
+    * grams probe the sketch of their bucket FIRST, and only the
+    * survivors (true hits + the sketch's few false positives) pay the
+    * exact semi join against the real gram keys. False negatives are
+    * impossible, and the exact confirm removes false positives, so the
+    * result is byte-identical to the plain exact join — the oracle is
+    * the plain SQL overlap with no sketch anywhere.
+    *
+    * At 100 TB: the eval split is a tiny fraction of the corpus but
+    * the TRAIN gram set scales with it — the Bloom bank is
+    * `B × bloomBytes` however many grams there are (B grows with the
+    * corpus to hold per-bucket capacity) and ships to tasks as plan
+    * metadata exactly like a broadcast-join build; the exact-confirm
+    * shuffle then carries only `contamination_rate + fpp` of the eval
+    * grams instead of all of them. Uses a 7-gram split disjoint from
+    * dc1's (doc_id mod 10, not the md5 bucket) so the two gates cover
+    * different split machinery.
+    */
+  def bloomPrefilteredOverlap(spark: SparkSession, dir: String,
+                              n: Int = 7, buckets: Int = 16): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= n,
+          transform(sequence(lit(0), size(col("ws")) - lit(n)),
+            i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("g"))
+      .distinct()
+      .persist() // three consumers: train build, eval probe, per-doc totals
+    val isEval = col("doc_id") % 10 === 7
+    val train = grams.filter(!isEval).select(col("g")).distinct()
+    val trainBucketed = train
+      .withColumn("bucket", pmod(xxhash64(col("g")), lit(buckets.toLong)))
+    // Capacity per bucket: sized for the sf-scale gram counts here; at
+    // scale B is chosen as ceil(totalGrams / perBucketCapacity) so this
+    // constant is the per-sketch budget, not a global cap. The
+    // collect() is the bank's B serialized sketches — a bounded
+    // control-plane transfer (B × ~200 KB), the same shape as a
+    // broadcast-join build, never row data.
+    val bloomRows = trainBucketed.groupBy(col("bucket"))
+      .agg(graft.functions.BloomFns
+        .bloomAgg(col("g"), 200000L, 1600000L).as("bloom"))
+      .collect()
+    val bank = Array.fill[Array[Byte]](buckets) {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
+    bloomRows.foreach(r => bank(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
+    val evalGrams = grams.filter(isEval)
+      .withColumn("bucket", pmod(xxhash64(col("g")), lit(buckets.toLong)))
+    val survivors = evalGrams
+      .filter(graft.functions.BloomFns
+        .bankContains(bank.toSeq, col("bucket"), col("g")))
+      .select(col("doc_id"), col("g"))
+    // Exact confirm: train is distinct on g, so the semi join counts
+    // each surviving eval gram at most once and kills Bloom FPs.
+    val hits = survivors
+      .join(train, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val perDoc = grams.filter(isEval)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    perDoc.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

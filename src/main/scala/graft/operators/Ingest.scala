@@ -849,6 +849,51 @@ object Ingest {
       .orderBy(col("phase"))
   }
 
+  /** Gated ttd1: SNAPSHOT DIFF between two table versions — the audit
+    * question the changes feed (cf1) cannot answer once lineage is
+    * broken by RESTORE/CLONE/compaction: "what actually differs
+    * between v_a and v_b", computed from the materialized snapshots
+    * themselves. One full-outer join on the key classifies every row
+    * added / removed / changed / unchanged; the readout is the
+    * per-class row count and integer-cents totals on both sides
+    * (pure BIGINT arithmetic — no float anywhere). At 100 TB the join
+    * shuffles both snapshots once on the key — the unavoidable cost
+    * of a lineage-free diff — and emits 4 rows; when lineage IS
+    * intact, cf1's O(delta) feed is the cheap path and this gate is
+    * the fallback that never lies.
+    * Staged versions: v1 = orders sans every 4th key; v2 = orders
+    * sans every 5th key with 'F'-status prices bumped 1000 cents —
+    * so all four classes are populated deterministically.
+    */
+  def txVersionDiffGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_ttd1_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_orderstatus AS status",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    val va = t.append(o.filter(col("k") % 4 =!= 0))
+    val vb = t.overwrite(o.filter(col("k") % 5 =!= 0)
+      .withColumn("cents", when(col("status") === "F",
+        col("cents") + 1000L).otherwise(col("cents"))))
+    val a = t.snapshot(spark, Some(va))
+      .select(col("k"), col("status").as("sa"), col("cents").as("ca"))
+    val b = t.snapshot(spark, Some(vb))
+      .select(col("k"), col("status").as("sb"), col("cents").as("cb"))
+    val diff = a.join(b, Seq("k"), "full_outer")
+      .select(
+        when(col("ca").isNull, "added")
+          .when(col("cb").isNull, "removed")
+          .when(col("ca") =!= col("cb") || col("sa") =!= col("sb"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("ca"), col("cb"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("ca"), lit(0L))).as("cents_before"),
+        sum(coalesce(col("cb"), lit(0L))).as("cents_after"))
+    graft.TmpIO.collectAndClean(spark, tmp)(diff)
+      .orderBy(col("change_type"))
+  }
+
   /** Gated tt4: ROW-LEVEL DELETE through the TxTable log — the
     * right-to-erasure path: all orders committed as v1, then "erase
     * every order of nation-7 customers" applied as one broadcast

@@ -668,4 +668,42 @@ object Quality {
       })
       .orderBy(col("lag_hours"))
   }
+
+  /** Gated imp1: group-median imputation — the standard null-repair
+    * pass before features reach a model. A deterministic mask nulls
+    * every 7th customer's balance; the per-nation LOWER MEDIAN of the
+    * observed values fills the holes. The median is picked by exact
+    * integer rank (row_number at rank ⌊(n+1)/2⌋ over a
+    * per-nation-partitioned window — parallel across groups, no
+    * global sort, no float interpolation, so the imputed value is an
+    * actual observed balance and hashes identically on any engine).
+    * Output per nation: sizes, the imputation value, and the
+    * DECIMAL-exact observed total proving only genuine values summed.
+    */
+  def medianImpute(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 7 =!= 0, col("c_acctbal")).as("bal"))
+    val obs = masked.filter(col("bal").isNotNull)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("bal"), col("c_custkey"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+    val med = obs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_obs", count(lit(1)).over(wGrp))
+      .filter(col("rn") ===
+        floor((col("n_obs") + lit(1)) / lit(2.0)).cast("long"))
+      .select(col("c_nationkey"), col("bal").as("grp_median"))
+    masked.join(med, Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"), col("grp_median"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bal").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        sum(coalesce(col("bal"), lit(0d)).cast("decimal(30,2)"))
+          .as("obs_total"))
+      .select(col("c_nationkey"), col("n"), col("n_imputed"),
+        round(col("grp_median"), 6).as("grp_median"),
+        col("obs_total").cast("double").as("observed_total"))
+      .orderBy(col("c_nationkey"))
+  }
 }

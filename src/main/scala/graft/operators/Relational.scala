@@ -1025,6 +1025,67 @@ object Relational {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Gated twa1: time-weighted average value per user-hour — the
+    * irregular-sampling aggregate (TWAP-style) that a plain AVG gets
+    * wrong when observation intervals differ. Each event is weighted
+    * by the milliseconds until the user's next event (capped at one
+    * hour so a session gap can't dominate); open tail intervals are
+    * dropped. The lead() window is partitioned by user — fully
+    * parallel — and the weighted sum accumulates in DECIMAL
+    * (value exact at 6 decimals × integer ms), so the one double
+    * division at the end is order-invariant and hash-stable.
+    */
+  def timeWeightedAverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(20,6)").as("v"))
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur_ms",
+        least(unix_millis(col("nxt")) - unix_millis(col("ts")),
+          lit(3600000L)))
+      .filter(col("dur_ms") > 0)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("dur_ms")).as("total_ms"),
+        sum(col("v") * col("dur_ms")).as("wsum"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .select(col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("total_ms").cast("long").as("total_ms"),
+        round(col("wsum").cast("double") / col("total_ms").cast("double"), 6)
+          .as("twa_value"))
+      .orderBy(col("user_id"), col("hour_start"))
+  }
+
+  /** Gated ts4: day-of-week × hour-of-day profile — mean and variance
+    * of event value per calendar cell, the 168-cell template a
+    * seasonality-aware anomaly detector subtracts before flagging
+    * residuals (complements ts3's hourly-spine decomposition with the
+    * cross-week matrix view). One aggregation pass; sums of v and v²
+    * accumulate in DECIMAL(18,6) (products stay ≤ 38 digits, exact),
+    * so the closed-form variance `(Σv² − (Σv)²/n)/n` is computed from
+    * bit-identical doubles on both engines. Day-of-week is emitted
+    * 0=Sunday to match the oracle's calendar function.
+    */
+  def dowHodProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hod"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .filter(col("n") >= 5)
+      .select(col("dow").cast("int").as("dow"), col("hod").cast("int").as("hod"),
+        col("n"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean_value"),
+        round((col("svv").cast("double")
+          - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+          / col("n"), 6).as("var_value"))
+      .orderBy(col("dow"), col("hod"))
+
   /** Distribution-position window functions (w5): percent_rank /
     * cume_dist are exact small-integer ratios ((rank-1)/(n-1),
     * rank/n) so they hash-match across engines; first/nth_value run

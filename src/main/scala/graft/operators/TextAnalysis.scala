@@ -208,6 +208,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
 
+  /** Gated cv1: deterministic k-fold cross-validation assignment plus
+    * the per-fold statistics an eval harness actually needs — each
+    * fold's own size AND its complement's (training-set) size/mean,
+    * derived from one aggregation pass plus a 1-row broadcast of the
+    * global totals (train(fold) = total − fold, no second scan, no
+    * k-way self-join). Fold = (first md5 byte of doc_id) mod k — the
+    * same content-independent hash-assignment family as
+    * [[hashSplit]], so folds are stable under corpus growth and
+    * reproducible across engines.
+    */
+  def kfoldStats(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val folds = Tables.documents(spark, dir)
+      .select(col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % k).as("fold"))
+    val agg = folds.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("fold_chars"))
+    val tot = agg.agg(sum(col("n_docs")).as("n_all"),
+      sum(col("fold_chars")).as("chars_all"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("fold_chars"),
+        (col("n_all") - col("n_docs")).as("train_docs"),
+        (col("chars_all") - col("fold_chars")).as("train_chars"),
+        round((col("chars_all") - col("fold_chars")).cast("double")
+          / (col("n_all") - col("n_docs")).cast("double"), 6)
+          .as("train_mean_chars"))
+      .orderBy(col("fold"))
+  }
+
   /** Gated t16 (rows-only: DuckDB has no DEFLATE): per-language
     * compression-ratio profile via the native
     * [[graft.functions.DeflateSizeExpr]] kernel — ratio =
