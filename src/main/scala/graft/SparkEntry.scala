@@ -158,6 +158,8 @@ object SparkEntry {
     "dc3_bloom_decontaminate" -> ((s, d) =>
       graft.operators.Decontamination.bloomPrefilteredOverlap(s, d)),
     "ttd1_version_diff"    -> ((s, d) => Ingest.txVersionDiffGate(s, d)),
+    "vnt1_variant_extract" -> ((s, d) => Relational.variantExtract(s, d)),
+    "q19_disjunctive_pred" -> ((s, d) => Relational.disjunctivePredicateRevenue(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
     "sh1_epoch_shuffle"    -> ((s, d) => TextAnalysis.epochShuffle(s, d)),
@@ -2927,6 +2929,24 @@ object SparkEntry {
         |  FROM ev GROUP BY 1)
         |SELECT p.doc_id, p.n_grams, h.n_contaminated
         |FROM per p JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Oracle sees extracted VALUES (json_extract), not the variant
+    // encoding; k is non-negative so // matches Spark's div.
+    "vnt1_variant_extract" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(k // 25 AS BIGINT) AS k_bucket,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max
+        |FROM v GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q19_disjunctive_pred" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 15 AND 40)""".stripMargin,
     // v_a = orders sans every 4th key; v_b = orders sans every 5th
     // with F-status prices +1000 cents; diff classes from the same
     // derivation — all-BIGINT arithmetic.

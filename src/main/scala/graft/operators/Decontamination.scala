@@ -157,15 +157,19 @@ object Decontamination {
     val train = grams.filter(!isEval).select(col("g")).distinct()
     val trainBucketed = train
       .withColumn("bucket", pmod(xxhash64(col("g")), lit(buckets.toLong)))
-    // Capacity per bucket: sized for the sf-scale gram counts here; at
-    // scale B is chosen as ceil(totalGrams / perBucketCapacity) so this
-    // constant is the per-sketch budget, not a global cap. The
-    // collect() is the bank's B serialized sketches — a bounded
-    // control-plane transfer (B × ~200 KB), the same shape as a
-    // broadcast-join build, never row data.
+    // Size sketches to the ACTUAL per-bucket load (one cheap count
+    // action): BloomFilterAggregate allocates its full bit array in
+    // every partial-aggregate buffer (tasks × buckets of them), so a
+    // static worst-case capacity multiplies straight into build
+    // memory/serialization. fpp only costs extra exact-confirm work,
+    // never correctness, so ~10 bits/key is plenty. The collect() is
+    // the bank's B serialized sketches — a bounded control-plane
+    // transfer, the same shape as a broadcast-join build, never rows.
+    val perBucket = math.max(1024L,
+      train.count() / buckets + 1L)
     val bloomRows = trainBucketed.groupBy(col("bucket"))
       .agg(graft.functions.BloomFns
-        .bloomAgg(col("g"), 200000L, 1600000L).as("bloom"))
+        .bloomAgg(col("g"), perBucket, perBucket * 10L).as("bloom"))
       .collect()
     val bank = Array.fill[Array[Byte]](buckets) {
       val empty = org.apache.spark.util.sketch.BloomFilter.create(1)

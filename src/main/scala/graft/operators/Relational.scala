@@ -505,6 +505,46 @@ object Relational {
       .select(col("event_id"), col("p.k").as("k_int"))
       .orderBy(col("event_id"))
 
+  /** Gated vnt1: the Spark 4 VARIANT path over semi-structured props —
+    * `parse_json` → binary variant → typed `variant_get` extraction,
+    * the open-ended-schema ingestion route (vs e3's from_json, which
+    * needs the schema up front). At scale VARIANT's shredded binary
+    * representation keeps extraction columnar; the gate aggregates the
+    * extracted field so the oracle sees values, not encoding. `div`
+    * (not `/`) for the bucket: floor-free integer division matches
+    * DuckDB `//` on the non-negative domain.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"), expr("k div 25").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
+  /** Gated q19: TPC-H Q19's plan shape — a DISJUNCTION of
+    * per-branch conjunctions spanning both join sides. The part-side
+    * predicates (brand, size) are pushed to the dim scan as
+    * `(brand1 AND size-range) OR (brand3 AND size-range)`, the
+    * lineitem-side quantity bounds prune the fact scan to the union
+    * of branch ranges, and the residual disjunction evaluates on the
+    * broadcast-joined row — revenue accumulates in DECIMAL(30,6).
+    */
+  def disjunctivePredicateRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(15, 40)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2)
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double").as("revenue"))
+  }
+
   /** Exact interpolated quantiles (percentile). At 100 TB you would
     * reach for approx_percentile; the exact form is the oracle-checked
     * semantics anchor.

@@ -178,4 +178,48 @@ class Round8bSpec extends SparkSpec {
     assert(byClass("changed")._3 - byClass("changed")._2 ==
       1000L * byClass("changed")._1)
   }
+
+  // ---- vnt1 variant extraction -----------------------------------
+
+  test("vnt1: the VARIANT path agrees with the from_json path") {
+    val viaVariant = Relational.variantExtract(spark, sf).collect()
+    val viaStruct = Tables.events(spark, sf)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .groupBy(col("event_type"), expr("k div 25").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"), col("k_bucket"))
+      .collect()
+    assert(viaVariant.map(_.toSeq).toSeq == viaStruct.map(_.toSeq).toSeq)
+  }
+
+  // ---- q19 disjunctive predicate ---------------------------------
+
+  test("q19: disjunction equals the union of its branches") {
+    val whole = Relational.disjunctivePredicateRevenue(spark, sf).head()
+    def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      Tables.lineitem(spark, sf)
+        .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === brand && col("p_size").between(szLo, szHi)
+          && col("l_quantity").between(qLo, qHi))
+        .count()
+    // branches are disjoint on p_brand, so counts add exactly
+    assert(whole.getAs[Long]("n_items") ==
+      branch("Brand#1", 1, 15, 1, 20) + branch("Brand#3", 10, 30, 15, 40))
+    assert(whole.getAs[Double]("revenue") > 0.0)
+  }
+
+  test("q19: part-side predicates reach the dim scan") {
+    val plan = Relational.disjunctivePredicateRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The disjunctive brand/size filter must sit on the part relation
+    // (pushed below the join), not only in a post-join residual.
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"),
+      s"no pushed filter evidence in plan:\n$plan")
+    val partScanHasBrand = plan.linesIterator
+      .exists(l => l.contains("part.parquet") ||
+        (l.contains("Brand#") && l.contains("p_size")))
+    assert(partScanHasBrand, s"brand/size predicate not near the part scan:\n$plan")
+  }
 }
