@@ -159,6 +159,7 @@ object SparkEntry {
       graft.operators.Decontamination.bloomPrefilteredOverlap(s, d)),
     "ttd1_version_diff"    -> ((s, d) => Ingest.txVersionDiffGate(s, d)),
     "vnt1_variant_extract" -> ((s, d) => Relational.variantExtract(s, d)),
+    "c7_corpus_card"       -> ((s, d) => graft.operators.Curation.corpusCard(s, d)),
     "q19_disjunctive_pred" -> ((s, d) => Relational.disjunctivePredicateRevenue(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
@@ -2929,6 +2930,39 @@ object SparkEntry {
         |  FROM ev GROUP BY 1)
         |SELECT p.doc_id, p.n_grams, h.n_contaminated
         |FROM per p JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Dominant language via row_number mirrors the Spark side's
+    // min(struct(-n, lang)) argmax: count DESC, lang ASC.
+    "c7_corpus_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        |  FROM documents
+        |), toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), tk AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+        |  FROM toks GROUP BY 1
+        |), base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_words,
+        |    round(CAST(sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) AS short_frac
+        |  FROM d GROUP BY 1
+        |), langs AS (
+        |  SELECT source, lang, count(*) AS nl,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, lang ASC) AS r
+        |  FROM d GROUP BY 1, 2
+        |), top AS (SELECT source, lang AS top_lang, nl FROM langs WHERE r = 1)
+        |SELECT b.source, b.n_docs, b.total_chars, b.mean_words,
+        |  round(CAST(tk.n_types AS DOUBLE) / tk.n_tokens, 6) AS type_token_ratio,
+        |  b.short_frac, t.top_lang,
+        |  round(CAST(t.nl AS DOUBLE) / b.n_docs, 6) AS top_lang_share
+        |FROM base b JOIN top t USING (source) JOIN tk USING (source)
+        |ORDER BY b.source""".stripMargin,
     // Oracle sees extracted VALUES (json_extract), not the variant
     // encoding; k is non-negative so // matches Spark's div.
     "vnt1_variant_extract" ->

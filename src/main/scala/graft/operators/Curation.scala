@@ -267,4 +267,47 @@ object Curation {
     val rows = top.collect() // k rows
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
+
+  /** Gated c7: the CORPUS CARD — the per-source release report every
+    * dataset ships with (what HF dataset cards tabulate): volume,
+    * length profile, lexical diversity (type/token ratio), short-doc
+    * fraction, dominant language and its share. Composes the engine's
+    * text primitives into three aggregation passes over one scan
+    * shape: per-source scalars, a token explode for TTR, and the
+    * dominant language as an ARGMAX AGGREGATION
+    * (`min(struct(-count, lang))` — dd15's discipline: ties break on
+    * lang ascending, no per-source window, no skew pivot). Every
+    * ratio is a division of exact integers, so the card hashes
+    * identically on any engine.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        words(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_words")).as("sw"),
+        sum(when(col("n_words") < 20, 1L).otherwise(0L)).as("nshort"))
+    val tk = docs.select(col("source"), explode(col("ws")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("nl")).as("neg"), col("lang").as("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        (-col("m.neg")).as("nl"))
+    base.join(top, "source").join(tk, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round(col("sw").cast("double") / col("n_docs"), 6).as("mean_words"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("nshort").cast("double") / col("n_docs"), 6).as("short_frac"),
+        col("top_lang"),
+        round(col("nl").cast("double") / col("n_docs"), 6).as("top_lang_share"))
+      .orderBy(col("source"))
+  }
 }

@@ -222,4 +222,27 @@ class Round8bSpec extends SparkSpec {
         (l.contains("Brand#") && l.contains("p_size")))
     assert(partScanHasBrand, s"brand/size predicate not near the part scan:\n$plan")
   }
+
+  // ---- c7 corpus card --------------------------------------------
+
+  test("c7: card invariants — shares in [0,1], totals reconcile, argmax is dominant") {
+    val rows = graft.operators.Curation.corpusCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    val langCounts = Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      Seq("type_token_ratio", "short_frac", "top_lang_share").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      // the reported top_lang really has the max count for its source
+      val src = r.getString(0)
+      val counts = langCounts(src).map(x => x.getString(1) -> x.getAs[Long]("n"))
+      val best = counts.map(_._2).max
+      assert(counts.toMap.apply(r.getAs[String]("top_lang")) == best)
+    }
+  }
 }
