@@ -160,6 +160,7 @@ object SparkEntry {
     "ttd1_version_diff"    -> ((s, d) => Ingest.txVersionDiffGate(s, d)),
     "vnt1_variant_extract" -> ((s, d) => Relational.variantExtract(s, d)),
     "c7_corpus_card"       -> ((s, d) => graft.operators.Curation.corpusCard(s, d)),
+    "exp1_anomaly_contrib" -> ((s, d) => graft.operators.Quality.anomalyContribution(s, d)),
     "q19_disjunctive_pred" -> ((s, d) => Relational.disjunctivePredicateRevenue(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
@@ -2930,6 +2931,26 @@ object SparkEntry {
         |  FROM ev GROUP BY 1)
         |SELECT p.doc_id, p.n_grams, h.n_contaminated
         |FROM per p JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Peak hour by (total DESC, hour ASC); contribution = peak count
+    // minus the type's mean hourly count (exact-integer division).
+    "exp1_anomaly_contrib" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1,2),
+        |tot AS (SELECT hr, sum(n) AS tn FROM h GROUP BY 1),
+        |peak AS (SELECT hr FROM tot ORDER BY tn DESC, hr ASC LIMIT 1),
+        |nh AS (SELECT CAST(count(DISTINCT hr) AS BIGINT) AS nh FROM h),
+        |base AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS bn
+        |  FROM h GROUP BY 1),
+        |px AS (SELECT h.event_type, CAST(h.n AS BIGINT) AS pn
+        |  FROM h JOIN peak USING (hr))
+        |SELECT b.event_type,
+        |  CAST(coalesce(px.pn, 0) AS BIGINT) AS peak_n,
+        |  round(CAST(b.bn AS DOUBLE) / nh.nh, 6) AS mean_hourly_n,
+        |  round(coalesce(px.pn, 0) - CAST(b.bn AS DOUBLE) / nh.nh, 6) AS excess,
+        |  (SELECT hr FROM peak) AS peak_hour
+        |FROM base b CROSS JOIN nh LEFT JOIN px USING (event_type)
+        |ORDER BY excess DESC, b.event_type""".stripMargin,
     // Dominant language via row_number mirrors the Spark side's
     // min(struct(-n, lang)) argmax: count DESC, lang ASC.
     "c7_corpus_card" ->

@@ -669,6 +669,44 @@ object Quality {
       .orderBy(col("lag_hours"))
   }
 
+  /** Gated exp1: ANOMALY CONTRIBUTION — the "which dimension drove the
+    * spike" readout that follows a cp1-style detection: find the
+    * peak-volume hour, then attribute its excess over each event
+    * type's mean hourly volume (Adtributor-style contribution
+    * analysis, one dimension). Two bounded scalar actions (the peak
+    * hour and the hour count — 1-row control-plane transfers, the BSP
+    * counter discipline); everything else is one aggregation over the
+    * (hour × type) counts. All ratios divide exact integers.
+    */
+  def anomalyContribution(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val peakHr = h.groupBy(col("hr")).agg(sum(col("n")).as("tn"))
+      .orderBy(desc("tn"), asc("hr")).limit(1)
+      .head().getString(0) // 1 row: the anomalous hour
+    val nHours = h.agg(countDistinct(col("hr"))).head().getLong(0)
+    val base = h.groupBy(col("event_type")).agg(sum(col("n")).as("bn"))
+    val peak = h.filter(col("hr") === peakHr)
+      .select(col("event_type"), col("n").as("pn"))
+    val out = base.join(peak, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("pn"), lit(0L)).as("peak_n"),
+        round(col("bn").cast("double") / nHours, 6).as("mean_hourly_n"),
+        round(coalesce(col("pn"), lit(0L)) -
+          col("bn").cast("double") / nHours, 6).as("excess"),
+        lit(peakHr).as("peak_hour"))
+      .orderBy(desc("excess"), asc("event_type"))
+    // |event_type| rows — materialize, then release the cached counts
+    // deterministically (library callers shouldn't rely on the
+    // bench/verify between-gate unpersist).
+    val rows = out.collect()
+    h.unpersist(blocking = false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated imp1: group-median imputation — the standard null-repair
     * pass before features reach a model. A deterministic mask nulls
     * every 7th customer's balance; the per-nation LOWER MEDIAN of the

@@ -245,4 +245,25 @@ class Round8bSpec extends SparkSpec {
       assert(counts.toMap.apply(r.getAs[String]("top_lang")) == best)
     }
   }
+
+  // ---- exp1 anomaly contribution ---------------------------------
+
+  test("exp1: excesses reconcile against the peak hour's actual counts") {
+    val rows = Quality.anomalyContribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val peakHour = rows.head.getAs[String]("peak_hour")
+    assert(rows.forall(_.getAs[String]("peak_hour") == peakHour))
+    // the peak hour really is the max-volume hour
+    val hourly = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(hourly(peakHour) == hourly.values.max)
+    // per-type peak counts sum to the peak hour's volume
+    assert(rows.map(_.getAs[Long]("peak_n")).sum == hourly(peakHour))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("excess") -
+        (r.getAs[Long]("peak_n") - r.getAs[Double]("mean_hourly_n"))) < 1e-5)
+    }
+  }
 }
