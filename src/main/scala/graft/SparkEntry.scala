@@ -161,6 +161,8 @@ object SparkEntry {
     "vnt1_variant_extract" -> ((s, d) => Relational.variantExtract(s, d)),
     "c7_corpus_card"       -> ((s, d) => graft.operators.Curation.corpusCard(s, d)),
     "exp1_anomaly_contrib" -> ((s, d) => graft.operators.Quality.anomalyContribution(s, d)),
+    "q13_order_count_dist" -> ((s, d) => Relational.orderCountDistribution(s, d)),
+    "q22_idle_rich"        -> ((s, d) => Relational.idleRichCustomers(s, d)),
     "q19_disjunctive_pred" -> ((s, d) => Relational.disjunctivePredicateRevenue(s, d)),
     "tt5_bloom_skip"       -> ((s, d) => Ingest.bloomSkipGate(s, d)),
     "tt6_schema_evolution" -> ((s, d) => Ingest.schemaEvolutionGate(s, d)),
@@ -2931,6 +2933,33 @@ object SparkEntry {
         |  FROM ev GROUP BY 1)
         |SELECT p.doc_id, p.n_grams, h.n_contaminated
         |FROM per p JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The non-urgent condition rides the OUTER JOIN (zero-order
+    // customers stay); count(o_orderkey) counts matches only.
+    "q13_order_count_dist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Threshold = exactAvg (DECIMAL sum, one double division) so the
+    // boundary comparison is bit-identical; NOT EXISTS == left anti.
+    "q22_idle_rich" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+        |    / count(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT CAST(c_nationkey AS INT) AS cntry,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Peak hour by (total DESC, hour ASC); contribution = peak count
     // minus the type's mean hourly count (exact-integer division).
     "exp1_anomaly_contrib" ->

@@ -545,6 +545,54 @@ object Relational {
           .cast("decimal(30,6)")).cast("double").as("revenue"))
   }
 
+  /** Gated q13: TPC-H Q13's shape — the two-level aggregation with a
+    * CONDITION INSIDE THE OUTER JOIN (customers joined only to their
+    * non-urgent orders, zero-order customers kept): per-customer order
+    * counts, then the distribution of those counts. The join predicate
+    * must ride the join (filtering afterwards would drop the zero
+    * groups); count(o_orderkey) counts non-null matches only. Both
+    * aggregations are map-side combinable; the second one runs over
+    * |customers| rows collapsing to a few dozen buckets.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** Gated q22: TPC-H Q22's shape — a global scalar threshold feeding
+    * an anti join: customers with above-average balance who never
+    * placed a big-ticket order (the "idle rich" audit). The average
+    * is the exactAvg discipline (DECIMAL sum → one double division)
+    * so the threshold comparison is bit-identical cross-engine; the
+    * 1-row threshold frame broadcasts into the filter, and NOT EXISTS
+    * becomes a broadcast-able left anti join on the pruned big-order
+    * key set.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String,
+                        bigOrder: Double = 300000.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val ab = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(30,2)")).cast("double")
+        / count(lit(1))).as("ab"))
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > bigOrder)
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("int").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(30,2)")).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
+
   /** Exact interpolated quantiles (percentile). At 100 TB you would
     * reach for approx_percentile; the exact form is the oracle-checked
     * semantics anchor.

@@ -266,4 +266,31 @@ class Round8bSpec extends SparkSpec {
         (r.getAs[Long]("peak_n") - r.getAs[Double]("mean_hourly_n"))) < 1e-5)
     }
   }
+
+  // ---- q13 / q22 TPC-H shapes ------------------------------------
+
+  test("q13: distribution covers every customer, including zero-order ones") {
+    val rows = Relational.orderCountDistribution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("custdist")).sum ==
+      Tables.customer(spark, sf).count())
+    // urgent-only customers count as zero, not dropped
+    assert(rows.forall(_.getAs[Long]("c_count") >= 0))
+  }
+
+  test("q22: every reported customer is above threshold with no big orders") {
+    val total = Relational.idleRichCustomers(spark, sf).collect()
+      .map(_.getAs[Long]("numcust")).sum
+    // recompute directly: above-exact-avg balance, anti join big orders
+    val c = Tables.customer(spark, sf)
+    val abRow = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(30,2)")).cast("double").as("s"),
+        count(lit(1)).as("n")).head()
+    val ab = abRow.getDouble(0) / abRow.getLong(1)
+    val expect = c.filter(col("c_acctbal") > ab)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(total == expect)
+  }
 }
