@@ -359,6 +359,26 @@ object SparkEntry {
     "ch1_doc_chunks"       -> ((s, d) => graft.operators.Packing.overlappingChunks(s, d)),
     "dq2_hourly_anomalies" -> ((s, d) => graft.operators.Quality.hourlyAnomalies(s, d)),
     "ivm1_incremental_agg" -> ((s, d) => Ingest.incrementalAggMaintenance(s, d)),
+    // ---- round-8c: the 11 remaining TPC-H shapes (all 22 now gated) ----
+    "q2_min_cost_supplier"  -> ((s, d) => graft.operators.Tpch.minCostSupplier(s, d)),
+    "q4_priority_exists"    -> ((s, d) => graft.operators.Tpch.priorityExists(s, d)),
+    "q8_market_share"       -> ((s, d) => graft.operators.Tpch.marketShare(s, d)),
+    "q9_product_profit"     -> ((s, d) => graft.operators.Tpch.productProfit(s, d)),
+    "q11_important_stock"   -> ((s, d) => graft.operators.Tpch.importantStock(s, d)),
+    "q12_priority_lines"    -> ((s, d) => graft.operators.Tpch.priorityLines(s, d)),
+    "q15_top_supplier"      -> ((s, d) => graft.operators.Tpch.topSupplier(s, d)),
+    "q16_supplier_variety"  -> ((s, d) => graft.operators.Tpch.supplierVariety(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => graft.operators.Tpch.smallQtyRevenue(s, d)),
+    "q20_excess_stock"      -> ((s, d) => graft.operators.Tpch.excessStockSuppliers(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => graft.operators.Tpch.waitingSuppliers(s, d)),
+    // ---- round-8c: statistical inference / diagnostics family ----
+    "wt1_welch_ttest"       -> ((s, d) => graft.operators.Stats.welchTTest(s, d)),
+    "mw1_mann_whitney"      -> ((s, d) => graft.operators.Stats.mannWhitneyU(s, d)),
+    "woe1_weight_of_evidence" -> ((s, d) => graft.operators.Stats.weightOfEvidence(s, d)),
+    "xc1_lagged_xcorr"      -> ((s, d) => graft.operators.Stats.laggedCrossCorrelation(s, d)),
+    "hw1_holt_linear"       -> ((s, d) => graft.operators.Stats.holtLinearTrend(s, d)),
+    "ga1_degree_assortativity" -> ((s, d) => graft.operators.Stats.degreeAssortativity(s, d)),
+    "ar1_association_rules" -> ((s, d) => graft.operators.Stats.associationRules(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -4031,5 +4051,323 @@ object SparkEntry {
         |r AS (SELECT doc_id, host, CAST(row_number() OVER (PARTITION BY host
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk FROM u)
         |SELECT doc_id, host, rk FROM r WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
+    // ---- round-8c: the 11 remaining TPC-H shapes. The five
+    // partsupp-based oracles prepend the identical derived-partsupp CTE
+    // (graft.operators.Tpch.partsuppSql) the engine computes. ----
+    "q2_min_cost_supplier" ->
+      s"""WITH ${graft.operators.Tpch.partsuppSql},
+        |eligible AS (
+        |  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |    s.s_acctbal, n.n_name, ps.ps_cost_cents
+        |  FROM ps JOIN part p ON p.p_partkey = ps.p_partkey
+        |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'SMALL' AND p.p_size <= 15),
+        |mc AS (SELECT p_partkey, min(ps_cost_cents) AS min_cents
+        |  FROM eligible GROUP BY 1)
+        |SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name,
+        |  e.s_suppkey, CAST(e.ps_cost_cents AS BIGINT) AS cost_cents
+        |FROM eligible e JOIN mc ON e.p_partkey = mc.p_partkey
+        |  AND e.ps_cost_cents = mc.min_cents
+        |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey,
+        |  e.s_suppkey
+        |LIMIT 100""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    - (1 + (l.l_partkey * 31 + l.l_suppkey * 17) % 10000) / 100.0
+        |      * l.l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_profit
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH ${graft.operators.Tpch.partsuppSql},
+        |val AS (
+        |  SELECT ps.p_partkey,
+        |    CAST(sum(ps.ps_cost_cents * ps.ps_availqty) AS BIGINT) AS v
+        |  FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = 2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM val)
+        |SELECT v.p_partkey, v.v AS value_cents
+        |FROM val v, tot WHERE v.v * 1000 > tot.t
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l.l_returnflag AS rflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_revenue) AS mr FROM rev)
+        |SELECT s.s_suppkey, s.s_name,
+        |  round(CAST(r.total_revenue AS DOUBLE), 4) AS total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no, m
+        |WHERE r.total_revenue = m.mr
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q16_supplier_variety" ->
+      s"""WITH ${graft.operators.Tpch.partsuppSql}
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps.ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH agg AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+        |      / count(*) AS aq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(coalesce(
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE),
+        |    0.0) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN agg a ON a.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
+        |  AND l.l_quantity < 0.2 * a.aq""".stripMargin,
+    "q20_excess_stock" ->
+      s"""WITH ${graft.operators.Tpch.partsuppSql},
+        |sh AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT DISTINCT ps.ps_suppkey
+        |  FROM ps JOIN part p ON ps.p_partkey = p.p_partkey
+        |  LEFT JOIN sh ON sh.l_partkey = ps.p_partkey
+        |    AND sh.l_suppkey = ps.ps_suppkey
+        |  WHERE p.p_name LIKE 'small%'
+        |    AND ps.ps_availqty > 0.5 * coalesce(sh.qty, 0))
+        |SELECT s.s_name, s.s_suppkey
+        |FROM supplier s
+        |WHERE s.s_nationkey IN
+        |    (SELECT n_nationkey FROM nation WHERE n_regionkey = 3)
+        |  AND s.s_suppkey IN (SELECT ps_suppkey FROM q)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 1
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+    // ---- round-8c: statistical inference / diagnostics family.
+    // Sufficient statistics accumulate exactly (BIGINT/DECIMAL); every
+    // double expression mirrors the Scala operation order term-for-term
+    // (chained CTEs bind the same intermediates the Scala code reuses).
+    "wt1_welch_ttest" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,6))
+        |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS sa,
+        |    sum(CASE WHEN event_type='purchase' THEN CAST(value*value AS DECIMAL(38,6))
+        |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS qa,
+        |    CAST(sum(CASE WHEN event_type='purchase' THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN event_type='purchase' THEN CAST(0 AS DECIMAL(30,6))
+        |      ELSE CAST(value AS DECIMAL(30,6)) END) AS sb,
+        |    sum(CASE WHEN event_type='purchase' THEN CAST(0 AS DECIMAL(38,6))
+        |      ELSE CAST(value*value AS DECIMAL(38,6)) END) AS qb
+        |  FROM events WHERE event_type IN ('purchase','click')),
+        |d AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |  CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        |  CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd FROM a),
+        |m AS (SELECT *, sad/nad AS ma, sbd/nbd AS mb FROM d),
+        |v AS (SELECT *, (qad - nad*ma*ma)/(nad - 1) AS va,
+        |  (qbd - nbd*mb*mb)/(nbd - 1) AS vb FROM m),
+        |s AS (SELECT *, va/nad AS sea, vb/nbd AS seb FROM v)
+        |SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+        |  round((ma - mb)/sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb)*(sea + seb)
+        |    / (sea*sea/(nad - 1) + seb*seb/(nbd - 1)), 6) AS dof
+        |FROM s""".stripMargin,
+    // Half-rank sum stays in exact integers (DECIMAL(38,0)); the window
+    // runs over the DISTINCT-VALUE table, never per row.
+    "mw1_mann_whitney" ->
+      """WITH ev AS (SELECT value, event_type='purchase' AS isa FROM events
+        |  WHERE event_type IN ('purchase','click')),
+        |g AS (SELECT value,
+        |  CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        | FROM ev GROUP BY 1),
+        |c AS (SELECT ca, cb, CAST(coalesce(sum(ca+cb) OVER (ORDER BY value
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM g),
+        |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |  sum(CAST(ca*(cum_before*2 + ca + cb + 1) AS DECIMAL(38,0))) AS r2,
+        |  sum(CAST((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb) AS DECIMAL(38,0))) AS ties FROM c),
+        |d AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |  CAST(r2 AS DOUBLE) AS r2d, CAST(ties AS DOUBLE) AS tiesd FROM agg),
+        |u AS (SELECT *, nad + nbd AS n, r2d/2 - nad*(nad + 1)/2 AS ustat FROM d)
+        |SELECT na AS n_a, nb AS n_b, round(ustat, 6) AS u_stat,
+        |  round((ustat - nad*nbd/2)
+        |    / sqrt(nad*nbd/12 * ((n + 1) - tiesd/(n*(n - 1)))), 6) AS z_score
+        |FROM u""".stripMargin,
+    "woe1_weight_of_evidence" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice/50000.0) AS INT) AS bin,
+        |  o_orderstatus = 'F' AS pos FROM orders),
+        |g AS (SELECT bin,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        | FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |  CAST(sum(n_neg) AS BIGINT) AS tn FROM g),
+        |p AS (SELECT bin, n_pos, n_neg,
+        |  (CAST(n_pos AS DOUBLE) + 0.5)/CAST(tp AS DOUBLE) AS pp,
+        |  (CAST(n_neg AS DOUBLE) + 0.5)/CAST(tn AS DOUBLE) AS pn FROM g, t)
+        |SELECT bin, n_pos, n_neg, round(ln(pp) - ln(pn), 6) AS woe,
+        |  round((pp - pn)*(ln(pp) - ln(pn)), 6) AS iv_term
+        |FROM p ORDER BY bin""".stripMargin,
+    // Same sufficient-statistic discipline as acf1, across two series.
+    "xc1_lagged_xcorr" ->
+      """WITH h AS (SELECT epoch(date_trunc('hour', ts))//3600 AS hi, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE event_type IN ('click','purchase') GROUP BY 1, 2),
+        |x AS (SELECT hi, n AS x FROM h WHERE event_type = 'click'),
+        |y AS (SELECT hi AS hiy, n AS y FROM h WHERE event_type = 'purchase'),
+        |l AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(lag_hours)),
+        |p AS (SELECT l.lag_hours, x.x, y.y
+        |  FROM l JOIN x ON true JOIN y ON y.hiy = x.hi + l.lag_hours),
+        |s AS (SELECT lag_hours, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy FROM p GROUP BY 1),
+        |d AS (SELECT lag_hours, np, CAST(np AS DOUBLE) AS npd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM s)
+        |SELECT CAST(lag_hours AS INT) AS lag_hours, np AS n_pairs,
+        |  round((npd*sxyd - sxd*syd)
+        |    / (sqrt(npd*sxxd - sxd*sxd) * sqrt(npd*syyd - syd*syd)), 6) AS xcorr
+        |FROM d ORDER BY lag_hours""".stripMargin,
+    // The recursion replays the engine's aggregate() fold step-for-step
+    // (complement-free update forms: no 1-α/1-β literals to drift).
+    "hw1_holt_linear" ->
+      """WITH RECURSIVE
+        |hh AS (SELECT event_type, epoch(date_trunc('hour', ts))//3600 AS hi,
+        |  CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(row_number() OVER (PARTITION BY event_type
+        |  ORDER BY hi) AS BIGINT) AS rn, x FROM hh),
+        |nper AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT s1.event_type AS event_type, CAST(1 AS BIGINT) AS t,
+        |    s1.x AS l, s2.x - s1.x AS b
+        |  FROM s s1 JOIN s s2 ON s1.event_type = s2.event_type
+        |    AND s1.rn = 1 AND s2.rn = 2
+        |  UNION ALL
+        |  SELECT r.event_type AS event_type, r.t + 1,
+        |    (r.l + r.b) + 0.5 * (s.x - (r.l + r.b)),
+        |    r.b + 0.3 * ((((r.l + r.b) + 0.5 * (s.x - (r.l + r.b))) - r.l) - r.b)
+        |  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.t + 1)
+        |SELECT r.event_type, n.n AS n_hours, round(r.l, 6) AS level,
+        |  round(r.b, 6) AS trend, round(r.l + r.b, 6) AS forecast_next
+        |FROM r JOIN nper n ON r.event_type = n.event_type AND r.t = n.n
+        |WHERE n.n >= 2 ORDER BY r.event_type""".stripMargin,
+    "ga1_degree_assortativity" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |d2 AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM d2 GROUP BY 1),
+        |p AS (SELECT du.d AS du, dv.d AS dv FROM d2
+        |  JOIN deg du ON d2.src = du.src JOIN deg dv ON d2.dst = dv.src),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(du) AS BIGINT) AS sx,
+        |  CAST(sum(dv) AS BIGINT) AS sy, CAST(sum(du*dv) AS BIGINT) AS sxy,
+        |  CAST(sum(du*du) AS BIGINT) AS sxx, CAST(sum(dv*dv) AS BIGINT) AS syy FROM p),
+        |d AS (SELECT np, CAST(np AS DOUBLE) AS npd, CAST(sx AS DOUBLE) AS sxd,
+        |  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd FROM a)
+        |SELECT np AS n_directed_edges,
+        |  round((npd*sxyd - sxd*syd)
+        |    / (sqrt(npd*sxxd - sxd*sxd) * sqrt(npd*syyd - syd*syd)), 6) AS assortativity
+        |FROM d""".stripMargin,
+    "ar1_association_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+        |isup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM i GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bt AS (SELECT pa AS ante, pb AS cons, supp_ab FROM p
+        |  UNION ALL SELECT pb AS ante, pa AS cons, supp_ab FROM p)
+        |SELECT b.ante, b.cons, b.supp_ab,
+        |  round(CAST(b.supp_ab AS DOUBLE)/CAST(sa.supp AS DOUBLE), 6) AS confidence,
+        |  round(CAST(b.supp_ab AS DOUBLE)*nb.n
+        |    /(CAST(sa.supp AS DOUBLE)*CAST(sc.supp AS DOUBLE)), 6) AS lift
+        |FROM bt b JOIN isup sa ON b.ante = sa.l_partkey
+        |JOIN isup sc ON b.cons = sc.l_partkey, nb
+        |ORDER BY supp_ab DESC, ante, cons""".stripMargin,
   )
 }

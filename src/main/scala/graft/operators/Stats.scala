@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical-inference and model-diagnostics operators (round 8c):
+  * Welch's t-test (wt1), Mann-Whitney U with tie correction (mw1),
+  * weight-of-evidence / information-value binning (woe1), lagged
+  * cross-correlation between two event series (xc1), Holt linear-trend
+  * smoothing as a higher-order-function fold (hw1), degree
+  * assortativity of the co-purchase graph (ga1), and association-rule
+  * confidence/lift over frequent pairs (ar1).
+  *
+  * Numeric discipline (the cross-engine hash contract): integer
+  * sufficient statistics accumulate exactly (BIGINT / DECIMAL(38,x)),
+  * every double expression is spelled with the IDENTICAL operation
+  * order in the DuckDB oracle, and outputs round to 6 places. Scale
+  * shape: every operator here folds the fact table to per-group
+  * sufficient statistics FIRST (map-side combinable), then finishes
+  * the formula on group-cardinality frames.
+  */
+object Stats {
+
+  /** Gated wt1: WELCH'S T-TEST between two event types' values — the
+    * unequal-variance two-sample test an experimentation pipeline runs
+    * when variance homogeneity can't be assumed. One conditional
+    * aggregation produces both groups' (n, Σv, Σv²) in a single scan;
+    * t and the Welch–Satterthwaite dof are closed-form arithmetic on
+    * the 1-row result. Sums accumulate in DECIMAL (exact,
+    * order-invariant); every double step mirrors the oracle
+    * term-for-term.
+    */
+  def welchTTest(spark: SparkSession, dir: String,
+                 typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val isA = col("event_type") === typeA
+    val agg = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, col("value").cast("decimal(30,6)"))
+          .otherwise(lit(0).cast("decimal(30,6)"))).as("sa"),
+        sum(when(isA, (col("value") * col("value")).cast("decimal(38,6)"))
+          .otherwise(lit(0).cast("decimal(38,6)"))).as("qa"),
+        sum(when(isA, 0L).otherwise(1L)).as("nb"),
+        sum(when(isA, lit(0).cast("decimal(30,6)"))
+          .otherwise(col("value").cast("decimal(30,6)"))).as("sb"),
+        sum(when(isA, lit(0).cast("decimal(38,6)"))
+          .otherwise((col("value") * col("value")).cast("decimal(38,6)"))).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val ma = d("sa") / d("na")
+    val mb = d("sb") / d("nb")
+    val va = (d("qa") - d("na") * ma * ma) / (d("na") - 1)
+    val vb = (d("qb") - d("nb") * mb * mb) / (d("nb") - 1)
+    val sea = va / d("na")
+    val seb = vb / d("nb")
+    agg.select(
+      col("na").cast("bigint").as("n_a"),
+      col("nb").cast("bigint").as("n_b"),
+      round(ma, 6).as("mean_a"),
+      round(mb, 6).as("mean_b"),
+      round(va, 6).as("var_a"),
+      round(vb, 6).as("var_b"),
+      round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+      round((sea + seb) * (sea + seb)
+        / (sea * sea / (d("na") - 1) + seb * seb / (d("nb") - 1)), 6).as("dof"))
+  }
+
+  /** Gated mw1: MANN-WHITNEY U (Wilcoxon rank-sum) with mid-rank tie
+    * handling and the tie-corrected normal approximation — the
+    * nonparametric A/B readout when values are skewed. The scale move:
+    * ranks are never materialized per ROW — the fact table collapses
+    * to the DISTINCT-VALUE table (cntA, cntB per value), and the
+    * rank-sum folds over it using [[Ranks.withExclusivePrefixSum]]
+    * (range exchange + per-partition scan — no single-partition
+    * window however many distinct values exist). The half-rank sum
+    * Σ cntA·(2·cumBefore + cnt + 1) stays in exact DECIMAL integers;
+    * doubles appear only in the final closed form.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String,
+                   typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("value"), (col("event_type") === typeA).as("isa"))
+    val g = ev.groupBy(col("value"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("cb"))
+    val withCum = Ranks.withExclusivePrefixSum(
+      g, Seq(col("value")), col("ca") + col("cb"),
+      g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      "cum_before")
+    val agg = withCum.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      // Σ ca·(2·cumBefore + ca + cb + 1): twice the mid-rank sum of
+      // group A, exact integers (DECIMAL(38,0) headroom to ~1e38).
+      sum((col("ca") * (col("cum_before") * 2 + col("ca") + col("cb") + 1))
+        .cast("decimal(38,0)")).as("r2"),
+      // Tie correction Σ (t³ − t) over tied values.
+      sum(((col("ca") + col("cb")) * (col("ca") + col("cb"))
+        * (col("ca") + col("cb")) - (col("ca") + col("cb")))
+        .cast("decimal(38,0)")).as("ties"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("na") + d("nb")
+    val u = d("r2") / 2 - d("na") * (d("na") + 1) / 2
+    val mu = d("na") * d("nb") / 2
+    val sigma = sqrt(d("na") * d("nb") / 12
+      * ((n + 1) - d("ties") / (n * (n - 1))))
+    agg.select(
+      col("na").cast("bigint").as("n_a"),
+      col("nb").cast("bigint").as("n_b"),
+      round(u, 6).as("u_stat"),
+      round((u - mu) / sigma, 6).as("z_score"))
+  }
+
+  /** Gated woe1: WEIGHT OF EVIDENCE / INFORMATION VALUE over price
+    * bins — the credit-scoring-style diagnostic for how strongly a
+    * binned feature separates a binary target (here: order price bands
+    * vs finalized status). One binned aggregation plus a broadcast
+    * 1-row totals frame; Laplace +0.5 smoothing keeps empty cells
+    * finite. ln() is the only transcendental — same IEEE input on
+    * both engines, rounded to 6.
+    */
+  def weightOfEvidence(spark: SparkSession, dir: String,
+                       binWidth: Double = 50000.0): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / binWidth).cast("int").as("bin"),
+        (col("o_orderstatus") === "F").as("pos"))
+    val byBin = o.groupBy(col("bin"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = byBin.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+    def d(c: String) = col(c).cast("double")
+    val pp = (d("n_pos") + 0.5) / d("tp")
+    val pn = (d("n_neg") + 0.5) / d("tn")
+    val woe = log(pp) - log(pn)
+    byBin.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        col("n_neg").cast("bigint").as("n_neg"),
+        round(woe, 6).as("woe"),
+        round((pp - pn) * woe, 6).as("iv_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Gated xc1: LAGGED CROSS-CORRELATION between two event types'
+    * hourly series (does click volume lead purchase volume?). The
+    * series are hour-grain aggregates (bounded spine); each lag is an
+    * equi-join shift on the integer hour index, and the Pearson
+    * closed form follows acf1's audited discipline exactly — integer
+    * products accumulate in DECIMAL(38,0) (BIGINT squares overflow at
+    * corpus scale), doubles enter only per sufficient statistic.
+    */
+  def laggedCrossCorrelation(spark: SparkSession, dir: String,
+                             typeX: String = "click", typeY: String = "purchase",
+                             maxLag: Int = 6): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeX, typeY))
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000L")
+        .as("hi"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val x = hourly.filter(col("event_type") === typeX)
+      .select(col("hi"), col("n").as("x"))
+    val y = hourly.filter(col("event_type") === typeY)
+      .select(col("hi").as("hiy"), col("n").as("y"))
+    val lagDf = spark.createDataFrame(
+      (0 to maxLag).map(l => Tuple1(l))).toDF("lag_hours")
+    x.join(broadcast(lagDf))
+      .join(y, col("hiy") === col("hi") + col("lag_hours")) // y lags x
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("lag_hours"), col("np").as("n_pairs"), {
+        def d(c: String) = col(c).cast("double")
+        round((d("np") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("np") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("np") * d("syy") - d("sy") * d("sy"))),
+          6).as("xcorr")
+      })
+      .orderBy(col("lag_hours"))
+  }
+
+  /** Gated hw1: HOLT LINEAR-TREND smoothing per event type — the
+    * level+trend forecast one step past the series end. The recurrence
+    * is inherently sequential, so it runs as a HIGHER-ORDER-FUNCTION
+    * fold (`aggregate`) over each type's hour-ordered count array
+    * inside one codegen'd projection: state (l, b) starts at
+    * (x₁, x₂−x₁) and folds x₂..xₙ with l' = α·x + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b. Series are per-type hour counts (bounded
+    * spine: one array per GROUP, thousands of entries — never the
+    * fact table); at 100 TB the grouping still collapses before any
+    * array exists. α=0.5, β=0.3 spelled identically in the oracle's
+    * recursive CTE so every IEEE step matches bit-for-bit.
+    */
+  def holtLinearTrend(spark: SparkSession, dir: String,
+                      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000L").as("hi"))
+      .agg(count(lit(1)).as("n"))
+    val series = hourly.groupBy(col("event_type"))
+      .agg(transform(sort_array(collect_list(struct(col("hi"), col("n")))),
+        s => s.getField("n").cast("double")).as("xs"))
+      .filter(size(col("xs")) >= 2)
+    val x1 = element_at(col("xs"), 1)
+    val x2 = element_at(col("xs"), 2)
+    // Complement-free update forms (no 1−α / 1−β literals: a computed
+    // complement like 1−0.3 can round-to-even AWAY from the SQL literal
+    // 0.7, so neither side ever materializes one):
+    //   l' = (l+b) + α·(x − (l+b));  b' = b + β·((l'−l) − b)
+    val state = aggregate(
+      slice(col("xs"), lit(2), size(col("xs")) - 1),
+      struct(x1.as("l"), (x2 - x1).as("b")),
+      (acc, xv) => {
+        val lp = acc.getField("l") + acc.getField("b")
+        val lNew = lp + lit(alpha) * (xv - lp)
+        struct(lNew.as("l"),
+          (acc.getField("b")
+            + lit(beta) * ((lNew - acc.getField("l")) - acc.getField("b")))
+            .as("b"))
+      })
+    series.select(col("event_type"),
+      size(col("xs")).cast("bigint").as("n_hours"),
+      round(state.getField("l"), 6).as("level"),
+      round(state.getField("b"), 6).as("trend"),
+      round(state.getField("l") + state.getField("b"), 6).as("forecast_next"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gated ga1: DEGREE ASSORTATIVITY of the part co-purchase graph —
+    * the Pearson correlation of endpoint degrees over directed edges
+    * (both orientations), the standard "do hubs connect to hubs"
+    * diagnostic for curation graphs. Degrees come from one aggregation
+    * of the edge list; the node-cardinality degree table broadcasts
+    * back onto edges; the correlation reduces to DECIMAL sufficient
+    * statistics (degree products overflow BIGINT at corpus scale).
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Graph.copurchaseEdges(spark, dir)
+    // Both orientations: assortativity is defined over the directed
+    // double cover of an undirected graph.
+    val directed = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val paired = directed
+      .join(broadcast(deg.select(col("src"), col("d").as("du"))), "src")
+      .join(broadcast(deg.select(col("src").as("dst"), col("d").as("dv"))), "dst")
+    val out = paired.agg(count(lit(1)).as("np"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du").cast("decimal(38,0)") * col("dv")).as("sxy"),
+        sum(col("du").cast("decimal(38,0)") * col("du")).as("sxx"),
+        sum(col("dv").cast("decimal(38,0)") * col("dv")).as("syy"))
+      .select(col("np").cast("bigint").as("n_directed_edges"), {
+        def d(c: String) = col(c).cast("double")
+        round((d("np") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("np") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("np") * d("syy") - d("sy") * d("sy"))),
+          6).as("assortativity")
+      })
+    out.collect() // materialize before releasing the directed cover
+    directed.unpersist()
+    out
+  }
+
+  /** Gated ar1: ASSOCIATION RULES over frequent basket pairs —
+    * confidence and lift for each frequent (a → b) co-purchase pair,
+    * the step after fi1's support counting that turns counts into
+    * actionable rules. Item supports are a node-cardinality aggregate
+    * broadcast onto the (already support-filtered) pair list; both
+    * rule directions emit from one pair row. Ratios divide exact
+    * BIGINT counts, rounded to 6.
+    */
+  def associationRules(spark: SparkSession, dir: String,
+                       minSupport: Long = 3): DataFrame = {
+    val i = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey")).distinct().count()
+    val itemSupp = i.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val pairs = i.as("a").join(i.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    val both = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("supp_ab"))
+      .unionAll(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("supp_ab")))
+    both
+      .join(broadcast(itemSupp.select(col("l_partkey").as("ante"),
+        col("supp").as("supp_a"))), "ante")
+      .join(broadcast(itemSupp.select(col("l_partkey").as("cons"),
+        col("supp").as("supp_c"))), "cons")
+      .select(col("ante"), col("cons"),
+        col("supp_ab").cast("bigint").as("supp_ab"),
+        round(col("supp_ab").cast("double") / col("supp_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("supp_ab").cast("double") * nBaskets
+          / (col("supp_a").cast("double") * col("supp_c").cast("double")), 6)
+          .as("lift"))
+      .orderBy(desc("supp_ab"), col("ante"), col("cons"))
+  }
+}
