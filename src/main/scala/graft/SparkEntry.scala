@@ -379,6 +379,12 @@ object SparkEntry {
     "hw1_holt_linear"       -> ((s, d) => graft.operators.Stats.holtLinearTrend(s, d)),
     "ga1_degree_assortativity" -> ((s, d) => graft.operators.Stats.degreeAssortativity(s, d)),
     "ar1_association_rules" -> ((s, d) => graft.operators.Stats.associationRules(s, d)),
+    // ---- round-8d: trend/survival/forensic diagnostics + path mining ----
+    "mkt1_mann_kendall"     -> ((s, d) => graft.operators.Stats.mannKendallTrend(s, d)),
+    "dv1_delete_vectors"    -> ((s, d) => graft.operators.Ingest.txDeleteVectorGate(s, d)),
+    "ben1_benford_digits"   -> ((s, d) => graft.operators.Quality.benfordDigits(s, d)),
+    "sur1_kaplan_meier"     -> ((s, d) => graft.operators.Behavior.kaplanMeier(s, d)),
+    "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -4369,5 +4375,109 @@ object SparkEntry {
         |FROM bt b JOIN isup sa ON b.ante = sa.l_partkey
         |JOIN isup sc ON b.cons = sc.l_partkey, nb
         |ORDER BY supp_ab DESC, ante, cons""".stripMargin,
+    // Phase rows carry manifest state (dir/dv counts) as literals: the
+    // identical data-dir count across MoR phases IS the merge-on-read
+    // property; row counts/sums derive from orders with the same
+    // predicates the engine's deleteWhere applied.
+    "dv1_delete_vectors" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s FROM o),
+        |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |  FROM o WHERE k % 3 <> 0),
+        |m2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |  FROM o WHERE k % 3 <> 0 AND cust % 7 <> 0)
+        |SELECT '1_full' AS phase, 2 AS n_data_dirs, 0 AS n_dv_dirs,
+        |  n AS n_rows, s AS total_cents FROM f
+        |UNION ALL SELECT '2_mor_k3', 2, 1, n, s FROM m1
+        |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
+        |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
+        |ORDER BY phase""".stripMargin,
+    // Pair stage runs on the calendar-bounded day spine; revenue is exact
+    // BIGINT cents so every sign() and tie group is integer-decided.
+    "mkt1_mann_kendall" ->
+      """WITH s AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+        |    CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.di AS i, a.rev AS ri, b.di AS j, b.rev AS rj
+        |  FROM s a JOIN s b ON a.di < b.di),
+        |pa AS (SELECT
+        |    CAST(sum(CASE WHEN rj > ri THEN 1 WHEN rj < ri THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |    quantile_cont((CAST(rj - ri AS DOUBLE) / 100.0) / CAST(j - i AS DOUBLE), 0.5) AS ts_slope
+        |  FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM s),
+        |t AS (SELECT CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tie_sum
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY rev HAVING count(*) > 1)),
+        |d AS (SELECT s_stat, ts_slope, n_days,
+        |  CAST(n_days AS DOUBLE) AS nd, CAST(tie_sum AS DOUBLE) AS td FROM pa, n, t),
+        |v AS (SELECT *, (nd*(nd - 1)*(2*nd + 5) - td)/18.0 AS var_s FROM d)
+        |SELECT n_days, s_stat, round(var_s, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)/sqrt(var_s)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)/sqrt(var_s)
+        |    ELSE 0.0 END, 6) AS z_score,
+        |  round(ts_slope, 6) AS theil_sen_slope
+        |FROM v""".stripMargin,
+    // Leading digit by pure-integer range dispatch on BIGINT cents; the
+    // only transcendental is log10(1+1/d) of the nine constant digits,
+    // spelled ln/ln(10) on both engines.
+    "ben1_benford_digits" ->
+      ("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |dd AS (SELECT CASE """.stripMargin
+        + (0 to 17).map { k =>
+            val p = math.pow(10, k).toLong
+            s"WHEN c < ${BigInt(p) * 10} THEN c // $p"
+          }.mkString(" ")
+        + """ ELSE NULL END AS digit FROM c),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dd GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE)/CAST(n_total AS DOUBLE), 6) AS obs_share,
+        |  round(ln(1.0 + 1.0/CAST(digit AS DOUBLE))/ln(10.0), 6) AS exp_share,
+        |  round(CAST(n_obs AS DOUBLE)/CAST(n_total AS DOUBLE)
+        |    - ln(1.0 + 1.0/CAST(digit AS DOUBLE))/ln(10.0), 6) AS excess
+        |FROM g, t ORDER BY digit""".stripMargin),
+    // Life table over hour-grain durations (observation-window bounded);
+    // d and n_risk are exact integers so both engines ln/exp the same
+    // IEEE doubles; a d = n tail folds to -infinity -> survival 0.
+    "sur1_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)//1000) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts)//1000 END) AS tp,
+        |    max(epoch_ns(ts)//1000) AS tl
+        |  FROM events GROUP BY 1),
+        |du AS (SELECT CASE WHEN tp IS NOT NULL
+        |      THEN CAST(floor(CAST(tp - t0 AS DOUBLE) / 3600000000) AS BIGINT)
+        |      ELSE CAST(floor(CAST(tl - t0 AS DOUBLE) / 3600000000) AS BIGINT) END AS dur_h,
+        |    tp IS NOT NULL AS ev FROM pu),
+        |life AS (SELECT dur_h,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c_censored
+        |  FROM du GROUP BY 1),
+        |c AS (SELECT *, CAST(coalesce(sum(d_events + c_censored) OVER (ORDER BY dur_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS left_before
+        |  FROM life),
+        |t AS (SELECT CAST(sum(d_events + c_censored) AS BIGINT) AS n_total FROM life),
+        |r AS (SELECT dur_h, d_events, c_censored, n_total - left_before AS n_risk FROM c, t),
+        |l AS (SELECT *, CASE
+        |    WHEN 1.0 - CAST(d_events AS DOUBLE)/CAST(n_risk AS DOUBLE) > 0
+        |    THEN ln(1.0 - CAST(d_events AS DOUBLE)/CAST(n_risk AS DOUBLE))
+        |    ELSE CAST('-infinity' AS DOUBLE) END AS lnf FROM r)
+        |SELECT dur_h, n_risk, d_events, c_censored,
+        |  round(exp(sum(lnf) OVER (ORDER BY dur_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        |FROM l ORDER BY dur_h""".stripMargin,
+    // Per-user windows only (scales with users); boundary ties in the
+    // top-k break on the path string for a deterministic set.
+    "path1_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
+        |  FROM e)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
   )
 }

@@ -416,4 +416,91 @@ object Behavior {
           / count(lit(1)), 6).as("avg_duration_sec"))
       .orderBy(col("session_size"))
   }
+
+  /** Gated sur1: KAPLAN-MEIER SURVIVAL CURVE for time-to-first-purchase
+    * — the censoring-aware "how long until users convert" estimator
+    * (naive conversion-time averages are biased by users still under
+    * observation). Per user: entry = first event, event = first
+    * purchase (if any), else right-censored at the last observed
+    * event. The fact table collapses to ONE ROW PER USER in a single
+    * user-keyed aggregation, then to the distinct-duration life table
+    * (hour grain — bounded by the observation window, not the corpus);
+    * at-risk counts come from [[Ranks.withExclusivePrefixSum]] over
+    * that bounded table, and the product-limit estimate folds as
+    * exp(Σ ln(1 − d/n)) under an hour-ordered cumulative window whose
+    * frame is the OBSERVATION-WINDOW-bounded life table (constant
+    * partition key = the zipf1 tripwire discipline, not a data-scale
+    * window). d and n are exact integers, so both engines see
+    * identical IEEE inputs; the d = n tail (everyone at risk dies)
+    * maps to −∞ → survival exactly 0 on both engines.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").as("isp"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("isp"), col("us"))).as("tp"),
+        max(col("us")).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+            floor((col("tp") - col("t0")) / lit(3600000000L)))
+          .otherwise(floor((col("tl") - col("t0")) / lit(3600000000L)))
+          .cast("bigint").as("dur_h"),
+        col("tp").isNotNull.as("ev"))
+    val life = perUser.groupBy(col("dur_h"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("ev"), 0L).otherwise(1L)).as("c_censored"))
+    val withCum = Ranks.withExclusivePrefixSum(
+      life, Seq(col("dur_h")), col("d_events") + col("c_censored"),
+      life.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      "left_before")
+    val total = life.agg(sum(col("d_events") + col("c_censored")).as("n_total"))
+    val atRisk = withCum.crossJoin(broadcast(total))
+      .select(col("dur_h"), col("d_events"), col("c_censored"),
+        (col("n_total") - col("left_before")).as("n_risk"))
+    // Bounded-frame cumulative window (life table ≤ observation hours):
+    // constant non-foldable partition key keeps the warning channel
+    // clean and makes a future unbounded reuse fail loudly.
+    val w = Window.partitionBy(pmod(hash(col("dur_h")), lit(1)))
+      .orderBy(col("dur_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factor = lit(1.0) -
+      col("d_events").cast("double") / col("n_risk").cast("double")
+    atRisk
+      .withColumn("lnf",
+        when(factor > 0, log(factor)).otherwise(lit(Double.NegativeInfinity)))
+      .withColumn("survival", exp(sum(col("lnf")).over(w)))
+      .select(col("dur_h"), col("n_risk"), col("d_events"), col("c_censored"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy(col("dur_h"))
+  }
+
+  /** Gated path1: TOP SESSION PATHS — the most frequent 3-step
+    * event-type sequences in per-user chronological streams, the
+    * navigation-mining readout funnel design starts from (fn1 checks
+    * ONE hypothesized order; this discovers which orders actually
+    * happen). Two `lead`s over a single user-partitioned window (one
+    * Exchange, per-user partitions — scales with users, no global
+    * sort), then a path-keyed count and a global top-k through
+    * TakeOrderedAndProject. Ties at the boundary break on the path
+    * string for a deterministic top-25 on both engines; intra-user
+    * order ties on ts break by event_id (the Behavior-wide micros
+    * discipline).
+    */
+  def sessionPaths(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(k)
+  }
 }

@@ -931,4 +931,46 @@ object Ingest {
         snapAgg(1).unionAll(snapAgg(2)))
       .orderBy(col("version"))
   }
+
+  /** Gated dv1: MERGE-ON-READ DELETION VECTORS through the TxTable
+    * log — the scale path for small deletes that [[txDeleteGate]]'s
+    * copy-on-write overwrite cannot afford at 100 TB: two stacked
+    * [[graft.sources.TxTable.deleteWhere]] calls tombstone rows by
+    * physical (file, row_index) position with ZERO data rewritten,
+    * then OPTIMIZE materializes both vectors in one pass. The readout
+    * hashes four phases — pre-delete, after each MoR delete, and
+    * post-OPTIMIZE — and each phase row also carries the MANIFEST
+    * STATE (data-dir / DV-dir counts): identical data dirs across the
+    * MoR phases is the merge-on-read property itself, provable in the
+    * oracle hash, and dv-count 0 after OPTIMIZE proves
+    * materialization cleared the vectors. Time travel to the
+    * pre-delete version inside the same log proves deleted rows stay
+    * reproducible until vacuum.
+    */
+  def txDeleteVectorGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_dv1_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o.filter(col("k") % 2 === 0)) // v1
+    val vFull = t.append(o.filter(col("k") % 2 =!= 0)) // v2
+    val vDel1 = t.deleteWhere(spark, col("k") % 3 === 0) // v3: MoR
+    val vDel2 = t.deleteWhere(spark, col("cust") % 7 === 0) // v4: stacked
+    val vOpt = t.optimizeCompact(spark, 2) // v5: materialize
+    def phase(label: String, v: Long): DataFrame =
+      t.snapshot(spark, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(label).as("phase"),
+          lit(t.resolveDirs(Some(v)).size).as("n_data_dirs"),
+          lit(t.resolveDvDirs(Some(v)).size).as("n_dv_dirs"),
+          col("n_rows"), col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        phase("1_full", vFull)
+          .unionAll(phase("2_mor_k3", vDel1))
+          .unionAll(phase("3_mor_both", vDel2))
+          .unionAll(phase("4_optimized", vOpt)))
+      .orderBy(col("phase"))
+  }
 }

@@ -744,4 +744,43 @@ object Quality {
         col("obs_total").cast("double").as("observed_total"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Gated ben1: BENFORD FIRST-DIGIT audit over order totals — the
+    * fabricated-data / systematic-bias screen forensic and
+    * data-quality pipelines run on any organically-generated numeric
+    * column. Digit extraction is PURE INTEGER arithmetic: amounts
+    * become BIGINT cents and the leading digit falls out of a
+    * magnitude-range CASE (`c div 10^k` for the k with
+    * 10^k ≤ c < 10^(k+1)) — no log10 on data values, so there is no
+    * float-boundary risk for either engine to disagree about. The
+    * only transcendental is the EXPECTED share log10(1 + 1/d) of the
+    * nine constant digits. One count aggregation into ≤ 9 rows plus a
+    * broadcast 1-row total; scale cost = one scan.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    // Leading digit of a positive BIGINT via range dispatch. Powers to
+    // 10^17 cover cents of any double-representable dollar amount.
+    val pows = (0 to 17).map(k => math.pow(10, k).toLong)
+    val digitSql = pows.zipWithIndex.map { case (p, k) =>
+      s"WHEN c < ${p * 10}L THEN c div ${p}L"
+    }.mkString("CASE ", " ", " ELSE CAST(NULL AS BIGINT) END")
+    val byDigit = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+      .select(expr(digitSql).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = byDigit.agg(sum(col("n_obs")).as("n_total"))
+    // log10 spelled as ln(x)/ln(10) so both engines take the identical
+    // IEEE path (DuckDB's log10 is a different libm entry point).
+    val expShare =
+      log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total").cast("double"), 6)
+          .as("obs_share"),
+        round(expShare, 6).as("exp_share"),
+        round(col("n_obs").cast("double") / col("n_total").cast("double")
+          - expShare, 6).as("excess"))
+      .orderBy(col("digit"))
+  }
 }

@@ -304,4 +304,49 @@ object Stats {
           .as("lift"))
       .orderBy(desc("supp_ab"), col("ante"), col("cons"))
   }
+
+  /** Gated mkt1: MANN-KENDALL TREND TEST + THEIL-SEN SLOPE over the
+    * daily-revenue series — the distribution-free "is this metric
+    * actually trending" readout monitoring pipelines prefer to OLS
+    * (ols1) because one outlier day can't drag it. The fact table
+    * collapses to the day-keyed spine FIRST (revenue in exact BIGINT
+    * cents via a DECIMAL(38,0) sum), so the O(n²) pair stage runs on a
+    * CALENDAR-bounded frame (~2.4k days → ~3M pairs) regardless of
+    * corpus size — broadcast the spine, never the facts. S is a pure
+    * integer sign-sum; Var(S) takes the standard tie correction from
+    * the value-tie groups; Theil-Sen is the exact interpolated median
+    * of pairwise slopes (both engines sort the same ~3M doubles).
+    */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("bigint").as("di"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        .cast("decimal(38,0)")).cast("bigint").as("rev"))
+    val a = series.select(col("di").as("i"), col("rev").as("ri"))
+    val b = series.select(col("di").as("j"), col("rev").as("rj"))
+    val pairs = broadcast(a).join(b, col("i") < col("j"))
+    val pairAgg = pairs.agg(
+      sum(when(col("rj") > col("ri"), 1L)
+        .when(col("rj") < col("ri"), -1L).otherwise(0L)).as("s_stat"),
+      // Exact interpolated median of pairwise slopes (dollars/day):
+      // identical arithmetic spelling on both engines.
+      expr("percentile((CAST(rj - ri AS DOUBLE) / 100.0D)"
+        + " / CAST(j - i AS DOUBLE), 0.5D)").as("ts_slope"))
+    val nDays = series.agg(count(lit(1)).as("n_days"))
+    val ties = series.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)), lit(0L))
+        .as("tie_sum"))
+    def d(c: String) = col(c).cast("double")
+    val varS = (d("n_days") * (d("n_days") - 1) * (d("n_days") * 2 + 5)
+      - d("tie_sum")) / 18.0
+    pairAgg.crossJoin(nDays).crossJoin(ties)
+      .select(col("n_days"), col("s_stat"),
+        round(varS, 6).as("var_s"),
+        round(when(col("s_stat") > 0, (d("s_stat") - 1) / sqrt(varS))
+          .when(col("s_stat") < 0, (d("s_stat") + 1) / sqrt(varS))
+          .otherwise(lit(0.0)), 6).as("z_score"),
+        round(col("ts_slope"), 6).as("theil_sen_slope"))
+  }
 }

@@ -43,6 +43,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - TIME TRAVEL: `snapshot(spark, asOf = Some(v))` replays the log
   *    up to v — an `overwrite` manifest resets the visible set, an
   *    `append` extends it.
+  *  - MERGE-ON-READ DELETE: [[deleteWhere]] publishes a `delete`
+  *    manifest whose `dvs` dirs hold (file_path, row_index)
+  *    tombstones — no data rewrite; readers apply them as one
+  *    broadcast anti-join and OPTIMIZE materializes them away.
   *  - COMPACTION: [[checkpointCompact]] publishes one `overwrite`
   *    manifest holding the CURRENT resolved dir list — no data moves;
   *    readers at or after it fold from one manifest instead of the
@@ -127,7 +131,7 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
     else
-      spark.read.parquet(dirs: _*)
+      applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -176,7 +180,9 @@ class TxTable(val root: String) {
     import org.apache.spark.sql.functions.col
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(dirs: _*).filter(col(eqCol) === value)
+    else
+      applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
+        .filter(col(eqCol) === value)
   }
 
   /** The dirs a point lookup must open (exposed for testing). */
@@ -228,6 +234,11 @@ class TxTable(val root: String) {
         throw new IllegalStateException(
           s"TxTable $root: overwrite at version $v inside the changes " +
             "range — re-read a full snapshot")
+      if (m.action == "delete")
+        throw new IllegalStateException(
+          s"TxTable $root: merge-on-read delete at version $v inside the " +
+            "changes range — row removal cannot be expressed as appends; " +
+            "re-read a full snapshot")
       if (m.dirs.isEmpty) None
       else Some(spark.read.parquet(m.dirs: _*)
         .withColumn("_commit_version", lit(v)))
@@ -305,7 +316,7 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       throw new IllegalStateException(s"TxTable $root: no committed data" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
-    spark.read.parquet(dirs: _*)
+    applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
   }
 
   /** Snapshot read under SCHEMA EVOLUTION: commits may ADD columns
@@ -321,7 +332,9 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       throw new IllegalStateException(s"TxTable $root: no committed data" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    applyDeletes(spark,
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
+      resolveDvDirs(asOf))
   }
 
   /** The data directories visible at `asOf` (testing/inspection). */
@@ -334,6 +347,98 @@ class TxTable(val root: String) {
         case _           => acc ++ m.dirs
       }
     }
+  }
+
+  /** The DELETION-VECTOR dirs active at `asOf`: `delete` manifests
+    * accumulate them, an `overwrite` replaces them with its own list
+    * (a data rewrite either materialized the deletes — empty list, the
+    * OPTIMIZE path — or explicitly carries the active set forward, the
+    * checkpoint/restore path). Exposed for testing/inspection.
+    */
+  def resolveDvDirs(asOf: Option[Long] = None): Seq[String] = {
+    val kept = versions().filter(v => asOf.forall(v <= _))
+    kept.foldLeft(Vector.empty[String]) { (acc, v) =>
+      val m = readManifest(v)
+      m.action match {
+        case "overwrite" => m.dvs.toVector
+        case _           => acc ++ m.dvs
+      }
+    }
+  }
+
+  /** Apply active deletion vectors to a raw multi-dir scan: tombstones
+    * are (file_path, row_index) pairs — Spark's parquet metadata
+    * columns give every row a stable physical identity with zero
+    * storage overhead — and removal is one BROADCAST anti-join (the
+    * DV set is bounded by delete volume since the last OPTIMIZE, not
+    * by table size; a pipeline that lets deletes grow table-sized has
+    * an OPTIMIZE-cadence problem, not a join-strategy one). The
+    * metadata columns are projected only when DVs are active, so the
+    * no-delete fast path is the plain vectorized scan, bit-identical
+    * plans to before this feature existed.
+    */
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+                           dvDirs: Seq[String]): DataFrame = {
+    if (dvDirs.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keyed = df
+      .withColumn("_dv_file", col("_metadata.file_path"))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    val dv = spark.read.parquet(dvDirs: _*)
+    keyed.join(broadcast(dv),
+        keyed("_dv_file") === dv("file_path")
+          && keyed("_dv_row") === dv("row_index"), "left_anti")
+      .drop("_dv_file", "_dv_row")
+  }
+
+  /** MERGE-ON-READ row deletion (the Delta/Iceberg deletion-vector
+    * analog): matching rows are tombstoned by physical position
+    * (file_path, row_index) into a tiny DV parquet dir and published
+    * as a `delete` manifest — NO data file is rewritten, so deleting
+    * a thousand rows from a 100 TB table costs one filtered scan and
+    * a KB-scale write instead of a table rewrite (the copy-on-write
+    * alternative [[overwrite]] pays). Readers merge on read via one
+    * broadcast anti-join; [[optimizeCompact]]/[[optimizeClustered]]
+    * materialize the deletes and clear the DV set. Time travel is
+    * exact: a snapshot BEFORE the delete version sees every row.
+    * Tombstones are computed against the DV-APPLIED snapshot, so
+    * re-deleting an already-deleted row never duplicates entries.
+    * Optimistic like every commit; on losing the head race the staged
+    * DV is stale (a concurrent OPTIMIZE may have rewritten the very
+    * files it points into) — it is dropped and recomputed.
+    */
+  def deleteWhere(spark: SparkSession,
+                  cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    while (true) {
+      val head = latestVersion().getOrElse(0L)
+      val dirs = resolveDirs()
+      if (dirs.isEmpty)
+        throw new IllegalStateException(s"TxTable $root: nothing to delete from")
+      val raw = spark.read.parquet(dirs: _*)
+        .withColumn("_dv_file", col("_metadata.file_path"))
+        .withColumn("_dv_row", col("_metadata.row_index"))
+      val live = {
+        val dvDirs = resolveDvDirs()
+        if (dvDirs.isEmpty) raw
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          val dv = spark.read.parquet(dvDirs: _*)
+          raw.join(broadcast(dv),
+            raw("_dv_file") === dv("file_path")
+              && raw("_dv_row") === dv("row_index"), "left_anti")
+        }
+      }
+      val tomb = live.filter(cond)
+        .select(col("_dv_file").as("file_path"), col("_dv_row").as("row_index"))
+      val stage = stageData(tomb)
+      if (tryPublish(head + 1, "delete", Nil, dvs = Seq(stage)))
+        return head + 1
+      // Lost the head race: the tombstones may point into files a
+      // concurrent OPTIMIZE just retired — recompute against the new head.
+      graft.TmpIO.deleteRecursively(new java.io.File(stage))
+    }
+    -1L // unreachable
   }
 
   /** DATA compaction (OPTIMIZE): rewrite the current snapshot into
@@ -353,8 +458,11 @@ class TxTable(val root: String) {
       val dirs = resolveDirs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
+      // DV-applied read: the rewrite MATERIALIZES merge-on-read deletes,
+      // and the published overwrite (empty dvs) clears the DV set.
       val stage = stageData(
-        spark.read.parquet(dirs: _*).coalesce(math.max(targetPartitions, 1)))
+        applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs())
+          .coalesce(math.max(targetPartitions, 1)))
       if (tryPublish(head + 1, "overwrite", Seq(stage))) return head + 1
       // Lost to a concurrent commit: the rewrite is stale — drop it
       // and rebuild against the new head.
@@ -391,7 +499,9 @@ class TxTable(val root: String) {
       val dirs = resolveDirs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
-      val snap = spark.read.parquet(dirs: _*)
+      // DV-applied read: clustering rewrites materialize deletes too.
+      val snap = applyDeletes(spark, spark.read.parquet(dirs: _*),
+        resolveDvDirs())
       val ck = cluster.cast("long")
       val r = snap.agg(min(ck), max(ck)).head()
       if (r.isNullAt(0)) return optimizeCompact(spark, 1) // no key values: plain compact
@@ -435,7 +545,9 @@ class TxTable(val root: String) {
     */
   def checkpointCompact(): Long = {
     var v = latestVersion().getOrElse(0L) + 1
-    while (!tryPublish(v, "overwrite", resolveDirs())) {
+    // Carry the ACTIVE DV set forward: a log checkpoint rewrites no
+    // data, so merge-on-read deletes must stay applied.
+    while (!tryPublish(v, "overwrite", resolveDirs(), dvs = resolveDvDirs())) {
       v = latestVersion().getOrElse(0L) + 1
     }
     v
@@ -454,8 +566,12 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"TxTable $root: nothing to restore at version $toVersion")
+    // The restored state includes the DVs active AT that version —
+    // restoring to a point after a merge-on-read delete must not
+    // resurrect the deleted rows.
+    val dvs = resolveDvDirs(Some(toVersion))
     var v = latestVersion().getOrElse(0L) + 1
-    while (!tryPublish(v, "overwrite", dirs)) {
+    while (!tryPublish(v, "overwrite", dirs, dvs = dvs)) {
       v = latestVersion().getOrElse(0L) + 1
     }
     v
@@ -484,7 +600,10 @@ class TxTable(val root: String) {
       zm.get(d).map { case (c, mn, mx) => (i, c, mn, mx) }
     }
     val dst = new TxTable(dstRoot)
-    if (!dst.tryPublish(1, "overwrite", dirs, zones = zones))
+    // Clones see the DV-applied state: borrowed DV dirs ride along
+    // exactly like borrowed data dirs (same shared-fate contract).
+    if (!dst.tryPublish(1, "overwrite", dirs, zones = zones,
+        dvs = resolveDvDirs(asOf)))
       throw new IllegalStateException(
         s"TxTable $dstRoot: destination already has a version 1")
     dst
@@ -517,7 +636,9 @@ class TxTable(val root: String) {
     // the <uuid> parent because only its children are named would
     // delete live data.
     val dataRoot = dataDir.toAbsolutePath.normalize
-    val referenced = manifests.flatMap(_.dirs).map { d =>
+    // DV dirs are ordinary staged dirs under data/ — any manifest's
+    // dvs list protects them exactly like its dirs list.
+    val referenced = manifests.flatMap(m => m.dirs ++ m.dvs).map { d =>
       val p = Paths.get(d).toAbsolutePath.normalize
       if (p.startsWith(dataRoot) && p.getNameCount > dataRoot.getNameCount)
         p.getName(dataRoot.getNameCount).toString
@@ -559,7 +680,8 @@ class TxTable(val root: String) {
   private case class Manifest(action: String, dirs: Seq[String],
                               stats: Option[(String, Long, Long)],
                               bloom: Option[(String, String)],
-                              zones: Seq[(Int, String, Long, Long)] = Nil)
+                              zones: Seq[(Int, String, Long, Long)] = Nil,
+                              dvs: Seq[String] = Nil)
 
   /** JSON string escape for manifest values that carry FILESYSTEM
     * paths (the table root flows into every dir entry): quote,
@@ -573,15 +695,20 @@ class TxTable(val root: String) {
     case c => c.toString
   }
 
-  /** Parse the `"dirs":[...]` array with a real string-aware scan —
+  /** Parse a `"<key>":[...]` path array with a real string-aware scan —
     * a regex split on commas mis-parses any root containing `","`,
-    * `"` or `]`. Honors the escapes [[jsonEscape]] emits.
+    * `"` or `]`. Honors the escapes [[jsonEscape]] emits. `required`
+    * distinguishes the mandatory dirs array from the optional dvs one.
     */
-  private def parseDirsArray(s: String, v: Long): Seq[String] = {
-    val ki = s.indexOf("\"dirs\"")
+  private def parsePathArray(s: String, v: Long, key: String,
+                             required: Boolean): Seq[String] = {
+    val ki = s.indexOf("\"" + key + "\"")
     val start = if (ki < 0) -1 else s.indexOf('[', ki)
-    if (start < 0) throw new IllegalStateException(
-      s"TxTable $root: manifest v$v missing dirs")
+    if (start < 0) {
+      if (!required) return Seq.empty
+      throw new IllegalStateException(
+        s"TxTable $root: manifest v$v missing $key")
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var i = start + 1
@@ -589,7 +716,7 @@ class TxTable(val root: String) {
     var done = false
     while (!done) {
       if (i >= s.length) throw new IllegalStateException(
-        s"TxTable $root: manifest v$v has an unterminated dirs array")
+        s"TxTable $root: manifest v$v has an unterminated $key array")
       val c = s.charAt(i)
       if (inStr) c match {
         case '\\' =>
@@ -617,7 +744,8 @@ class TxTable(val root: String) {
       .findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalStateException(
         s"TxTable $root: manifest v$v missing action"))
-    val dirs = parseDirsArray(s, v)
+    val dirs = parsePathArray(s, v, "dirs", required = true)
+    val dvs = parsePathArray(s, v, "dvs", required = false)
     val stats =
       ("\"stats\"\\s*:\\s*\\{\"column\":\"([^\"]*)\"," +
         "\"min\":(-?\\d+),\"max\":(-?\\d+)\\}").r
@@ -636,7 +764,7 @@ class TxTable(val root: String) {
         .map(m => (m.group(1).toInt, m.group(2),
           m.group(3).toLong, m.group(4).toLong))
         .toSeq
-    Manifest(action, dirs, stats, bloom, zones)
+    Manifest(action, dirs, stats, bloom, zones, dvs)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -670,10 +798,15 @@ class TxTable(val root: String) {
   private[graft] def tryPublish(v: Long, action: String, dirs: Seq[String],
                                 stats: Option[(String, Long, Long)] = None,
                                 bloom: Option[(String, String)] = None,
-                                zones: Seq[(Int, String, Long, Long)] = Nil): Boolean = {
+                                zones: Seq[(Int, String, Long, Long)] = Nil,
+                                dvs: Seq[String] = Nil): Boolean = {
     Files.createDirectories(logDir)
-    val dirsJson = dirs.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
-      .mkString("[", ",", "]")
+    def pathArray(ps: Seq[String]): String =
+      ps.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
+        .mkString("[", ",", "]")
+    val dirsJson = pathArray(dirs)
+    val dvsJson =
+      if (dvs.isEmpty) "" else s""","dvs":${pathArray(dvs)}"""
     val statsJson = stats.map { case (c, mn, mx) =>
       s""","stats":{"column":"$c","min":$mn,"max":$mx}""" }.getOrElse("")
     val bloomJson = bloom.map { case (c, f) =>
@@ -684,7 +817,7 @@ class TxTable(val root: String) {
         s"""{"i":$i,"column":"$c","min":$mn,"max":$mx}""" }
         .mkString(""","zones":[""", ",", "]")
     val json =
-      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson}"""
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson$dvsJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

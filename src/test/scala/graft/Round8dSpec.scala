@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Behavior, Quality, Stats}
+
+/** Round-8 part 4: trend/survival/forensic diagnostics + path mining —
+  * each gate checked against an in-test brute-force replica on the
+  * (small) sf0.001 data, independent of the DuckDB oracle.
+  */
+class Round8dSpec extends SparkSpec {
+
+  test("mkt1: S and Theil-Sen slope match the brute pairwise replica") {
+    val r = Stats.mannKendallTrend(spark, sf).head()
+    val series = Tables.orders(spark, sf)
+      .groupBy(expr("CAST(datediff(to_date(o_orderdate), '1970-01-01') AS BIGINT)")
+        .as("di"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(r.getAs[Long]("n_days") == series.length)
+    var s = 0L
+    val slopes = collection.mutable.ArrayBuffer[Double]()
+    for (i <- series.indices; j <- (i + 1) until series.length) {
+      val d = java.lang.Long.compare(series(j)._2, series(i)._2)
+      s += d
+      slopes += (series(j)._2 - series(i)._2).toDouble / 100.0 /
+        (series(j)._1 - series(i)._1).toDouble
+    }
+    assert(r.getAs[Long]("s_stat") == s)
+    // Interpolated median, the percentile/quantile_cont definition.
+    val sorted = slopes.sorted
+    val pos = 0.5 * (sorted.length - 1)
+    val lo = sorted(pos.toInt)
+    val hi = sorted(math.ceil(pos).toInt)
+    val med = lo + (hi - lo) * (pos - pos.toInt)
+    assert(math.abs(r.getAs[Double]("theil_sen_slope") - med) < 1e-6)
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("ben1: digits match string extraction; shares sum to 1") {
+    val rows = Quality.benfordDigits(spark, sf).collect()
+    val brute = Tables.orders(spark, sf)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+      .groupBy(c => c.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    rows.foreach { rr =>
+      assert(rr.getAs[Long]("n_obs") == brute(rr.getAs[Long]("digit")))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-4)
+    // Benford expectation for digit 1 is log10(2) ~ 0.30103.
+    val d1 = rows.find(_.getAs[Long]("digit") == 1L).get
+    assert(math.abs(d1.getAs[Double]("exp_share") - 0.30103) < 1e-5)
+  }
+
+  test("sur1: product-limit curve matches a driver-side KM replica") {
+    val rows = Behavior.kaplanMeier(spark, sf).collect()
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").as("p"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        val t0 = es.map(_._2).min
+        val tp = es.filter(_._3).map(_._2).minOption
+        val dur = tp.getOrElse(es.map(_._2).max) - t0
+        (dur / 3600000000L, tp.isDefined)
+      }
+    val n = perUser.size.toLong
+    val life = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, xs) =>
+      (h, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }
+    var atRisk = n
+    var surv = 1.0
+    life.foreach { case (h, d, c) =>
+      surv *= 1.0 - d.toDouble / atRisk.toDouble
+      val row = rows.find(_.getAs[Long]("dur_h") == h).get
+      assert(row.getAs[Long]("n_risk") == atRisk)
+      assert(row.getAs[Long]("d_events") == d)
+      assert(row.getAs[Long]("c_censored") == c)
+      assert(math.abs(row.getAs[Double]("survival") - surv) < 1e-4)
+      atRisk -= d + c
+    }
+    // Survival is non-increasing down the curve.
+    val curve = rows.sortBy(_.getAs[Long]("dur_h")).map(_.getAs[Double]("survival"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("path1: trigram counts match the brute per-user replica") {
+    val rows = Behavior.sessionPaths(spark, sf).collect()
+    val brute = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+        seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == math.min(25, brute.size))
+    rows.foreach { rr =>
+      assert(brute(rr.getAs[String]("path")) == rr.getAs[Long]("n"))
+    }
+    // The returned set IS the top-25 by (n desc, path asc).
+    val expected = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(25)
+      .map(_._1).toSet
+    assert(rows.map(_.getAs[String]("path")).toSet == expected)
+  }
+}

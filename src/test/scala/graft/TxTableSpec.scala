@@ -338,4 +338,72 @@ class TxTableSpec extends SparkSpec {
       assert(t2.snapshot(spark).count() == 2L)
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
+
+  test("deletion vectors: merge-on-read, stacking, time travel, OPTIMIZE") {
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 10).toDF("x"))
+      t.append((11 to 20).toDF("x"))
+      val dirsBefore = t.resolveDirs()
+      val vDel = t.deleteWhere(spark, col("x") % 2 === 0)
+      // Merge-on-read: NO data dir changed, one DV dir appeared.
+      assert(t.resolveDirs() == dirsBefore)
+      assert(t.resolveDvDirs().size == 1)
+      def xs(asOf: Option[Long]) = t.snapshot(spark, asOf)
+        .select(col("x")).as[Int].collect().sorted.toSeq
+      assert(xs(None) == (1 to 19 by 2))
+      // Time travel BEFORE the delete still sees every row.
+      assert(xs(Some(vDel - 1)) == (1 to 20))
+      // Stacked delete: tombstones accumulate, reads stay exact;
+      // the second DV must not re-tombstone already-deleted rows.
+      t.deleteWhere(spark, col("x") > 15)
+      assert(xs(None) == Seq(1, 3, 5, 7, 9, 11, 13, 15))
+      assert(t.resolveDvDirs().size == 2)
+      val dv2 = spark.read.parquet(t.resolveDvDirs().last)
+      assert(dv2.count() == 2L, "only 17 and 19 are newly deleted")
+      // Range/point reads apply DVs too.
+      assert(t.snapshotRange(spark, "x", 1L, 6L).select(col("x"))
+        .as[Int].collect().sorted.toSeq == Seq(1, 3, 5))
+      // OPTIMIZE materializes: DV set clears, data unchanged, and the
+      // pre-optimize MoR state stays time-travelable.
+      val vOpt = t.optimizeCompact(spark, 1)
+      assert(t.resolveDvDirs().isEmpty)
+      assert(t.resolveDirs().size == 1)
+      assert(xs(None) == Seq(1, 3, 5, 7, 9, 11, 13, 15))
+      assert(xs(Some(vOpt - 1)) == Seq(1, 3, 5, 7, 9, 11, 13, 15))
+      assert(xs(Some(vDel - 1)) == (1 to 20))
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("deletion vectors: restore, clone, checkpoint, vacuum, changes feed") {
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 8).toDF("x")) // v1
+      val vDel = t.deleteWhere(spark, col("x") <= 3) // v2
+      def xs(tt: TxTable, asOf: Option[Long] = None) = tt.snapshot(spark, asOf)
+        .select(col("x")).as[Int].collect().sorted.toSeq
+      // checkpointCompact carries the active DV set (no data rewrite).
+      val vCk = t.checkpointCompact() // v3
+      assert(xs(t) == (4 to 8))
+      assert(t.resolveDvDirs(Some(vCk)).size == 1)
+      // RESTORE to a post-delete version must keep rows deleted;
+      // restore to the pre-delete version resurrects them.
+      t.restore(vDel) // v4
+      assert(xs(t) == (4 to 8))
+      t.restore(vDel - 1) // v5
+      assert(xs(t) == (1 to 8))
+      // Clone at the MoR version sees the DV-applied state.
+      val c = t.shallowCloneTo(s"$dir/clone", asOf = Some(vDel))
+      assert(xs(c) == (4 to 8))
+      // Vacuum must never reclaim a manifest-referenced DV dir.
+      val dvDir = t.resolveDvDirs(Some(vDel)).head
+      t.vacuum(retentionMillis = 0L)
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dvDir)))
+      assert(xs(t, Some(vDel)) == (4 to 8))
+      // The changes feed refuses to span a delete manifest.
+      intercept[IllegalStateException] {
+        t.readChanges(spark, afterVersion = 0L, untilVersion = Some(vDel)).count()
+      }
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
 }
