@@ -382,6 +382,7 @@ object SparkEntry {
     // ---- round-8d: trend/survival/forensic diagnostics + path mining ----
     "mkt1_mann_kendall"     -> ((s, d) => graft.operators.Stats.mannKendallTrend(s, d)),
     "dv1_delete_vectors"    -> ((s, d) => graft.operators.Ingest.txDeleteVectorGate(s, d)),
+    "dv2_mor_update"        -> ((s, d) => graft.operators.Ingest.txUpdateVectorGate(s, d)),
     "ben1_benford_digits"   -> ((s, d) => graft.operators.Quality.benfordDigits(s, d)),
     "sur1_kaplan_meier"     -> ((s, d) => graft.operators.Behavior.kaplanMeier(s, d)),
     "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
@@ -4392,6 +4393,19 @@ object SparkEntry {
         |UNION ALL SELECT '2_mor_k3', 2, 1, n, s FROM m1
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
+        |ORDER BY phase""".stripMargin,
+    // Row count unchanged + one extra data/DV dir = the atomic
+    // replace-not-duplicate property, provable in the hash.
+    "dv2_mor_update" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s FROM o),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN status = 'F' THEN cents + cents // 10
+        |      ELSE cents END) AS BIGINT) AS s FROM o)
+        |SELECT '1_full' AS phase, 2 AS n_data_dirs, 0 AS n_dv_dirs,
+        |  n AS n_rows, s AS total_cents FROM f
+        |UNION ALL SELECT '2_mor_update', 3, 1, n, s FROM u
         |ORDER BY phase""".stripMargin,
     // Pair stage runs on the calendar-bounded day spine; revenue is exact
     // BIGINT cents so every sign() and tie group is integer-decided.

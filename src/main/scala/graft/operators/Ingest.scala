@@ -973,4 +973,38 @@ object Ingest {
           .unionAll(phase("4_optimized", vOpt)))
       .orderBy(col("phase"))
   }
+
+  /** Gated dv2: ATOMIC MERGE-ON-READ UPDATE — "raise every F-status
+    * order total by 10%" lands as ONE manifest carrying both the
+    * tombstones of the old rows and the appended replacements
+    * ([[graft.sources.TxTable.updateWhere]]), so cost scales with the
+    * MATCHED rows, not the table, and no reader can observe the
+    * half-applied state. The phase rows prove it in the hash: the
+    * update adds exactly one data dir (the replacements) and one DV
+    * dir to an otherwise untouched dir set, row count is unchanged
+    * (replace, not duplicate), and the pre-update version still
+    * time-travels to the original totals.
+    */
+  def txUpdateVectorGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_dv2_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "o_orderstatus AS status",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o.filter(col("k") % 2 === 0)) // v1
+    val vFull = t.append(o.filter(col("k") % 2 =!= 0)) // v2
+    val vUpd = t.updateWhere(spark, col("status") === "F",
+      Map("cents" -> (col("cents") + expr("cents div 10")))) // v3: atomic MoR
+    def phase(label: String, v: Long): DataFrame =
+      t.snapshot(spark, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(label).as("phase"),
+          lit(t.resolveDirs(Some(v)).size).as("n_data_dirs"),
+          lit(t.resolveDvDirs(Some(v)).size).as("n_dv_dirs"),
+          col("n_rows"), col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        phase("1_full", vFull).unionAll(phase("2_mor_update", vUpd)))
+      .orderBy(col("phase"))
+  }
 }

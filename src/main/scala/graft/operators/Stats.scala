@@ -323,30 +323,46 @@ object Stats {
         .cast("bigint").as("di"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
         .cast("decimal(38,0)")).cast("bigint").as("rev"))
-    val a = series.select(col("di").as("i"), col("rev").as("ri"))
-    val b = series.select(col("di").as("j"), col("rev").as("rj"))
-    val pairs = broadcast(a).join(b, col("i") < col("j"))
-    val pairAgg = pairs.agg(
-      sum(when(col("rj") > col("ri"), 1L)
-        .when(col("rj") < col("ri"), -1L).otherwise(0L)).as("s_stat"),
-      // Exact interpolated median of pairwise slopes (dollars/day):
-      // identical arithmetic spelling on both engines.
-      expr("percentile((CAST(rj - ri AS DOUBLE) / 100.0D)"
-        + " / CAST(j - i AS DOUBLE), 0.5D)").as("ts_slope"))
-    val nDays = series.agg(count(lit(1)).as("n_days"))
-    val ties = series.groupBy(col("rev")).agg(count(lit(1)).as("t"))
-      .filter(col("t") > 1)
-      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)), lit(0L))
-        .as("tie_sum"))
-    def d(c: String) = col(c).cast("double")
-    val varS = (d("n_days") * (d("n_days") - 1) * (d("n_days") * 2 + 5)
-      - d("tie_sum")) / 18.0
-    pairAgg.crossJoin(nDays).crossJoin(ties)
-      .select(col("n_days"), col("s_stat"),
-        round(varS, 6).as("var_s"),
-        round(when(col("s_stat") > 0, (d("s_stat") - 1) / sqrt(varS))
-          .when(col("s_stat") < 0, (d("s_stat") + 1) / sqrt(varS))
-          .otherwise(lit(0.0)), 6).as("z_score"),
-        round(col("ts_slope"), 6).as("theil_sen_slope"))
+      .persist() // spine: ≤ calendar-days rows, read by three consumers
+    try {
+      val a = series.select(col("di").as("i"), col("rev").as("ri"))
+      val b = series.select(col("di").as("j"), col("rev").as("rj"))
+      // Slope spelled once, identically to the oracle's expression.
+      val pairs = broadcast(a).join(b, col("i") < col("j"))
+        .select(col("ri"), col("rj"),
+          expr("(CAST(rj - ri AS DOUBLE) / 100.0D) / CAST(j - i AS DOUBLE)")
+            .as("slope"))
+        .persist() // the histogram-refinement median scans this 2-3×
+      try {
+        val sAgg = pairs.agg(
+          sum(when(col("rj") > col("ri"), 1L)
+            .when(col("rj") < col("ri"), -1L).otherwise(0L)).as("s_stat"))
+        // Exact interpolated median via scan-bounded histogram
+        // refinement (x3 discipline) — `percentile` would buffer every
+        // distinct slope in ONE aggregation buffer, which is exactly
+        // the single-funnel shape this module exists to avoid.
+        val Seq((_, Seq(med))) =
+          Quantiles.exactQuantiles(pairs, "slope", Seq("m" -> 0.5))
+        val nDays = series.agg(count(lit(1)).as("n_days"))
+        val ties = series.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+            lit(0L)).as("tie_sum"))
+        def d(c: String) = col(c).cast("double")
+        val varS = (d("n_days") * (d("n_days") - 1) * (d("n_days") * 2 + 5)
+          - d("tie_sum")) / 18.0
+        val out = sAgg.crossJoin(nDays).crossJoin(ties) // three 1-row frames
+          .select(col("n_days"), col("s_stat"),
+            round(varS, 6).as("var_s"),
+            round(when(col("s_stat") > 0, (d("s_stat") - 1) / sqrt(varS))
+              .when(col("s_stat") < 0, (d("s_stat") + 1) / sqrt(varS))
+              .otherwise(lit(0.0)), 6).as("z_score"),
+            round(lit(med), 6).as("theil_sen_slope"))
+        // Materialize the 1-row result so both caches release here
+        // (mutualInformation's pattern) instead of leaking.
+        val rows = out.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally { pairs.unpersist(); () }
+    } finally { series.unpersist(); () }
   }
 }

@@ -234,10 +234,10 @@ class TxTable(val root: String) {
         throw new IllegalStateException(
           s"TxTable $root: overwrite at version $v inside the changes " +
             "range — re-read a full snapshot")
-      if (m.action == "delete")
+      if (m.action == "delete" || m.dvs.nonEmpty)
         throw new IllegalStateException(
-          s"TxTable $root: merge-on-read delete at version $v inside the " +
-            "changes range — row removal cannot be expressed as appends; " +
+          s"TxTable $root: merge-on-read delete/update at version $v inside " +
+            "the changes range — row removal cannot be expressed as appends; " +
             "re-read a full snapshot")
       if (m.dirs.isEmpty) None
       else Some(spark.read.parquet(m.dirs: _*)
@@ -437,6 +437,56 @@ class TxTable(val root: String) {
       // Lost the head race: the tombstones may point into files a
       // concurrent OPTIMIZE just retired — recompute against the new head.
       graft.TmpIO.deleteRecursively(new java.io.File(stage))
+    }
+    -1L // unreachable
+  }
+
+  /** MERGE-ON-READ UPDATE: tombstone the matching rows AND append
+    * their transformed replacements in ONE manifest — an `append`
+    * whose `dvs` carries the tombstones, so the swap is atomic (a
+    * reader sees either the old rows or the new rows, never both,
+    * never neither). Cost is proportional to the MATCHED rows (one
+    * filtered scan + a matched-size write), not the table — the
+    * row-level-update shape copy-on-write [[overwrite]] cannot afford
+    * at 100 TB. `set` maps column name → replacement expression
+    * evaluated on the matched rows; unlisted columns carry over.
+    */
+  def updateWhere(spark: SparkSession, cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    while (true) {
+      val head = latestVersion().getOrElse(0L)
+      val dirs = resolveDirs()
+      if (dirs.isEmpty)
+        throw new IllegalStateException(s"TxTable $root: nothing to update")
+      val dataCols = spark.read.parquet(dirs: _*).columns.toSeq
+      val raw = spark.read.parquet(dirs: _*)
+        .withColumn("_dv_file", col("_metadata.file_path"))
+        .withColumn("_dv_row", col("_metadata.row_index"))
+      val live = {
+        val dvDirs = resolveDvDirs()
+        if (dvDirs.isEmpty) raw
+        else {
+          import org.apache.spark.sql.functions.broadcast
+          val dv = spark.read.parquet(dvDirs: _*)
+          raw.join(broadcast(dv),
+            raw("_dv_file") === dv("file_path")
+              && raw("_dv_row") === dv("row_index"), "left_anti")
+        }
+      }
+      val matched = live.filter(cond).persist()
+      try {
+        val tomb = matched
+          .select(col("_dv_file").as("file_path"), col("_dv_row").as("row_index"))
+        val replaced = matched.select(dataCols.map(c =>
+          set.getOrElse(c, col(c)).as(c)): _*)
+        val dvStage = stageData(tomb)
+        val rowStage = stageData(replaced)
+        if (tryPublish(head + 1, "append", Seq(rowStage), dvs = Seq(dvStage)))
+          return head + 1
+        graft.TmpIO.deleteRecursively(new java.io.File(dvStage))
+        graft.TmpIO.deleteRecursively(new java.io.File(rowStage))
+      } finally { matched.unpersist(); () }
     }
     -1L // unreachable
   }

@@ -406,4 +406,39 @@ class TxTableSpec extends SparkSpec {
       }
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
+
+  test("merge-on-read update: atomic tombstone+replace in one manifest") {
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 10).map(i => (i, i * 100)).toDF("k", "v")) // v1
+      val vUpd = t.updateWhere(spark, col("k") % 2 === 0,
+        Map("v" -> (col("v") + lit(1)))) // v2: one manifest
+      // Replace, not duplicate: same cardinality, updated values only.
+      val got = t.snapshot(spark).select(col("k"), col("v")).as[(Int, Int)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == (1 to 10).map(i => (i, if (i % 2 == 0) i * 100 + 1 else i * 100)))
+      // One new data dir (replacements) + one DV dir, atomically at vUpd.
+      assert(t.resolveDirs().size == 2 && t.resolveDvDirs().size == 1)
+      assert(t.versions() == Seq(1L, 2L), "exactly one manifest for the update")
+      // Pre-update time travel sees the originals.
+      assert(t.snapshot(spark, Some(vUpd - 1)).select(col("v")).as[Int]
+        .collect().sorted.toSeq == (1 to 10).map(_ * 100))
+      // Stacked semantics: an update of already-updated rows composes.
+      t.updateWhere(spark, col("k") === 2, Map("v" -> lit(0)))
+      assert(t.snapshot(spark).filter(col("k") === 2).select(col("v"))
+        .as[Int].head() == 0)
+      assert(t.snapshot(spark).count() == 10L)
+      // The changes feed refuses to span an update manifest (its
+      // removal half cannot be expressed as appends).
+      intercept[IllegalStateException] {
+        t.readChanges(spark, afterVersion = 0L).count()
+      }
+      // OPTIMIZE materializes updates exactly like deletes.
+      t.optimizeCompact(spark, 1)
+      assert(t.resolveDvDirs().isEmpty)
+      assert(t.snapshot(spark).filter(col("k") === 2).select(col("v"))
+        .as[Int].head() == 0)
+      assert(t.snapshot(spark).count() == 10L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
 }
