@@ -383,6 +383,7 @@ object SparkEntry {
     "mkt1_mann_kendall"     -> ((s, d) => graft.operators.Stats.mannKendallTrend(s, d)),
     "dv1_delete_vectors"    -> ((s, d) => graft.operators.Ingest.txDeleteVectorGate(s, d)),
     "dv2_mor_update"        -> ((s, d) => graft.operators.Ingest.txUpdateVectorGate(s, d)),
+    "anova1_event_values"   -> ((s, d) => graft.operators.Stats.anovaOneWay(s, d)),
     "ben1_benford_digits"   -> ((s, d) => graft.operators.Quality.benfordDigits(s, d)),
     "sur1_kaplan_meier"     -> ((s, d) => graft.operators.Behavior.kaplanMeier(s, d)),
     "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
@@ -4394,6 +4395,28 @@ object SparkEntry {
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
         |ORDER BY phase""".stripMargin,
+    // Group sums fold through DECIMAL(38,18) on both engines so the
+    // k-row reduction is order-invariant; doubles mirror term-for-term.
+    "anova1_event_values" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(value AS DECIMAL(30,6))) AS sg,
+        |    sum(CAST(value*value AS DECIMAL(38,6))) AS qg
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT ng, CAST(ng AS DOUBLE) AS ngd, CAST(sg AS DOUBLE) AS sgd,
+        |  CAST(qg AS DOUBLE) AS qgd FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(sum(CAST(sgd AS DECIMAL(38,18))) AS DOUBLE) AS s_tot,
+        |  CAST(sum(CAST(sgd*sgd/ngd AS DECIMAL(38,18))) AS DOUBLE) AS ssq_over_n,
+        |  CAST(sum(CAST(qgd - sgd*sgd/ngd AS DECIMAL(38,18))) AS DOUBLE) AS ssw
+        | FROM d),
+        |c AS (SELECT k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+        |  ssq_over_n - s_tot*s_tot/CAST(n AS DOUBLE) AS ssb, ssw FROM a)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |  round((ssb/(kd - 1))/(ssw/(nd - kd)), 6) AS f_stat,
+        |  k - 1 AS df1, n - k AS df2
+        |FROM c""".stripMargin,
     // Row count unchanged + one extra data/DV dir = the atomic
     // replace-not-duplicate property, provable in the hash.
     "dv2_mor_update" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -303,6 +303,46 @@ object Stats {
           / (col("supp_a").cast("double") * col("supp_c").cast("double")), 6)
           .as("lift"))
       .orderBy(desc("supp_ab"), col("ante"), col("cons"))
+  }
+
+  /** Gated anova1: ONE-WAY ANOVA F-TEST across event types' values —
+    * the k-group generalization of wt1's two-sample comparison (the
+    * "does ANY variant differ" gate an experimentation pipeline runs
+    * before pairwise tests). One conditional aggregation collapses the
+    * fact table to k rows of (n, Σv, Σv²) in exact DECIMAL; the
+    * between/within sums fold over those k rows through DECIMAL(38,18)
+    * (order-invariant — a plain double sum over group rows would
+    * depend on task scheduling); F and the dofs are closed-form on the
+    * 1-row result. Scale cost = one scan.
+    */
+  def anovaOneWay(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("value").cast("decimal(30,6)")).as("sg"),
+        sum((col("value") * col("value")).cast("decimal(38,6)")).as("qg"))
+    def decSum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+    val ngd = col("ng").cast("double")
+    val sgd = col("sg").cast("double")
+    val qgd = col("qg").cast("double")
+    val agg = g.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      decSum(sgd).as("s_tot"),
+      // Σ_g S_g²/n_g and Σ_g (Q_g − S_g²/n_g): the two folded terms of
+      // SSB and SSW, each deterministic per group row.
+      decSum(sgd * sgd / ngd).as("ssq_over_n"),
+      decSum(qgd - sgd * sgd / ngd).as("ssw"))
+    def d(c: String) = col(c).cast("double")
+    val ssb = d("ssq_over_n") - d("s_tot") * d("s_tot") / d("n")
+    val f = (ssb / (d("k") - 1)) / (d("ssw") / (d("n") - d("k")))
+    agg.select(
+      col("k").cast("bigint").as("k_groups"),
+      col("n").cast("bigint").as("n_rows"),
+      round(ssb, 6).as("ss_between"),
+      round(d("ssw"), 6).as("ss_within"),
+      round(f, 6).as("f_stat"),
+      (col("k") - 1).cast("bigint").as("df1"),
+      (col("n") - col("k")).cast("bigint").as("df2"))
   }
 
   /** Gated mkt1: MANN-KENDALL TREND TEST + THEIL-SEN SLOPE over the

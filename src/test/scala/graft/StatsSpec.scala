@@ -148,4 +148,24 @@ class StatsSpec extends SparkSpec {
         - sab.toDouble * nBaskets / (supp(a).toDouble * supp(c))) < 1e-3)
     }
   }
+
+  test("anova1: F statistic matches the brute grouped computation") {
+    val r = Stats.anovaOneWay(spark, sf).head()
+    val groups = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(x => (x.getString(0), x.getDouble(1)))
+      .groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = groups.map(_.length).sum
+    val k = groups.size
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length
+      g.map(v => (v - m) * (v - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(r.getAs[Long]("k_groups") == k && r.getAs[Long]("n_rows") == n)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < math.abs(ssb) * 1e-6 + 1e-3)
+    assert(math.abs(r.getAs[Double]("ss_within") - ssw) < math.abs(ssw) * 1e-6 + 1e-3)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-4)
+    assert(r.getAs[Long]("df1") == k - 1 && r.getAs[Long]("df2") == n - k)
+  }
 }
