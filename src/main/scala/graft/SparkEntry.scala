@@ -387,6 +387,7 @@ object SparkEntry {
     "ben1_benford_digits"   -> ((s, d) => graft.operators.Quality.benfordDigits(s, d)),
     "sur1_kaplan_meier"     -> ((s, d) => graft.operators.Behavior.kaplanMeier(s, d)),
     "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
+    "edr1_embedding_drift"  -> ((s, d) => graft.operators.VectorOps.embeddingDrift(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -4395,6 +4396,28 @@ object SparkEntry {
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
         |ORDER BY phase""".stripMargin,
+    // Centroid slices replay as exact per-dim mean lists (dim-ordered);
+    // cos/norm/l2 mirror the engine's left-fold accumulation.
+    "edr1_embedding_drift" ->
+      s"""WITH u AS (SELECT label, vec_id % 2 = 0 AS ref,
+        |    CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |m AS (SELECT label, ref, dim, sum(x) / count(*) AS mu
+        |  FROM u GROUP BY 1, 2, 3),
+        |vr AS (SELECT label, list(mu ORDER BY dim) AS v FROM m WHERE ref GROUP BY 1),
+        |vc AS (SELECT label, list(mu ORDER BY dim) AS v FROM m WHERE NOT ref GROUP BY 1),
+        |n AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_cand
+        |  FROM embeddings GROUP BY 1)
+        |SELECT n.label, n_ref, n_cand,
+        |  round(${foldCosine("vr.v", "vc.v")}, 6) AS centroid_cos,
+        |  round(sqrt(${foldSum("list_transform(vr.v, x -> x*x)")}), 6) AS norm_ref,
+        |  round(sqrt(${foldSum("list_transform(vc.v, x -> x*x)")}), 6) AS norm_cand,
+        |  round(sqrt(${foldSum("list_transform(list_zip(vr.v, vc.v), p -> (p[1] - p[2]) * (p[1] - p[2]))")}), 6) AS centroid_l2
+        |FROM n JOIN vr ON n.label = vr.label JOIN vc ON n.label = vc.label
+        |ORDER BY 1""".stripMargin,
     // Group sums fold through DECIMAL(38,18) on both engines so the
     // k-row reduction is order-invariant; doubles mirror term-for-term.
     "anova1_event_values" ->

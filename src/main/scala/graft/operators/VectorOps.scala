@@ -151,6 +151,45 @@ object VectorOps {
     * independent of partition/merge order — the posexplode+avg SQL the
     * oracle runs lands on bit-identical doubles.
     */
+  /** Gated edr1: EMBEDDING DRIFT between a reference and a candidate
+    * slice (vec_id parity stands in for "last month's corpus vs this
+    * month's") — the model-health readout an embedding pipeline runs
+    * before trusting retrained vectors: per label, the cosine between
+    * the two slices' centroids plus both centroid norms. Centroids
+    * fold through the typed [[graft.functions.CentroidAggregator]]
+    * (fixed-size in-place array merges, no row explosion — the v3
+    * scale shape: one partial per group×partition crosses the wire);
+    * the cos/norm arithmetic then runs on the ≤ labels×2 centroid rows
+    * with the native left-fold dot, mirrored term-for-term by the
+    * oracle's foldSum. Drift of 100 TB of embeddings costs one scan.
+    */
+  def embeddingDrift(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base = graft.Tables.embeddings(spark, dir)
+      .select(col("label").cast("int").as("label"),
+        (col("vec_id") % 2 === 0).as("ref"), col("embedding"))
+    val cents = base.as[(Int, Boolean, Array[Float])]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
+      .agg(graft.functions.CentroidAggregator.toColumn.name("centroid"))
+      .toDF("key", "centroid")
+      .select(col("key._1").as("label"), col("key._2").as("ref"),
+        col("centroid"))
+    val counts = base.groupBy(col("label"))
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ref"), 0L).otherwise(1L)).as("n_cand"))
+    val r = cents.filter(col("ref")).select(col("label"), col("centroid").as("cr"))
+    val c = cents.filter(!col("ref")).select(col("label"), col("centroid").as("cc"))
+    counts.join(r, "label").join(c, "label")
+      .select(col("label"), col("n_ref"), col("n_cand"),
+        round(cosine(col("cr"), col("cc")), 6).as("centroid_cos"),
+        round(sqrt(norm2(col("cr"))), 6).as("norm_ref"),
+        round(sqrt(norm2(col("cc"))), 6).as("norm_cand"),
+        round(l2(col("cr"), col("cc")), 6).as("centroid_l2"))
+      .orderBy(col("label"))
+  }
+
   def clusterCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
                        nClusters: Int = 10): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

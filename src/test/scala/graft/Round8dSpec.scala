@@ -85,6 +85,37 @@ class Round8dSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => b <= a + 1e-9 })
   }
 
+  test("edr1: centroid cosine/l2 match the brute slice replica") {
+    val rows = graft.operators.VectorOps.embeddingDrift(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val byKey = vecs.groupBy(v => (v._2, v._1 % 2 == 0))
+    def cent(label: Int, ref: Boolean): Array[Double] = {
+      val g = byKey((label, ref)).map(_._3)
+      val d = g.head.length
+      Array.tabulate(d)(i => g.map(_(i).toDouble).sum / g.length)
+    }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val (cr, cc) = (cent(l, ref = true), cent(l, ref = false))
+      val dot = cr.zip(cc).map { case (a, b) => a * b }.sum
+      val nr = math.sqrt(cr.map(x => x * x).sum)
+      val nc = math.sqrt(cc.map(x => x * x).sum)
+      assert(r.getAs[Long]("n_ref") == byKey((l, true)).length)
+      assert(r.getAs[Long]("n_cand") == byKey((l, false)).length)
+      assert(math.abs(r.getAs[Double]("centroid_cos") - dot / (nr * nc)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("norm_ref") - nr) < 1e-6)
+      val l2 = math.sqrt(cr.zip(cc).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(math.abs(r.getAs[Double]("centroid_l2") - l2) < 1e-6)
+      // Cosine is a valid similarity (tiny sf0.001 slices are noisy,
+      // so no closeness claim — the 1e-6 replica checks above are the
+      // correctness assertion).
+      assert(math.abs(r.getAs[Double]("centroid_cos")) <= 1.0 + 1e-9)
+    }
+  }
+
   test("path1: trigram counts match the brute per-user replica") {
     val rows = Behavior.sessionPaths(spark, sf).collect()
     val brute = Tables.events(spark, sf)
