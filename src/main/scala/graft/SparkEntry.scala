@@ -388,6 +388,8 @@ object SparkEntry {
     "sur1_kaplan_meier"     -> ((s, d) => graft.operators.Behavior.kaplanMeier(s, d)),
     "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
     "edr1_embedding_drift"  -> ((s, d) => graft.operators.VectorOps.embeddingDrift(s, d)),
+    "ltv1_cohort_ltv"       -> ((s, d) => graft.operators.Behavior.cohortLtv(s, d)),
+    "vj1_vocab_overlap"     -> ((s, d) => graft.operators.TextAnalysis.vocabOverlap(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -4396,6 +4398,45 @@ object SparkEntry {
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
         |ORDER BY phase""".stripMargin,
+    // Revenue stays DECIMAL through the per-cohort cumulative window;
+    // one double division at the end, mirrored term-for-term.
+    "ltv1_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS rev
+        |  FROM events),
+        |j AS (SELECT user_id, day, rev,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+        |sizes AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+        |    sum(CAST(rev AS DECIMAL(30,6))) AS r FROM j GROUP BY 1, 2),
+        |cum AS (SELECT cohort, day_offset,
+        |    CAST(sum(r) OVER (PARTITION BY cohort ORDER BY day_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,6)) AS cr
+        |  FROM d)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS INT) AS day_offset, n_users,
+        |  round(CAST(cr AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS ltv_per_user
+        |FROM cum JOIN sizes USING (cohort)
+        |WHERE day_offset <= 7 ORDER BY 1, 2""".stripMargin,
+    // The corpus collapses to the distinct (source, word) vocabulary
+    // before any join; ratios divide exact BIGINT counts.
+    "vj1_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |p AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, na.n AS n_a, nb.n AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+        |FROM p JOIN s na ON p.sa = na.source JOIN s nb ON p.sb = nb.source
+        |ORDER BY sa, sb""".stripMargin,
     // Centroid slices replay as exact per-dim mean lists (dim-ordered);
     // cos/norm/l2 mirror the engine's left-fold accumulation.
     "edr1_embedding_drift" ->

@@ -417,6 +417,42 @@ object Behavior {
       .orderBy(col("session_size"))
   }
 
+  /** Gated ltv1: COHORT LTV CURVE — cumulative purchase revenue per
+    * user by signup cohort and day offset, the first-week
+    * lifetime-value readout growth teams pair with ct1's retention
+    * (retention counts WHO came back; this prices it). Revenue folds
+    * per (cohort, offset) in exact DECIMAL first; the cumulative sum
+    * runs per-cohort (parallel window keyed by cohort — scales with
+    * cohorts, not events) and stays DECIMAL to the final division.
+    * One user-keyed window stamps cohorts; cohort sizes come from the
+    * collapsed user frame.
+    */
+  def cohortLtv(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val j = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).as("rev"))
+      .withColumn("cohort", min(col("day")).over(byUser))
+    val sizes = j.select(col("user_id"), col("cohort")).distinct()
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val daily = j.groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(sum(col("rev").cast("decimal(30,6)")).as("r"))
+    val byCohort = Window.partitionBy(col("cohort")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_rev", sum(col("r")).over(byCohort))
+      .filter(col("day_offset") <= maxOffset)
+      .join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("int").as("day_offset"),
+        col("n_users"),
+        round(col("cum_rev").cast("double") / col("n_users").cast("double"), 6)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Gated sur1: KAPLAN-MEIER SURVIVAL CURVE for time-to-first-purchase
     * — the censoring-aware "how long until users convert" estimator
     * (naive conversion-time averages are biased by users still under

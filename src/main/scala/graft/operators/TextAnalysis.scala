@@ -1049,4 +1049,42 @@ object TextAnalysis {
       .withColumn("len_norm", length(col("normalized")))
       .orderBy(col("doc_id"))
   }
+
+  /** Gated vj1: SOURCE VOCABULARY OVERLAP — pairwise Jaccard and
+    * containment between sources' word vocabularies, the corpus
+    * diagnostic that tells a mixture designer whether two sources are
+    * near-duplicates of each other (high containment) or genuinely
+    * complementary (low Jaccard) BEFORE committing mixture weights
+    * (mx1). Scale shape: the corpus collapses to the DISTINCT
+    * (source, word) vocabulary first — everything after (sizes, the
+    * intersection self-join on word, the ratio math) runs on
+    * vocabulary-cardinality frames, and sizes broadcast onto the
+    * ≤ sources² pair rows. Ratios divide exact BIGINT counts.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .distinct()
+      .persist() // vocabulary-sized; released after the 8-row collect
+    try {
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = vocab.select(col("source").as("sa"), col("word"))
+      val b = vocab.select(col("source").as("sb"), col("word"))
+      val pairs = a.join(b, Seq("word")).filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_common"))
+      val out = pairs
+        .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
+        .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("n_common"),
+          round(col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+            .as("jaccard"),
+          round(col("n_common").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"), 6)
+            .as("containment"))
+        .orderBy(col("sa"), col("sb"))
+      val rows = out.collect() // ≤ sources² rows; release the vocab cache
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { vocab.unpersist(); () }
+  }
 }

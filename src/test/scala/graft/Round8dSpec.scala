@@ -116,6 +116,53 @@ class Round8dSpec extends SparkSpec {
     }
   }
 
+  test("ltv1: cumulative revenue per cohort matches the brute replica") {
+    val rows = graft.operators.Behavior.cohortLtv(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "to_date(ts) AS day",
+        "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS rev")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val daily = ev.groupBy(e => (cohortOf(e._1),
+        java.time.temporal.ChronoUnit.DAYS.between(cohortOf(e._1), e._2)))
+      .view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { r =>
+      val cohort = java.time.LocalDate.parse(r.getAs[String]("cohort_day"))
+      val off = r.getAs[Int]("day_offset")
+      assert(off <= 7)
+      assert(r.getAs[Long]("n_users") == sizes(cohort).toLong)
+      val cum = (0 to off).map(o => daily.getOrElse((cohort, o.toLong), 0.0)).sum
+      assert(math.abs(r.getAs[Double]("ltv_per_user") - cum / sizes(cohort)) < 1e-4)
+    }
+    // Per cohort, the curve is non-decreasing in the offset.
+    rows.groupBy(_.getAs[String]("cohort_day")).values.foreach { g =>
+      val curve = g.sortBy(_.getAs[Int]("day_offset")).map(_.getAs[Double]("ltv_per_user"))
+      assert(curve.zip(curve.tail).forall { case (x, y) => y >= x - 1e-9 })
+    }
+  }
+
+  test("vj1: pairwise vocabulary Jaccard matches the brute set replica") {
+    val rows = graft.operators.TextAnalysis.vocabOverlap(spark, sf).collect()
+    val vocab = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.trim.split("\\s+")).toSet).toMap
+    assert(rows.length == vocab.size * (vocab.size - 1) / 2)
+    rows.take(30).foreach { r =>
+      val (sa, sb) = (r.getAs[String]("sa"), r.getAs[String]("sb"))
+      val (a, b) = (vocab(sa), vocab(sb))
+      val inter = (a & b).size
+      assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+      assert(r.getAs[Long]("n_common") == inter)
+      assert(math.abs(r.getAs[Double]("jaccard")
+        - inter.toDouble / (a.size + b.size - inter)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("containment")
+        - inter.toDouble / math.min(a.size, b.size)) < 1e-6)
+    }
+  }
+
   test("path1: trigram counts match the brute per-user replica") {
     val rows = Behavior.sessionPaths(spark, sf).collect()
     val brute = Tables.events(spark, sf)
