@@ -389,6 +389,7 @@ object SparkEntry {
     "path1_session_paths"   -> ((s, d) => graft.operators.Behavior.sessionPaths(s, d)),
     "edr1_embedding_drift"  -> ((s, d) => graft.operators.VectorOps.embeddingDrift(s, d)),
     "ltv1_cohort_ltv"       -> ((s, d) => graft.operators.Behavior.cohortLtv(s, d)),
+    "wfn1_windowed_conversion" -> ((s, d) => graft.operators.Behavior.windowedConversion(s, d)),
     "vj1_vocab_overlap"     -> ((s, d) => graft.operators.TextAnalysis.vocabOverlap(s, d)),
   )
 
@@ -4398,6 +4399,26 @@ object SparkEntry {
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
         |ORDER BY phase""".stripMargin,
+    // Latency micros sum in DECIMAL (order-invariant); purchases
+    // strictly before the first click never qualify.
+    "wfn1_windowed_conversion" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts)//1000 END) AS c0
+        |  FROM events GROUP BY 1),
+        |clicked AS (SELECT user_id, c0 FROM u WHERE c0 IS NOT NULL),
+        |q AS (SELECT e.user_id, min(epoch_ns(e.ts)//1000 - c.c0) AS lat_us
+        |  FROM events e JOIN clicked c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts)//1000 >= c.c0
+        |  GROUP BY 1 HAVING min(epoch_ns(e.ts)//1000 - c.c0) <= 172800000000),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_clicked FROM clicked),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |    sum(CAST(lat_us AS DECIMAL(30,0))) AS lat_sum FROM q)
+        |SELECT n_clicked, n_converted,
+        |  round(CAST(n_converted AS DOUBLE) / CAST(n_clicked AS DOUBLE), 6)
+        |    AS conversion_rate,
+        |  round(CAST(lat_sum AS DOUBLE) / CAST(n_converted AS DOUBLE)
+        |    / 60000000.0, 6) AS mean_minutes_to_convert
+        |FROM n, v""".stripMargin,
     // Revenue stays DECIMAL through the per-cohort cumulative window;
     // one double division at the end, mirrored term-for-term.
     "ltv1_cohort_ltv" ->

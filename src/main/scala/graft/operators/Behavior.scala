@@ -417,6 +417,51 @@ object Behavior {
       .orderBy(col("session_size"))
   }
 
+  /** Gated wfn1: DEADLINE-BOUNDED CONVERSION — of the users who
+    * clicked, how many purchased within 60 minutes of their FIRST
+    * click, and how fast (fn1 checks the ordering exists at all; this
+    * prices the SLA product teams actually alarm on). One user-keyed
+    * aggregation computes first-click micros; a second conditional
+    * aggregation takes the earliest qualifying purchase per user; the
+    * readout folds to one row with exact-integer micros summed in
+    * DECIMAL so the mean latency is order-invariant.
+    */
+  def windowedConversion(spark: SparkSession, dir: String,
+                         deadlineMinutes: Int = 2880): DataFrame = {
+    val deadlineUs = deadlineMinutes * 60L * 1000000L
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("us"))).as("c0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("pAny"))
+      .filter(col("c0").isNotNull)
+    // Earliest purchase AT/AFTER the first click: pAny is not enough
+    // (a purchase before any click must not count) — re-aggregate with
+    // the click time joined back. The clicker frame is user-sized;
+    // hash-join on user_id, then one conditional min.
+    val firstClick = perUser.select(col("user_id"), col("c0"))
+    val qualified = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(firstClick, "user_id")
+      .filter(col("pus") >= col("c0"))
+      .groupBy(col("user_id"))
+      .agg(min(col("pus") - col("c0")).as("lat_us"))
+      .filter(col("lat_us") <= deadlineUs)
+    val nClick = perUser.agg(count(lit(1)).as("n_clicked"))
+    val conv = qualified.agg(
+      count(lit(1)).as("n_converted"),
+      sum(col("lat_us").cast("decimal(30,0)")).as("lat_sum"))
+    nClick.crossJoin(conv) // two 1-row frames
+      .select(col("n_clicked"), col("n_converted"),
+        round(col("n_converted").cast("double")
+          / col("n_clicked").cast("double"), 6).as("conversion_rate"),
+        round(col("lat_sum").cast("double")
+          / col("n_converted").cast("double") / lit(60000000.0), 6)
+          .as("mean_minutes_to_convert"))
+  }
+
   /** Gated ltv1: COHORT LTV CURVE — cumulative purchase revenue per
     * user by signup cohort and day offset, the first-week
     * lifetime-value readout growth teams pair with ct1's retention

@@ -163,6 +163,32 @@ class Round8dSpec extends SparkSpec {
     }
   }
 
+  test("wfn1: deadline-bounded conversion matches the brute replica") {
+    val r = graft.operators.Behavior.windowedConversion(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val clicked = byUser.flatMap { case (_, es) =>
+      es.filter(_._3 == "click").map(_._2).minOption
+        .map(c0 => (c0, es.filter(e => e._3 == "purchase" && e._2 >= c0)
+          .map(_._2 - c0).minOption))
+    }.toSeq
+    val conv = clicked.flatMap(_._2).filter(_ <= 172800000000L)
+    assert(r.getAs[Long]("n_clicked") == clicked.size)
+    assert(r.getAs[Long]("n_converted") == conv.size)
+    assert(math.abs(r.getAs[Double]("conversion_rate")
+      - conv.size.toDouble / clicked.size) < 1e-6)
+    if (conv.isEmpty) {
+      // No converter inside the deadline at this SF: the mean is NULL
+      // on both engines (the gate hash covers the agreement).
+      assert(r.isNullAt(r.fieldIndex("mean_minutes_to_convert")))
+    } else {
+      assert(math.abs(r.getAs[Double]("mean_minutes_to_convert")
+        - conv.map(BigDecimal(_)).sum.toDouble / conv.size / 60000000.0) < 1e-4)
+    }
+  }
+
   test("path1: trigram counts match the brute per-user replica") {
     val rows = Behavior.sessionPaths(spark, sf).collect()
     val brute = Tables.events(spark, sf)
