@@ -407,6 +407,53 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("deletion vectors under concurrency: appends/deletes/optimize converge") {
+    val (dir, t) = freshTable()
+    try {
+      t.append(Seq(0).toDF("x")) // seed: deleters always have a table
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(14)
+      // 8 disjoint-range appenders, 4 MoR deleters, 2 compactors racing
+      // through the same create-exclusive retry loop. Interleaving
+      // invariants under test: a deleter losing its head race to an
+      // OPTIMIZE must recompute (its tombstones point into retired
+      // files); an OPTIMIZE losing to a delete must rebuild from the
+      // DV-applied head (or it would resurrect deleted rows).
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        (1 to 8).map { i =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              t.append(((i * 100) until (i * 100 + 10)).toDF("x")); ()
+            }
+          }
+        } ++
+          (1 to 4).map { _ =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { t.deleteWhere(spark, col("x") % 10 === 3); () }
+            }
+          } ++
+          (1 to 2).map { _ =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { t.optimizeCompact(spark, 2); () }
+            }
+          }
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // surface failures
+      pool.shutdown()
+      // Quiesce with one final delete: racing deletes may each have
+      // missed appends that landed after them, so only the final state
+      // is deterministic.
+      t.deleteWhere(spark, col("x") % 10 === 3)
+      val expect = (Seq(0) ++ (1 to 8).flatMap(i => (i * 100) until (i * 100 + 10)))
+        .filter(_ % 10 != 3).sorted
+      assert(t.snapshot(spark).select(col("x")).as[Int].collect().sorted.toSeq
+        == expect, "no lost append, no resurrected delete, no duplicate")
+      // Gap-free version chain; every version still snapshot-readable.
+      val vs = t.versions()
+      assert(vs == (1L to vs.max))
+      vs.foreach(v => t.snapshot(spark, Some(v)).count())
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("merge-on-read update: atomic tombstone+replace in one manifest") {
     val (dir, t) = freshTable()
     try {
