@@ -4593,7 +4593,7 @@ object SparkEntry {
     // top-k break on the path string for a deterministic set.
     "path1_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us, event_type
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |s AS (SELECT event_type AS e1,
         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
         |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3

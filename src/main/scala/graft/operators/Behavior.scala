@@ -418,29 +418,29 @@ object Behavior {
   }
 
   /** Gated wfn1: DEADLINE-BOUNDED CONVERSION — of the users who
-    * clicked, how many purchased within 60 minutes of their FIRST
-    * click, and how fast (fn1 checks the ordering exists at all; this
-    * prices the SLA product teams actually alarm on). One user-keyed
-    * aggregation computes first-click micros; a second conditional
-    * aggregation takes the earliest qualifying purchase per user; the
-    * readout folds to one row with exact-integer micros summed in
-    * DECIMAL so the mean latency is order-invariant.
+    * clicked, how many purchased within 48 hours of their FIRST click,
+    * and how fast (fn1 checks the ordering exists at all; this prices
+    * the SLA product teams actually alarm on; the corpus's median
+    * click→purchase latency is ~34 h, so a sub-hour deadline would be
+    * degenerate). One user-keyed aggregation computes first-click
+    * micros; a second conditional aggregation takes the earliest
+    * qualifying purchase per user; the readout folds to one row with
+    * exact-integer micros summed in DECIMAL so the mean latency is
+    * order-invariant.
     */
   def windowedConversion(spark: SparkSession, dir: String,
                          deadlineMinutes: Int = 2880): DataFrame = {
     val deadlineUs = deadlineMinutes * 60L * 1000000L
-    val perUser = Tables.events(spark, dir)
+    val firstClick = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"))
       .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "click", col("us"))).as("c0"),
-        min(when(col("event_type") === "purchase", col("us"))).as("pAny"))
+      .agg(min(when(col("event_type") === "click", col("us"))).as("c0"))
       .filter(col("c0").isNotNull)
-    // Earliest purchase AT/AFTER the first click: pAny is not enough
-    // (a purchase before any click must not count) — re-aggregate with
-    // the click time joined back. The clicker frame is user-sized;
-    // hash-join on user_id, then one conditional min.
-    val firstClick = perUser.select(col("user_id"), col("c0"))
+    // Earliest purchase AT/AFTER the first click (a purchase before
+    // any click must not count): the click time joins back onto the
+    // purchase stream. The clicker frame is user-sized; hash-join on
+    // user_id, then one conditional min.
     val qualified = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("pus"))
@@ -449,7 +449,7 @@ object Behavior {
       .groupBy(col("user_id"))
       .agg(min(col("pus") - col("c0")).as("lat_us"))
       .filter(col("lat_us") <= deadlineUs)
-    val nClick = perUser.agg(count(lit(1)).as("n_clicked"))
+    val nClick = firstClick.agg(count(lit(1)).as("n_clicked"))
     val conv = qualified.agg(
       count(lit(1)).as("n_converted"),
       sum(col("lat_us").cast("decimal(30,0)")).as("lat_sum"))
@@ -473,15 +473,17 @@ object Behavior {
     * collapsed user frame.
     */
   def cohortLtv(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-    val j = Tables.events(spark, dir)
+    val e = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
         when(col("event_type") === "purchase", col("value"))
           .otherwise(lit(0.0)).as("rev"))
-      .withColumn("cohort", min(col("day")).over(byUser))
-    val sizes = j.select(col("user_id"), col("cohort")).distinct()
-      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
-    val daily = j.groupBy(col("cohort"),
+    // Cohorts as a user-keyed aggregate (not a window): sizes fall out
+    // of the user frame for free, and the two downstream consumers
+    // don't each re-execute a fact-table window exchange.
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val daily = e.join(cohorts, "user_id")
+      .groupBy(col("cohort"),
         datediff(col("day"), col("cohort")).as("day_offset"))
       .agg(sum(col("rev").cast("decimal(30,6)")).as("r"))
     val byCohort = Window.partitionBy(col("cohort")).orderBy(col("day_offset"))
@@ -536,14 +538,17 @@ object Behavior {
       life, Seq(col("dur_h")), col("d_events") + col("c_censored"),
       life.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       "left_before")
-    val total = life.agg(sum(col("d_events") + col("c_censored")).as("n_total"))
+    // Grand total from the frame the prefix-sum helper just persisted
+    // (cache hit) — aggregating `life` would re-run the events scan.
+    val total = withCum
+      .agg(sum(col("d_events") + col("c_censored")).as("n_total"))
     val atRisk = withCum.crossJoin(broadcast(total))
       .select(col("dur_h"), col("d_events"), col("c_censored"),
         (col("n_total") - col("left_before")).as("n_risk"))
     // Bounded-frame cumulative window (life table ≤ observation hours):
     // constant non-foldable partition key keeps the warning channel
     // clean and makes a future unbounded reuse fail loudly.
-    val w = Window.partitionBy(pmod(hash(col("dur_h")), lit(1)))
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("dur_h")))
       .orderBy(col("dur_h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val factor = lit(1.0) -
@@ -575,6 +580,10 @@ object Behavior {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         col("event_type"))
+      // NULL types excluded on BOTH engines: concat_ws would silently
+      // skip a NULL segment where the oracle's || yields NULL — the
+      // guard makes the engines agree by construction.
+      .filter(col("event_type").isNotNull)
       .withColumn("e2", lead(col("event_type"), 1).over(byUser))
       .withColumn("e3", lead(col("event_type"), 2).over(byUser))
       .filter(col("e2").isNotNull && col("e3").isNotNull)

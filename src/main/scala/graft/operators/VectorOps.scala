@@ -136,21 +136,6 @@ object VectorOps {
         round(array_max(col("v")), 6).as("max_c"))
       .orderBy(col("vec_id"))
 
-  /** Gated per-cluster centroids (v3) through the typed
-    * [[graft.functions.CentroidAggregator]]: element-wise mean vectors
-    * with NO row explosion — the Aggregator merges fixed-size double
-    * arrays in place, so the shuffle carries one partial per
-    * cluster×partition instead of dim× the row count that a
-    * posexplode+avg plan would ship.
-    *
-    * Oracle determinism: the aggregator accumulates float-exact values
-    * into doubles. This corpus's components span < 53 bits of exponent
-    * between the smallest contribution's lowest mantissa bit and the
-    * largest per-cluster |sum| (CentroidAggregatorSpec proves the
-    * bound), so every partial sum is EXACT and the result is
-    * independent of partition/merge order — the posexplode+avg SQL the
-    * oracle runs lands on bit-identical doubles.
-    */
   /** Gated edr1: EMBEDDING DRIFT between a reference and a candidate
     * slice (vec_id parity stands in for "last month's corpus vs this
     * month's") — the model-health readout an embedding pipeline runs
@@ -190,6 +175,21 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Gated per-cluster centroids (v3) through the typed
+    * [[graft.functions.CentroidAggregator]]: element-wise mean vectors
+    * with NO row explosion — the Aggregator merges fixed-size double
+    * arrays in place, so the shuffle carries one partial per
+    * cluster×partition instead of dim× the row count that a
+    * posexplode+avg plan would ship.
+    *
+    * Oracle determinism: the aggregator accumulates float-exact values
+    * into doubles. This corpus's components span < 53 bits of exponent
+    * between the smallest contribution's lowest mantissa bit and the
+    * largest per-cluster |sum| (CentroidAggregatorSpec proves the
+    * bound), so every partial sum is EXACT and the result is
+    * independent of partition/merge order — the posexplode+avg SQL the
+    * oracle runs lands on bit-identical doubles.
+    */
   def clusterCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
                        nClusters: Int = 10): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

@@ -312,11 +312,11 @@ class TxTable(val root: String) {
     * land while it is being consumed.
     */
   def snapshot(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
-    val dirs = resolveDirs(asOf)
+    val (dirs, dvs) = resolveDirsAndDvs(asOf) // one log replay per read
     if (dirs.isEmpty)
       throw new IllegalStateException(s"TxTable $root: no committed data" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
-    applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
+    applyDeletes(spark, spark.read.parquet(dirs: _*), dvs)
   }
 
   /** Snapshot read under SCHEMA EVOLUTION: commits may ADD columns
@@ -328,41 +328,61 @@ class TxTable(val root: String) {
     * compaction manifest.
     */
   def snapshotEvolved(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
-    val dirs = resolveDirs(asOf)
+    val (dirs, dvs) = resolveDirsAndDvs(asOf) // one log replay per read
     if (dirs.isEmpty)
       throw new IllegalStateException(s"TxTable $root: no committed data" +
         asOf.map(v => s" at or before version $v").getOrElse(""))
     applyDeletes(spark,
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
-      resolveDvDirs(asOf))
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*), dvs)
   }
 
-  /** The data directories visible at `asOf` (testing/inspection). */
-  def resolveDirs(asOf: Option[Long] = None): Seq[String] = {
+  /** ONE log replay returning both the visible data dirs and the
+    * active DELETION-VECTOR dirs at `asOf`. DV folding: `delete` (and
+    * dvs-bearing `append`, the atomic-update shape) manifests
+    * accumulate DV dirs; an `overwrite` replaces the set with its own
+    * list (a data rewrite either materialized the deletes — empty
+    * list, the OPTIMIZE path — or explicitly carries the active set
+    * forward, the checkpoint/restore path). Read paths call THIS once
+    * rather than two separate folds — manifest parse cost per read is
+    * one replay, not two.
+    */
+  def resolveDirsAndDvs(asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val kept = versions().filter(v => asOf.forall(v <= _))
-    kept.foldLeft(Vector.empty[String]) { (acc, v) =>
-      val m = readManifest(v)
-      m.action match {
-        case "overwrite" => m.dirs.toVector
-        case _           => acc ++ m.dirs
-      }
+    kept.foldLeft((Vector.empty[String], Vector.empty[String])) {
+      case ((ds, dvs), v) =>
+        val m = readManifest(v)
+        m.action match {
+          case "overwrite" => (m.dirs.toVector, m.dvs.toVector)
+          case _           => (ds ++ m.dirs, dvs ++ m.dvs)
+        }
     }
   }
 
-  /** The DELETION-VECTOR dirs active at `asOf`: `delete` manifests
-    * accumulate them, an `overwrite` replaces them with its own list
-    * (a data rewrite either materialized the deletes — empty list, the
-    * OPTIMIZE path — or explicitly carries the active set forward, the
-    * checkpoint/restore path). Exposed for testing/inspection.
+  /** The data directories visible at `asOf` (testing/inspection). */
+  def resolveDirs(asOf: Option[Long] = None): Seq[String] =
+    resolveDirsAndDvs(asOf)._1
+
+  /** The DV dirs active at `asOf` (testing/inspection). */
+  def resolveDvDirs(asOf: Option[Long] = None): Seq[String] =
+    resolveDirsAndDvs(asOf)._2
+
+  /** DV-applied live read KEEPING the (_dv_file, _dv_row) physical
+    * identity columns — the shared first stage of [[deleteWhere]] and
+    * [[updateWhere]] (both must address the surviving rows by
+    * position to tombstone them).
     */
-  def resolveDvDirs(asOf: Option[Long] = None): Seq[String] = {
-    val kept = versions().filter(v => asOf.forall(v <= _))
-    kept.foldLeft(Vector.empty[String]) { (acc, v) =>
-      val m = readManifest(v)
-      m.action match {
-        case "overwrite" => m.dvs.toVector
-        case _           => acc ++ m.dvs
-      }
+  private def liveKeyed(spark: SparkSession, dirs: Seq[String],
+                        dvDirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = spark.read.parquet(dirs: _*)
+      .withColumn("_dv_file", col("_metadata.file_path"))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    if (dvDirs.isEmpty) raw
+    else {
+      val dv = spark.read.parquet(dvDirs: _*)
+      raw.join(broadcast(dv),
+        raw("_dv_file") === dv("file_path")
+          && raw("_dv_row") === dv("row_index"), "left_anti")
     }
   }
 
@@ -412,24 +432,10 @@ class TxTable(val root: String) {
     import org.apache.spark.sql.functions.col
     while (true) {
       val head = latestVersion().getOrElse(0L)
-      val dirs = resolveDirs()
+      val (dirs, dvDirs) = resolveDirsAndDvs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to delete from")
-      val raw = spark.read.parquet(dirs: _*)
-        .withColumn("_dv_file", col("_metadata.file_path"))
-        .withColumn("_dv_row", col("_metadata.row_index"))
-      val live = {
-        val dvDirs = resolveDvDirs()
-        if (dvDirs.isEmpty) raw
-        else {
-          import org.apache.spark.sql.functions.broadcast
-          val dv = spark.read.parquet(dvDirs: _*)
-          raw.join(broadcast(dv),
-            raw("_dv_file") === dv("file_path")
-              && raw("_dv_row") === dv("row_index"), "left_anti")
-        }
-      }
-      val tomb = live.filter(cond)
+      val tomb = liveKeyed(spark, dirs, dvDirs).filter(cond)
         .select(col("_dv_file").as("file_path"), col("_dv_row").as("row_index"))
       val stage = stageData(tomb)
       if (tryPublish(head + 1, "delete", Nil, dvs = Seq(stage)))
@@ -456,25 +462,17 @@ class TxTable(val root: String) {
     import org.apache.spark.sql.functions.col
     while (true) {
       val head = latestVersion().getOrElse(0L)
-      val dirs = resolveDirs()
+      val (dirs, dvDirs) = resolveDirsAndDvs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to update")
       val dataCols = spark.read.parquet(dirs: _*).columns.toSeq
-      val raw = spark.read.parquet(dirs: _*)
-        .withColumn("_dv_file", col("_metadata.file_path"))
-        .withColumn("_dv_row", col("_metadata.row_index"))
-      val live = {
-        val dvDirs = resolveDvDirs()
-        if (dvDirs.isEmpty) raw
-        else {
-          import org.apache.spark.sql.functions.broadcast
-          val dv = spark.read.parquet(dvDirs: _*)
-          raw.join(broadcast(dv),
-            raw("_dv_file") === dv("file_path")
-              && raw("_dv_row") === dv("row_index"), "left_anti")
-        }
-      }
-      val matched = live.filter(cond).persist()
+      // A typo'd set key would otherwise be a silent no-op that still
+      // commits tombstones + unchanged replacements.
+      val unknown = set.keySet -- dataCols.toSet
+      require(unknown.isEmpty,
+        s"TxTable $root: updateWhere set keys not in the table schema: " +
+          unknown.mkString(", "))
+      val matched = liveKeyed(spark, dirs, dvDirs).filter(cond).persist()
       try {
         val tomb = matched
           .select(col("_dv_file").as("file_path"), col("_dv_row").as("row_index"))
