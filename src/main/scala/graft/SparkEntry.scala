@@ -390,6 +390,7 @@ object SparkEntry {
     "edr1_embedding_drift"  -> ((s, d) => graft.operators.VectorOps.embeddingDrift(s, d)),
     "ltv1_cohort_ltv"       -> ((s, d) => graft.operators.Behavior.cohortLtv(s, d)),
     "wfn1_windowed_conversion" -> ((s, d) => graft.operators.Behavior.windowedConversion(s, d)),
+    "dd17_winnow_pairs"     -> ((s, d) => graft.operators.Dedup.winnowDupPairs(s, d)),
     "vj1_vocab_overlap"     -> ((s, d) => graft.operators.TextAnalysis.vocabOverlap(s, d)),
   )
 
@@ -4399,6 +4400,33 @@ object SparkEntry {
         |UNION ALL SELECT '3_mor_both', 2, 2, n, s FROM m2
         |UNION ALL SELECT '4_optimized', 1, 0, n, s FROM m2
         |ORDER BY phase""".stripMargin,
+    // Reuses t12's winnowing CTE chain verbatim; docs meet only through
+    // shared fingerprints, and fingerprints in > 16 docs are dropped
+    // before the join (the df-cap lever, mirrored on both engines).
+    "dd17_winnow_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams FROM w),
+        |h AS (SELECT doc_id, list_transform(grams, g ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef', md5(g)[i]) - 1 AS BIGINT))),
+        |    (a, c) -> a * 16 + c)) AS hs FROM g),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |    THEN list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_min(hs[j:j+3])))
+        |    ELSE list_distinct(hs) END AS fps FROM h),
+        |e AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS fp FROM f),
+        |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 16),
+        |ec AS (SELECT e.doc_id, e.n_fp, e.fp FROM e JOIN rare USING (fp)),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n_fp AS na, b.n_fp AS nb,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM ec a JOIN ec b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT a, b, n_shared, na AS n_a, nb AS n_b,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6)
+        |    AS containment
+        |FROM p ORDER BY n_shared DESC, a, b""".stripMargin,
     // Latency micros sum in DECIMAL (order-invariant); purchases
     // strictly before the first click never qualify.
     "wfn1_windowed_conversion" ->

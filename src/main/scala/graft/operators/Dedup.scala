@@ -1208,4 +1208,60 @@ object Dedup {
     val rows = top.collect() // k rows
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
+
+  /** Gated dd17: WINNOWING-FINGERPRINT NEAR-DUP PAIRS — candidate
+    * pairs sharing ≥ `minShared` winnowed fingerprints, with a
+    * containment score. The third near-dup signal family alongside
+    * MinHash (dd2, set-similarity) and SimHash (dd3, Hamming):
+    * winnowing guarantees any sufficiently long EXACT substring match
+    * produces a shared fingerprint, so this catches copy-paste overlap
+    * that whole-document sketches dilute. Scale shape is the standard
+    * posting-list discipline: docs meet only through shared
+    * fingerprints (no all-pairs), and fingerprints in more than
+    * `dfCap` docs are dropped before the join (boilerplate grams
+    * otherwise create quadratic hot lists — dd4's df-cap lever,
+    * applied to fingerprints). Denominators use the FULL per-doc
+    * fingerprint count, so the score is cap-independent for the pairs
+    * that survive.
+    */
+  def winnowDupPairs(spark: SparkSession, dir: String, w: Int = 4,
+                     minShared: Int = 2, dfCap: Int = 16): DataFrame = {
+    // Cache the PER-DOC fingerprint frame BEFORE the explode, for two
+    // independent reasons (probed: 38.8 s → ~1 s at sf0.01):
+    //  1. Generate(explode) over a computed array column re-evaluates
+    //     the array expression per OUTPUT row when the projection is
+    //     interpreted — and the winnow chain (higher-order transform
+    //     lambdas over trigram md5s) cannot codegen, so exploding the
+    //     live chain multiplies the kernel by avg fps/doc (probe:
+    //     0.35 s unexploded vs 17.6 s exploded). A materialization
+    //     barrier before the Generate makes explode O(rows) again.
+    //  2. The frame feeds three consumers (df-cap aggregate + both
+    //     self-join sides); the cache collapses them to one kernel
+    //     pass. Per-doc arrays are also the cheapest thing to pin —
+    //     fingerprints only, no text. The harness unpersists between
+    //     gates (Dedup caller contract, top of file).
+    val perDoc = graft.operators.TextAnalysis
+      .winnowFrom(Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws")), w)
+      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"),
+        col("fps"))
+      .cache()
+    val fps = perDoc.select(col("doc_id"), col("n_fp"),
+      explode(col("fps")).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("fp"))
+    val capped = fps.join(rare, "fp")
+    val a = capped.select(col("fp"), col("doc_id").as("a"), col("n_fp").as("na"))
+    val b = capped.select(col("fp"), col("doc_id").as("b"), col("n_fp").as("nb"))
+    a.join(b, Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a"), col("b"), col("n_shared"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("n_shared").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .orderBy(desc("n_shared"), col("a"), col("b"))
+  }
 }

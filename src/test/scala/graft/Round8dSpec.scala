@@ -189,6 +189,35 @@ class Round8dSpec extends SparkSpec {
     }
   }
 
+  test("dd17: shared-fingerprint pairs match the brute winnow replica") {
+    val rows = graft.operators.Dedup.winnowDupPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "the salted corpus must contain near-dup pairs")
+    // Brute replica of the full chain over the collected fps frame.
+    val fps = graft.operators.TextAnalysis
+      .winnowFrom(Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.words(col("text")).as("ws")))
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val df = fps.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def capped(d: Long): Set[Long] = fps(d).filter(df(_) <= 16)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val shared = (capped(a) & capped(b)).size
+      assert(r.getAs[Long]("n_shared") == shared && shared >= 2)
+      assert(r.getAs[Long]("n_a") == fps(a).size)
+      assert(math.abs(r.getAs[Double]("containment")
+        - shared.toDouble / math.min(fps(a).size, fps(b).size)) < 1e-6)
+    }
+    // Completeness: every qualifying pair is present.
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if (capped(ids(i)) & capped(ids(j))).size >= 2
+    } yield (ids(i), ids(j))).toSet
+    assert(rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet == expected)
+  }
+
   test("path1: trigram counts match the brute per-user replica") {
     val rows = Behavior.sessionPaths(spark, sf).collect()
     val brute = Tables.events(spark, sf)
