@@ -392,6 +392,10 @@ object SparkEntry {
     "wfn1_windowed_conversion" -> ((s, d) => graft.operators.Behavior.windowedConversion(s, d)),
     "dd17_winnow_pairs"     -> ((s, d) => graft.operators.Dedup.winnowDupPairs(s, d)),
     "vj1_vocab_overlap"     -> ((s, d) => graft.operators.TextAnalysis.vocabOverlap(s, d)),
+    "spear1_spearman_corr"  -> ((s, d) => graft.operators.Stats.spearmanCorr(s, d)),
+    "cpd1_changepoint"      -> ((s, d) => graft.operators.Quality.changepointHourly(s, d)),
+    "stl1_classical_decomp" -> ((s, d) => graft.operators.Quality.classicalDecomposition(s, d)),
+    "nb1_naive_bayes"       -> ((s, d) => graft.operators.LanguageModel.naiveBayesConfusion(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -4427,6 +4431,109 @@ object SparkEntry {
         |  round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 6)
         |    AS containment
         |FROM p ORDER BY n_shared DESC, a, b""".stripMargin,
+    // Doubled average ranks (2·#smaller + #equal + 1) stay BIGINT;
+    // all five Pearson-over-ranks sums are DECIMAL-exact, double math
+    // only in the final 1-row formula — mirrored token-for-token.
+    "spear1_spearman_corr" ->
+      """WITH x AS (SELECT l_extendedprice AS xv, l_quantity AS yv FROM lineitem),
+        |gx AS (SELECT xv, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY xv),
+        |rx AS (SELECT xv, 2 * (CAST(sum(cnt) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt)
+        |    + cnt + 1 AS a FROM gx),
+        |gy AS (SELECT yv, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY yv),
+        |ry AS (SELECT yv, 2 * (CAST(sum(cnt) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt)
+        |    + cnt + 1 AS b FROM gy),
+        |j AS (SELECT a, b FROM x JOIN rx USING (xv) JOIN ry USING (yv)),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+        |    CAST(sum(CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+        |    CAST(sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+        |    CAST(sum(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sbb
+        |  FROM j)
+        |SELECT round((n * sab - sa * sb)
+        |    / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 9) AS spearman_rho,
+        |  CAST(n AS BIGINT) AS n FROM s""".stripMargin,
+    // All running/total sums are BIGINT (counts and their squares);
+    // the SSE expression is the only double math, spelled identically
+    // on both engines; argmin tie-break (sse, hour) matches the
+    // engine's min-struct aggregation.
+    "cpd1_changepoint" ->
+      """WITH hourly AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, h,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS i,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+        |    CAST(sum(y*y) OVER (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs2,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+        |    CAST(sum(y*y) OVER (PARTITION BY event_type) AS BIGINT) AS st2
+        |  FROM hourly),
+        |cand AS (SELECT event_type, h,
+        |    (CAST(cs2 AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(i AS DOUBLE))
+        |      + ((CAST(st2 AS DOUBLE) - CAST(cs2 AS DOUBLE))
+        |        - (CAST(st AS DOUBLE) - CAST(cs AS DOUBLE)) * (CAST(st AS DOUBLE) - CAST(cs AS DOUBLE))
+        |          / (CAST(nh AS DOUBLE) - CAST(i AS DOUBLE))) AS sse,
+        |    CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nh AS DOUBLE) AS sse0
+        |  FROM idx WHERE i < nh),
+        |best AS (SELECT event_type, h AS change_hour, round(sse0 - sse, 6) AS sse_drop,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY sse ASC, h ASC) AS rk FROM cand)
+        |SELECT event_type, change_hour, sse_drop FROM best WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
+    // 48·y − (two off-by-one 24-window sums) keeps the detrended
+    // series integer; per-hod means quantize to DECIMAL(20,8) before
+    // the (order-invariant) centering sum.
+    "stl1_classical_decomp" ->
+      """WITH hourly AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |idx AS (SELECT h, y, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS nh,
+        |    CAST(sum(y) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+        |      + CAST(sum(y) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS BIGINT) AS t48
+        |  FROM hourly),
+        |interior AS (SELECT CAST(substr(h, 12, 2) AS BIGINT) AS hod, y * 48 - t48 AS d48
+        |  FROM idx WHERE i > 12 AND i <= nh - 12),
+        |perhod AS (SELECT hod,
+        |    CAST(round(CAST(sum(d48) AS DOUBLE) / CAST(count(*) * 48 AS DOUBLE), 8) AS DECIMAL(20,8)) AS s8,
+        |    CAST(count(*) AS BIGINT) AS n_hours FROM interior GROUP BY hod),
+        |c AS (SELECT CAST(sum(s8) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS k FROM perhod)
+        |SELECT hod, round(CAST(s8 AS DOUBLE) - c.tot / c.k, 6) AS seasonal, n_hours
+        |FROM perhod CROSS JOIN c ORDER BY hod""".stripMargin,
+    // Per-term round(tf·ln p, 8) DECIMAL sums (lm1 discipline) make
+    // the per-class posterior order-invariant and libm-drift-proof;
+    // argmax tie-break (post DESC, cand ASC) matches the engine's
+    // min-struct aggregation.
+    "nb1_naive_bayes" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+        |    md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' AS is_train FROM documents),
+        |tok AS (SELECT doc_id, lang, is_train, unnest(ws) AS w FROM docs),
+        |cls AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM tok WHERE is_train GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok WHERE is_train),
+        |cnt AS (SELECT lang AS cand, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE is_train GROUP BY 1, 2),
+        |prior AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nd
+        |  FROM docs WHERE is_train GROUP BY 1),
+        |ptot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM docs WHERE is_train),
+        |ttf AS (SELECT doc_id, lang AS true_lang, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE NOT is_train GROUP BY 1, 2, 3),
+        |terms AS (SELECT t.doc_id, t.true_lang, cls.cand,
+        |    CAST(round(CAST(t.tf AS DOUBLE)
+        |      * ln((CAST(COALESCE(cnt.c, 0) AS DOUBLE) + 1.0)
+        |        / CAST(cls.n_tok + vocab.v AS DOUBLE)), 8) AS DECIMAL(20,8)) AS term
+        |  FROM ttf t CROSS JOIN cls CROSS JOIN vocab
+        |  LEFT JOIN cnt ON cnt.cand = cls.cand AND cnt.w = t.w),
+        |post AS (SELECT s.doc_id, s.true_lang, s.cand,
+        |    sum(s.term) + any_value(CAST(round(ln(CAST(p.nd AS DOUBLE)
+        |      / CAST(ptot.t AS DOUBLE)), 8) AS DECIMAL(20,8))) AS post
+        |  FROM terms s JOIN prior p ON p.cand = s.cand CROSS JOIN ptot
+        |  GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, true_lang, cand AS pred_lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, cand ASC) AS rk
+        |  FROM post)
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Latency micros sum in DECIMAL (order-invariant); purchases
     // strictly before the first click never qualify.
     "wfn1_windowed_conversion" ->

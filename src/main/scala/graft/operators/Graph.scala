@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -639,5 +639,84 @@ object Graph {
       .select(col("round").cast("int").as("round"),
         col("n_nodes"), col("n_edges"))
       .orderBy(col("round"))
+  }
+
+  /** Gated hits1: HITS hubs & authorities over the directed
+    * customer→supplier trade graph — the OTHER classic link-centrality
+    * prior beside PageRank: hubs (customers whose baskets span strong
+    * suppliers) and authorities (suppliers bought by strong hubs)
+    * reinforce each other, exactly the query/document duality a
+    * crawl-quality ranker uses. Two full mutual-update rounds with L2
+    * normalization.
+    *
+    * Same scale discipline as [[pageRank]]: each half-update is one
+    * edge⋈vector join (vector is node-cardinality, broadcast here;
+    * pre-bucket edges by key when it outgrows broadcast) + one
+    * aggregation. Cross-engine determinism is pr1's quantization
+    * trick twice over: score contributions ride as
+    * `round(score·1e14)` BIGINTs (order-invariant sums), and each L2
+    * norm folds `round(score²·1e12)` BIGINTs before one double sqrt —
+    * the norms reach the plan as driver-computed literals
+    * (control-plane scalars, like pr1's node count).
+    */
+  def hitsScores(spark: SparkSession, dir: String,
+                 iterations: Int = 2, k: Int = 12): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Quantized-BIGINT terms, DECIMAL(38,0) sums: the per-key
+    // contribution sum is bounded by max-degree·1e14 and the norm
+    // fold by Σscore²·1e9 — both can pass 2^63 on a large graph, so
+    // the exact accumulation rides DECIMAL (DuckDB's BIGINT sums are
+    // already 128-bit HUGEINT — same exact value on both engines).
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    def l2(df: DataFrame, v: String): Double = {
+      val q = df.agg(dsum(round(col(v) * col(v) * 1e9).cast("long"))
+        .cast("double")).head.getDouble(0)
+      math.sqrt(q / 1e9)
+    }
+    // Each half-vector is persisted before its norm action: the l2
+    // fold and the next join both read it, and without the pin every
+    // action would re-run the whole iteration lineage from `pairs`.
+    val pinned = collection.mutable.ArrayBuffer[DataFrame]()
+    var hub = pairs.select(col("c")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = pairs.join(broadcast(hub), "c")
+        .select(col("s"), round(col("h") * 1e14).cast("long").as("q"))
+        .groupBy(col("s")).agg(dsum(col("q")).as("sq"))
+        .select(col("s"), (col("sq").cast("double") / 1e14).as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += araw
+      val an = l2(araw, "a")
+      auth = araw.select(col("s"), (col("a") / an).as("a"))
+      val hraw = pairs.join(broadcast(auth), "s")
+        .select(col("c"), round(col("a") * 1e14).cast("long").as("q"))
+        .groupBy(col("c")).agg(dsum(col("q")).as("sq"))
+        .select(col("c"), (col("sq").cast("double") / 1e14).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += hraw
+      val hn = l2(hraw, "h")
+      hub = hraw.select(col("c"), (col("h") / hn).as("h"))
+    }
+    val topA = auth
+      .select(concat(lit("s"), col("s").cast("string")).as("node"),
+        round(col("a"), 9).as("score"))
+      .orderBy(desc("score"), asc("node")).limit(k)
+    val topH = hub
+      .select(concat(lit("c"), col("c").cast("string")).as("node"),
+        round(col("h"), 9).as("score"))
+      .orderBy(desc("score"), asc("node")).limit(k)
+    val out = topA.unionAll(topH).orderBy(desc("score"), asc("node"))
+    // Materialize the 2k-row result so the persisted edge list and
+    // iteration vectors release here instead of leaking.
+    val rows = out.collect()
+    pairs.unpersist()
+    pinned.foreach(_.unpersist())
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

@@ -443,6 +443,104 @@ object Quality {
       .orderBy(col("hour_start"))
   }
 
+  /** Gated cpd1: OPTIMAL single changepoint per event type — the
+    * offline complement to cp1's running CUSUM: instead of flagging
+    * when a threshold is crossed, it finds the split of the hourly
+    * count series that maximally reduces within-segment variance
+    * (binary-segmentation step 1, the building block of PELT-style
+    * detectors). SSE of a segment needs only (Σy, Σy², n), so every
+    * candidate split is O(1) off BIGINT running sums over the hourly
+    * spine — one pass, no per-split rescan. Windows are partitioned
+    * by event type over the calendar spine (bounded frames); the
+    * argmin is a min-struct AGGREGATION (dd15 discipline), not a rank
+    * window. All sums are BIGINT (counts and squares of counts), so
+    * the double SSE expression is evaluated over identical integers
+    * on both engines — bit-stable before the final round.
+    */
+  def changepointHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val run = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // No orderBy → frame = the whole partition (the per-type totals).
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    def d(c: String) = col(c).cast("double")
+    val cand = hourly
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cs", sum(col("y")).over(run))
+      .withColumn("cs2", sum(col("y") * col("y")).over(run))
+      .withColumn("nh", count(lit(1)).over(all))
+      .withColumn("st", sum(col("y")).over(all))
+      .withColumn("st2", sum(col("y") * col("y")).over(all))
+      .filter(col("i") < col("nh"))
+      .withColumn("sse",
+        (d("cs2") - d("cs") * d("cs") / d("i"))
+          + ((d("st2") - d("cs2"))
+            - (d("st") - d("cs")) * (d("st") - d("cs")) / (d("nh") - d("i"))))
+      .withColumn("sse0", d("st2") - d("st") * d("st") / d("nh"))
+    cand.groupBy(col("event_type"))
+      .agg(min(struct(col("sse"), col("h"), col("sse0"))).as("best"))
+      .select(col("event_type"), col("best.h").as("change_hour"),
+        round(col("best.sse0") - col("best.sse"), 6).as("sse_drop"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gated stl1: CLASSICAL additive decomposition of the hourly
+    * count series — the textbook STL precursor ts3 approximates:
+    * trend = centered 24-term moving average (the even-window
+    * two-pass form: mean of the two off-by-one 24-windows), seasonal
+    * index = mean detrended value per hour-of-day, centered to sum
+    * to zero. ts3 profiles raw hod means; this one removes trend
+    * FIRST, so a growing corpus doesn't masquerade as seasonality.
+    *
+    * Exactness: the 48-fold trend stays integer (48·y − ΣΣy over the
+    * two windows is BIGINT), per-hod means are rounded into
+    * DECIMAL(20,8) before the centering sum (order-invariant), and
+    * only the final centered subtraction is double. The spine is
+    * calendar-bounded; its windows ride a pinned single partition
+    * ([[Ranks.boundedOnePartition]]).
+    */
+  def classicalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("h"))).orderBy(col("h"))
+    // No orderBy → frame = the whole (pinned) partition.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("h")))
+    val interior = hourly
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("nh", count(lit(1)).over(all))
+      .withColumn("t48",
+        sum(col("y")).over(ord.rowsBetween(-11, 12))
+          + sum(col("y")).over(ord.rowsBetween(-12, 11)))
+      .filter(col("i") > 12 && col("i") <= col("nh") - 12)
+      .select(substring(col("h"), 12, 2).cast("bigint").as("hod"),
+        (col("y") * 48 - col("t48")).as("d48"))
+    val perHod = interior.groupBy(col("hod"))
+      .agg(sum(col("d48")).as("sd"), count(lit(1)).as("n_hours"))
+      .withColumn("s8",
+        round(col("sd").cast("double") / (col("n_hours") * 48).cast("double"), 8)
+          .cast("decimal(20,8)"))
+    val center = org.apache.spark.sql.expressions.Window
+      .partitionBy(Ranks.boundedOnePartition(col("hod")))
+    perHod
+      .withColumn("seasonal",
+        round(col("s8").cast("double")
+          - sum(col("s8")).over(center).cast("double")
+            / count(lit(1)).over(center).cast("double"), 6))
+      .select(col("hod"), col("seasonal"), col("n_hours"))
+      .orderBy(col("hod"))
+  }
+
   /** Gated od1: ROBUST outlier detection via median/MAD — the
     * heavy-tail-safe alternative to z-scores (dq2): median and median
     * absolute deviation are unmoved by the very outliers being

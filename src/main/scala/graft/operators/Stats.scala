@@ -405,4 +405,56 @@ object Stats {
       } finally { pairs.unpersist(); () }
     } finally { series.unpersist(); () }
   }
+
+  /** Gated spear1: SPEARMAN rank correlation between extended price
+    * and quantity over the full lineitem — the monotone-association
+    * complement to Pearson (x9/cor1): invariant to any monotone
+    * transform and robust to heavy tails, the standard first check
+    * when a relationship is suspected nonlinear.
+    *
+    * Exactness and scale in one move: the average rank of a value
+    * (ties averaged, the Spearman convention) is fully determined by
+    * the DISTINCT-value count table — min_rank = #smaller + 1,
+    * max_rank = #smaller + #equal — so ranks come from an exclusive
+    * prefix sum over the distinct-value spine
+    * ([[Ranks.withExclusivePrefixSum]]: range exchange + driver offset
+    * fold, never a single-partition window), and `2·avgRank =
+    * 2·#smaller + #equal + 1` stays a BIGINT. Rows then join their
+    * doubled ranks back by value (shuffle join on the value key;
+    * the rank tables are distinct-cardinality, not row-cardinality)
+    * and one aggregation folds the five DECIMAL-exact sums Pearson-
+    * over-ranks needs. Double math only at the final 1-row formula —
+    * both engines see identical integer sums, so the rounded rho is
+    * bit-stable.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String, np: Int = 32): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("xv"), col("l_quantity").as("yv"))
+    // Doubled average rank (BIGINT) per distinct value of `c`.
+    def rank2(df: DataFrame, c: String, out: String): DataFrame = {
+      val g = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      Ranks.withExclusivePrefixSum(g, Seq(col(c)), col("cnt"), np, "nless")
+        .select(col(c),
+          (col("nless") * 2 + col("cnt") + 1).cast("long").as(out))
+    }
+    val rx = rank2(rows, "xv", "a")
+    val ry = rank2(rows, "yv", "b")
+    def dec(e: Column): Column = sum(e).cast("double")
+    // Operands cast to DECIMAL BEFORE the product: 2·avgRank reaches
+    // 2n, so a BIGINT square overflows around n ≈ 1.5e9 rows — well
+    // inside 100 TB territory. DECIMAL(38,0) products stay exact.
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val s = rows.join(rx, "xv").join(ry, "yv").agg(
+      count(lit(1)).cast("double").as("n"),
+      dec(d38(col("a"))).as("sa"), dec(d38(col("b"))).as("sb"),
+      dec(d38(col("a")) * d38(col("b"))).as("sab"),
+      dec(d38(col("a")) * d38(col("a"))).as("saa"),
+      dec(d38(col("b")) * d38(col("b"))).as("sbb"))
+    s.select(
+      round((col("n") * col("sab") - col("sa") * col("sb"))
+        / (sqrt(col("n") * col("saa") - col("sa") * col("sa"))
+          * sqrt(col("n") * col("sbb") - col("sb") * col("sb"))), 9)
+        .as("spearman_rho"),
+      col("n").cast("bigint").as("n"))
+  }
 }
