@@ -71,6 +71,78 @@ object TxTable {
   final val DefaultVacuumRetentionMillis: Long = 60L * 60L * 1000L
 }
 
+/** A concurrent commit invalidated this transaction's read snapshot:
+  * committing anyway would be a LOST UPDATE (the write was derived
+  * from rows another writer changed or removed in the meantime). The
+  * caller's correct move is to re-run the whole read→compute→commit
+  * cycle against the new head ([[TxTable.mergeSerializable]] packages
+  * that loop). Blind appends never see this — they read nothing, so
+  * no interleaved commit can invalidate them.
+  */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
+
+/** A read-snapshot-pinned transaction over a [[TxTable]] — the
+  * Delta-style serializable commit protocol. Reads through the
+  * transaction are pinned to the version at creation AND recorded as
+  * the transaction's read set (full-table, or per-column ranges);
+  * [[commit]] re-validates that read set against every commit that
+  * landed in between and refuses (throws [[ConcurrentWriteException]])
+  * when one could have changed what this transaction read:
+  *
+  *  - interleaved `overwrite` (compaction/restore/merge): conflicts
+  *    with ANY reading transaction — history was rewritten.
+  *  - interleaved delete / merge-on-read update (dvs-bearing commit):
+  *    conflicts with any reading transaction — rows it read may be
+  *    gone. (DV tombstones carry no zone metadata, so no disjointness
+  *    proof is attempted; conservative is correct here.)
+  *  - interleaved pure append: conflicts with a full-table reader;
+  *    for a range reader it conflicts UNLESS the append's zone maps
+  *    prove every appended dir disjoint from every read range — the
+  *    zone metadata does double duty as a conflict-narrowing index,
+  *    exactly why serializable writers keep committing at high
+  *    append throughput on a range-partitioned 100 TB table.
+  *  - a transaction that read NOTHING (blind append) never conflicts.
+  *
+  * The validation window is race-free without a lock server: winning
+  * the create-exclusive publish at version v proves no commit landed
+  * between validating (readVersion, v-1] and publishing v — any
+  * interloper would have taken v itself (the version chain is
+  * gap-free), in which case the publish loses and validation re-runs
+  * over the extended window.
+  */
+final class TxTransaction private[sources] (t: TxTable) {
+  /** The head this transaction's reads are pinned to (0 = empty). */
+  val readVersion: Long = t.latestVersion().getOrElse(0L)
+  private var readTable: Boolean = false
+  private var readRanges: Vector[(String, Long, Long)] = Vector.empty
+
+  /** Full-snapshot read at [[readVersion]]; records a table read. */
+  def snapshot(spark: SparkSession): DataFrame = {
+    readTable = true
+    t.snapshot(spark, Some(readVersion))
+  }
+
+  /** Zone-pruned range read at [[readVersion]]; records a range read
+    * on `statsCol`, against which interleaved appends are checked.
+    */
+  def snapshotRange(spark: SparkSession, statsCol: String,
+                    lo: Long, hi: Long): DataFrame = {
+    readRanges :+= ((statsCol, lo, hi))
+    t.snapshotRange(spark, statsCol, lo, hi, Some(readVersion))
+  }
+
+  /** Commit `df` after validating the read set against every commit
+    * that landed since [[readVersion]]. Throws
+    * [[ConcurrentWriteException]] on conflict (staged data cleaned
+    * up); otherwise publishes at the current head + 1 and returns the
+    * version. `action` is "append" or "overwrite" (a read-then-
+    * replace MERGE commits as "overwrite").
+    */
+  def commit(df: DataFrame, action: String = "append"): Long =
+    t.commitValidated(df, action, readVersion, readTable, readRanges)
+}
+
 class TxTable(val root: String) {
 
   private val logDir: Path = Paths.get(root, "_txlog")
@@ -118,20 +190,47 @@ class TxTable(val root: String) {
     attempt
   }
 
+  /** [[appendWithStats]] for SEVERAL columns at once: the manifest
+    * records a zone per column for the one staged dir (index-keyed
+    * zone entries, the same encoding the clustered rewrite uses), so
+    * [[snapshotRange]] prunes this commit on ANY of them. One tiny
+    * multi-aggregate at commit time; all columns must be BIGINT.
+    */
+  def appendWithStatsMulti(df: DataFrame, statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{min, max, col}
+    require(statsCols.nonEmpty, s"TxTable $root: statsCols must be non-empty")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val zones = statsCols.flatMap { c =>
+      val mnI = r.fieldIndex(s"mn_$c")
+      if (r.isNullAt(mnI)) None // empty/all-null batch: no zone, never skipped
+      else Some((0, c, r.getLong(mnI), r.getLong(r.fieldIndex(s"mx_$c"))))
+    }
+    val stage = stageData(df)
+    var attempt = latestVersion().getOrElse(0L) + 1
+    while (!tryPublish(attempt, "append", Seq(stage), zones = zones)) {
+      attempt = latestVersion().getOrElse(0L) + 1
+    }
+    attempt
+  }
+
   /** Range read with manifest-level data skipping: dirs whose zone
     * [min,max] provably misses [lo,hi] are never opened; dirs WITHOUT
     * a zone for `statsCol` are kept (skipping is an optimization, the
-    * residual filter below keeps the answer exact either way).
+    * residual filter below keeps the answer exact either way). One
+    * log replay serves the pruning, the dir set AND the DV set.
     */
   def snapshotRange(spark: SparkSession, statsCol: String,
                     lo: Long, hi: Long,
                     asOf: Option[Long] = None): DataFrame = {
-    val dirs = resolveDirsRange(statsCol, lo, hi, asOf)
+    val st = replayLog(asOf)
+    val dirs = pruneRange(st, statsCol, lo, hi)
     import org.apache.spark.sql.functions.col
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
     else
-      applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
+      applyDeletes(spark, spark.read.parquet(dirs: _*), st.dvs)
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -172,25 +271,30 @@ class TxTable(val root: String) {
   /** Point-lookup read: dirs whose Bloom filter proves `value` absent
     * are never opened; dirs without a filter for `eqCol` are kept.
     * The residual equality filter keeps the answer exact regardless
-    * of skipping (a Bloom hit is only "maybe").
+    * of skipping (a Bloom hit is only "maybe"). One log replay serves
+    * the pruning, the dir set AND the DV set.
     */
   def snapshotEquals(spark: SparkSession, eqCol: String, value: Long,
                      asOf: Option[Long] = None): DataFrame = {
-    val dirs = resolveDirsEquals(eqCol, value, asOf)
+    val st = replayLog(asOf)
+    val dirs = pruneEquals(st, eqCol, value)
     import org.apache.spark.sql.functions.col
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
     else
-      applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs(asOf))
+      applyDeletes(spark, spark.read.parquet(dirs: _*), st.dvs)
         .filter(col(eqCol) === value)
   }
 
   /** The dirs a point lookup must open (exposed for testing). */
   def resolveDirsEquals(eqCol: String, value: Long,
-                        asOf: Option[Long] = None): Seq[String] = {
-    val blooms = bloomRefs(asOf)
-    resolveDirs(asOf).filter { d =>
-      blooms.get(d) match {
+                        asOf: Option[Long] = None): Seq[String] =
+    pruneEquals(replayLog(asOf), eqCol, value)
+
+  private def pruneEquals(st: LogState, eqCol: String,
+                          value: Long): Seq[String] =
+    st.dirs.filter { d =>
+      st.blooms.get(d) match {
         case Some((c, sidecar)) if c == eqCol =>
           val in = Files.newInputStream(logDir.resolve(sidecar))
           try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
@@ -199,19 +303,6 @@ class TxTable(val root: String) {
         case _ => true // no usable filter: must read
       }
     }
-  }
-
-  /** dir → (bloomCol, sidecar) across manifests ≤ asOf — like
-    * [[zoneMaps]], filters stick to immutable dirs permanently.
-    */
-  private def bloomRefs(asOf: Option[Long]): Map[String, (String, String)] =
-    versions().filter(v => asOf.forall(v <= _))
-      .foldLeft(Map.empty[String, (String, String)]) { (acc, v) =>
-        readManifest(v) match {
-          case m if m.bloom.isDefined => acc ++ m.dirs.map(_ -> m.bloom.get)
-          case _ => acc
-        }
-      }
 
   /** CHANGES FEED: every row appended in versions (afterVersion,
     * untilVersion], stamped with its `_commit_version` — the
@@ -256,37 +347,17 @@ class TxTable(val root: String) {
     * exposed for inspection/testing).
     */
   def resolveDirsRange(statsCol: String, lo: Long, hi: Long,
-                       asOf: Option[Long] = None): Seq[String] = {
-    val zones = zoneMaps(asOf)
-    resolveDirs(asOf).filter { d =>
-      zones.get(d) match {
-        case Some((c, mn, mx)) if c == statsCol => mx >= lo && mn <= hi
-        case _ => true // no usable zone: must read
+                       asOf: Option[Long] = None): Seq[String] =
+    pruneRange(replayLog(asOf), statsCol, lo, hi)
+
+  private def pruneRange(st: LogState, statsCol: String,
+                         lo: Long, hi: Long): Seq[String] =
+    st.dirs.filter { d =>
+      st.zones.get(d).flatMap(_.get(statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no usable zone: must read
       }
     }
-  }
-
-  /** dir → (statsCol, min, max) across every manifest ≤ asOf. Data
-    * dirs are IMMUTABLE, so a zone recorded by the manifest that
-    * created a dir stays valid for that dir forever — even when a
-    * later compaction overwrite (which computes no stats) re-lists
-    * the dir. Visibility is resolveDirs' job; this only annotates.
-    */
-  private def zoneMaps(asOf: Option[Long]): Map[String, (String, Long, Long)] = {
-    versions().filter(v => asOf.forall(v <= _))
-      .foldLeft(Map.empty[String, (String, Long, Long)]) { (acc, v) =>
-        val m = readManifest(v)
-        val commitLevel = m.stats match {
-          case Some(s) => acc ++ m.dirs.map(_ -> s)
-          case None => acc
-        }
-        // Per-dir zones win over the commit-level annotation; dirs
-        // are immutable so a zone stays true however often re-listed.
-        commitLevel ++ m.zones.flatMap { case (i, c, mn, mx) =>
-          m.dirs.lift(i).map(_ -> (c, mn, mx))
-        }
-      }
-  }
 
   /** Replace the visible table with `df` as a new committed version. */
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
@@ -304,6 +375,90 @@ class TxTable(val root: String) {
     val won = tryPublish(version, action, Seq(stage))
     if (!won) graft.TmpIO.deleteRecursively(new java.io.File(stage))
     won
+  }
+
+  /** Open a serializable [[TxTransaction]] pinned to the current head. */
+  def transaction(): TxTransaction = new TxTransaction(this)
+
+  /** Serializable read-compute-replace (the MERGE shape): run
+    * `compute` on a transaction-pinned snapshot and commit the result
+    * as an overwrite; on [[ConcurrentWriteException]] re-run the WHOLE
+    * cycle against the new head, so the final state is always
+    * equivalent to this merge running serially after every concurrent
+    * commit — the lost-update outcome a blind read+overwrite permits
+    * is impossible by construction. Bounded retries: under real
+    * contention a caller should see the failure, not an unbounded
+    * recompute loop over a 100 TB snapshot.
+    */
+  def mergeSerializable(spark: SparkSession, maxRetries: Int = 5)(
+      compute: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      val tx = transaction()
+      val merged = compute(tx.snapshot(spark))
+      try return tx.commit(merged, "overwrite")
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** [[TxTransaction.commit]]'s engine: validate-then-publish with the
+    * gap-free-version-chain race argument documented on the class.
+    */
+  private[sources] def commitValidated(df: DataFrame, action: String,
+                                       readVersion: Long, readTable: Boolean,
+                                       readRanges: Seq[(String, Long, Long)]): Long = {
+    val stage = stageData(df)
+    var attempt = latestVersion().getOrElse(0L) + 1
+    while (true) {
+      try validateNoConflict(readVersion, attempt - 1, readTable, readRanges)
+      catch {
+        case e: ConcurrentWriteException =>
+          graft.TmpIO.deleteRecursively(new java.io.File(stage))
+          throw e
+      }
+      if (tryPublish(attempt, action, Seq(stage))) return attempt
+      attempt = latestVersion().getOrElse(0L) + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Throw iff a commit in (readVersion, head] could have changed
+    * what a transaction with this read set observed (conflict matrix
+    * on [[TxTransaction]]).
+    */
+  private def validateNoConflict(readVersion: Long, head: Long,
+                                 readTable: Boolean,
+                                 readRanges: Seq[(String, Long, Long)]): Unit = {
+    if (!readTable && readRanges.isEmpty) return // blind write: no read set
+    versions().filter(v => v > readVersion && v <= head).foreach { v =>
+      val m = readManifest(v)
+      def fail(kind: String): Nothing = throw new ConcurrentWriteException(
+        s"TxTable $root: concurrent $kind at version $v conflicts with a " +
+          s"transaction that read version $readVersion — re-run the " +
+          "read-compute-commit cycle against the new head")
+      if (m.action == "overwrite") fail("overwrite")
+      if (m.dvs.nonEmpty) fail("delete/update")
+      if (m.dirs.nonEmpty) {
+        if (readTable) fail("append")
+        // Range-only reader: the append passes iff its zones PROVE
+        // every appended dir misses every read range; a dir without a
+        // zone for the read column might overlap — conservative fail.
+        val disjoint = m.dirs.zipWithIndex.forall { case (_, i) =>
+          readRanges.forall { case (c, lo, hi) =>
+            val z = m.zones.collectFirst {
+              case (zi, zc, mn, mx) if zi == i && zc == c => (mn, mx) }
+              .orElse(m.stats.collect { case (sc, mn, mx) if sc == c => (mn, mx) })
+            z.exists { case (mn, mx) => mx < lo || mn > hi }
+          }
+        }
+        if (!disjoint) fail("append overlapping the read ranges")
+      }
+    }
   }
 
   /** Snapshot read: replay manifests up to `asOf` (default: head) into
@@ -336,26 +491,58 @@ class TxTable(val root: String) {
       spark.read.option("mergeSchema", "true").parquet(dirs: _*), dvs)
   }
 
-  /** ONE log replay returning both the visible data dirs and the
-    * active DELETION-VECTOR dirs at `asOf`. DV folding: `delete` (and
-    * dvs-bearing `append`, the atomic-update shape) manifests
-    * accumulate DV dirs; an `overwrite` replaces the set with its own
-    * list (a data rewrite either materialized the deletes — empty
-    * list, the OPTIMIZE path — or explicitly carries the active set
-    * forward, the checkpoint/restore path). Read paths call THIS once
-    * rather than two separate folds — manifest parse cost per read is
-    * one replay, not two.
+  /** The full log state at `asOf`, from ONE replay: visible data dirs,
+    * active DV dirs, per-dir zone maps and per-dir Bloom refs. Every
+    * read path folds THIS once instead of paying separate replays for
+    * dirs, DVs and skipping metadata.
+    *
+    * Visibility folding: `delete` (and dvs-bearing `append`, the
+    * atomic-update shape) manifests accumulate DV dirs; an `overwrite`
+    * replaces the dir AND dv sets with its own lists (a data rewrite
+    * either materialized the deletes — empty list, the OPTIMIZE path —
+    * or explicitly carries the active set forward, the checkpoint/
+    * restore path). Zone/Bloom ANNOTATIONS stick to immutable dirs
+    * permanently — a zone recorded by the manifest that created a dir
+    * stays valid however often a later compaction re-lists it;
+    * visibility is the dirs fold's job, annotation only decorates.
+    * Zones are per-dir per-COLUMN maps: one dir may carry min/max for
+    * several caller-named columns (multi-column data skipping).
     */
-  def resolveDirsAndDvs(asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+  private case class LogState(dirs: Vector[String], dvs: Vector[String],
+                              zones: Map[String, Map[String, (Long, Long)]],
+                              blooms: Map[String, (String, String)])
+
+  private def replayLog(asOf: Option[Long]): LogState = {
     val kept = versions().filter(v => asOf.forall(v <= _))
-    kept.foldLeft((Vector.empty[String], Vector.empty[String])) {
-      case ((ds, dvs), v) =>
+    kept.foldLeft(LogState(Vector.empty, Vector.empty, Map.empty, Map.empty)) {
+      case (st, v) =>
         val m = readManifest(v)
+        // Commit-level stats annotate every dir of the commit (the
+        // append path); index-keyed zones annotate dirs individually
+        // (the clustered-rewrite / multi-column path) and extend or
+        // override the commit-level entry column by column.
+        val withStats = m.stats match {
+          case Some((c, mn, mx)) => m.dirs.foldLeft(st.zones) { (z, d) =>
+            z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx))))
+          }
+          case None => st.zones
+        }
+        val zones = m.zones.foldLeft(withStats) { case (z, (i, c, mn, mx)) =>
+          m.dirs.lift(i).fold(z)(d =>
+            z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx)))))
+        }
+        val blooms = m.bloom.fold(st.blooms)(b => st.blooms ++ m.dirs.map(_ -> b))
         m.action match {
-          case "overwrite" => (m.dirs.toVector, m.dvs.toVector)
-          case _           => (ds ++ m.dirs, dvs ++ m.dvs)
+          case "overwrite" => LogState(m.dirs.toVector, m.dvs.toVector, zones, blooms)
+          case _ => LogState(st.dirs ++ m.dirs, st.dvs ++ m.dvs, zones, blooms)
         }
     }
+  }
+
+  /** The visible data dirs and active DV dirs at `asOf` (one replay). */
+  def resolveDirsAndDvs(asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val st = replayLog(asOf)
+    (st.dirs, st.dvs)
   }
 
   /** The data directories visible at `asOf` (testing/inspection). */
@@ -374,7 +561,11 @@ class TxTable(val root: String) {
   private def liveKeyed(spark: SparkSession, dirs: Seq[String],
                         dvDirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val raw = spark.read.parquet(dirs: _*)
+    // mergeSchema: on a schema-evolved table (the snapshotEvolved
+    // shape) the matched rows must carry the UNION schema — a read
+    // pinned to one file's schema would silently drop the evolved
+    // columns from every replacement row updateWhere writes back.
+    val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .withColumn("_dv_file", col("_metadata.file_path"))
       .withColumn("_dv_row", col("_metadata.row_index"))
     if (dvDirs.isEmpty) raw
@@ -465,7 +656,8 @@ class TxTable(val root: String) {
       val (dirs, dvDirs) = resolveDirsAndDvs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to update")
-      val dataCols = spark.read.parquet(dirs: _*).columns.toSeq
+      val dataCols = // union schema: see liveKeyed's mergeSchema note
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*).columns.toSeq
       // A typo'd set key would otherwise be a silent no-op that still
       // commits tombstones + unchanged replacements.
       val unknown = set.keySet -- dataCols.toSet
@@ -503,13 +695,13 @@ class TxTable(val root: String) {
   def optimizeCompact(spark: SparkSession, targetPartitions: Int = 1): Long = {
     while (true) {
       val head = latestVersion().getOrElse(0L)
-      val dirs = resolveDirs()
+      val (dirs, dvDirs) = resolveDirsAndDvs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
       // DV-applied read: the rewrite MATERIALIZES merge-on-read deletes,
       // and the published overwrite (empty dvs) clears the DV set.
       val stage = stageData(
-        applyDeletes(spark, spark.read.parquet(dirs: _*), resolveDvDirs())
+        applyDeletes(spark, spark.read.parquet(dirs: _*), dvDirs)
           .coalesce(math.max(targetPartitions, 1)))
       if (tryPublish(head + 1, "overwrite", Seq(stage))) return head + 1
       // Lost to a concurrent commit: the rewrite is stale — drop it
@@ -539,17 +731,33 @@ class TxTable(val root: String) {
     */
   def optimizeClustered(spark: SparkSession,
                         cluster: org.apache.spark.sql.Column,
-                        statsCol: String, nBuckets: Int = 8): Long = {
+                        statsCol: String, nBuckets: Int = 8): Long =
+    optimizeClusteredMulti(spark, cluster, Seq(statsCol), nBuckets)
+
+  /** [[optimizeClustered]] with MULTI-COLUMN zone maps: each rewritten
+    * bucket dir records min/max for EVERY column in `statsCols`, so
+    * [[snapshotRange]] can prune on any of them — including columns
+    * that are not part of the cluster key (useful whenever a second
+    * column is correlated with the layout: time with id bands,
+    * revenue with size tiers). One extra min/max pair per bucket per
+    * column in the ≤ nBuckets-row stats read-back; manifests stay
+    * O(buckets × columns) bytes. All `statsCols` must be BIGINT (same
+    * contract as [[appendWithStats]]).
+    */
+  def optimizeClusteredMulti(spark: SparkSession,
+                             cluster: org.apache.spark.sql.Column,
+                             statsCols: Seq[String],
+                             nBuckets: Int = 8): Long = {
     import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, s"TxTable $root: statsCols must be non-empty")
     val n = math.max(nBuckets, 1)
     while (true) {
       val head = latestVersion().getOrElse(0L)
-      val dirs = resolveDirs()
+      val (dirs, dvDirs) = resolveDirsAndDvs()
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
       // DV-applied read: clustering rewrites materialize deletes too.
-      val snap = applyDeletes(spark, spark.read.parquet(dirs: _*),
-        resolveDvDirs())
+      val snap = applyDeletes(spark, spark.read.parquet(dirs: _*), dvDirs)
       val ck = cluster.cast("long")
       val r = snap.agg(min(ck), max(ck)).head()
       if (r.isNullAt(0)) return optimizeCompact(spark, 1) // no key values: plain compact
@@ -566,17 +774,22 @@ class TxTable(val root: String) {
         .repartition(n, col("__zb"))
         .write.partitionBy("__zb").parquet(stage.toString)
       // Per-bucket zones: a ≤ n-row control-plane read (columnar scan
-      // of two columns over the staged rewrite).
+      // of the stats columns over the staged rewrite).
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
       val zs = spark.read.parquet(stage.toString)
         .groupBy(col("__zb"))
-        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
         .sortBy(_.getAs[Int]("__zb"))
       val bucketDirs = zs.map(row =>
         stage.resolve(s"__zb=${row.getAs[Int]("__zb")}").toString).toSeq
       val zones = zs.zipWithIndex.flatMap { case (row, i) =>
-        if (row.isNullAt(1)) None // all-null bucket: no zone, never skipped
-        else Some((i, statsCol, row.getAs[Long]("mn"), row.getAs[Long]("mx")))
+        statsCols.flatMap { c =>
+          val mnI = row.fieldIndex(s"mn_$c")
+          if (row.isNullAt(mnI)) None // all-null bucket: no zone, never skipped
+          else Some((i, c, row.getLong(mnI), row.getLong(row.fieldIndex(s"mx_$c"))))
+        }
       }.toSeq
       if (tryPublish(head + 1, "overwrite", bucketDirs, zones = zones))
         return head + 1
@@ -594,9 +807,12 @@ class TxTable(val root: String) {
   def checkpointCompact(): Long = {
     var v = latestVersion().getOrElse(0L) + 1
     // Carry the ACTIVE DV set forward: a log checkpoint rewrites no
-    // data, so merge-on-read deletes must stay applied.
-    while (!tryPublish(v, "overwrite", resolveDirs(), dvs = resolveDvDirs())) {
+    // data, so merge-on-read deletes must stay applied. One replay
+    // per attempt (re-resolved on losing the race — the head moved).
+    var (dirs, dvs) = resolveDirsAndDvs()
+    while (!tryPublish(v, "overwrite", dirs, dvs = dvs)) {
       v = latestVersion().getOrElse(0L) + 1
+      val st = resolveDirsAndDvs(); dirs = st._1; dvs = st._2
     }
     v
   }
@@ -610,14 +826,13 @@ class TxTable(val root: String) {
     * manifests. Same optimistic loop as every other writer.
     */
   def restore(toVersion: Long): Long = {
-    val dirs = resolveDirs(Some(toVersion))
+    // The restored state includes the DVs active AT that version —
+    // restoring to a point after a merge-on-read delete must not
+    // resurrect the deleted rows. One replay serves both sets.
+    val (dirs, dvs) = resolveDirsAndDvs(Some(toVersion))
     if (dirs.isEmpty)
       throw new IllegalStateException(
         s"TxTable $root: nothing to restore at version $toVersion")
-    // The restored state includes the DVs active AT that version —
-    // restoring to a point after a merge-on-read delete must not
-    // resurrect the deleted rows.
-    val dvs = resolveDvDirs(Some(toVersion))
     var v = latestVersion().getOrElse(0L) + 1
     while (!tryPublish(v, "overwrite", dirs, dvs = dvs)) {
       v = latestVersion().getOrElse(0L) + 1
@@ -638,20 +853,20 @@ class TxTable(val root: String) {
     * still references — retention discipline spans clones.
     */
   def shallowCloneTo(dstRoot: String, asOf: Option[Long] = None): TxTable = {
-    val dirs = resolveDirs(asOf)
-    if (dirs.isEmpty)
+    val st = replayLog(asOf) // one replay: dirs + dvs + zone carry-over
+    if (st.dirs.isEmpty)
       throw new IllegalStateException(
         s"TxTable $root: nothing to clone" +
           asOf.map(v => s" at or before version $v").getOrElse(""))
-    val zm = zoneMaps(asOf)
-    val zones = dirs.zipWithIndex.flatMap { case (d, i) =>
-      zm.get(d).map { case (c, mn, mx) => (i, c, mn, mx) }
+    val zones = st.dirs.zipWithIndex.flatMap { case (d, i) =>
+      st.zones.getOrElse(d, Map.empty).map { case (c, (mn, mx)) =>
+        (i, c, mn, mx) }
     }
     val dst = new TxTable(dstRoot)
     // Clones see the DV-applied state: borrowed DV dirs ride along
     // exactly like borrowed data dirs (same shared-fate contract).
-    if (!dst.tryPublish(1, "overwrite", dirs, zones = zones,
-        dvs = resolveDvDirs(asOf)))
+    if (!dst.tryPublish(1, "overwrite", st.dirs, zones = zones,
+        dvs = st.dvs))
       throw new IllegalStateException(
         s"TxTable $dstRoot: destination already has a version 1")
     dst

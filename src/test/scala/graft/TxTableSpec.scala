@@ -488,4 +488,133 @@ class TxTableSpec extends SparkSpec {
       assert(t.snapshot(spark).count() == 10L)
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
+
+  test("conflict detection: interleaved delete/overwrite/append fail a reader") {
+    import graft.sources.ConcurrentWriteException
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 20).map(i => (i, i * 10)).toDF("k", "v")) // v1
+      // (a) full-table reader vs interleaved DELETE → conflict.
+      val tx1 = t.transaction()
+      val doubled = tx1.snapshot(spark)
+        .select(col("k"), (col("v") * 2).as("v"))
+      t.deleteWhere(spark, col("k") % 5 === 0) // v2 lands mid-transaction
+      intercept[ConcurrentWriteException] { tx1.commit(doubled, "overwrite") }
+      // The refused commit left no version and no visible change...
+      assert(t.latestVersion().contains(2L))
+      assert(t.snapshot(spark).count() == 16L)
+      // ...and no orphan survives vacuum (staged data was cleaned).
+      assert(t.vacuum(retentionMillis = 0L).isEmpty)
+      // (b) reader vs interleaved OVERWRITE → conflict.
+      val tx2 = t.transaction()
+      val d2 = tx2.snapshot(spark).select(col("k"), (col("v") + 1).as("v"))
+      t.overwrite((1 to 3).map(i => (i, i)).toDF("k", "v")) // v3
+      intercept[ConcurrentWriteException] { tx2.commit(d2, "overwrite") }
+      // (c) full-table reader vs interleaved APPEND → conflict (the
+      // reader's derived overwrite would silently drop the new rows).
+      val tx3 = t.transaction()
+      val d3 = tx3.snapshot(spark).select(col("k"), (col("v") + 1).as("v"))
+      t.append(Seq((99, 99)).toDF("k", "v")) // v4
+      intercept[ConcurrentWriteException] { tx3.commit(d3, "overwrite") }
+      // (d) BLIND append transaction: same interleavings, no conflict —
+      // it read nothing, so nothing could have been invalidated.
+      val tx4 = t.transaction()
+      t.deleteWhere(spark, col("k") === 1) // v5
+      t.append(Seq((100, 100)).toDF("k", "v")) // v6
+      val v = tx4.commit(Seq((101, 101)).toDF("k", "v"), "append")
+      assert(v == 7L)
+      assert(t.snapshot(spark).filter(col("k") === 101).count() == 1L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("conflict detection: zone-disjoint append passes a range reader") {
+    import graft.sources.ConcurrentWriteException
+    val (dir, t) = freshTable()
+    try {
+      t.appendWithStats((1L to 100L).map(i => (i, i * 10)).toDF("k", "v"), "k")
+      // Range reader over k ∈ [1, 100].
+      val tx = t.transaction()
+      val derived = tx.snapshotRange(spark, "k", 1L, 100L)
+        .agg(sum(col("v")).as("tv")).select(col("tv").cast("long").as("tv"))
+      // Interleaved append PROVABLY outside the read range: no conflict.
+      t.appendWithStats((200L to 300L).map(i => (i, i)).toDF("k", "v"), "k")
+      assert(tx.commit(derived, "append") == 3L)
+      // Same shape but OVERLAPPING zone: conflict.
+      val tx2 = t.transaction()
+      val derived2 = tx2.snapshotRange(spark, "k", 1L, 100L)
+        .agg(sum(col("v")).as("tv")).select(col("tv").cast("long").as("tv"))
+      t.appendWithStats(Seq((50L, 1L)).toDF("k", "v"), "k")
+      intercept[ConcurrentWriteException] { tx2.commit(derived2, "append") }
+      // An append with NO zone for the read column cannot be proven
+      // disjoint → conservative conflict.
+      val tx3 = t.transaction()
+      val derived3 = tx3.snapshotRange(spark, "k", 1L, 100L)
+        .agg(count(lit(1)).as("n"))
+      t.append(Seq((400L, 1L)).toDF("k", "v"))
+      intercept[ConcurrentWriteException] { tx3.commit(derived3, "append") }
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("mergeSerializable re-runs on conflict and lands the serial outcome") {
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 10).map(i => (i, i * 100)).toDF("k", "v")) // v1
+      // Injected contention: the FIRST compute call triggers a
+      // concurrent delete before the merge commits, so attempt 1 must
+      // conflict and the retry must see the post-delete snapshot.
+      var calls = 0
+      val vFinal = t.mergeSerializable(spark) { base =>
+        calls += 1
+        if (calls == 1) t.deleteWhere(spark, col("k") % 2 === 0)
+        base.select(col("k"), (col("v") + 1).as("v"))
+      }
+      assert(calls == 2, "exactly one conflict retry")
+      val got = t.snapshot(spark, Some(vFinal)).select(col("k"), col("v"))
+        .as[(Int, Int)].collect().sortBy(_._1).toSeq
+      // Serial order delete-then-merge: odds only, each bumped once.
+      assert(got == (1 to 10).filter(_ % 2 == 1).map(i => (i, i * 100 + 1)))
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("updateWhere keeps evolved columns (mergeSchema on the matched read)") {
+    val (dir, t) = freshTable()
+    try {
+      t.append((1 to 5).map(i => (i, i * 10)).toDF("k", "v"))      // v1: (k,v)
+      t.append(Seq((6, 60, "x"), (7, 70, "y")).toDF("k", "v", "tag")) // v2: +tag
+      t.updateWhere(spark, col("k") === 7, Map("v" -> lit(0)))
+      val evolved = t.snapshotEvolved(spark)
+      // The updated row keeps its evolved column; pre-evolution rows
+      // stay null there.
+      assert(evolved.filter(col("k") === 7).select(col("v"), col("tag"))
+        .as[(Int, String)].head() == ((0, "y")))
+      assert(evolved.filter(col("k") === 1).select(col("tag")).head().isNullAt(0))
+      assert(evolved.count() == 7L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("multi-column zones: append + clustered rewrite prune on any column") {
+    val (dir, t) = freshTable()
+    try {
+      // Two correlated BIGINT columns: k in bands, w = k * 1000.
+      (0 until 4).foreach { b =>
+        val rows = ((b * 100L + 1) to (b * 100L + 100)).map(i => (i, i * 1000))
+        t.appendWithStatsMulti(rows.toDF("k", "w"), Seq("k", "w"))
+      }
+      // Pruning works on BOTH columns from the same commits.
+      assert(t.resolveDirsRange("k", 1L, 50L).size == 1)
+      assert(t.resolveDirsRange("w", 301000L, 350000L).size == 1)
+      assert(t.resolveDirsRange("w", 1L, 999L).isEmpty)
+      // Answers stay exact through the pruned read.
+      assert(t.snapshotRange(spark, "w", 101000L, 105000L).count() == 5L)
+      // Clustered rewrite carries zones for BOTH columns per bucket:
+      // a range read on the NON-cluster column w still prunes.
+      t.optimizeClusteredMulti(spark, col("k"), Seq("k", "w"), nBuckets = 4)
+      val opened = t.resolveDirsRange("w", 1000L, 50000L)
+      assert(opened.size == 1, s"expected 1 bucket dir, got ${opened.size}")
+      assert(t.snapshotRange(spark, "w", 1000L, 50000L).count() == 50L)
+      // Clone carries multi-column zones over.
+      val dst = t.shallowCloneTo(s"$dir/clone")
+      assert(dst.resolveDirsRange("w", 1000L, 50000L).size == 1)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
 }
