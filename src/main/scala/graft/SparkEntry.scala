@@ -181,6 +181,8 @@ object SparkEntry {
     "tt8_optimize_zorder"  -> ((s, d) => Ingest.txOptimizeZorderGate(s, d)),
     "tt9_restore"          -> ((s, d) => Ingest.txRestoreGate(s, d)),
     "tt10_shallow_clone"   -> ((s, d) => Ingest.txCloneGate(s, d)),
+    "tt11_conflict_detect" -> ((s, d) => Ingest.txConflictGate(s, d)),
+    "tt12_multizone"       -> ((s, d) => Ingest.txMultiZoneGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -2792,6 +2794,47 @@ object SparkEntry {
         |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT)
         |FROM o WHERE k BETWEEN 30000 AND 45000
+        |ORDER BY range_id""".stripMargin,
+    // Serializable-commit interleave restated as the SERIAL outcome:
+    // phase 1 = delete(≡0 mod 5) then merge (upsert of the mod-6/mod-1
+    // delta), with refused=1 pinning that the stale commit was
+    // rejected; phase 2 = that state minus ≡0 mod 7 plus the blind
+    // append, refused=0 pinning that blind appends pass.
+    "tt11_conflict_detect" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |base AS (SELECT k, cents FROM o WHERE k % 3 = 0),
+        |delta AS (SELECT k, 2*cents AS dcents FROM o
+        |  WHERE k % 6 = 0 OR k % 3 = 1),
+        |after_del AS (SELECT * FROM base WHERE k % 5 <> 0),
+        |merged AS (SELECT COALESCE(b.k, d.k) AS k,
+        |    COALESCE(d.dcents, b.cents) AS cents
+        |  FROM after_del b FULL OUTER JOIN delta d ON b.k = d.k),
+        |phase2 AS (SELECT * FROM merged WHERE k % 7 <> 0
+        |  UNION ALL SELECT k, cents FROM o WHERE k % 3 = 2 AND k % 11 = 0)
+        |SELECT 'merge_after_conflict' AS phase, CAST(1 AS BIGINT) AS refused,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM merged
+        |UNION ALL
+        |SELECT 'blind_append', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM phase2
+        |ORDER BY phase""".stripMargin,
+    // Multi-column zone-pruned range reads restated as plain BETWEENs
+    // (ranges 2 and 4 straddle the clustered rewrite — lossless, so
+    // identical); the pruning itself is asserted in TxTableSpec.
+    "tt12_multizone" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS range_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM o WHERE cust BETWEEN 100 AND 500
+        |UNION ALL SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE k BETWEEN 5000 AND 20000
+        |UNION ALL SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE cents BETWEEN 1000000 AND 5000000
+        |UNION ALL SELECT CAST(4 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE k BETWEEN 5000 AND 20000
         |ORDER BY range_id""".stripMargin,
     // Exact two-sample KS over the distinct-length spine: cumulative
     // per-source counts, D = max ecdf gap.

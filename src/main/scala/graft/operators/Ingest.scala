@@ -849,6 +849,105 @@ object Ingest {
       .orderBy(col("phase"))
   }
 
+  /** Gated tt11: WRITE-WRITE CONFLICT DETECTION — the serializable
+    * commit protocol ([[graft.sources.TxTransaction]]) driven through
+    * a deterministic lost-update interleave. Phase 1: a MERGE
+    * transaction reads v1 (orderkeys ≡ 0 mod 3), computes its upsert
+    * (double the ≡ 0 mod 6 cents, insert the ≡ 1 mod 3 keys), and
+    * while it computes a concurrent writer lands a merge-on-read
+    * DELETE of the ≡ 0 mod 5 keys. The stale commit MUST be refused
+    * (without the read-set validation it would overwrite v2 and
+    * silently resurrect the deleted rows); the retry loop
+    * ([[graft.sources.TxTable.mergeSerializable]]) then re-runs the
+    * merge against the post-delete head, so the final state is
+    * exactly the SERIAL delete-then-merge outcome the oracle
+    * restates. Phase 2: a BLIND append transaction straddling another
+    * delete commits fine — it read nothing, so nothing invalidated
+    * it. The `refused` column carries the observed protocol decision
+    * into the hash: a wrong accept/reject flips the gate red.
+    */
+  def txConflictGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt11_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.append(o.filter(col("k") % 3 === 0)) // v1: base
+    val delta = o.filter(col("k") % 6 === 0 || col("k") % 3 === 1)
+      .select(col("k").as("dk"), (col("cents") * 2).as("dcents"))
+    def mergeWith(base: DataFrame): DataFrame =
+      base.join(delta, col("k") === col("dk"), "full_outer")
+        .select(coalesce(col("k"), col("dk")).as("k"),
+          coalesce(col("dcents"), col("cents")).as("cents"))
+    // Phase 1: the transaction's snapshot is pinned to v1; the
+    // interleaved delete lands BEFORE it commits.
+    val txA = t.transaction()
+    val mergedStale = mergeWith(txA.snapshot(spark))
+    t.deleteWhere(spark, col("k") % 5 === 0) // v2, mid-transaction
+    val refusedA =
+      try { txA.commit(mergedStale, "overwrite"); 0L }
+      catch { case _: graft.sources.ConcurrentWriteException => 1L }
+    t.mergeSerializable(spark)(mergeWith) // serial delete-then-merge
+    def agg(phase: String, refused: Long): DataFrame = t.snapshot(spark)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("bigint").as("total_cents"))
+      .select(lit(phase).as("phase"), lit(refused).cast("bigint").as("refused"),
+        col("n_rows"), col("total_cents"))
+    val p1 = agg("merge_after_conflict", refusedA)
+    // Phase 2: blind append straddling a delete — must NOT be refused.
+    val txC = t.transaction()
+    t.deleteWhere(spark, col("k") % 7 === 0)
+    val extra = o.filter(col("k") % 3 === 2 && col("k") % 11 === 0)
+    val refusedC =
+      try { txC.commit(extra, "append"); 0L }
+      catch { case _: graft.sources.ConcurrentWriteException => 1L }
+    val p2 = agg("blind_append", refusedC)
+    graft.TmpIO.collectAndClean(spark, tmp)(p1.unionAll(p2))
+      .orderBy(col("phase"))
+  }
+
+  /** Gated tt12: MULTI-COLUMN ZONE MAPS — manifests record min/max
+    * for SEVERAL caller-named columns per dir, so range reads prune
+    * on any of them, not just the one clustering key. Phases: banded
+    * appends carry zones for (k, custkey) and are range-read on BOTH
+    * (1: custkey — the second column; 2: k); then a clustered rewrite
+    * by k records per-bucket zones for (k, cents) and is range-read
+    * on the NON-cluster column cents (3) and on k again (4: lossless
+    * rewrite ⇒ identical to 2). Correctness never depends on the
+    * skipping (residual filters keep answers exact — the oracle is
+    * four plain BETWEENs); the pruning itself is asserted in
+    * TxTableSpec on a synthetic correlated layout.
+    */
+  def txMultiZoneGate(spark: SparkSession, dir: String,
+                      bands: Int = 8): DataFrame = {
+    val tmp = freshDir("graft_tt12_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k", "CAST(o_custkey AS BIGINT) AS cust",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    val maxK = o.agg(max(col("k"))).head.getLong(0)
+    val w = maxK / bands + 1
+    (0 until bands).foreach { i =>
+      t.appendWithStatsMulti(
+        o.filter(col("k") >= i * w && col("k") < (i + 1) * w),
+        Seq("k", "cust"))
+    }
+    def rangeAgg(id: Int, c: String, lo: Long, hi: Long): DataFrame =
+      t.snapshotRange(spark, c, lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(id).cast("int").as("range_id"), col("n_rows"),
+          col("total_cents"))
+    val r1 = rangeAgg(1, "cust", 100L, 500L)
+    val r2 = rangeAgg(2, "k", 5000L, 20000L)
+    t.optimizeClusteredMulti(spark, col("k"), Seq("k", "cents"), nBuckets = 8)
+    val r3 = rangeAgg(3, "cents", 1000000L, 5000000L)
+    val r4 = rangeAgg(4, "k", 5000L, 20000L)
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        r1.unionAll(r2).unionAll(r3).unionAll(r4))
+      .orderBy(col("range_id"))
+  }
+
   /** Gated ttd1: SNAPSHOT DIFF between two table versions — the audit
     * question the changes feed (cf1) cannot answer once lineage is
     * broken by RESTORE/CLONE/compaction: "what actually differs
