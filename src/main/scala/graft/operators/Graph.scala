@@ -244,9 +244,42 @@ object Graph {
   def edgeStrength(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     edgeStrengthFrom(spark, copurchaseEdges(spark, dir), k)
 
-  /** [[edgeStrength]] over an explicit (u, v) u<v edge frame. */
+  /** Truncate an (a, b) half-edge frame to each node's `cap` SMALLEST
+    * neighbor ids — the hub guard for every adjacency-ARRAY operator:
+    * without it one power-law hub materializes a degree-sized array in
+    * a single task (a multi-hundred-MB row at web scale). The rank
+    * filter runs BEFORE any collect_list, so candidate mass is
+    * O(nodes × cap) by construction; the per-key window shuffles on
+    * the same key the downstream groupBy needs, so the exchange is
+    * reused and the only added cost is the per-partition sort. The
+    * smallest-id rule is deterministic and cross-engine replayable
+    * (pairs are distinct — no ties). EXACTNESS CONTRACT: results are
+    * bit-identical to uncapped whenever every true degree ≤ cap
+    * (spec-proven); beyond it, neighborhoods are truncated
+    * deterministically — the standard web-scale mitigation, since a
+    * hub's per-neighbor contribution (1/ln d) is negligible exactly
+    * when the cap bites.
+    */
+  private def capNeighbors(half: DataFrame, a: String, b: String,
+                           cap: Int): DataFrame = {
+    require(cap >= 1, s"degreeCap must be >= 1, got $cap")
+    if (cap == Int.MaxValue) half
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(a)).orderBy(col(b))
+      half.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= cap).drop("_r")
+    }
+  }
+
+  /** [[edgeStrength]] over an explicit (u, v) u<v edge frame.
+    * `degreeCap` bounds every adjacency array (see [[capNeighbors]]);
+    * the gate's 4096 is ~20× the densest sf0.1 co-purchase degree, so
+    * the capped path is exercised hash-exactly, and a production
+    * caller on a power-law graph tightens it to taste.
+    */
   def edgeStrengthFrom(spark: SparkSession, edgesUV: DataFrame,
-                       k: Int): DataFrame = {
+                       k: Int, degreeCap: Int = 4096): DataFrame = {
     val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e.select(col("v").as("a"), col("u").as("b")))
@@ -255,7 +288,9 @@ object Graph {
     // on the dst endpoint (node-cardinality degree table broadcasts),
     // sort once as structs — sort_array orders by the leading field —
     // and project the aligned id/weight arrays out of the same sort.
-    val adj = und
+    // Weights use TRUE degrees (computed pre-cap); only the collected
+    // lists are capped.
+    val adj = capNeighbors(und, "a", "b", degreeCap)
       .join(broadcast(deg), col("b") === col("node"))
       .select(col("a"), struct(col("b"),
         // d = 1 nodes can never be common neighbors; pin their weight
@@ -301,7 +336,8 @@ object Graph {
   /** [[triangleStats]] over an explicit (u, v) u<v edge frame (the
     * seam synthetic-graph tests drive).
     */
-  def triangleStatsFrom(spark: SparkSession, edgesUV: DataFrame): DataFrame = {
+  def triangleStatsFrom(spark: SparkSession, edgesUV: DataFrame,
+                        degreeCap: Int = 4096): DataFrame = {
     val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -332,8 +368,15 @@ object Graph {
     // state, broadcast-or-shuffle joinable at any scale), and the
     // only big frame that moves is the edge list itself.
     // Joined twice below (src side + dst side) — persist, or the
-    // groupBy+sort pass over the edge list runs twice.
-    val adj = or.groupBy(col("src"))
+    // groupBy+sort pass over the edge list runs twice. Degree
+    // orientation already bounds out-neighborhoods at O(√m); the
+    // explicit cap ([[capNeighbors]]) is the backstop for the graph
+    // where √m itself is an oversized array — exact whenever the max
+    // ORIENTED out-degree ≤ cap (so the gate's 4096 never bites at
+    // catalog density), an undercount past it (documented truncation,
+    // spec-proven bounded).
+    val adj = capNeighbors(or, "src", "dst", degreeCap)
+      .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = or

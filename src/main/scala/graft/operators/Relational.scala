@@ -845,18 +845,53 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 
+  /** Truncate each basket to its `cap` SMALLEST partkeys — the hot-
+    * basket guard for the per-basket self-joins below: pair cost is
+    * Σ k²/2 and triple cost Σ k³/6 over basket sizes, so ONE
+    * degenerate mega-basket (a crawler cart, a bulk EDI order) goes
+    * quadratic/cubic in a single join task. The rank filter shuffles
+    * on the basket key — the same key the self-join needs, so the
+    * exchange is reused; candidate mass is O(baskets × cap²) by
+    * construction after it. EXACTNESS CONTRACT: identical to uncapped
+    * whenever every basket ≤ cap items (TPC-H baskets are ≤ 7, so the
+    * gates' 64 never bites and stays hash-exact); past the cap,
+    * baskets are truncated deterministically (smallest ids — distinct
+    * per basket, no ties), spec-proven bounded on a planted hot
+    * basket.
+    */
+  private def capBaskets(items: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"basketCap must be >= 2, got $cap")
+    if (cap == Int.MaxValue) items
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+      items.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= cap).drop("_r")
+    }
+  }
+
   /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
     * market-basket co-occurrence over order baskets. The pair
     * generator is a per-basket self-join, so its cost is Σ k²/2 over
-    * basket sizes — bounded by the largest basket, not the table
-    * (the property that makes distributed a-priori feasible; a
-    * degenerate mega-basket gets capped or sampled upstream). One
-    * shuffle on the basket key, one on the pair key.
+    * basket sizes — bounded by [[capBaskets]]' `basketCap`, not by the
+    * largest basket the corpus happens to contain (the property that
+    * makes distributed a-priori survive adversarial carts). One
+    * shuffle on the basket key (reused by the rank filter), one on
+    * the pair key.
     */
   def frequentItemPairs(spark: SparkSession, dir: String,
-                        minSupport: Long = 3): DataFrame = {
-    val i = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+                        minSupport: Long = 3): DataFrame =
+    frequentItemPairsFrom(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      minSupport, basketCap = 64)
+
+  /** [[frequentItemPairs]] over an explicit distinct
+    * (l_orderkey, l_partkey) basket-item frame.
+    */
+  def frequentItemPairsFrom(spark: SparkSession, items: DataFrame,
+                            minSupport: Long, basketCap: Int): DataFrame = {
+    val i = capBaskets(items, basketCap)
     i.as("a").join(i.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")
           && col("a.l_partkey") < col("b.l_partkey"))
@@ -881,9 +916,21 @@ object Relational {
     * cheap corpus-level structure before the combinatorial step.
     */
   def frequentItemTriples(spark: SparkSession, dir: String,
-                          minSupport: Long = 2): DataFrame = {
-    val i = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+                          minSupport: Long = 2): DataFrame =
+    frequentItemTriplesFrom(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      minSupport, basketCap = 64)
+
+  /** [[frequentItemTriples]] over an explicit distinct
+    * (l_orderkey, l_partkey) basket-item frame. `basketCap` bounds
+    * the cubic enumeration at O(baskets × cap³) worst case BEFORE the
+    * a-priori prune shrinks it further (see [[capBaskets]] for the
+    * exactness contract).
+    */
+  def frequentItemTriplesFrom(spark: SparkSession, items: DataFrame,
+                              minSupport: Long, basketCap: Int): DataFrame = {
+    val i = capBaskets(items, basketCap)
     // Basket pairs (one per-basket self-join; bounded by basket size).
     val p = i.as("a").join(i.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey")

@@ -156,6 +156,72 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("degree cap: planted hub stays bounded; exact when cap >= max degree") {
+    import spark.implicits._
+    // Planted power-law hub: node 0 joined to 1..400, plus a clique on
+    // 1..8 so edges have common neighbors beyond the hub.
+    val star = (1L to 400L).map(x => (0L, x))
+    val clique = for (u <- 1L to 8L; v <- (u + 1) to 8L) yield (u, v)
+    val e = (star ++ clique).toDF("u", "v")
+    // Exactness contract: any cap >= max degree (400) is bit-identical
+    // to uncapped.
+    val exact = Graph.edgeStrengthFrom(spark, e, k = 1000,
+      degreeCap = Int.MaxValue).collect()
+    val generous = Graph.edgeStrengthFrom(spark, e, k = 1000,
+      degreeCap = 400).collect()
+    assert(exact.map(_.toString).sorted.toSeq
+      == generous.map(_.toString).sorted.toSeq)
+    // Capped run: every adjacency array holds each node's cap SMALLEST
+    // neighbor ids, so results equal a local brute force over exactly
+    // that truncated model — proving the rank filter ran BEFORE any
+    // array materialized (candidate mass O(nodes × cap), hub included)
+    // and that truncation is deterministic.
+    val cap = 16
+    val full = (star ++ clique).flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupMap(_._1)(_._2)
+    val trueDeg = full.view.mapValues(_.size).toMap
+    val capped = full.map { case (n, vs) => n -> vs.sorted.take(cap).toSet }
+    val got = Graph.edgeStrengthFrom(spark, e, k = 10000, degreeCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("aa_score"))).toMap
+    val expect = (star ++ clique).flatMap { case (u, v) =>
+      val common = capped(u) & capped(v)
+      if (common.isEmpty) None
+      else {
+        val aa = common.toSeq.map(w =>
+          // weights use TRUE degree (computed pre-cap), 0 when d < 2
+          if (trueDeg(w) >= 2) math.round(1e12 / math.log(trueDeg(w).toDouble))
+          else 0L).sum / 1e12
+        Some((u, v) -> (common.size.toLong, aa))
+      }
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k2, (nc, aa)) =>
+      assert(got(k2)._1 == nc, s"n_common mismatch at $k2")
+      assert(math.abs(got(k2)._2 - aa) < 1e-5, s"aa mismatch at $k2")
+    }
+    // The hub's capped neighborhood is {1..16}: an edge to a neighbor
+    // outside it can only score through the clique, never the hub.
+    assert(!got.contains((0L, 300L)), "hub edge to a truncated neighbor scored")
+  }
+
+  test("degree cap on triangle stats: generous cap exact, tiny cap bounded") {
+    import spark.implicits._
+    val star = (1L to 200L).map(x => (0L, x))
+    val clique = for (u <- 1L to 6L; v <- (u + 1) to 6L) yield (u, v)
+    val e = (star ++ clique).toDF("u", "v")
+    val exact = Graph.triangleStatsFrom(spark, e, degreeCap = Int.MaxValue).head
+    val generous = Graph.triangleStatsFrom(spark, e, degreeCap = 200).head
+    assert(exact.getAs[Long]("n_triangles")
+      == generous.getAs[Long]("n_triangles"))
+    // C(6,2)=15 clique triangles... each clique edge + hub closes one
+    // more: hub-u-v for clique edges (u,v) => 15 + C(6,3)=20 = 35.
+    assert(exact.getAs[Long]("n_triangles") == 35L)
+    val tiny = Graph.triangleStatsFrom(spark, e, degreeCap = 2).head
+    assert(tiny.getAs[Long]("n_triangles") <= 35L,
+      "capped count must never exceed exact")
+  }
+
   test("triangle stats on the co-purchase graph: counts positive, clustering in (0,1)") {
     val r = Graph.triangleStats(spark, sf).head
     assert(r.getAs[Long]("n_triangles") > 0)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Round-9 skew guards: basket caps on the frequent-itemset
+  * self-joins (fi1/fi2) — a planted mega-basket must contribute
+  * O(cap²)/O(cap³) candidates, never its own square/cube, and any
+  * cap at or above the true max basket size is bit-exact.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** 60 small baskets with a known frequent pair (10,20) plus one
+    * planted 2000-item mega-basket (a crawler cart / bulk EDI order).
+    */
+  private def plantedBaskets() = {
+    val small = (1L to 60L).flatMap(o => Seq(
+      (o, 10L), (o, 20L), (o, 1000L + o)))
+    val hot = (1L to 2000L).map(i => (9999L, 5000L + i))
+    (small ++ hot).toDF("l_orderkey", "l_partkey")
+  }
+
+  test("fi1 basket cap: planted mega-basket contributes only C(cap,2) pairs") {
+    val items = plantedBaskets()
+    val cap = 16
+    val rows = Relational
+      .frequentItemPairsFrom(spark, items, minSupport = 1L, basketCap = cap)
+      .collect()
+    // The mega-basket survives as its cap smallest partkeys (5001..5016):
+    // exactly C(16,2) = 120 support-1 pairs — not C(2000,2) ≈ 2M.
+    val hotPairs = rows.filter(r => r.getLong(0) >= 5000L)
+    assert(hotPairs.length == cap * (cap - 1) / 2,
+      s"expected ${cap * (cap - 1) / 2} capped hot pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall(r =>
+      r.getLong(0) <= 5000L + cap && r.getLong(1) <= 5000L + cap),
+      "a truncated item leaked into the pair enumeration")
+    // The corpus-frequent small-basket pair is untouched by the cap.
+    val freq = rows.find(r => r.getLong(0) == 10L && r.getLong(1) == 20L)
+    assert(freq.exists(_.getAs[Long]("support") == 60L))
+  }
+
+  test("fi1/fi2 caps are exact when every basket fits under them") {
+    val small = plantedBaskets().filter(col("l_orderkey") =!= 9999L)
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    assert(norm(Relational.frequentItemPairsFrom(spark, small, 2L, 64)
+        .collect())
+      == norm(Relational.frequentItemPairsFrom(spark, small, 2L, Int.MaxValue)
+        .collect()))
+    assert(norm(Relational.frequentItemTriplesFrom(spark, small, 2L, 64)
+        .collect())
+      == norm(Relational.frequentItemTriplesFrom(spark, small, 2L, Int.MaxValue)
+        .collect()))
+  }
+
+  test("fi2 basket cap bounds the cubic enumeration on the mega-basket") {
+    val items = plantedBaskets()
+    val rows = Relational
+      .frequentItemTriplesFrom(spark, items, minSupport = 1L, basketCap = 8)
+      .collect()
+    val hotTriples = rows.filter(_.getLong(0) >= 5000L)
+    // C(8,3) = 56 triples from the truncated mega-basket.
+    assert(hotTriples.length == 56, s"got ${hotTriples.length}")
+    assert(hotTriples.forall(_.getLong(2) <= 5008L))
+  }
+}
