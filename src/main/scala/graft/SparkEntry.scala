@@ -277,6 +277,7 @@ object SparkEntry {
     "pmi1_collocations"    -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "lm2_trigram_backoff"  -> ((s, d) => graft.operators.LanguageModel.trigramBackoffPerplexity(s, d)),
     "pr1_pagerank"         -> ((s, d) => graft.operators.Graph.pageRank(s, d)),
+    "hits1_hubs_authorities" -> ((s, d) => graft.operators.Graph.hitsScores(s, d)),
     "lp1_label_propagation" -> ((s, d) => graft.operators.Graph.labelPropagation(s, d)),
     "sp1_cheapest_routes"  -> ((s, d) => graft.operators.Graph.cheapestRoutes(s, d)),
     "tr1_textrank_keywords" -> ((s, d) => graft.operators.Graph.textRankKeywords(s, d)),
@@ -2027,6 +2028,45 @@ object SparkEntry {
         |  GROUP BY e.dst)
         |SELECT node, round(pr, 12) AS pr FROM p3
         |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin,
+    // Two quantized HITS mutual updates (pr1's determinism trick twice
+    // over): contributions ride round(·1e14) BIGINTs, each L2 norm
+    // folds round(·²·1e9) integers before one double sqrt, divisions
+    // replay in the same IEEE order — fuzz-matched against a Python
+    // replay before wiring.
+    "hits1_hubs_authorities" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT c, 1.0 AS h FROM pairs),
+        |a1r AS (SELECT p.s,
+        |    CAST(sum(CAST(round(h.h*1e14) AS BIGINT)) AS DOUBLE)/1e14 AS a
+        |  FROM pairs p JOIN h0 h ON p.c = h.c GROUP BY p.s),
+        |a1n AS (SELECT sqrt(CAST(sum(CAST(round(a*a*1e9) AS HUGEINT))
+        |    AS DOUBLE)/1e9) AS nrm FROM a1r),
+        |a1 AS (SELECT s, a/a1n.nrm AS a FROM a1r CROSS JOIN a1n),
+        |h1r AS (SELECT p.c,
+        |    CAST(sum(CAST(round(a.a*1e14) AS BIGINT)) AS DOUBLE)/1e14 AS h
+        |  FROM pairs p JOIN a1 a ON p.s = a.s GROUP BY p.c),
+        |h1n AS (SELECT sqrt(CAST(sum(CAST(round(h*h*1e9) AS HUGEINT))
+        |    AS DOUBLE)/1e9) AS nrm FROM h1r),
+        |h1 AS (SELECT c, h/h1n.nrm AS h FROM h1r CROSS JOIN h1n),
+        |a2r AS (SELECT p.s,
+        |    CAST(sum(CAST(round(h.h*1e14) AS BIGINT)) AS DOUBLE)/1e14 AS a
+        |  FROM pairs p JOIN h1 h ON p.c = h.c GROUP BY p.s),
+        |a2n AS (SELECT sqrt(CAST(sum(CAST(round(a*a*1e9) AS HUGEINT))
+        |    AS DOUBLE)/1e9) AS nrm FROM a2r),
+        |a2 AS (SELECT s, a/a2n.nrm AS a FROM a2r CROSS JOIN a2n),
+        |h2r AS (SELECT p.c,
+        |    CAST(sum(CAST(round(a.a*1e14) AS BIGINT)) AS DOUBLE)/1e14 AS h
+        |  FROM pairs p JOIN a2 a ON p.s = a.s GROUP BY p.c),
+        |h2n AS (SELECT sqrt(CAST(sum(CAST(round(h*h*1e9) AS HUGEINT))
+        |    AS DOUBLE)/1e9) AS nrm FROM h2r),
+        |h2 AS (SELECT c, h/h2n.nrm AS h FROM h2r CROSS JOIN h2n),
+        |topa AS (SELECT 's' || CAST(s AS VARCHAR) AS node,
+        |    round(a, 9) AS score FROM a2 ORDER BY score DESC, node ASC LIMIT 12),
+        |toph AS (SELECT 'c' || CAST(c AS VARCHAR) AS node,
+        |    round(h, 9) AS score FROM h2 ORDER BY score DESC, node ASC LIMIT 12)
+        |SELECT node, score FROM (SELECT * FROM topa UNION ALL SELECT * FROM toph)
+        |ORDER BY score DESC, node ASC""".stripMargin,
     // Fixed-round synchronous LPA; argmax by (count DESC, label ASC)
     // stated as a window here, computed as a min-struct aggregation
     // in Spark — same deterministic winner.

@@ -703,13 +703,21 @@ object Graph {
     * (control-plane scalars, like pr1's node count).
     */
   def hitsScores(spark: SparkSession, dir: String,
-                 iterations: Int = 2, k: Int = 12): DataFrame = {
-    val pairs = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                 iterations: Int = 2, k: Int = 12): DataFrame =
+    hitsScoresFrom(spark,
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct(),
+      iterations, k)
+
+  /** [[hitsScores]] over an explicit distinct (c, s) pair frame (the
+    * seam the planted-hub saturation spec drives).
+    */
+  def hitsScoresFrom(spark: SparkSession, pairsCS: DataFrame,
+                     iterations: Int, k: Int): DataFrame = {
+    val pairs = pairsCS.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Quantized-BIGINT terms, DECIMAL(38,0) sums: the per-key
     // contribution sum is bounded by max-degree·1e14 and the norm
@@ -718,8 +726,13 @@ object Graph {
     // already 128-bit HUGEINT — same exact value on both engines).
     def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
     def l2(df: DataFrame, v: String): Double = {
-      val q = df.agg(dsum(round(col(v) * col(v) * 1e9).cast("long"))
-        .cast("double")).head.getDouble(0)
+      // The squared term goes STRAIGHT to DECIMAL(38,0): routing it
+      // through a long would saturate at 2^63 once a pre-normalization
+      // score passes ~3e3 (first-iteration authority = in-degree on a
+      // high-degree graph), silently corrupting the norm. Double →
+      // decimal is exact here (round() made the value integral).
+      val q = df.agg(dsum(round(col(v) * col(v) * 1e9))
+        .cast("double")).head().getDouble(0)
       math.sqrt(q / 1e9)
     }
     // Each half-vector is persisted before its norm action: the l2

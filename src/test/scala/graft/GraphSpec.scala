@@ -222,6 +222,55 @@ class GraphSpec extends SparkSpec {
       "capped count must never exceed exact")
   }
 
+  test("hits: closed form on a mega-star (the norm term that saturated a long)") {
+    import spark.implicits._
+    // 120k customers all buying from one supplier: the first-iteration
+    // raw authority is 120000, whose squared norm term
+    // round(120000²·1e9) = 1.44e19 > 2^63 — the old long-cast path
+    // silently saturated here; the DECIMAL(38,0) path is exact.
+    val n = 120000
+    val pairs = (1 to n).map(i => (i.toLong, 0L)).toDF("c", "s")
+    val rows = Graph.hitsScoresFrom(spark, pairs, iterations = 2, k = 3)
+      .collect()
+    val auth = rows.filter(_.getString(0).startsWith("s"))
+    val hubs = rows.filter(_.getString(0).startsWith("c"))
+    // Closed form: a(s0) = 1.0 exactly; every hub = 1/sqrt(n).
+    assert(auth.length == 1 && auth.head.getAs[Double]("score") == 1.0)
+    val expectH = BigDecimal(1.0 / math.sqrt(n.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(hubs.length == 3)
+    hubs.foreach(r => assert(r.getAs[Double]("score") == expectH,
+      s"hub score ${r.getAs[Double]("score")} != $expectH"))
+  }
+
+  test("hits: two-round mutual reinforcement matches a local replay") {
+    import spark.implicits._
+    // Crafted bipartite graph with asymmetric degrees.
+    val pairs = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L), (3L, 30L),
+      (4L, 20L), (4L, 30L)).toDF("c", "s")
+    val got = Graph.hitsScoresFrom(spark, pairs, iterations = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    // Local replay with the identical quantization chain.
+    val ps = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L), (3L, 30L),
+      (4L, 20L), (4L, 30L))
+    var h = ps.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      val ar = ps.groupBy(_._2).view.mapValues(xs =>
+        xs.map(p => math.round(h(p._1) * 1e14)).sum.toDouble / 1e14).toMap
+      val an = math.sqrt(ar.values.map(v => math.round(v * v * 1e9)).sum / 1e9)
+      a = ar.view.mapValues(_ / an).toMap
+      val hr = ps.groupBy(_._1).view.mapValues(xs =>
+        xs.map(p => math.round(a(p._2) * 1e14)).sum.toDouble / 1e14).toMap
+      val hn = math.sqrt(hr.values.map(v => math.round(v * v * 1e9)).sum / 1e9)
+      h = hr.view.mapValues(_ / hn).toMap
+    }
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    a.foreach { case (s, v) => assert(got(s"s$s") == r9(v), s"auth s$s") }
+    h.foreach { case (c, v) => assert(got(s"c$c") == r9(v), s"hub c$c") }
+  }
+
   test("triangle stats on the co-purchase graph: counts positive, clustering in (0,1)") {
     val r = Graph.triangleStats(spark, sf).head
     assert(r.getAs[Long]("n_triangles") > 0)
