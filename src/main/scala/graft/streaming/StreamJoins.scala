@@ -245,13 +245,19 @@ object StreamJoins {
     // "Already ingested" base index: every third event id.
     e.filter(col("event_id") % 3 === 0).select(col("event_id"))
       .coalesce(1).write.parquet(s"$tmp/base")
+    // Renamed join key: both sides descend from the same events
+    // lineage, and the self-referential `event_id == event_id` shape
+    // makes the optimizer log a "trivially true predicate" warning on
+    // every micro-batch — noise that would drown a REAL aliasing bug
+    // elsewhere. A distinct name keeps the warning channel clean.
     val base = spark.read.parquet(s"$tmp/base")
+      .withColumnRenamed("event_id", "base_event_id")
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
       .parquet(s"$tmp/in")
     val out = s"$tmp/out"
     GateIO.runPinned(spark, 4)(stream
-      .join(base, Seq("event_id"), "left_anti")
+      .join(base, col("event_id") === col("base_event_id"), "left_anti")
       .select(col("event_id"), col("event_type"), col("value"))
       .writeStream
       .outputMode("append")
