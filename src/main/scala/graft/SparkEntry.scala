@@ -151,6 +151,7 @@ object SparkEntry {
     "c5_tx_incremental_dedup" -> ((s, d) => Dedup.txIncrementalDedupGate(s, d)),
     "c6_entity_resolution" -> ((s, d) => graft.operators.Curation.entityResolution(s, d)),
     "st17_space_saving_topk" -> ((s, d) => graft.streaming.SpaceSaving.topUsersGate(s, d)),
+    "st18_timer_sessions" -> ((s, d) => graft.streaming.SessionTimers.timerSessionsGate(s, d)),
     "cv1_kfold_stats"      -> ((s, d) => TextAnalysis.kfoldStats(s, d)),
     "twa1_time_weighted"   -> ((s, d) => Relational.timeWeightedAverage(s, d)),
     "ts4_dow_hod_profile"  -> ((s, d) => Relational.dowHodProfile(s, d)),
@@ -2959,6 +2960,30 @@ object SparkEntry {
         |SELECT event_type, CAST(rank AS INT) AS rank, user_id,
         |  CAST(n AS BIGINT) AS est_count, CAST(0 AS BIGINT) AS max_err
         |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    // Timer-emitted sessions: batch gaps-and-islands (in MICROSECONDS,
+    // strict > gap like the processor) restricted to sessions whose
+    // gap-timer expiry (end ms + 30 min) is at or before the final
+    // watermark (max ts ms − 10 min) — the <= boundary is the
+    // spec-pinned Spark timer-firing semantic, not an assumption.
+    "st18_timer_sessions" ->
+      """WITH e AS (SELECT user_id, ts FROM events),
+        |wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 600000 AS wm_ms FROM e),
+        |marks AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts)) > 1800000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sess AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM marks),
+        |agg AS (SELECT user_id, sid,
+        |  epoch_ns(min(ts)) // 1000 AS start_us,
+        |  epoch_ns(max(ts)) // 1000 AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM agg CROSS JOIN wm
+        |WHERE end_us // 1000 + 1800000 <= wm.wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     // Fold = first md5 byte of doc_id mod 5 (hex-fold via strpos —
     // DuckDB has no conv()); train(fold) = global − fold.
     "cv1_kfold_stats" ->
