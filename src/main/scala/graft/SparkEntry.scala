@@ -230,6 +230,7 @@ object SparkEntry {
     "aj3_asof_native"      -> ((s, d) => Relational.asofNativePurchaseClick(s, d)),
     "aj4_asof_native_fwd"  -> ((s, d) => Relational.asofNativeNextPurchase(s, d)),
     "ss6_lsh_ann_checked"  -> ((s, d) => Similarity.lshAnnChecked(s, d)),
+    "ss9_tx_ann_index"     -> ((s, d) => Similarity.txAnnIndexGate(s, d)),
     "ss7_projected_ann"    -> ((s, d) => Similarity.projectedAnn(s, d)),
     "tok1_encode_roundtrip"-> ((s, d) => TextAnalysis.encodeRoundtrip(s, d)),
     "cs1_chi_square"       -> ((s, d) => Relational.chiSquareIndependence(s, d)),
@@ -926,6 +927,32 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN decoded = normalized THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
         |FROM orig JOIN dec USING (doc_id)""".stripMargin,
+    // ss9's oracle is a FULL REBUILD: signatures recomputed from the
+    // whole corpus (seed 'idx_'), bucket join, exact cosine re-rank —
+    // the hash match proves the incrementally-maintained TxTable index
+    // is row-for-row equivalent to rebuilding from scratch.
+    "ss9_tx_ann_index" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sg AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0
+         |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM (SELECT e.vec_id, t.j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0,64), d ->
+         |        CAST(e.v[d+1] AS DOUBLE)
+         |        * (CASE WHEN md5('idx_'||t.j||'_'||d)[1] < '8' THEN CAST(1.0 AS DOUBLE)
+         |                ELSE CAST(-1.0 AS DOUBLE) END))), (a,b) -> a + b) AS dot
+         |    FROM e, unnest(range(0,6)) AS t(j)) GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, sg.sig AS qsig
+         |  FROM e JOIN sg USING (vec_id) WHERE vec_id >= 10 AND vec_id < 15),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |    round(${foldCosine("qv", "e.v")}, 6) AS score
+         |  FROM q JOIN sg ON sg.sig = q.qsig AND sg.vec_id <> q.query_id
+         |  JOIN e ON e.vec_id = sg.vec_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ss6_lsh_ann_checked" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -586,23 +586,32 @@ object Similarity {
     * (bucket-sized partitions), and only candidate pairs pay the
     * exact cosine.
     */
-  def lshAnnChecked(spark: SparkSession, dir: String,
-                    planes: Int = 6, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  /** md5-derived hyperplane-LSH signature of a double-array column —
+    * the cross-engine-replayable bucket key shared by ss6 and the
+    * TxTable-maintained index (ss9). `seed` disambiguates plane
+    * families between gates; the dot products ride the native kernel
+    * (see rp1's note — identical accumulation order, ~10× less
+    * per-row interpretation).
+    */
+  private[graft] def lshSignature(v: org.apache.spark.sql.Column,
+                                  planes: Int, seed: String): org.apache.spark.sql.Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, d: Int): Double = {
-      val h = md.digest(s"lsh_${j}_${d}".getBytes("UTF-8"))
+      val h = md.digest(s"$seed${j}_${d}".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
     }
+    (0 until planes).map { j =>
+      val signs = array((0 until Dim).map(d => lit(sign(j, d))): _*)
+      when(VectorOps.dot(v, signs) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def lshAnnChecked(spark: SparkSession, dir: String,
+                    planes: Int = 6, nQueries: Int = 5, k: Int = 5): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
-    // native dot kernel per plane (see rp1's note — identical
-    // accumulation order, ~10× less per-row interpretation)
-    val sigExpr = (0 until planes).map { j =>
-      val signs = array((0 until Dim).map(d => lit(sign(j, d))): _*)
-      when(VectorOps.dot(col("v"), signs) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigd = corpus.withColumn("sig", sigExpr)
+    val sigd = corpus.withColumn("sig", lshSignature(col("v"), planes, "lsh_"))
     val queries = sigd.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -617,6 +626,73 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank"), col("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Gated ss9: the ANN INDEX AS A MAINTAINED TxTable — the c5
+    * incremental-maintenance pattern applied to vectors. The vector
+    * table ingests in three transactional commits; after each one the
+    * index maintainer reads EXACTLY the new rows through the CHANGES
+    * FEED and appends their LSH signatures to a second TxTable — the
+    * index is never rebuilt, its cost per ingest is O(new vectors).
+    * The search then runs THROUGH the maintained index (the serving
+    * path: bucket join on the index prunes candidates, vectors are
+    * fetched from the table only for the exact cosine re-rank). The
+    * oracle rebuilds the whole index from scratch and replays the
+    * identical search — a hash match IS the
+    * incremental-index ≡ rebuilt-index proof (any missed, duplicated
+    * or mis-signed row flips candidates, ranks or scores). The
+    * per-version set equality and a fourth maintenance round are
+    * additionally spec-proven (Round9Spec).
+    *
+    * Scale shape: each maintenance round scans only the delta; the
+    * bucket join keys on the signature (bucket-sized partitions); the
+    * fetch join is vec_id-keyed. At 100 TB the index table is
+    * range-clustered by signature via optimizeClustered so bucket
+    * reads prune at the manifest level too.
+    */
+  def txAnnIndexGate(spark: SparkSession, dir: String,
+                     planes: Int = 6, qLo: Int = 10, qHi: Int = 15,
+                     k: Int = 5): DataFrame = {
+    val tmp = graft.TmpIO.scratchDir("graft_ss9_")
+    val vecs = new graft.sources.TxTable(s"$tmp/vecs")
+    val idx = new graft.sources.TxTable(s"$tmp/idx")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    var seen = 0L
+    (0 until 3).foreach { r =>
+      vecs.append(emb.filter(col("vec_id") % 3 === r))
+      val head = vecs.latestVersion().get
+      val delta = vecs.readChanges(spark, afterVersion = seen,
+        untilVersion = Some(head))
+      idx.append(delta.select(col("vec_id"),
+        lshSignature(VectorOps.toDoubleArray(col("embedding")), planes, "idx_")
+          .as("sig")))
+      seen = head
+    }
+    val corpus = vecs.snapshot(spark)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+    val index = idx.snapshot(spark)
+    val qIdx = index.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val qVecs = corpus.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val candIds = index.join(broadcast(qIdx),
+        col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    val out = candIds.join(corpus, "vec_id")
+      .join(broadcast(qVecs), "query_id")
+      .withColumn("score", round(
+        VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+    graft.TmpIO.collectAndClean(spark, tmp)(out)
   }
 
   /** Gated dcg1: nDCG@k RETRIEVAL EVALUATION — the ranking-quality

@@ -54,6 +54,38 @@ class Round9Spec extends SparkSpec {
         .collect()))
   }
 
+  test("ss9: changes-feed-maintained LSH index equals a rebuild at every version") {
+    import graft.operators.{Similarity, VectorOps}
+    val dir = tmpDir("ss9_idx_")
+    try {
+      val vecs = new graft.sources.TxTable(s"$dir/vecs")
+      val idx = new graft.sources.TxTable(s"$dir/idx")
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 400)
+      def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        Similarity.lshSignature(
+          VectorOps.toDoubleArray(col("embedding")), 6, "idx_").as("sig"))
+      var seen = 0L
+      // FOUR maintenance rounds (one more than the gate drives).
+      (0 until 4).foreach { r =>
+        vecs.append(emb.filter(col("vec_id") % 4 === r))
+        val head = vecs.latestVersion().get
+        idx.append(sigOf(vecs.readChanges(spark, seen, Some(head))
+          .select(col("vec_id"), col("embedding"))))
+        seen = head
+        // Incremental index == full rebuild from the current snapshot,
+        // as a SET of (vec_id, sig) rows.
+        val inc = idx.snapshot(spark).select(col("vec_id"), col("sig"))
+          .as[(Long, Long)].collect().sorted.toSeq
+        val rebuilt = sigOf(vecs.snapshot(spark))
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(inc == rebuilt, s"index diverged from rebuild at round $r")
+        assert(inc.map(_._1).distinct.size == inc.size, "duplicate index rows")
+      }
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("fi2 basket cap bounds the cubic enumeration on the mega-basket") {
     val items = plantedBaskets()
     val rows = Relational
