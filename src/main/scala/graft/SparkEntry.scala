@@ -927,6 +927,130 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN decoded = normalized THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
         |FROM orig JOIN dec USING (doc_id)""".stripMargin,
+    // Full PQ/ADC replay (ss4, upgraded from rows-only in round 9):
+    // first-16 subvector seeding, TWO decimal-mean Lloyd sweeps per
+    // subspace, encode, ADC candidate ranking with per-subspace terms
+    // folded in subspace order, exact re-rank of the 30 survivors.
+    // Same surrogate (‖c‖² − 2·x·c, ties on code id) and fold orders
+    // as the Spark plan; fuzz-matched against a local replay.
+    "ss4_pq_search" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(t.m AS INT) AS m,
+         |    list_slice(v, t.m*8+1, t.m*8+8) AS sv
+         |  FROM e, unnest(range(0,8)) AS t(m)),
+         |cb0 AS (SELECT m, CAST(vec_id AS INT) AS ki, sv AS c FROM sub WHERE vec_id < 16),
+         |pa1 AS (SELECT vec_id, m, sv, ki AS code FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.ki,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      (${foldSum("list_transform(c.c, x -> x*x)")} - 2.0 * ${foldDot("s.sv", "c.c")}), c.ki) AS rk
+         |  FROM sub s JOIN cb0 c ON c.m = s.m) WHERE rk = 1),
+         |cb1 AS (SELECT p.m, p.ki, COALESCE(nm.nc, p.c) AS c FROM cb0 p
+         |  LEFT JOIN (SELECT m, code AS ki, list(mv ORDER BY dim) AS nc FROM (
+         |      SELECT m, code, d AS dim,
+         |        CAST(sum(CAST(round(sv[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |          / count(*) AS mv
+         |      FROM pa1, unnest(range(0,8)) AS t(d) GROUP BY m, code, d) x
+         |    GROUP BY m, ki) nm ON nm.m = p.m AND nm.ki = p.ki),
+         |pa2 AS (SELECT vec_id, m, sv, ki AS code FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.ki,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      (${foldSum("list_transform(c.c, x -> x*x)")} - 2.0 * ${foldDot("s.sv", "c.c")}), c.ki) AS rk
+         |  FROM sub s JOIN cb1 c ON c.m = s.m) WHERE rk = 1),
+         |cb2 AS (SELECT p.m, p.ki, COALESCE(nm.nc, p.c) AS c FROM cb1 p
+         |  LEFT JOIN (SELECT m, code AS ki, list(mv ORDER BY dim) AS nc FROM (
+         |      SELECT m, code, d AS dim,
+         |        CAST(sum(CAST(round(sv[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |          / count(*) AS mv
+         |      FROM pa2, unnest(range(0,8)) AS t(d) GROUP BY m, code, d) x
+         |    GROUP BY m, ki) nm ON nm.m = p.m AND nm.ki = p.ki),
+         |pa3 AS (SELECT vec_id, m, sv, ki AS code FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.ki,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      (${foldSum("list_transform(c.c, x -> x*x)")} - 2.0 * ${foldDot("s.sv", "c.c")}), c.ki) AS rk
+         |  FROM sub s JOIN cb2 c ON c.m = s.m) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |    sqrt(${foldSum("list_transform(v, x -> x*x)")}) AS qnrm
+         |  FROM e WHERE vec_id < 5),
+         |qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
+         |terms AS (SELECT qs.query_id, f.vec_id, qs.m,
+         |    (${foldSum("list_transform(c.c, x -> x*x)")} - 2.0 * ${foldDot("qs.qsv", "c.c")}) AS term
+         |  FROM qsub qs JOIN pa3 f ON f.m = qs.m AND f.vec_id <> qs.query_id
+         |  JOIN cb2 c ON c.m = f.m AND c.ki = f.code),
+         |adist AS (SELECT query_id, vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(term ORDER BY m)), (x,y) -> x + y) AS a
+         |  FROM terms GROUP BY query_id, vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY a ASC, vec_id ASC) AS rk FROM adist) WHERE rk <= 30),
+         |s AS (SELECT q.query_id, e.vec_id,
+         |    round(${foldDot("q.qv", "e.v")}
+         |      / (q.qnrm * sqrt(${foldSum("list_transform(e.v, x -> x*x)")})), 6) AS score
+         |  FROM cand JOIN q ON q.query_id = cand.query_id
+         |  JOIN e ON e.vec_id = cand.vec_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Full IVF replay (ss3, upgraded from rows-only in round 9):
+    // first-16 seeding, TWO decimal-mean Lloyd sweeps (DECIMAL(25,10)
+    // sums — km1's order-invariant trick), final assignment, 4-probe
+    // selection and exact cosine re-rank, every argmin tie-broken on
+    // the list id. Distances use the same -2·v·c + ‖c‖² surrogate and
+    // left-to-right folds as the Spark plan; fuzz-matched against a
+    // local replay before wiring.
+    "ss3_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS i, v AS c FROM e WHERE vec_id < 16),
+         |a1 AS (SELECT vec_id, v, i AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+         |  FROM e CROSS JOIN c0 c) WHERE rk = 1),
+         |c1 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c0 p
+         |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
+         |      SELECT list_id, d AS dim,
+         |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |          / count(*) AS mv
+         |      FROM a1, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
+         |    GROUP BY list_id) nm ON nm.i = p.i),
+         |a2 AS (SELECT vec_id, v, i AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+         |  FROM e CROSS JOIN c1 c) WHERE rk = 1),
+         |c2 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c1 p
+         |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
+         |      SELECT list_id, d AS dim,
+         |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |          / count(*) AS mv
+         |      FROM a2, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
+         |    GROUP BY list_id) nm ON nm.i = p.i),
+         |a3 AS (SELECT vec_id, v, i AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+         |  FROM e CROSS JOIN c2 c) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |    sqrt(${foldSum("list_transform(v, x -> x*x)")}) AS qnrm
+         |  FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, i AS list_id FROM (
+         |  SELECT q.query_id, c.i, row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      (-2.0 * ${foldDot("q.qv", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+         |  FROM q CROSS JOIN c2 c) WHERE rk <= 4),
+         |s AS (SELECT q.query_id, f.vec_id,
+         |    round(${foldDot("q.qv", "f.v")}
+         |      / (q.qnrm * sqrt(${foldSum("list_transform(f.v, x -> x*x)")})), 6) AS score
+         |  FROM q JOIN probe p ON p.query_id = q.query_id
+         |  JOIN a3 f ON f.list_id = p.list_id AND f.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // ss9's oracle is a FULL REBUILD: signatures recomputed from the
     // whole corpus (seed 'idx_'), bucket join, exact cosine re-rank —
     // the hash match proves the incrementally-maintained TxTable index

@@ -106,11 +106,16 @@ object Similarity {
       // vectors vanishes from the groupBy output; positional zipping
       // would silently re-map every later centroid to the wrong
       // list_id. Empty cells carry their previous centroid forward.
+      // Means as DECIMAL(25,10) sums (km1's trick): order-invariant
+      // exact accumulation, so the trained centroids are bit-identical
+      // across partitionings AND engines — what lets ss3 carry a full
+      // DuckDB oracle instead of a rows-only check.
       val updated = assigned
         .select(col("list_id"), posexplode(col("v")))
         .toDF("list_id", "dim", "x")
         .groupBy(col("list_id"), col("dim"))
-        .agg(avg(col("x")).as("c"))
+        .agg((sum(round(col("x"), 10).cast("decimal(25,10)")).cast("double")
+          / count(lit(1))).as("c"))
         .groupBy(col("list_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("cs"))
         .collect()
@@ -147,11 +152,18 @@ object Similarity {
     df.withColumn("list_id", least(dists: _*).getField("i"))
   }
 
-  /** IVF search: probe the nProbe nearest cells, exact re-rank inside. */
+  /** IVF search (gate ss3): probe the nProbe nearest cells, exact
+    * re-rank inside. HASH-CHECKED since round 9: the decimal-mean
+    * Lloyd trainer is cross-engine exact, so the oracle replays the
+    * whole chain — seeding, 2 training sweeps, final assignment,
+    * probe selection, cosine re-rank (fuzz-matched against a local
+    * replay before wiring). 2 sweeps for the same measured-convergence
+    * reason as [[pqSearch]].
+    */
   def ivfSearch(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10,
                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(spark, dir, nLists)
+    val centroids = ivfCentroids(spark, dir, nLists, iters = 2)
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
@@ -432,11 +444,14 @@ object Similarity {
       .toDF("vec_id", "m", "sv")
       .cache()
     for (_ <- 1 to iters) {
+      // DECIMAL(25,10) means (km1's order-invariant trick) — what
+      // lets ss4 carry a full DuckDB oracle instead of rows-only.
       val updated = subs.withColumn("code", pqAssign(cbs))
         .select(col("m"), col("code"), posexplode(col("sv")))
         .toDF("m", "code", "dim", "x")
         .groupBy(col("m"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("c"))
+        .agg((sum(round(col("x"), 10).cast("decimal(25,10)")).cast("double")
+          / count(lit(1))).as("c"))
         .groupBy(col("m"), col("code"))
         .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("cs"))
         .collect()
@@ -456,8 +471,12 @@ object Similarity {
     * approximate distances code-side against the exact query
     * subvectors, keep the top `rerank` candidates per query, then
     * exact-cosine re-rank the survivors — the standard two-stage PQ
-    * deployment. Approximate by construction → rows-only gate; recall
-    * vs [[knnBrute]] is bounded in SimilaritySpec.
+    * deployment. HASH-CHECKED since round 9 (upgraded from rows-only):
+    * decimal-mean training makes the codebooks cross-engine exact, so
+    * the oracle replays the whole chain — per-subspace Lloyd, encode,
+    * ADC candidate ranking (terms folded in subspace order), exact
+    * re-rank — fuzz-matched against a local replay before wiring.
+    * Recall vs [[knnBrute]] additionally bounded in SimilaritySpec.
     */
   def pqSearch(spark: SparkSession, dir: String,
                nQueries: Int = 5, k: Int = 10, rerank: Int = 30): DataFrame = {
