@@ -39,6 +39,39 @@ object Bench {
   private final val MaxExtraReps = 4
   private final val SpreadBar = 2.0
 
+  /** Hypervisor steal ticks from /proc/stat (cpu line, field 8) — the
+    * direct evidence when a bench record was taken on a contended box
+    * (the round-7→8 "environment epoch" took a pinned-commit control
+    * experiment to adjudicate; the marker makes the record
+    * self-adjudicating). -1 when unreadable.
+    */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Fixed-work single-thread calibration: 400M xorshift steps, pure
+    * register arithmetic (no allocation, no memory traffic) — ~0.4 s
+    * on a healthy core, inflating proportionally under steal/frequency
+    * throttling. Run before AND after the suite so a reader can see
+    * whether the epoch drifted mid-record.
+    */
+  private def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 0L) System.err.println("calibration sink") // defeat DCE
+    math.round(dt * 10000) / 10000.0
+  }
+
   /** Per-query outcome: `official` is what enters the totals — the
     * median normally, the min when the spread stayed above [[SpreadBar]]
     * after extra reps (`stalled`).
@@ -70,6 +103,10 @@ object Bench {
     // footer cache) so per-query numbers measure queries, not JVM init.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Environment-epoch markers (see PERF.md "bench environment
+    // epoch"): fixed-work calibration + steal ticks bracket the suite.
+    val stealPre = stealTicks()
+    val calibPre = calibrate()
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       spark.catalog.clearCache()
@@ -159,10 +196,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val repsJson = timed.map { case (k, v) => "\"" + k + "\":" + v.reps }
       .mkString("{", ",", "}")
+    val calibPost = calibrate()
+    val stealPost = stealTicks()
+    val epochJson = s""""calib_sec":[$calibPre,$calibPost],""" +
+      s""""steal_ticks":[$stealPre,$stealPost],"cpus":$cpus"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
       s""""queries":${jsonMap(_.official)},"queries_median":${jsonMap(_.median)},""" +
       s""""queries_min":${jsonMap(_.min)},"queries_reps":$repsJson,""" +
-      s""""stalls":$stallJson,""" +
+      s""""stalls":$stallJson,$epochJson,""" +
       s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), fullJson)
     val slowest = timed.sortBy(-_._2.official).take(15)
@@ -171,7 +212,7 @@ object Bench {
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
       s""""unit":"sec","reps":$Reps,"n_queries":${timed.length},""" +
       s""""n_failed":${errors.length},"n_stalled":${stalls.length},""" +
-      s""""stalls":$stallJson,"errors":$errJson,""" +
+      s""""stalls":$stallJson,"errors":$errJson,$epochJson,""" +
       s""""queries":$slowest,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
