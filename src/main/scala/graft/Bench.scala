@@ -35,7 +35,13 @@ import org.apache.spark.sql.SparkSession
   *    flip the exit code so a regression cannot pass silently.
   */
 object Bench {
-  private final val Reps = 3
+  /** Timed reps per query — 3 for the driver record (median-of-3 +
+    * stall correction); SPARK_GRAFT_REPS=1 for SF-bump rehearsals
+    * where per-query wall time × 4 runs would make the full surface
+    * unaffordable (the driver never sets it).
+    */
+  private def Reps: Int =
+    sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).filter(_ >= 1).getOrElse(3)
   private final val MaxExtraReps = 4
   private final val SpreadBar = 2.0
 

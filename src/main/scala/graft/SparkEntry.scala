@@ -241,6 +241,8 @@ object SparkEntry {
     "ab1_ab_readout"       -> ((s, d) => graft.operators.Behavior.abTestReadout(s, d)),
     "gc1_growth_curve"     -> ((s, d) => graft.operators.Behavior.userGrowthCurve(s, d)),
     "rs1_fixed_sample"     -> ((s, d) => TextAnalysis.fixedSizeSample(s, d)),
+    "t17_blocklist"        -> ((s, d) => TextAnalysis.blocklistStats(s, d)),
+    "c8_curation_v4"       -> ((s, d) => TextAnalysis.curationV4(s, d)),
     "kan1_k_anonymity"     -> ((s, d) => graft.operators.Quality.kAnonymityAudit(s, d)),
     "dq3_ref_integrity"    -> ((s, d) => graft.operators.Quality.referentialIntegrity(s, d)),
     "c4_curation_v3"       -> ((s, d) => graft.operators.Curation.curationV3(s, d)),
@@ -1915,6 +1917,50 @@ object SparkEntry {
     "rs1_fixed_sample" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
         |FROM documents ORDER BY priority, doc_id LIMIT 25""".stripMargin,
+    // Aho-Corasick blocklist scan restated per pattern: the kernel
+    // counts EVERY match position, which for the gate's border-free
+    // dictionary equals the non-overlapping split count per pattern.
+    "t17_blocklist" ->
+      """WITH pats AS (SELECT unnest(['scan','column','order','sort','join',
+        |    'merge','group','query','stream','filter','batch','vector']) AS p),
+        |d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
+        |occ AS (SELECT d.doc_id, d.source,
+        |    CAST(length(string_split(d.t, pats.p)) - 1 AS BIGINT) AS c
+        |  FROM d CROSS JOIN pats),
+        |per_doc AS (SELECT doc_id, source, sum(c) AS hits,
+        |    sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS terms
+        |  FROM occ GROUP BY 1, 2)
+        |SELECT source, CAST(sum(hits) AS BIGINT) AS total_hits,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+        |  CAST(sum(terms) AS BIGINT) AS sum_distinct_terms
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    // Capstone: blocklist-clean filter (< 11 distinct dictionary
+    // terms) -> ES-weighted 100-doc sample -> per-source composition.
+    "c8_curation_v4" ->
+      """WITH pats AS (SELECT unnest(['scan','column','order','sort','join',
+        |    'merge','group','query','stream','filter','batch','vector']) AS p),
+        |d AS (SELECT doc_id, source, n_chars, lower(text) AS t,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE n_chars > 0),
+        |terms AS (SELECT d.doc_id,
+        |    sum(CASE WHEN length(string_split(d.t, pats.p)) > 1
+        |      THEN 1 ELSE 0 END) AS nt
+        |  FROM d CROSS JOIN pats GROUP BY 1),
+        |clean AS (SELECT d.* FROM d JOIN terms USING (doc_id)
+        |  WHERE terms.nt < 11),
+        |k AS (SELECT doc_id, source, n_chars,
+        |    ln(((strpos('0123456789abcdef', h[1])-1)*268435456.0 +
+        |      (strpos('0123456789abcdef', h[2])-1)*16777216.0 +
+        |      (strpos('0123456789abcdef', h[3])-1)*1048576.0 +
+        |      (strpos('0123456789abcdef', h[4])-1)*65536.0 +
+        |      (strpos('0123456789abcdef', h[5])-1)*4096.0 +
+        |      (strpos('0123456789abcdef', h[6])-1)*256.0 +
+        |      (strpos('0123456789abcdef', h[7])-1)*16.0 +
+        |      (strpos('0123456789abcdef', h[8])-1)*1.0 + 0.5)
+        |      / 4294967296.0) / n_chars AS k0 FROM clean),
+        |sample AS (SELECT * FROM k ORDER BY k0 DESC, doc_id ASC LIMIT 100)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM sample GROUP BY source ORDER BY source""".stripMargin,
     "cp1_cusum_hourly" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

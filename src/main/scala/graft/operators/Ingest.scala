@@ -370,9 +370,25 @@ object Ingest {
     // materialization events); stage the test file into one.
     val upstream = new java.io.File(s"$tmp/upstream")
     upstream.mkdirs()
-    Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$tmp/upstream/events.parquet"))
+    // Driver testdata ships single parquet FILES; rehearsal corpora
+    // (tools/ScaleUp, any Spark write) produce DIRECTORIES of part
+    // files — a naive Files.copy of a directory copies an EMPTY dir
+    // and the stream's schema inference throws. Stage whichever form.
+    val srcEvents = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(srcEvents)) {
+      import scala.jdk.CollectionConverters._
+      val it = Files.list(srcEvents)
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.copy(p,
+            java.nio.file.Paths.get(s"$tmp/upstream/part-$i.parquet"))
+        }
+      finally it.close()
+    } else {
+      Files.copy(srcEvents,
+        java.nio.file.Paths.get(s"$tmp/upstream/events.parquet"))
+    }
     val pipeline = new graft.streaming.ReactiveMetaPipeline(
       s"$tmp/upstream", s"$tmp/meta", s"$tmp/ckpt")
     pipeline.runAvailableNow(spark)

@@ -95,11 +95,19 @@ object Quantiles {
     var round = 0
     while (narrowing.nonEmpty && round < maxRounds) {
       round += 1
-      // One scan: every row contributes (targetIdx, bucket) for each
-      // active interval containing it (intervals of distinct targets
-      // are disjoint within a group; across groups preds are disjoint
-      // too, so amplification is ≤ distinct positions per group).
-      val tagged = df.select(explode(array(narrowing.zipWithIndex.map {
+      // One scan per DISTINCT interval, not per target: in round 1
+      // every quantile position of a group shares the whole-group
+      // interval, so counting per target amplified each row by the
+      // position count (the sf1 rehearsal measured x6 paying ~6× here).
+      // Positions sharing (key, lo, w, offset, n) share their bucket
+      // histogram; each target then walks the shared cells to its own
+      // rank. Across groups preds are disjoint, so the residual
+      // amplification is ≤ distinct intervals per group (1 in round 1,
+      // only diverging once positions land in different buckets).
+      val ivals = narrowing.groupBy(t => (t.key, t.lo, t.w, t.offset, t.n))
+        .values.toIndexedSeq
+      val reps = ivals.map(_.head)
+      val tagged = df.select(explode(array(reps.zipWithIndex.map {
         case (t, i) =>
           when(t.pred, struct(lit(i).as("i"), bucketExpr(x, t.lo, t.w).as("b"),
             x.as("v"))).otherwise(lit(null))
@@ -110,24 +118,26 @@ object Quantiles {
           max(col("s.v")).as("bmax"))
         .collect()
         .groupBy(_.getInt(0))
-      narrowing = narrowing.zipWithIndex.map { case (t, i) =>
+      narrowing = ivals.zipWithIndex.flatMap { case (ts, i) =>
         val cells = tagged.getOrElse(i, Array.empty[Row])
           .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
           .sortBy(_._1)
-        // Walk buckets to the one containing local rank (pos - offset).
-        var local = t.pos - t.offset
-        var chosen: Option[(Int, Long, Double, Double)] = None
-        var skipped = 0L
-        for (c <- cells if chosen.isEmpty) {
-          if (local < c._2) chosen = Some(c) else { local -= c._2; skipped += c._2 }
+        ts.map { t =>
+          // Walk buckets to the one containing local rank (pos - offset).
+          var local = t.pos - t.offset
+          var chosen: Option[(Int, Long, Double, Double)] = None
+          var skipped = 0L
+          for (c <- cells if chosen.isEmpty) {
+            if (local < c._2) chosen = Some(c) else { local -= c._2; skipped += c._2 }
+          }
+          val (b, cnt, bmin, bmax) = chosen.getOrElse(cells.last)
+          if (bmin == bmax) t.copy(pred = lit(false), lo = bmin, w = 0.0, n = cnt,
+            offset = t.offset + skipped)
+          else t.copy(
+            pred = t.pred && bucketExpr(x, t.lo, t.w) === lit(b),
+            lo = bmin, w = (bmax - bmin) / Buckets,
+            offset = t.offset + skipped, n = cnt)
         }
-        val (b, cnt, bmin, bmax) = chosen.getOrElse(cells.last)
-        if (bmin == bmax) t.copy(pred = lit(false), lo = bmin, w = 0.0, n = cnt,
-          offset = t.offset + skipped)
-        else t.copy(
-          pred = t.pred && bucketExpr(x, t.lo, t.w) === lit(b),
-          lo = bmin, w = (bmax - bmin) / Buckets,
-          offset = t.offset + skipped, n = cnt)
       }
       val (collectNow, keepNarrowing) = triage(narrowing)
       toCollect = toCollect ++ collectNow

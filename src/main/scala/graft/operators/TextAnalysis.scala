@@ -714,6 +714,75 @@ object TextAnalysis {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
+  /** The gate's blocklist dictionary: 12 corpus-vocabulary words, all
+    * BORDER-FREE (no proper prefix equal to a suffix), so overlapping
+    * and non-overlapping match counts coincide and the DuckDB oracle
+    * can restate the kernel with per-pattern split counts.
+    */
+  final val BlockPatterns: Seq[String] = Seq(
+    "scan", "column", "order", "sort", "join", "merge",
+    "group", "query", "stream", "filter", "batch", "vector")
+
+  /** Gated t17: BLOCKLIST SCAN via the Aho–Corasick kernel — the
+    * taboo-term/contamination-marker pass every pretraining curation
+    * pipeline runs over every document, as ONE text walk regardless of
+    * dictionary size (the naive shape is one contains()/regexp pass
+    * per term: N corpus scans). Per source: total match positions,
+    * documents tripping at least one term, and the summed distinct-
+    * terms-per-doc signal. The automaton is built once at plan time
+    * and rides the serialized plan; per-row cost is O(|text| +
+    * matches) inside whole-stage codegen — at 100 TB this is a
+    * map-only pass with a 3-row-per-source aggregation on top.
+    * Kernel semantics (all match positions, overlapping included) are
+    * spec-pinned against a brute scan including the overlap cases the
+    * gate's border-free dictionary deliberately avoids.
+    */
+  def blocklistStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AhoCorasickExpr.{acCount, acDistinct}
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        acCount(lower(col("text")), BlockPatterns).as("hits"),
+        acDistinct(lower(col("text")), BlockPatterns).as("terms"))
+      .groupBy(col("source"))
+      .agg(sum(col("hits")).as("total_hits"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("terms")).as("sum_distinct_terms"))
+      .orderBy(col("source"))
+  }
+
+  /** Gated c8: CURATION CAPSTONE v4 — the round-9 text ops composed
+    * into one pipeline: (1) the Aho–Corasick blocklist pass drops
+    * every document tripping ≥ 11 distinct dictionary terms (the
+    * "too much SQL-manual boilerplate" cut on this corpus); (2) the
+    * survivors are WEIGHTED-SAMPLED without replacement (A-ES keys,
+    * [[weightedSample]]'s construction) to a 100-doc budget,
+    * proportional to length — the mixture step that keeps long docs
+    * from being under-represented under a doc-count budget; (3) the
+    * readout is the per-source sample composition (docs + chars) the
+    * corpus card reports. One codegen'd scan for (1)+(2)'s keys, one
+    * TakeOrderedAndProject for the budget, a 20-row aggregation on
+    * top — the whole capstone is two passes at any corpus scale.
+    */
+  def curationV4(spark: SparkSession, dir: String,
+                 budget: Int = 100, maxTerms: Int = 11): DataFrame = {
+    import graft.functions.AhoCorasickExpr.acDistinct
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val clean = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .filter(acDistinct(lower(col("text")), BlockPatterns) < maxTerms)
+    val sample = clean
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars")).as("k0"))
+      .orderBy(desc("k0"), asc("doc_id"))
+      .limit(budget)
+    sample.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+
   /** Gated hh1: per-group HEAVY HITTERS — top-3 tokens per source via
     * a grouped count + rank window; the per-stratum vocabulary
     * summary corpus cards report. The rank filter hits Spark's

@@ -86,6 +86,78 @@ class Round9Spec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("aho-corasick kernel: all match positions, overlaps included") {
+    import graft.functions.AhoCorasickExpr.{acCount, acDistinct}
+    def brute(t: String, pats: Seq[String]): (Long, Long) = {
+      val counts = pats.map(p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)))
+      (counts.map(_.toLong).sum, counts.count(_ > 0).toLong)
+    }
+    val pats = Seq("aa", "ab", "window", "scan", "é1")
+    val texts = Seq(
+      "aaa",                 // self-overlap: "aa" matches twice
+      "windowindow",         // border overlap: "window" matches twice
+      "abab aa scan window", // mixed
+      "é1é1x",               // non-ASCII goto path
+      "",                    // empty text
+      "zzz")                 // no matches
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val got = df.select(col("i"), acCount(col("t"), pats).as("c"),
+        acDistinct(col("t"), pats).as("d"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == brute(t, pats), s"mismatch on '$t'")
+    }
+    // Pattern that is a substring of another: both count.
+    val pats2 = Seq("scan", "scans")
+    val d2 = Seq((0, "scans scan")).toDF("i", "t")
+    val r2 = d2.select(acCount(col("t"), pats2).as("c"),
+      acDistinct(col("t"), pats2).as("d")).head()
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 2L) // scan x2 + scans x1
+  }
+
+  test("aho-corasick matches a per-pattern scan over real documents") {
+    import graft.functions.AhoCorasickExpr.acCount
+    val pats = graft.operators.TextAnalysis.BlockPatterns
+    val d = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    // Naive shape: one regexp_count pass per pattern (what the kernel
+    // replaces); border-free patterns make the counts comparable.
+    val naive = pats.map(p => regexp_count(col("t"), lit(java.util.regex.Pattern.quote(p))))
+      .reduce(_ + _)
+    val rows = d.select(col("doc_id"),
+        acCount(col("t"), pats).as("ac"), naive.as("nv"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getAs[Number](2).longValue(),
+      s"doc ${r.getLong(0)}: ac ${r.getLong(1)} vs naive ${r.get(2)}"))
+  }
+
+  test("c8 capstone: blocklist filter + ES sample matches a local replay") {
+    val got = graft.operators.TextAnalysis.curationV4(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // Local replay: distinct-term filter via the kernel's own counts,
+    // then the md5-uniform ES top-100.
+    import graft.functions.AhoCorasickExpr.acDistinct
+    val docs = Tables.documents(spark, sf).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        acDistinct(lower(col("text")),
+          graft.operators.TextAnalysis.BlockPatterns).as("nt"))
+      .as[(Long, String, Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val sample = docs.filter(_._4 < 11)
+      .map { case (id, src, nc, _) => (math.log(u(id)) / nc, id, src, nc) }
+      .sortBy(t => (-t._1, t._2)).take(100)
+    val expect = sample.groupBy(_._3).map { case (src, xs) =>
+      (src, xs.length.toLong, xs.map(_._4).sum) }.toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("fi2 basket cap bounds the cubic enumeration on the mega-basket") {
     val items = plantedBaskets()
     val rows = Relational
