@@ -403,6 +403,11 @@ object SparkEntry {
     "cpd1_changepoint"      -> ((s, d) => graft.operators.Quality.changepointHourly(s, d)),
     "stl1_classical_decomp" -> ((s, d) => graft.operators.Quality.classicalDecomposition(s, d)),
     "nb1_naive_bayes"       -> ((s, d) => graft.operators.LanguageModel.naiveBayesConfusion(s, d)),
+    // ---- round-9 late widening: data-selection / calibration ----
+    "ksel1_kcenter_coreset" -> ((s, d) => Similarity.kcenterCoreset(s, d)),
+    "mmr1_diversified_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "dsir1_importance_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "iso1_isotonic_calibration" -> ((s, d) => graft.operators.Stats.isotonicCalibration(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -424,6 +429,78 @@ object SparkEntry {
   private def foldCosine(a: String, b: String): String =
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** Full replay of the Gonzalez greedy (Similarity.kcenterCoreset):
+    * the k−1 argmax/relax rounds unroll into a generated CTE chain —
+    * each round picks the rounded-cosine-distance argmax (tie:
+    * vec_id) and folds the min-distance column with `least`, exactly
+    * the Spark loop's algebra. */
+  private def kcenterOracle(k: Int, seedId: Long): String = {
+    def dist(v: String, s: String) = s"round(1.0 - (${foldCosine(v, s)}), 6)"
+    val ctes = collection.mutable.ListBuffer(
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      s"d0 AS (SELECT e.vec_id, ${dist("e.v", "s.v")} AS md FROM e " +
+        s"CROSS JOIN (SELECT v FROM e WHERE vec_id = $seedId) s)")
+    val sels = collection.mutable.ListBuffer[String]()
+    for (t <- 1 until k) {
+      ctes += s"p$t AS (SELECT vec_id AS c, md AS r FROM d${t - 1} " +
+        "ORDER BY md DESC, vec_id ASC LIMIT 1)"
+      sels += s"SELECT $t AS sel_round, c AS center_id, r AS radius FROM p$t"
+      ctes += s"d$t AS (SELECT e.vec_id, least(d${t - 1}.md, " +
+        s"${dist("e.v", "s.v")}) AS md " +
+        s"FROM e JOIN d${t - 1} ON e.vec_id = d${t - 1}.vec_id " +
+        s"CROSS JOIN (SELECT e2.v FROM e e2 JOIN p$t ON e2.vec_id = p$t.c) s)"
+    }
+    sels += s"SELECT $k AS sel_round, CAST(-1 AS BIGINT) AS center_id, " +
+      s"(SELECT max(md) FROM d${k - 1}) AS radius"
+    ctes.mkString("WITH ", ",\n", "") +
+      "\nSELECT CAST(sel_round AS INT) AS sel_round, " +
+      "CAST(center_id AS BIGINT) AS center_id, radius FROM (" +
+      sels.mkString(" UNION ALL ") + ") ORDER BY sel_round"
+  }
+
+  /** Full replay of the MMR greedy (Similarity.mmrRerank): candidate
+    * top-`pool` by rounded relevance, then k−1 generated selection
+    * CTEs, each re-scoring the un-selected pool by
+    * round(λ·rel − (1−λ)·maxsim, 6) against the union of prior picks. */
+  private def mmrOracle(nq: Int, pool: Int, k: Int, lambda: Double): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nq),
+         |s AS (SELECT query_id, e.vec_id, e.v, round(${foldCosine("qv", "e.v")}, 6) AS rel
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, vec_id, v, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rk FROM s)
+         |  WHERE rk <= $pool),
+         |sims AS (SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         |    round(${foldCosine("a.v", "b.v")}, 6) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT query_id, vec_id, rel, CAST(1 AS INT) AS step, rel AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rk FROM cand)
+         |  WHERE rk = 1)""".stripMargin
+    val parts = collection.mutable.ListBuffer(head)
+    var prevUnion = "SELECT query_id, vec_id FROM sel1"
+    for (t <- 2 to k) {
+      parts +=
+        s"""selall${t - 1} AS ($prevUnion),
+           |st$t AS (SELECT c.query_id, c.vec_id, c.rel,
+           |    round($lambda*c.rel - ${1.0 - lambda}*max(s.sim), 6) AS mmr
+           |  FROM cand c
+           |  JOIN sims s ON s.query_id = c.query_id AND s.a = c.vec_id
+           |  JOIN selall${t - 1} p ON p.query_id = s.query_id AND p.vec_id = s.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM selall${t - 1} x
+           |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+           |  GROUP BY 1, 2, 3),
+           |sel$t AS (SELECT query_id, vec_id, rel, CAST($t AS INT) AS step, mmr FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC) AS rk FROM st$t)
+           |  WHERE rk = 1)""".stripMargin
+      prevUnion += s" UNION ALL SELECT query_id, vec_id FROM sel$t"
+    }
+    parts.mkString(",\n") +
+      "\nSELECT query_id, step, vec_id AS selected_id, rel, mmr FROM (" +
+      (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ") +
+      ") ORDER BY query_id, step"
+  }
 
   /** Full replay of the two-stage projected-ANN recall pipeline
     * (Similarity.annRecallAtK): exact top-k, md5-sign 16-dim
@@ -5041,5 +5118,57 @@ object SparkEntry {
         |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
+    // Greedy k-center coreset: generated CTE chain replays all k-1
+    // argmax/relax rounds (see kcenterOracle).
+    "ksel1_kcenter_coreset" -> kcenterOracle(k = 8, seedId = 0L),
+    // MMR diversified re-rank: generated CTE chain replays the k-step
+    // greedy against the union of prior picks (see mmrOracle).
+    "mmr1_diversified_rerank" -> mmrOracle(nq = 5, pool = 10, k = 5, lambda = 0.7),
+    "dsir1_importance_weights" ->
+      """WITH t AS (SELECT doc_id, source, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, lang,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 7), i -> CAST(strpos('0123456789abcdef',
+        |        md5(w)[i]) - 1 AS BIGINT))), (a,c) -> a*16 + c) % 64 AS INT) AS b
+        |  FROM t),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM h WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM h GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS nt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS nr),
+        |w AS (SELECT rc.b,
+        |    CAST(round(ln( (CAST(coalesce(tc.ct,0)+1 AS DOUBLE) * CAST(tot.nr+64 AS DOUBLE))
+        |              / (CAST(rc.cr+1 AS DOUBLE) * CAST(tot.nt+64 AS DOUBLE)) ), 6)
+        |      AS DECIMAL(38,6)) AS lw
+        |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        |d AS (SELECT h.doc_id, h.source, CAST(sum(w.lw) AS DECIMAL(38,6)) AS dlw
+        |  FROM h JOIN w USING (b) GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(dlw) AS DOUBLE), 6) AS sum_lw,
+        |  CAST(sum(CASE WHEN dlw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "iso1_isotonic_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(value/50), 9) AS INT) AS bin,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT bin, n, s,
+        |        CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |        CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+        |      FROM g),
+        |p AS (SELECT ck.bin AS k, cj.bin AS j,
+        |        CAST(cj.cs - (ck.cs - ck.s) AS DOUBLE) / CAST(cj.cn - (ck.cn - ck.n) AS DOUBLE) AS m
+        |      FROM c ck JOIN c cj ON ck.bin <= cj.bin),
+        |inn AS (SELECT g.bin AS i, p.k, min(p.m) AS mn
+        |        FROM g JOIN p ON p.k <= g.bin AND p.j >= g.bin
+        |        GROUP BY 1, 2),
+        |f AS (SELECT i AS bin, max(mn) AS fit FROM inn GROUP BY 1)
+        |SELECT g.bin, g.n,
+        |  round(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE), 6) AS raw_rate,
+        |  round(f.fit, 6) AS fitted_rate
+        |FROM g JOIN f USING (bin) ORDER BY bin""".stripMargin,
   )
 }

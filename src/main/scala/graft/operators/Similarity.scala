@@ -826,4 +826,129 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  /** Gated ksel1: GREEDY k-CENTER CORESET SELECTION (Gonzalez
+    * farthest-point traversal) — the diverse-subset primitive behind
+    * coverage-driven training-data curation: pick k documents whose
+    * embedding balls cover the corpus with the smallest worst-case
+    * radius (a 2-approximation of the optimal k-center cover).
+    *
+    * Distance is rounded cosine distance `round(1 − cos, 6)` so every
+    * comparison the greedy makes is on drift-free values (the same
+    * convention as ss1). Selection is inherently sequential in k, so
+    * the loop runs k−1 rounds of ONE distributed action each: an
+    * argmax over the corpus of the maintained min-distance column
+    * (ties broken by vec_id). The chosen center's vector rides back
+    * as a 1-row control-plane collect and re-enters the plan as a
+    * 64-literal array — the corpus itself never moves. The
+    * min-distance frame is persisted per round and folded with
+    * `least`, so round t costs one corpus scan, not t of them.
+    *
+    * Scale shape: k scans of a cached (id, vec) projection + k 1-row
+    * collects — identical cost profile to the BFS/k-core BSP family.
+    * At 100 TB the corpus stays partition-parallel; only k·dim
+    * doubles ever reach the driver.
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String,
+                     k: Int = 8, seedId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .persist()
+    def centerLit(cv: Array[Double]): Column = array(cv.map(lit): _*)
+    def distTo(cv: Array[Double]): Column =
+      round(lit(1.0) - VectorOps.cosine(col("v"), centerLit(cv)), 6)
+    val seed = e.filter(col("vec_id") === seedId).select(col("v"))
+      .head().getSeq[Double](0).toArray
+    var cur = e.select(col("vec_id"), col("v"), distTo(seed).as("md")).persist()
+    val out = collection.mutable.ListBuffer[(Int, Long, Double)]()
+    for (t <- 1 until k) {
+      val top = cur.orderBy(col("md").desc, col("vec_id").asc)
+        .select(col("vec_id"), col("md"), col("v")).head() // 1-row control plane
+      val cid = top.getLong(0)
+      out += ((t, cid, top.getDouble(1)))
+      val cv = top.getSeq[Double](2).toArray
+      val next = cur
+        .select(col("vec_id"), col("v"),
+          least(col("md"), distTo(cv)).as("md"))
+        .persist()
+      next.count()
+      cur.unpersist()
+      cur = next
+    }
+    val coverage = cur.agg(max(col("md"))).head().getDouble(0)
+    out += ((k, -1L, coverage))
+    cur.unpersist(); e.unpersist()
+    out.toSeq.toDF("sel_round", "center_id", "radius")
+      .orderBy(col("sel_round"))
+  }
+
+  /** Gated mmr1: MAXIMAL MARGINAL RELEVANCE re-rank — the classic
+    * diversified retrieval pass (Carbonell & Goldstein 1998): from
+    * each query's top-`pool` relevance candidates, greedily select k
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-dup
+    * results can't crowd a result page (or a RAG context window).
+    *
+    * Both rel and pairwise sim are rounded cosines (round 6), and the
+    * λ-combination re-rounds — every argmax compares drift-free
+    * doubles, ties broken by vec_id. The greedy is k-sequential but
+    * QUERY-PARALLEL: each of the k−1 steps is one distributed
+    * (anti-join candidates, join selected, max-sim aggregate, per-query
+    * row_number pick), all queries advancing in the same job. No
+    * driver loop over data — the loop builds a k-deep lazy plan over
+    * frames bounded by queries × pool.
+    *
+    * Scale shape: candidate generation is the ss1 scan; everything
+    * after operates on nq·pool rows. At 100 TB the corpus cost is the
+    * one brute/ANN scoring pass — the MMR stage is invariant to corpus
+    * size by construction.
+    */
+  def mmrRerank(spark: SparkSession, dir: String,
+                nQueries: Int = 5, pool: Int = 10, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"),
+        round(VectorOps.cosine(col("qv"), col("v")), 6).as("rel"))
+    val byRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = scored
+      .withColumn("rk", row_number().over(byRel))
+      .filter(col("rk") <= pool)
+      .drop("rk")
+      .persist()
+    var all = cand.withColumn("rk", row_number().over(byRel))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
+        lit(1).as("step"), col("rel").as("mmr"))
+    for (t <- 2 to k) {
+      val selected = all.select(col("query_id").as("sq"),
+        col("vec_id").as("sid"), col("v").as("sv"))
+      val rest = cand.join(selected,
+        col("query_id") === col("sq") && col("vec_id") === col("sid"),
+        "left_anti")
+      val maxSim = rest.join(selected, col("query_id") === col("sq"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(round(VectorOps.cosine(col("v"), col("sv")), 6)).as("maxsim"))
+      val stepScores = rest.join(maxSim, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("maxsim"), 6).as("mmr"))
+      val byMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+      val pick = stepScores.withColumn("rk", row_number().over(byMmr))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
+          lit(t).as("step"), col("mmr"))
+      all = all.unionByName(pick)
+    }
+    val res = all.select(col("query_id"), col("step"),
+        col("vec_id").as("selected_id"), col("rel"), col("mmr"))
+      .orderBy(col("query_id"), col("step"))
+    res
+  }
 }

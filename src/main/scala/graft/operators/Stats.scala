@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -456,5 +457,58 @@ object Stats {
           * sqrt(col("n") * col("sbb") - col("sb") * col("sb"))), 9)
         .as("spearman_rho"),
       col("n").cast("bigint").as("n"))
+  }
+
+  /** Gated iso1: ISOTONIC CALIBRATION (pool-adjacent-violators) of the
+    * purchase rate against the event-value bucket — the standard
+    * monotone-calibration pass for model scores (Zadrozny & Elkan
+    * 2002). Rather than the sequential PAV sweep, the fit is computed
+    * from its CLOSED MINIMAX FORM: fitted[i] = max_{k≤i} min_{j≥i}
+    * mean(y over buckets k..j) — which is pure relational algebra once
+    * the fact table has collapsed to a B-row bucket spine.
+    *
+    * Numeric contract: bucket (count, positives) are exact BIGINTs;
+    * prefix sums over the ≤`bins`-row spine run under a pinned
+    * single-partition window (bounded frame); every interval mean is a
+    * division of two BIGINT-exact doubles, so both engines compute
+    * identical IEEE values and the min/max lattice agrees everywhere —
+    * round(6) applies only at output.
+    *
+    * Scale shape: ONE map-side-combinable aggregation reduces the
+    * corpus to B rows; the O(B²) interval-mean frame and the O(B³)
+    * minimax join are constant-size (B ≤ bins) broadcast work —
+    * exactly the mkt1/spine discipline. At 100 TB the only cost that
+    * grows is the first linear pass.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String,
+                          binWidth: Double = 50.0, bins: Int = 10): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(least(floor(col("value") / binWidth), lit(bins - 1))
+          .cast("int").as("bin"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
+    val spine = Window.partitionBy(pmod(hash(col("bin")), lit(1)))
+      .orderBy(col("bin"))
+    val c = g.withColumn("cn", sum(col("n")).over(spine))
+      .withColumn("cs", sum(col("s")).over(spine))
+    val k = c.select(col("bin").as("k"), col("n").as("kn"),
+      col("s").as("ks"), col("cn").as("kcn"), col("cs").as("kcs"))
+    val j = c.select(col("bin").as("j"), col("cn").as("jcn"),
+      col("cs").as("jcs"))
+    val pairs = k.join(j, col("k") <= col("j"))
+      .select(col("k"), col("j"),
+        ((col("jcs") - (col("kcs") - col("ks"))).cast("double")
+          / (col("jcn") - (col("kcn") - col("kn"))).cast("double")).as("m"))
+    val inner = g.select(col("bin").as("i"))
+      .join(pairs, col("k") <= col("i") && col("j") >= col("i"))
+      .groupBy(col("i"), col("k")).agg(min(col("m")).as("mn"))
+    val fit = inner.groupBy(col("i").as("bin")).agg(max(col("mn")).as("fit"))
+    g.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("fit"), 6).as("fitted_rate"))
+      .orderBy(col("bin"))
   }
 }

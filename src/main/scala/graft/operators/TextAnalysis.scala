@@ -1156,4 +1156,58 @@ object TextAnalysis {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally { vocab.unpersist(); () }
   }
+
+  /** Gated dsir1: DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling") —
+    * score every document by how target-like its hashed n-gram
+    * distribution is, the selection signal used to up-sample
+    * domain-relevant raw data before pretraining. Target here = the
+    * `en` slice; features = md5-bucketed word unigrams (the fh1 hash,
+    * `dims` buckets); per-bucket log-likelihood ratio
+    * ln(p̂_target(b)/p̂_raw(b)) under add-one smoothing.
+    *
+    * Numeric contract: bucket counts are exact BIGINTs; each bucket's
+    * log-ratio is computed once, rounded to 6, and CAST to
+    * DECIMAL(38,6) — per-document weights are then DECIMAL sums of
+    * (occurrence count × bucket weight), exactly order-invariant, so
+    * the per-source readout hash-matches however Spark partitions the
+    * token stream.
+    *
+    * Scale shape: two map-side-combinable token aggregations build a
+    * `dims`-row weight table (broadcast); documents fold to
+    * (doc, bucket) counts — the only corpus-sized shuffle, keyed and
+    * combinable — then join the broadcast table and collapse to
+    * doc → source. The target/raw totals are 1-row control-plane
+    * scalars. Nothing grows with corpus size except the linear passes.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  dims: Int = 64, targetLang: String = "en"): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
+          % lit(dims)).cast("int").as("b"))
+    val rc = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tc = tok.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nr = rc.agg(sum(col("cr"))).head().getLong(0) // control-plane scalar
+    val nt = tc.agg(sum(col("ct"))).head().getLong(0) // control-plane scalar
+    val wts = rc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        round(log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            * lit((nr + dims).toDouble))
+          / ((col("cr") + 1).cast("double") * lit((nt + dims).toDouble))), 6)
+          .cast("decimal(38,6)").as("lw"))
+    val perDoc = tok.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wts), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt") * col("lw")).as("dlw"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("dlw")).cast("double"), 6).as("sum_lw"),
+        sum(when(col("dlw") > 0, 1).otherwise(0)).cast("long").as("n_pos"))
+      .orderBy(col("source"))
+  }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Stats, TextAnalysis}
+
+/** Round-9 late widening: data-selection / calibration operators.
+  * Each distributed greedy (k-center, MMR) is replayed locally from
+  * the collected sf0.001 embeddings and must agree step-for-step; the
+  * isotonic fit is checked against the PAV invariants (monotone,
+  * block-mean-preserving) and a sequential PAV sweep.
+  */
+class Round9cSpec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cosRaw(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cosDist(a: Array[Double], b: Array[Double]): Double =
+    round6(1.0 - cosRaw(a, b))
+
+  private def vecs(): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), operators.VectorOps.toDoubleArray(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  test("ksel1: distributed greedy k-center agrees with a local Gonzalez replay") {
+    val v = vecs()
+    val k = 8
+    // local replay: same rounded distances, same vec_id tiebreak
+    var md = v.map { case (id, x) => id -> cosDist(x, v(0L)) }
+    val picks = collection.mutable.ListBuffer[(Int, Long, Double)]()
+    for (t <- 1 until k) {
+      val (cid, r) = md.toSeq.minBy { case (id, d) => (-d, id) }
+      picks += ((t, cid, r))
+      md = md.map { case (id, d) => id -> math.min(d, cosDist(v(id), v(cid))) }
+    }
+    picks += ((k, -1L, md.values.max))
+    val got = Similarity.kcenterCoreset(spark, sf, k = k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == picks.toList, s"greedy divergence: ${got.toSeq} vs $picks")
+    // structural invariants: radii strictly ordered, centers distinct
+    val radii = got.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "k-center radii must be non-increasing")
+    val centers = got.init.map(_._2)
+    assert(centers.distinct.length == centers.length)
+  }
+
+  test("mmr1: distributed greedy MMR agrees with a local replay and diversifies") {
+    val v = vecs()
+    val nq = 5; val pool = 10; val k = 5; val lam = 0.7
+    def rel(q: Long, c: Long): Double = round6(cosRaw(v(q), v(c)))
+    val got = Similarity.mmrRerank(spark, sf, nQueries = nq, pool = pool, k = k, lambda = lam)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == nq * k)
+    for (q <- 0L until nq.toLong) {
+      val cand = v.keys.filter(_ != q).toSeq
+        .map(c => (c, rel(q, c)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(pool)
+      val sel = collection.mutable.ListBuffer(cand.head._1)
+      for (_ <- 2 to k) {
+        val rest = cand.filterNot { case (c, _) => sel.contains(c) }
+        val next = rest.map { case (c, s) =>
+          val maxsim = sel.map(p => round6(cosRaw(v(c), v(p)))).max
+          (c, round6(lam * s - (1.0 - lam) * maxsim))
+        }.minBy { case (c, m) => (-m, c) }
+        sel += next._1
+      }
+      val gotQ = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(gotQ == sel.toList, s"query $q: $gotQ vs $sel")
+    }
+    // diversification: some query must pick a lower-rel candidate early
+    val steps2 = got.filter(_._2 == 2)
+    assert(steps2.forall { case (_, _, _, r, m) => m <= r + 1e-9 })
+  }
+
+  test("iso1: fitted rates are monotone, block-mean preserving, and match a PAV sweep") {
+    val rows = Stats.isotonicCalibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val fits = rows.map(_._4)
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "isotonic output must be non-decreasing")
+    // PAV preserves the weighted total: sum(fit*n) == sum(raw*n) == sum(y)
+    val wTot = rows.map { case (_, n, _, f) => f * n }.sum
+    val yTot = rows.map { case (_, n, r, _) => r * n }.sum
+    assert(math.abs(wTot - yTot) < 1e-2, s"weighted totals differ: $wTot vs $yTot")
+    // sequential PAV sweep over the EXACT (n, s) bin stats must
+    // reproduce the minimax fit (raw_rate is rounded; recompute).
+    val bins = Tables.events(spark, sf)
+      .select(least(floor(col("value") / 50), lit(9)).cast("int").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(bins.map(_._1).toSeq == rows.map(_._1).toSeq)
+    val blocks = collection.mutable.ListBuffer[(Long, Long, Int)]() // (n, s, width-in-bins)
+    for ((_, n, s) <- bins) {
+      blocks += ((n, s, 1))
+      while (blocks.length > 1 && {
+        val (n1, s1, _) = blocks(blocks.length - 2)
+        val (n2, s2, _) = blocks.last
+        // pool while mean(prev) >= mean(next): s1/n1 >= s2/n2, integer cross-product
+        s1 * n2 >= s2 * n1
+      }) {
+        val (n2, s2, w2) = blocks.remove(blocks.length - 1)
+        val (n1, s1, w1) = blocks.remove(blocks.length - 1)
+        blocks += ((n1 + n2, s1 + s2, w1 + w2))
+      }
+    }
+    val fitted = blocks.toSeq.flatMap { case (n, s, w) =>
+      Seq.fill(w)(round6(s.toDouble / n.toDouble))
+    }
+    assert(fitted.length == rows.length)
+    assert(fits.toSeq == fitted, s"PAV sweep mismatch: ${fits.toSeq} vs $fitted")
+  }
+
+  test("dsir1: per-source weights match a local token-count replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val dims = 64
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 6), 16) % dims).toInt
+    }
+    val toks = docs.flatMap { case (id, src, lang, text) =>
+      text.trim.split("\\s+").map(w => (id, src, lang, bucket(w)))
+    }
+    val rc = toks.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val tc = toks.filter(_._3 == "en").groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val nr = rc.values.sum; val nt = tc.values.sum
+    val lw: Map[Int, BigDecimal] = rc.map { case (b, cr) =>
+      val ct = tc.getOrElse(b, 0L)
+      val raw = math.log(((ct + 1).toDouble * (nr + dims).toDouble) /
+        ((cr + 1).toDouble * (nt + dims).toDouble))
+      b -> BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val perDoc = toks.groupBy(t => (t._1, t._2)).map { case ((id, src), ts) =>
+      (id, src, ts.map(t => lw(t._4)).sum)
+    }
+    val bySource = perDoc.groupBy(_._2).map { case (src, ds) =>
+      (src, ds.size.toLong,
+        BigDecimal(ds.map(_._3).sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ds.count(_._3 > 0).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == bySource, s"dsir divergence:\n$got\nvs\n$bySource")
+  }
+}
