@@ -921,10 +921,18 @@ object Similarity {
       .filter(col("rk") <= pool)
       .drop("rk")
       .persist()
+    // Each step's pick set is localCheckpoint'ed (one tiny nq-row
+    // action per step) so step t's LOGICAL plan starts from a flat
+    // LogicalRDD — each step references the selected set twice
+    // (anti-join + sim-join), so without truncation the plan TREE
+    // doubles per step and analysis alone goes exponential (measured:
+    // step5 11.4 s with persist-only, ~0.3 s flat). Same discipline
+    // as the BSP graph loops.
     var all = cand.withColumn("rk", row_number().over(byRel))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
         lit(1).as("step"), col("rel").as("mmr"))
+      .localCheckpoint()
     for (t <- 2 to k) {
       val selected = all.select(col("query_id").as("sq"),
         col("vec_id").as("sid"), col("v").as("sv"))
@@ -944,11 +952,12 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("vec_id"), col("v"), col("rel"),
           lit(t).as("step"), col("mmr"))
-      all = all.unionByName(pick)
+      all = all.unionByName(pick).localCheckpoint()
     }
     val res = all.select(col("query_id"), col("step"),
         col("vec_id").as("selected_id"), col("rel"), col("mmr"))
       .orderBy(col("query_id"), col("step"))
+    cand.unpersist()
     res
   }
 }
