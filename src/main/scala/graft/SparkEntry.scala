@@ -408,6 +408,7 @@ object SparkEntry {
     "mmr1_diversified_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "dsir1_importance_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "iso1_isotonic_calibration" -> ((s, d) => graft.operators.Stats.isotonicCalibration(s, d)),
+    "rl2_multipass_linkage" -> ((s, d) => graft.operators.Dedup.recordLinkageMultiPass(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -5170,5 +5171,28 @@ object SparkEntry {
         |  round(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE), 6) AS raw_rate,
         |  round(f.fit, 6) AS fitted_rate
         |FROM g JOIN f USING (bin) ORDER BY bin""".stripMargin,
+    "rl2_multipass_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey AS nat,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cb FROM customer),
+        |s AS (SELECT s_suppkey, s_nationkey AS nat,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS sb FROM supplier),
+        |candA AS (SELECT c_custkey, s_suppkey, cb, sb FROM c JOIN s USING (nat)),
+        |candB AS (SELECT c_custkey, s_suppkey, cb, sb
+        |  FROM c JOIN s ON floor(c.cb / 1000.0) = floor(s.sb / 1000.0)),
+        |cand AS (SELECT DISTINCT c_custkey, s_suppkey, cb, sb
+        |  FROM (SELECT * FROM candA UNION ALL SELECT * FROM candB)),
+        |scored AS (SELECT c_custkey, s_suppkey,
+        |    CAST((cb >= 0) = (sb >= 0) AS INT) AS a1,
+        |    CAST(floor(cb/100000.0) = floor(sb/100000.0) AS INT) AS a2,
+        |    CAST(floor(cb/1000.0) = floor(sb/1000.0) AS INT) AS a3
+        |  FROM cand),
+        |w AS (SELECT c_custkey, s_suppkey, a1+a2+a3 AS n_agree,
+        |    (CASE WHEN a1=1 THEN 492476 ELSE -1504077 END
+        |     + CASE WHEN a2=1 THEN 1763589 ELSE -1076139 END
+        |     + CASE WHEN a3=1 THEN 3601868 ELSE -783394 END) AS su
+        |  FROM scored)
+        |SELECT c_custkey, s_suppkey, CAST(n_agree AS INT) AS n_agree,
+        |  round(CAST(su AS DOUBLE)/1e6, 6) AS score
+        |FROM w ORDER BY su DESC, c_custkey, s_suppkey LIMIT 20""".stripMargin,
   )
 }

@@ -123,6 +123,39 @@ class Round9cSpec extends SparkSpec {
     assert(fits.toSeq == fitted, s"PAV sweep mismatch: ${fits.toSeq} vs $fitted")
   }
 
+  test("rl2: OR-blocking recovers cross-nation strong matches rl1 cannot reach") {
+    val rl1 = operators.Dedup.recordLinkage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val rl2 = operators.Dedup.recordLinkageMultiPass(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rl2.length == rl1.length)
+    // pointwise rank dominance: the wider candidate set can only
+    // improve (or tie) the score at every rank position
+    rl1.map(_._4).zip(rl2.map(_._4)).foreach { case (s1, s2) =>
+      assert(s2 >= s1 - 1e-9, s"rl2 rank score regressed: $s2 < $s1")
+    }
+    val nat = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val snat = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    // at least one top-k pair must cross nations (unreachable for rl1)
+    assert(rl2.exists { case (ck, sk, _, _) => nat(ck) != snat(sk) },
+      "no cross-nation pair in rl2 top-k — OR-blocking added nothing")
+    // every full-agreement rl2 pair is a pass-B candidate by
+    // construction (same $10 band) — blocking is complete for strong pairs
+    val cb = Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rl2.filter(_._3 == 3).foreach { case (ck, sk, _, _) =>
+      assert(math.floor(cb(ck) / 1000.0) == math.floor(sb(sk) / 1000.0))
+    }
+  }
+
   test("dsir1: per-source weights match a local token-count replay") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
