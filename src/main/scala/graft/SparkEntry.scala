@@ -409,6 +409,7 @@ object SparkEntry {
     "dsir1_importance_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "iso1_isotonic_calibration" -> ((s, d) => graft.operators.Stats.isotonicCalibration(s, d)),
     "rl2_multipass_linkage" -> ((s, d) => graft.operators.Dedup.recordLinkageMultiPass(s, d)),
+    "ivm2_incremental_join" -> ((s, d) => Ingest.incrementalJoinView(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -5194,5 +5195,13 @@ object SparkEntry {
         |SELECT c_custkey, s_suppkey, CAST(n_agree AS INT) AS n_agree,
         |  round(CAST(su AS DOUBLE)/1e6, 6) AS score
         |FROM w ORDER BY su DESC, c_custkey, s_suppkey LIMIT 20""".stripMargin,
+    // Full recompute of the maintained join view: the hash match IS
+    // the incremental-maintenance ≡ rebuilt proof (ss9 pattern).
+    "ivm2_incremental_join" ->
+      """SELECT CAST(c_nationkey AS INT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

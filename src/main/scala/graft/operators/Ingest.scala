@@ -444,6 +444,88 @@ object Ingest {
       .orderBy(col("event_type"))
   }
 
+
+  /** Gated ivm2: INCREMENTAL JOIN-VIEW MAINTENANCE through the
+    * TxTable changes feed — [[incrementalAggMaintenance]]'s missing
+    * half: real pipelines maintain JOIN views (fact ⋈ dim rollups),
+    * and the delta algebra is Δ(O ⋈ C) = ΔO ⋈ C ∪ O ⋈ ΔC ∪ ΔO ⋈ ΔC.
+    * Both sides live in TxTables committed in batches (orders in 3,
+    * customers in 2); after each commit the maintained per-nation
+    * rollup absorbs ONLY the delta join — ΔO against the current
+    * customer snapshot, or the current order snapshot against ΔC —
+    * never a recompute. Because each (order, customer) pair completes
+    * exactly once (at the LATER of its two sides' commits), the
+    * maintained view over the full commit schedule must equal a
+    * from-scratch join — the oracle IS the full recompute, so the
+    * hash match is the incremental ≡ rebuilt proof (the ss9 pattern
+    * applied to relational views).
+    *
+    * Numeric contract: counts are BIGINT; price mass stays
+    * DECIMAL(30,2) through every merge (exact, order-invariant) and
+    * casts to DOUBLE once at the end. Scale shape: each round joins
+    * one bounded delta against a snapshot (broadcast the dim-side
+    * delta at real scale), merges a 25-row rollup with a full-outer
+    * coalesce, and truncates lineage — maintenance cost tracks the
+    * delta, not history, which is the entire point of IVM at 100 TB.
+    */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.TmpIO.scratchDir("graft_ivm2_")
+    val oTx = new graft.sources.TxTable(s"$tmp/orders")
+    val cTx = new graft.sources.TxTable(s"$tmp/customer")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    def joined(odf: DataFrame, cdf: DataFrame): DataFrame =
+      odf.join(cdf, col("o_custkey") === col("c_custkey"))
+    def aggView(j: DataFrame): DataFrame =
+      j.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).as("s"))
+    val zero = lit(0).cast("decimal(30,2)")
+    var view: DataFrame = null
+    def absorb(delta: DataFrame): Unit = {
+      view = view.select(col("c_nationkey"), col("n").as("bn"), col("s").as("bs"))
+        .join(delta.select(col("c_nationkey"), col("n").as("dn"), col("s").as("ds")),
+          Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("bs"), zero) + coalesce(col("ds"), zero))
+            .cast("decimal(30,2)").as("s"))
+        .localCheckpoint() // 25-row state; flat lineage per round
+    }
+    // round 1: initial batches on both sides → full (small) join
+    oTx.append(o.filter(col("o_orderkey") % 3 === 0))
+    var oSeen = oTx.latestVersion().get
+    cTx.append(cust.filter(col("c_custkey") % 2 === 0))
+    var cSeen = cTx.latestVersion().get
+    view = aggView(joined(oTx.snapshot(spark), cTx.snapshot(spark)))
+      .localCheckpoint()
+    // round 2: ΔO ⋈ C
+    oTx.append(o.filter(col("o_orderkey") % 3 === 1))
+    val oH2 = oTx.latestVersion().get
+    val dO2 = oTx.readChanges(spark, afterVersion = oSeen, untilVersion = Some(oH2))
+    oSeen = oH2
+    absorb(aggView(joined(dO2, cTx.snapshot(spark))))
+    // round 3: O ⋈ ΔC
+    cTx.append(cust.filter(col("c_custkey") % 2 === 1))
+    val cH3 = cTx.latestVersion().get
+    val dC3 = cTx.readChanges(spark, afterVersion = cSeen, untilVersion = Some(cH3))
+    cSeen = cH3
+    absorb(aggView(joined(oTx.snapshot(spark), dC3)))
+    // round 4: ΔO ⋈ C (customer side now complete)
+    oTx.append(o.filter(col("o_orderkey") % 3 === 2))
+    val oH4 = oTx.latestVersion().get
+    val dO4 = oTx.readChanges(spark, afterVersion = oSeen, untilVersion = Some(oH4))
+    oSeen = oH4
+    absorb(aggView(joined(dO4, cTx.snapshot(spark))))
+    val out = view.select(col("c_nationkey").cast("int").as("nation"),
+        col("n").as("n_orders"),
+        round(col("s").cast("double"), 2).as("total_price"))
+      .orderBy(col("nation"))
+    graft.TmpIO.collectAndClean(spark, tmp)(out)
+  }
+
   /** Gate z1: Z-ORDER (Morton) layout key over (o_custkey,
     * o_totalprice) — the multi-dimensional clustering that makes
     * parquet min/max skipping work for MORE THAN ONE predicate column.

@@ -156,6 +156,70 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("ivm2: maintained join view equals a from-scratch rebuild after EVERY round") {
+    val tmp = TmpIO.scratchDir("graft_ivm2spec_")
+    try {
+      val oTx = new sources.TxTable(s"$tmp/o")
+      val cTx = new sources.TxTable(s"$tmp/c")
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey"))
+      def aggView(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(30,2)")).as("s"))
+      def joined(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+      val zero = lit(0).cast("decimal(30,2)")
+      var view: org.apache.spark.sql.DataFrame = null
+      def absorb(delta: org.apache.spark.sql.DataFrame): Unit = {
+        view = view.select(col("c_nationkey"), col("n").as("bn"), col("s").as("bs"))
+          .join(delta.select(col("c_nationkey"), col("n").as("dn"), col("s").as("ds")),
+            Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("bs"), zero) + coalesce(col("ds"), zero))
+              .cast("decimal(30,2)").as("s"))
+          .localCheckpoint()
+      }
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("c_nationkey")).collect()
+          .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSeq
+      def assertRebuilt(): Unit =
+        assert(snap(view) ==
+          snap(aggView(joined(oTx.snapshot(spark), cTx.snapshot(spark)))))
+      oTx.append(o.filter(col("o_orderkey") % 3 === 0))
+      var oSeen = oTx.latestVersion().get
+      cTx.append(cust.filter(col("c_custkey") % 2 === 0))
+      var cSeen = cTx.latestVersion().get
+      view = aggView(joined(oTx.snapshot(spark), cTx.snapshot(spark))).localCheckpoint()
+      assertRebuilt()
+      oTx.append(o.filter(col("o_orderkey") % 3 === 1))
+      val oH2 = oTx.latestVersion().get
+      absorb(aggView(joined(
+        oTx.readChanges(spark, afterVersion = oSeen, untilVersion = Some(oH2)),
+        cTx.snapshot(spark))))
+      oSeen = oH2
+      assertRebuilt()
+      cTx.append(cust.filter(col("c_custkey") % 2 === 1))
+      val cH3 = cTx.latestVersion().get
+      absorb(aggView(joined(oTx.snapshot(spark),
+        cTx.readChanges(spark, afterVersion = cSeen, untilVersion = Some(cH3)))))
+      cSeen = cH3
+      assertRebuilt()
+      oTx.append(o.filter(col("o_orderkey") % 3 === 2))
+      val oH4 = oTx.latestVersion().get
+      absorb(aggView(joined(
+        oTx.readChanges(spark, afterVersion = oSeen, untilVersion = Some(oH4)),
+        cTx.snapshot(spark))))
+      assertRebuilt()
+    } finally {
+      TmpIO.deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   test("dsir1: per-source weights match a local token-count replay") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
