@@ -410,6 +410,7 @@ object SparkEntry {
     "iso1_isotonic_calibration" -> ((s, d) => graft.operators.Stats.isotonicCalibration(s, d)),
     "rl2_multipass_linkage" -> ((s, d) => graft.operators.Dedup.recordLinkageMultiPass(s, d)),
     "ivm2_incremental_join" -> ((s, d) => Ingest.incrementalJoinView(s, d)),
+    "ppr1_personalized_pagerank" -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -5203,5 +5204,42 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pr1's quantized-contribution replay with seed teleport: the rank
+    // update LEFT-joins from nodes so teleport-only rows survive.
+    "ppr1_personalized_pagerank" -> {
+      val it = (t: Int) =>
+        s"""p$t AS (SELECT n.node,
+           |    tel.b * CASE WHEN se.node IS NOT NULL THEN 1 ELSE 0 END
+           |      + 0.85 * (CAST(coalesce(c.s, 0) AS DOUBLE) / 100000000000000.0) AS pr
+           |  FROM nodes n
+           |  LEFT JOIN seeds se ON se.node = n.node
+           |  LEFT JOIN (SELECT e.dst AS node,
+           |      sum(CAST(round(p.pr / d.deg * 100000000000000.0) AS BIGINT)) AS s
+           |    FROM edges e JOIN p${t - 1} p ON e.src = p.node JOIN deg d ON e.src = d.node
+           |    GROUP BY e.dst) c ON c.node = n.node
+           |  CROSS JOIN tel)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (
+         |  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(s AS VARCHAR) AS src, 'c' || CAST(c AS VARCHAR) AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT node FROM nodes
+         |  WHERE node LIKE 'c%' AND CAST(substring(node, 2) AS BIGINT) < 10),
+         |tel AS (SELECT 0.15 / CAST(count(*) AS DOUBLE) AS b FROM seeds),
+         |p0 AS (SELECT n.node,
+         |    CASE WHEN se.node IS NOT NULL
+         |      THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM seeds)
+         |      ELSE 0.0 END AS pr
+         |  FROM nodes n LEFT JOIN seeds se ON se.node = n.node),
+         |${it(1)},
+         |${it(2)},
+         |${it(3)}
+         |SELECT node, round(pr, 12) AS pr FROM p3
+         |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin
+    },
   )
 }

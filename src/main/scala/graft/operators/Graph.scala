@@ -109,6 +109,75 @@ object Graph {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
+
+  /** Gated ppr1: PERSONALIZED PAGERANK — the seed-teleport variant of
+    * [[pageRank]] (Haveliwala 2002): random walks restart at a SEED
+    * SET instead of everywhere, so scores measure proximity to the
+    * seeds — the recommendation / related-entities primitive (and at
+    * corpus scale, the "find documents in this topic neighborhood"
+    * selection pass). Seeds = customers with custkey < 10; teleport
+    * mass (1−d)/|S| lands only on seeds, everything else starts (and
+    * may stay) at 0.
+    *
+    * Mechanics mirror pr1 exactly — quantized round(·1e14) BIGINT
+    * contributions, one broadcast rank join + one dst-keyed
+    * aggregation per iteration, edge⊳degree hoisted and persisted —
+    * with ONE structural change: the rank update LEFT-joins from the
+    * node frame so zero-in-contribution nodes (and seeds with no mass
+    * yet) keep their teleport term; pr1 could skip that only because a
+    * mirrored graph gives every node in-edges AND a uniform base.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+                           iterations: Int = 3, k: Int = 25,
+                           seedMax: Long = 10L): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(broadcast(deg), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def isSeed(c: Column): Column = c % 2 === 0 && c < seedMax * 2
+    val ns = nodes.filter(isSeed(col("node"))).count().toDouble // control plane
+    val tel = 0.15 / ns
+
+    var pr = nodes.withColumn("pr",
+      when(isSeed(col("node")), lit(1.0 / ns)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val prev = pr
+      val contribs = edgesDeg
+        .join(broadcast(prev), edgesDeg("src") === prev("node"))
+        .select(col("dst"),
+          round(col("pr") / col("deg") * lit(1e14)).cast("long").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(nodes("node"),
+          (when(isSeed(nodes("node")), lit(tel)).otherwise(lit(0.0))
+            + lit(0.85) * (coalesce(col("s"), lit(0L)).cast("double")
+              / lit(1e14))).as("pr"))
+    }
+    val top = pr.select(
+        when(col("node") % 2 === 0,
+          concat(lit("c"), (col("node") / 2).cast("long").cast("string")))
+          .otherwise(
+            concat(lit("s"), ((col("node") - 1) / 2).cast("long").cast("string")))
+          .as("node"),
+        round(col("pr"), 12).as("pr"))
+      .orderBy(desc("pr"), asc("node"))
+      .limit(k)
+    val rows = top.collect()
+    pairs.unpersist(); edgesDeg.unpersist(); nodes.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
   /** Gated bfs1: MULTI-SOURCE BFS distance histogram over the
     * bipartite customer↔supplier trade graph (packed node ids as in
     * [[pageRank]]), seeded at nation-0 customers. The "how far is

@@ -220,6 +220,43 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("ppr1: personalized pagerank matches a local quantized replay; mass stays near seeds") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq((s"c$c", s"s$s"), (s"s$s", s"c$c"))
+    }
+    val nodes = edges.map(_._1).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = nodes.filter(n => n.startsWith("c") && n.drop(1).toLong < 10).toSet
+    val ns = seeds.size.toDouble
+    var pr: Map[String, Double] = nodes.map(n =>
+      n -> (if (seeds(n)) 1.0 / ns else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (n <- nodes; d <- out(n))
+        contrib(d) += BigDecimal(pr(n) / deg(n) * 1e14)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      pr = nodes.map(n => n ->
+        ((if (seeds(n)) 0.15 / ns else 0.0) + 0.85 * (contrib(n).toDouble / 1e14))).toMap
+    }
+    val want = pr.toSeq.map { case (n, p) => (n, round6p12(p)) }
+      .sortBy { case (n, p) => (-p, n) }.take(25)
+    val got = operators.Graph.personalizedPageRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want, s"ppr divergence:\n$got\nvs\n$want")
+    // personalization: total mass ≤ 1 (teleport only feeds seeds) and
+    // the top-25 is dominated by the seed neighborhood, not degree
+    assert(pr.values.sum <= 1.0 + 1e-9)
+    assert(got.map(_._2).sum > 0.5, "top-25 should hold most of the walk mass")
+  }
+
+  private def round6p12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("dsir1: per-source weights match a local token-count replay") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
