@@ -411,6 +411,8 @@ object SparkEntry {
     "rl2_multipass_linkage" -> ((s, d) => graft.operators.Dedup.recordLinkageMultiPass(s, d)),
     "ivm2_incremental_join" -> ((s, d) => Ingest.incrementalJoinView(s, d)),
     "ppr1_personalized_pagerank" -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
+    "gnn1_neighbor_agg" -> ((s, d) => graft.operators.Graph.gnnNeighborAgg(s, d)),
+    "conf1_conformal_coverage" -> ((s, d) => graft.operators.Stats.conformalCalibration(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -5241,5 +5243,41 @@ object SparkEntry {
          |SELECT node, round(pr, 12) AS pr FROM p3
          |ORDER BY pr DESC, node ASC LIMIT 25""".stripMargin
     },
+    "gnn1_neighbor_agg" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |feat AS (SELECT c_custkey AS c, CAST(round(c_acctbal*100) AS BIGINT) AS cb FROM customer),
+        |h1 AS (SELECT p.s,
+        |    CAST(round(CAST(sum(f.cb) AS DOUBLE) / count(*), 6) AS DECIMAL(38,6)) AS h1
+        |  FROM pairs p JOIN feat f ON p.c = f.c GROUP BY p.s),
+        |h2 AS (SELECT p.c,
+        |    round(CAST(sum(h.h1) AS DOUBLE) / count(*), 6) AS h2
+        |  FROM pairs p JOIN h1 h ON p.s = h.s GROUP BY p.c)
+        |SELECT CAST(c_nationkey AS INT) AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(sum(CAST(h2.h2 AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_h2
+        |FROM h2 JOIN customer ON c_custkey = h2.c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "conf1_conformal_coverage" ->
+      """WITH s AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc,
+        |    event_id % 2 AS half FROM events),
+        |med AS (SELECT event_type, round(quantile_cont(vc, 0.5), 6) AS med
+        |  FROM s WHERE half = 0 GROUP BY 1),
+        |cal AS (SELECT s.event_type, CAST(round(abs(s.vc - med.med)) AS BIGINT) AS sc
+        |  FROM s JOIN med USING (event_type) WHERE half = 0),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ncal FROM cal GROUP BY 1),
+        |k AS (SELECT event_type, ncal, CAST(ceil((ncal+1) * 0.9) AS BIGINT) AS kk FROM n),
+        |rk AS (SELECT event_type, sc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY sc) AS r FROM cal),
+        |q AS (SELECT rk.event_type, min(sc) AS qhat
+        |  FROM rk JOIN k USING (event_type) WHERE rk.r = k.kk GROUP BY 1),
+        |tst AS (SELECT s.event_type,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN CAST(round(abs(s.vc - med.med)) AS BIGINT) <= q.qhat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        |  FROM s JOIN med USING (event_type) JOIN q USING (event_type)
+        |  WHERE half = 1 GROUP BY 1)
+        |SELECT t.event_type, k.ncal, CAST(q.qhat AS BIGINT) AS qhat_cents,
+        |  t.n_test, round(CAST(t.n_cov AS DOUBLE)/t.n_test, 6) AS coverage
+        |FROM tst t JOIN q USING (event_type) JOIN k USING (event_type)
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -178,6 +178,52 @@ object Graph {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
+
+  /** Gated gnn1: TWO-HOP NEIGHBOR FEATURE AGGREGATION — the data-prep
+    * kernel of message-passing GNNs (GraphSAGE mean aggregator,
+    * Hamilton et al. 2017): layer 1 gives every supplier the mean of
+    * its neighbor customers' feature (balance cents), layer 2 gives
+    * every customer the mean of its neighbor suppliers' layer-1
+    * value; the gate reads out the per-nation fold. This is exactly
+    * the "sample-and-aggregate" shape a 100 TB GNN feature pipeline
+    * runs per layer: one edge-keyed join + one dst-keyed mean, feature
+    * width amortized, no adjacency materialization.
+    *
+    * Numeric contract: features are BIGINT cents; each hop's mean is
+    * (exact BIGINT/DECIMAL sum) cast DOUBLE, one division, round 6,
+    * re-widened to DECIMAL(38,6) before the next hop's sum — so every
+    * engine-visible comparison is on drift-free values and the gate
+    * hashes (edr1's fold discipline per hop).
+    */
+  def gnnNeighborAgg(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val feat = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("c"),
+        round(col("c_acctbal") * 100).cast("long").as("cb"))
+    val h1 = pairs.join(feat, "c")
+      .groupBy(col("s"))
+      .agg(round(sum(col("cb")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(38,6)").as("h1"))
+    val h2 = pairs.join(h1, "s")
+      .groupBy(col("c"))
+      .agg(round(sum(col("h1")).cast("double") / count(lit(1)), 6).as("h2"))
+    val out = h2.join(Tables.customer(spark, dir),
+        col("c") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("h2").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_h2"))
+      .orderBy(col("nation"))
+    val rows = out.collect() // 25 rows
+    pairs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated bfs1: MULTI-SOURCE BFS distance histogram over the
     * bipartite customer↔supplier trade graph (packed node ids as in
     * [[pageRank]]), seeded at nation-0 customers. The "how far is

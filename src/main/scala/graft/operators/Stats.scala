@@ -459,6 +459,73 @@ object Stats {
       col("n").cast("bigint").as("n"))
   }
 
+
+  /** Gated conf1: SPLIT-CONFORMAL CALIBRATION — the
+    * distribution-free prediction-interval recipe (Vovk et al.;
+    * Angelopoulos & Bates 2023): on a calibration half, take the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score (here |value −
+    * per-type calibration median| in cents); the induced interval
+    * then covers a fresh point with probability ≥ 1−α. The gate
+    * reports the per-type threshold and the realized coverage on the
+    * held-out half — the eval loop every scored-model pipeline runs.
+    *
+    * The k-th ORDER STATISTIC (not an interpolated quantile) is
+    * computed scalably: scores collapse to (type, score) counts, a
+    * DISTRIBUTED exclusive prefix sum over the total (type, score)
+    * order ([[Ranks.withExclusivePrefixSum]] — range exchange, no
+    * single-partition window) gives cumulative counts, and qhat is
+    * min{score : within-type cumulative ≥ k}. Medians ride the x3
+    * histogram-refinement quantile engine. Everything the hash sees
+    * is BIGINT counts, cents, or one rounded division.
+    */
+  def conformalCalibration(spark: SparkSession, dir: String,
+                           alpha: Double = 0.1): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"),
+        (col("event_id") % 2).as("half"))
+      .persist()
+    val cal = s.filter(col("half") === 0)
+    val meds = Quantiles.exactQuantiles(cal, "vc", Seq("p50" -> 0.5),
+        groupCols = Seq("event_type"))
+      .map { case (key, vals) =>
+        key.head.asInstanceOf[String] -> Quantiles.round6(vals.head) }
+    def medCol: Column = meds.foldLeft(lit(Double.NaN)) {
+      case (acc, (t, v)) => when(col("event_type") === t, lit(v)).otherwise(acc)
+    }
+    val scores = cal.select(col("event_type"),
+      round(abs(col("vc") - medCol)).cast("long").as("sc"))
+    val counts = scores.groupBy(col("event_type"), col("sc"))
+      .agg(count(lit(1)).as("cnt"))
+    val pre = Ranks.withExclusivePrefixSum(counts,
+      Seq(col("event_type"), col("sc")), col("cnt"), np = 8, outCol = "pref")
+    val starts = pre.groupBy(col("event_type"))
+      .agg(min(col("pref")).as("start"), sum(col("cnt")).as("ncal"))
+    val withK = starts.withColumn("kk",
+      ceil((col("ncal") + 1).cast("double") * lit(1.0 - alpha)).cast("long"))
+    val qhat = pre.join(broadcast(withK), Seq("event_type"))
+      .filter(col("pref") - col("start") + col("cnt") >= col("kk"))
+      .groupBy(col("event_type"))
+      .agg(min(col("sc")).as("qhat"))
+    val cov = s.filter(col("half") === 1)
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(round(abs(col("vc") - medCol)).cast("long") <= col("qhat"), 1)
+          .otherwise(0)).as("n_cov"))
+    val out = withK.select(col("event_type"), col("ncal"))
+      .join(qhat, Seq("event_type"))
+      .join(cov, Seq("event_type"))
+      .select(col("event_type"), col("ncal"),
+        col("qhat").as("qhat_cents"), col("n_test"),
+        round(col("n_cov").cast("double") / col("n_test"), 6).as("coverage"))
+      .orderBy(col("event_type"))
+    val rows = out.collect() // one row per event type
+    Ranks.releaseAll()
+    s.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated iso1: ISOTONIC CALIBRATION (pool-adjacent-violators) of the
     * purchase rate against the event-value bucket — the standard
     * monotone-calibration pass for model scores (Zadrozny & Elkan

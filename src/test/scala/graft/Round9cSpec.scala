@@ -257,6 +257,65 @@ class Round9cSpec extends SparkSpec {
   private def round6p12(x: Double): Double =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("gnn1: two-hop neighbor means match a local replay") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cb = Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"),
+        col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    val bal = cb.map(t => t._1 -> t._2).toMap
+    val natOf = cb.map(t => t._1 -> t._3).toMap
+    val h1 = pairs.groupBy(_._2).map { case (s, es) =>
+      val vals = es.map(e => bal(e._1))
+      s -> BigDecimal(vals.sum.toDouble / vals.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val h2 = pairs.groupBy(_._1).map { case (c, es) =>
+      val vals = es.map(e => h1(e._2))
+      c -> round6(vals.sum.toDouble / vals.length)
+    }
+    val byNation = h2.toSeq.groupBy { case (c, _) => natOf(c) }
+      .map { case (nat, xs) =>
+        (nat, xs.size.toLong,
+          round6(xs.map(x => BigDecimal(x._2)).sum.toDouble / xs.size))
+      }.toSeq.sortBy(_._1)
+    val got = operators.Graph.gnnNeighborAgg(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == byNation, s"gnn divergence:\n$got\nvs\n$byNation")
+  }
+
+  test("conf1: qhat is the exact k-th order statistic and coverage is near 1-alpha") {
+    val got = operators.Stats.conformalCalibration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"),
+        (col("event_id") % 2).as("half"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, ncal, qhat, nTest, coverage) <- got) {
+      val calVals = raw.filter(r => r._1 == t && r._3 == 0L).map(_._2).sorted
+      assert(calVals.length.toLong == ncal)
+      // replay the median the way the engine defines it (quantile_cont)
+      val n = calVals.length
+      val h = 0.5 * (n - 1)
+      val lo = calVals(h.toInt).toDouble
+      val hi = calVals(math.ceil(h).toInt).toDouble
+      val med = round6(lo + (h - math.floor(h)) * (hi - lo))
+      val scores = calVals.map(v =>
+        BigDecimal(math.abs(v - med)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        .sorted
+      val k = math.ceil((ncal + 1) * 0.9).toLong.toInt
+      assert(scores(k - 1) == qhat,
+        s"$t: qhat $qhat is not the $k-th order statistic ${scores(k - 1)}")
+      // split-conformal guarantee is 1-alpha in expectation; allow
+      // sampling slack but require it lands in a sane band
+      assert(coverage > 0.8 && coverage <= 1.0, s"$t coverage $coverage")
+      assert(nTest > 0)
+    }
+  }
+
   test("dsir1: per-source weights match a local token-count replay") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
