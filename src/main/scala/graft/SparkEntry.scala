@@ -413,6 +413,9 @@ object SparkEntry {
     "ppr1_personalized_pagerank" -> ((s, d) => graft.operators.Graph.personalizedPageRank(s, d)),
     "gnn1_neighbor_agg" -> ((s, d) => graft.operators.Graph.gnnNeighborAgg(s, d)),
     "conf1_conformal_coverage" -> ((s, d) => graft.operators.Stats.conformalCalibration(s, d)),
+    "seq1_frequent_subsequences" -> ((s, d) => graft.operators.Behavior.frequentSubsequences(s, d)),
+    "vg1_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "ov1_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
@@ -5279,5 +5282,76 @@ object SparkEntry {
         |  t.n_test, round(CAST(t.n_cov AS DOUBLE)/t.n_test, 6) AS coverage
         |FROM tst t JOIN q USING (event_type) JOIN k USING (event_type)
         |ORDER BY 1""".stripMargin,
+    // seq1's oracle restates the closed forms (⟨a,b⟩ ⟺ min_a < max_b;
+    // ⟨a,b,c⟩ ⟺ min-b-after-first-a < max_c) over the same 30-min
+    // sessionization — strict comparisons on integer micros both sides.
+    "seq1_frequent_subsequences" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us
+        |  FROM events WHERE event_type IS NOT NULL),
+        |l AS (SELECT user_id, event_id, event_type, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev),
+        |s AS (SELECT user_id, event_type, us,
+        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+        |pst AS (SELECT user_id, sid, event_type, min(us) AS mn, max(us) AS mx
+        |  FROM s GROUP BY 1, 2, 3),
+        |p2 AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS support
+        |  FROM pst a JOIN pst b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.mn < b.mx GROUP BY 1, 2),
+        |eab AS (SELECT e.user_id, e.sid, a.event_type AS ta, e.event_type AS tb,
+        |    min(e.us) AS eab
+        |  FROM s e JOIN pst a ON e.user_id = a.user_id AND e.sid = a.sid
+        |    AND e.us > a.mn GROUP BY 1, 2, 3, 4),
+        |p3 AS (SELECT eab.ta, eab.tb, c.event_type AS tc, count(*) AS support
+        |  FROM eab JOIN pst c ON eab.user_id = c.user_id AND eab.sid = c.sid
+        |    AND eab.eab < c.mx GROUP BY 1, 2, 3)
+        |SELECT pattern, len, support FROM (
+        |  SELECT ta || '>' || tb AS pattern, 2 AS len,
+        |    CAST(support AS BIGINT) AS support FROM p2 WHERE support >= 20
+        |  UNION ALL
+        |  SELECT ta || '>' || tb || '>' || tc AS pattern, 3 AS len,
+        |    CAST(support AS BIGINT) AS support FROM p3 WHERE support >= 20)
+        |ORDER BY len, support DESC, pattern""".stripMargin,
+    // vg1's oracle uses plain global windows for the prefix sums — the
+    // single-partition plan the Spark side specifically avoids.
+    "vg1_vocab_growth" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+        |dt AS (SELECT doc_id, len(ws) AS n_tok FROM w),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |fr AS (SELECT min(doc_id) AS fdoc FROM tok GROUP BY tok),
+        |nf AS (SELECT fdoc, count(*) AS new_toks FROM fr GROUP BY 1),
+        |sp AS (SELECT dt.doc_id, dt.n_tok, coalesce(nf.new_toks, 0) AS new_toks,
+        |    row_number() OVER (ORDER BY dt.doc_id) AS rnk
+        |  FROM dt LEFT JOIN nf ON dt.doc_id = nf.fdoc),
+        |cum AS (SELECT rnk,
+        |    sum(n_tok) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    sum(new_toks) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS vocab
+        |  FROM sp),
+        |n AS (SELECT count(*) AS nd FROM sp)
+        |SELECT CAST(rnk AS BIGINT) AS n_docs, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab
+        |FROM cum, n WHERE rnk % greatest(nd // 10, 1) = 0 OR rnk = nd
+        |ORDER BY n_docs""".stripMargin,
+    // ov1's oracle runs the sweep as a per-priority window; the Spark
+    // side's single global prefix sum agrees because each priority's
+    // deltas sum to zero (see Relational.maxConcurrency).
+    "ov1_max_concurrency" ->
+      """WITH iv AS (SELECT o_orderpriority AS prio,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 60 + 1 AS e,
+        |    o_orderkey AS k FROM orders),
+        |d AS (SELECT prio, s AS day, 1 AS delta, k FROM iv
+        |  UNION ALL SELECT prio, e AS day, -1 AS delta, k FROM iv),
+        |r AS (SELECT prio, day, delta,
+        |    sum(delta) OVER (PARTITION BY prio ORDER BY day, delta, k
+        |                     ROWS UNBOUNDED PRECEDING) AS run FROM d),
+        |m AS (SELECT prio, max(run) AS peak FROM r GROUP BY 1)
+        |SELECT m.prio, CAST(m.peak AS BIGINT) AS peak,
+        |  DATE '1970-01-01' + CAST(min(r.day) AS INT) AS peak_day
+        |FROM r JOIN m ON r.prio = m.prio AND r.run = m.peak
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

@@ -593,4 +593,89 @@ object Behavior {
       .orderBy(desc("n"), col("path"))
       .limit(k)
   }
+
+  /** Gated seq1: SEQUENTIAL PATTERN MINING — support counts for every
+    * gap-tolerant event-type subsequence of length 2 and 3 within
+    * 30-minute sessions (PrefixSpan's output for maxLen=3, computed in
+    * closed form). Unlike path1's contiguous trigrams, a session
+    * supports ⟨a,b⟩ whenever SOME a precedes SOME b, any gap — the
+    * GSP/PrefixSpan containment semantics used for behavioral motifs
+    * and curriculum ordering.
+    *
+    * The trick that makes this scale is replacing subsequence ENUMERATION
+    * (exponential per session) with per-session closed forms over
+    * type-cardinality-bounded summaries:
+    *   - ⟨a,b⟩ ⊆ s  ⟺  min_s(a) < max_s(b)
+    *   - ⟨a,b,c⟩ ⊆ s  ⟺  e(a,b) < max_s(c), where
+    *     e(a,b) = min{ts of a b-event strictly after min_s(a)}
+    * so the pipeline is: sessionize (the isl1 two-window plan, one
+    * exchange on user_id), a (session,type) min/max aggregate (≤T rows
+    * per session), one events⋈summary join for e(a,b) (stream × T, the
+    * only super-linear factor, bounded by the type taxonomy — guarded
+    * below), and T²/T³-keyed counts. No row ever carries a materialized
+    * subsequence; comparisons are strict on integer micros, so ties
+    * never count and both engines agree by construction.
+    */
+  def frequentSubsequences(spark: SparkSession, dir: String,
+                           gapMinutes: Int = 30,
+                           minSupport: Long = 20,
+                           maxTypes: Int = 64): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("sid", sum(
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type"), col("us"))
+      .persist() // two consumers (summary agg + e(a,b) join); the
+                 // bench/verify harness unpersists between gates
+    // The stream×T join below is bounded by the type taxonomy; a
+    // corpus whose "type" column is secretly high-cardinality (user
+    // ids, URLs) would quadratically explode T² pattern keys — fail
+    // loudly instead (1-row control-plane check).
+    val nTypes = ev.agg(countDistinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= maxTypes,
+      s"frequentSubsequences: $nTypes event types exceeds maxTypes=$maxTypes")
+
+    {
+      val perST = ev.groupBy(col("user_id"), col("sid"), col("event_type"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .persist()
+      val a = perST.select(col("user_id"), col("sid"),
+        col("event_type").as("ta"), col("mn").as("mn_a"))
+      val b = perST.select(col("user_id"), col("sid"),
+        col("event_type").as("tb"), col("mx").as("mx_b"))
+      val pairs = a.join(b, Seq("user_id", "sid"))
+        .filter(col("mn_a") < col("mx_b"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("support"))
+        .select(concat_ws(">", col("ta"), col("tb")).as("pattern"),
+          lit(2).as("len"), col("support"))
+      // e(a,b): per (session, a, b) the earliest b strictly after the
+      // session's first a — events join the T-bounded per-session mins.
+      val eab = ev.select(col("user_id"), col("sid"),
+          col("event_type").as("tb"), col("us"))
+        .join(a, Seq("user_id", "sid"))
+        .filter(col("us") > col("mn_a"))
+        .groupBy(col("user_id"), col("sid"), col("ta"), col("tb"))
+        .agg(min(col("us")).as("eab"))
+      val c = perST.select(col("user_id"), col("sid"),
+        col("event_type").as("tc"), col("mx").as("mx_c"))
+      val triples = eab.join(c, Seq("user_id", "sid"))
+        .filter(col("eab") < col("mx_c"))
+        .groupBy(col("ta"), col("tb"), col("tc"))
+        .agg(count(lit(1)).as("support"))
+        .select(concat_ws(">", col("ta"), col("tb"), col("tc")).as("pattern"),
+          lit(3).as("len"), col("support"))
+      pairs.unionByName(triples)
+        .filter(col("support") >= minSupport)
+        .orderBy(col("len"), desc("support"), col("pattern"))
+    }
+  }
 }

@@ -1875,4 +1875,50 @@ object Relational {
     candidates.reduce(_ unionAll _)
       .orderBy(col("table_name"), col("lhs"), col("rhs"))
   }
+
+  /** Gated ov1: MAX-CONCURRENCY SWEEP-LINE — for each order priority,
+    * the peak number of simultaneously-open orders (order k active for
+    * `1 + k % 60` days from its order date, half-open [s, e)) and the
+    * first day that peak occurs. The classic interval-overlap
+    * aggregation (ward occupancy, concurrent sessions, peak license
+    * seats) that ij1's pairwise interval JOIN cannot answer without
+    * enumerating O(overlaps) pairs.
+    *
+    * Scale shape: intervals → ±1 boundary deltas (2 rows each), one
+    * exact distributed prefix sum over the total order (prio, day,
+    * delta, key) ([[Ranks.withExclusivePrefixSum]] — a range exchange
+    * plus per-partition scans, never a single-partition window). The
+    * per-priority running count needs NO group-offset correction:
+    * every group's deltas sum to zero (each +1 has its −1), so the
+    * global exclusive prefix at each group's first row is exactly 0.
+    * Ordering −1 before +1 within a day gives half-open semantics; the
+    * peak is always attained at the end of a day's +1 block, so ties
+    * in the order key cannot change either output column.
+    */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val iv = Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("s"),
+        (col("o_orderkey") % 60 + 1).as("durd"),
+        col("o_orderkey").as("k"))
+      .withColumn("e", col("s") + col("durd"))
+    val deltas = iv
+      .select(col("prio"), col("s").as("day"), lit(1).as("delta"), col("k"))
+      .unionByName(iv.select(col("prio"), col("e").as("day"),
+        lit(-1).as("delta"), col("k")))
+    val run = Ranks.withExclusivePrefixSum(deltas,
+        Seq(col("prio").asc, col("day").asc, col("delta").asc, col("k").asc),
+        col("delta"), np, "excl")
+      .withColumn("run", col("excl") + col("delta"))
+    val peak = run.groupBy(col("prio")).agg(max(col("run")).as("peak"))
+    run.join(peak, Seq("prio")).filter(col("run") === col("peak"))
+      .groupBy(col("prio"), col("peak"))
+      .agg(min(col("day")).as("pd"))
+      .select(col("prio"), col("peak"),
+        date_add(lit("1970-01-01").cast("date"),
+          col("pd").cast("int")).as("peak_day"))
+      .orderBy(col("prio"))
+  }
 }

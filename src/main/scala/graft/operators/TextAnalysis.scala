@@ -1210,4 +1210,54 @@ object TextAnalysis {
         sum(when(col("dlw") > 0, 1).otherwise(0)).cast("long").as("n_pos"))
       .orderBy(col("source"))
   }
+
+  /** Gated vg1: VOCABULARY GROWTH CURVE (Heaps'-law readout) — V(n),
+    * the distinct-vocabulary size after the first n documents in
+    * doc_id order, and T(n), the cumulative token count, sampled at
+    * `points` evenly-spaced checkpoints. The curve a tokenizer team
+    * reads before freezing a vocab size, and the corpus-level dedup
+    * tripwire (a V(n) plateau = the crawl started repeating itself).
+    *
+    * The naive plan — distinct-count per prefix — is n scans (or a
+    * quadratic self-join). The scalable identity: a token contributes
+    * to V(n) exactly when its FIRST-occurrence doc rank ≤ n, so
+    *   V(n) = Σ_{r≤n} newTokens(r),  newTokens(r) = #{tokens whose
+    *   min doc rank = r}
+    * — one groupBy(token).min(rank) shuffle (the only corpus-sized
+    * exchange, keyed on token), a rank-keyed count, and an exact
+    * distributed prefix sum over the DOC spine
+    * ([[Ranks.withExclusivePrefixSum]], no single-partition window).
+    * All-integer outputs hash cross-engine with no float discipline.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  points: Int = 10): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tok"), col("ws"))
+    // doc_id is unique; rank = dense position in doc_id order, via the
+    // distributed ranking helper (doc spine is corpus-sized too).
+    val (ranked, nDocs) = Ranks.withGlobalRowNumber(
+      docs.select(col("doc_id"), col("n_tok")),
+      Seq(col("doc_id").asc), np, "rnk")
+    val firstRank = docs
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fdoc"))
+      .groupBy(col("fdoc")).agg(count(lit(1)).as("new_toks"))
+    val spine = ranked
+      .join(firstRank, ranked("doc_id") === firstRank("fdoc"), "left")
+      .select(col("rnk"), col("n_tok"),
+        coalesce(col("new_toks"), lit(0L)).as("new_toks"))
+    val withV = Ranks.withExclusivePrefixSum(
+      spine, Seq(col("rnk").asc), col("new_toks"), np, "v_excl")
+    val withT = Ranks.withExclusivePrefixSum(
+      withV, Seq(col("rnk").asc), col("n_tok"), np, "t_excl")
+    val step = math.max(1L, nDocs / math.max(points, 1))
+    withT
+      .withColumn("vocab", col("v_excl") + col("new_toks"))
+      .withColumn("cum_tokens", col("t_excl") + col("n_tok"))
+      .filter(col("rnk") % step === 0 || col("rnk") === nDocs)
+      .select(col("rnk").as("n_docs"), col("cum_tokens"), col("vocab"))
+      .orderBy(col("n_docs"))
+  }
 }

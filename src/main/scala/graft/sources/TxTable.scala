@@ -230,7 +230,12 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
     else
-      applyDeletes(spark, spark.read.parquet(dirs: _*), st.dvs)
+      // mergeSchema: the pruned dir set is small, and on an evolved
+      // table a single-file schema guess can lack `statsCol` entirely
+      // (unresolved-column at read). Rows predating the column read as
+      // NULL and fail the range predicate — excluded, as they should be.
+      applyDeletes(spark,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*), st.dvs)
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -282,7 +287,10 @@ class TxTable(val root: String) {
     if (dirs.isEmpty)
       snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
     else
-      applyDeletes(spark, spark.read.parquet(dirs: _*), st.dvs)
+      // mergeSchema for the same reason as snapshotRange: evolution-safe
+      // on the (small) pruned dir set.
+      applyDeletes(spark,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*), st.dvs)
         .filter(col(eqCol) === value)
   }
 
@@ -700,8 +708,12 @@ class TxTable(val root: String) {
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
       // DV-applied read: the rewrite MATERIALIZES merge-on-read deletes,
       // and the published overwrite (empty dvs) clears the DV set.
+      // mergeSchema: a compaction of an evolved table must rewrite the
+      // UNION schema — a single-file schema guess would permanently
+      // drop evolved columns from the table.
       val stage = stageData(
-        applyDeletes(spark, spark.read.parquet(dirs: _*), dvDirs)
+        applyDeletes(spark,
+            spark.read.option("mergeSchema", "true").parquet(dirs: _*), dvDirs)
           .coalesce(math.max(targetPartitions, 1)))
       if (tryPublish(head + 1, "overwrite", Seq(stage))) return head + 1
       // Lost to a concurrent commit: the rewrite is stale — drop it
@@ -757,7 +769,9 @@ class TxTable(val root: String) {
       if (dirs.isEmpty)
         throw new IllegalStateException(s"TxTable $root: nothing to optimize")
       // DV-applied read: clustering rewrites materialize deletes too.
-      val snap = applyDeletes(spark, spark.read.parquet(dirs: _*), dvDirs)
+      // mergeSchema: same union-schema requirement as optimizeCompact.
+      val snap = applyDeletes(spark,
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*), dvDirs)
       val ck = cluster.cast("long")
       val r = snap.agg(min(ck), max(ck)).head()
       if (r.isNullAt(0)) return optimizeCompact(spark, 1) // no key values: plain compact

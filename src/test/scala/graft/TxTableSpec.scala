@@ -617,4 +617,27 @@ class TxTableSpec extends SparkSpec {
       assert(dst.resolveDirsRange("w", 1000L, 50000L).size == 1)
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
+
+  test("pruned reads and compaction are evolution-safe (union schema)") {
+    val (dir, t) = freshTable()
+    try {
+      t.appendWithStats((1L to 50L).map(i => (i, i * 10)).toDF("k", "v"), "k")
+      // Evolved commit: schema (tv) only — no k, no v. Before the
+      // mergeSchema fix, range/eq reads inferred the schema from an
+      // ARBITRARY file, so this table flakily threw UNRESOLVED_COLUMN
+      // on `k` depending on file listing order.
+      t.append(Seq(Tuple1(9999L)).toDF("tv"))
+      val r = t.snapshotRange(spark, "k", 1L, 50L)
+      assert(r.columns.toSet == Set("k", "v", "tv"))
+      assert(r.count() == 50L) // the tv row has k NULL -> excluded
+      assert(t.snapshotEquals(spark, "k", 7L).count() == 1L)
+      // Compaction must rewrite the UNION schema, not a file guess —
+      // otherwise the evolved column is silently dropped from the table.
+      t.optimizeCompact(spark)
+      val s = t.snapshotEvolved(spark)
+      assert(s.columns.toSet == Set("k", "v", "tv"))
+      assert(s.filter(col("tv") === 9999L).count() == 1L)
+      assert(s.count() == 51L)
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
 }
