@@ -416,10 +416,81 @@ object SparkEntry {
     "seq1_frequent_subsequences" -> ((s, d) => graft.operators.Behavior.frequentSubsequences(s, d)),
     "vg1_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "ov1_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
+    "att2_markov_attribution" -> ((s, d) => graft.operators.Behavior.markovAttribution(s, d)),
+    "ari1_cluster_agreement" -> ((s, d) => graft.operators.Quality.adjustedRandIndex(s, d)),
   )
 
   // ---- oracle SQL fragments shared across queries (kept in one place
   // so Spark-side constants and SQL-side literals cannot drift) ----
+
+  /** att2's oracle: the full journey→transition-count pipeline, then a
+    * GENERATED quantized power-iteration chain (pr1's discipline:
+    * contributions round(p·n/tot·1e12) summed as exact BIGINTs) for
+    * the full matrix and each channel-removed variant. Channels are
+    * the events taxonomy minus purchase, sorted — must match what the
+    * Spark side discovers.
+    */
+  private def att2Oracle: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val k = 20
+    def chain(v: String, tcRef: String): String = {
+      val its = (1 to k).map { i =>
+        s"""p_${v}_$i AS MATERIALIZED (SELECT t.dst AS state,
+           |  CAST(sum(CAST(round(p.p * t.n / t.tot * 1000000000000.0) AS BIGINT)) AS BIGINT)
+           |    / 1000000000000.0 AS p
+           |  FROM p_${v}_${i - 1} p JOIN $tcRef t ON p.state = t.src GROUP BY t.dst)"""
+          .stripMargin
+      }
+      (s"p_${v}_0 AS MATERIALIZED (SELECT 'START' AS state, 1.0 AS p)" +: its).mkString(",\n") +
+        s",\ncv_$v AS MATERIALIZED (SELECT coalesce((SELECT p FROM p_${v}_$k WHERE state = 'CONV'), 0.0) AS cp)"
+    }
+    val removedTcs = channels.map { c =>
+      s"""tc_$c AS MATERIALIZED (SELECT src, CASE WHEN dst = '$c' THEN 'NULL' ELSE dst END AS dst,
+         |  CAST(sum(n) AS BIGINT) AS n, tot
+         |  FROM tc WHERE src <> '$c' GROUP BY 1, 2, tot)""".stripMargin
+    }
+    val chains = chain("f", "tc") +: channels.map(c => chain(c, s"tc_$c"))
+    val effRows = channels.map(c =>
+      s"SELECT '$c' AS channel, (SELECT cp FROM cv_$c) AS cr").mkString("\n  UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us
+       |  FROM events WHERE event_type IS NOT NULL),
+       |rns AS (SELECT user_id, event_id, event_type, us,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM ev),
+       |fp AS (SELECT user_id, min(rn) AS pr FROM rns WHERE event_type = 'purchase' GROUP BY 1),
+       |cut AS (SELECT r.user_id, r.us, r.event_id,
+       |    CASE WHEN r.event_type = 'purchase' THEN 'CONV' ELSE r.event_type END AS state,
+       |    fp.pr
+       |  FROM rns r LEFT JOIN fp USING (user_id)
+       |  WHERE fp.pr IS NULL OR r.rn <= fp.pr),
+       |lg AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM cut),
+       |cl AS (SELECT user_id, us, event_id, state, pr FROM lg
+       |  WHERE prev IS NULL OR prev <> state),
+       |cl2 AS (SELECT *, coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id),
+       |    'START') AS src FROM cl),
+       |term AS (SELECT state AS src, 'NULL' AS dst FROM (
+       |    SELECT state, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rr
+       |    FROM cl2 WHERE pr IS NULL) WHERE rr = 1),
+       |tc0 AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT src, state AS dst FROM cl2 UNION ALL SELECT src, dst FROM term)
+       |  GROUP BY 1, 2),
+       |tc1 AS MATERIALIZED (SELECT * FROM tc0
+       |  UNION ALL SELECT 'CONV', 'CONV', CAST(1 AS BIGINT)
+       |  UNION ALL SELECT 'NULL', 'NULL', CAST(1 AS BIGINT)),
+       |tc AS MATERIALIZED (SELECT src, dst, n, CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS tot FROM tc1),
+       |${removedTcs.mkString(",\n")},
+       |${chains.mkString(",\n")},
+       |eff AS MATERIALIZED (${effRows}),
+       |effq AS MATERIALIZED (SELECT channel, cr,
+       |    CAST(round(1.0 - cr / (SELECT cp FROM cv_f), 12) AS DECIMAL(38,12)) AS eff FROM eff),
+       |tot AS MATERIALIZED (SELECT CAST(sum(eff) AS DECIMAL(38,12)) AS t FROM effq)
+       |SELECT channel,
+       |  round((SELECT cp FROM cv_f), 6) AS conv_full,
+       |  round(cr, 6) AS conv_removed,
+       |  round(CAST(eff AS DOUBLE), 6) AS removal_effect,
+       |  round(CAST(eff AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+       |FROM effq, tot ORDER BY channel""".stripMargin
+  }
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(", ")
@@ -5353,5 +5424,29 @@ object SparkEntry {
         |  DATE '1970-01-01' + CAST(min(r.day) AS INT) AS peak_day
         |FROM r JOIN m ON r.prio = m.prio AND r.run = m.peak
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "att2_markov_attribution" -> att2Oracle,
+    // ari1: ntile(4) over a total order is exactly Ranks.ntileOfRank's
+    // closed form; pair counts stay integral (HUGEINT sums halved
+    // exactly — n·(n−1) is always even) until the final double ratio,
+    // whose op order mirrors Quality.adjustedRandIndex verbatim.
+    "ari1_cluster_agreement" ->
+      """WITH r AS (SELECT c_custkey, c_nationkey,
+        |    ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer),
+        |cells AS (SELECT c_nationkey, q, CAST(count(*) AS BIGINT) AS nij
+        |  FROM r GROUP BY 1, 2),
+        |sc AS (SELECT sum(nij * (nij - 1)) // 2 AS v FROM cells),
+        |sa AS (SELECT sum(a * (a - 1)) // 2 AS v FROM (
+        |    SELECT CAST(sum(nij) AS BIGINT) AS a FROM cells GROUP BY c_nationkey)),
+        |sb AS (SELECT sum(b * (b - 1)) // 2 AS v FROM (
+        |    SELECT CAST(sum(nij) AS BIGINT) AS b FROM cells GROUP BY q)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+        |SELECT nn.n AS n, CAST(sc.v AS BIGINT) AS sum_comb_cells,
+        |  CAST(sa.v AS BIGINT) AS sum_comb_rows, CAST(sb.v AS BIGINT) AS sum_comb_cols,
+        |  round((CAST(sc.v AS DOUBLE) - CAST(sa.v AS DOUBLE) * CAST(sb.v AS DOUBLE)
+        |      / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE) / 2.0))
+        |    / ((CAST(sa.v AS DOUBLE) + CAST(sb.v AS DOUBLE)) / 2.0
+        |      - CAST(sa.v AS DOUBLE) * CAST(sb.v AS DOUBLE)
+        |      / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE) / 2.0)), 6) AS ari
+        |FROM nn, sc, sa, sb""".stripMargin,
   )
 }

@@ -678,4 +678,104 @@ object Behavior {
         .orderBy(col("len"), desc("support"), col("pattern"))
     }
   }
+
+  /** Gated att2: MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven
+    * multi-touch model (att1 is last-touch; this credits every channel
+    * by how much conversion probability drops when it is removed from
+    * the journey chain). Journeys: per user, the event sequence up to
+    * the first purchase (→ CONV) or to the end (→ NULL), consecutive
+    * duplicate channels collapsed, START prepended. Removing channel c
+    * redirects every transition into c to NULL (mass conserved) and
+    * drops c's outgoing row; absorption at CONV is read off after
+    * `iterations` quantized power steps.
+    *
+    * Scale shape: everything corpus-sized is the transition-count
+    * aggregation (two windows over ONE user_id exchange, then a
+    * (states+2)²-keyed count). Only that bounded matrix reaches the
+    * driver — same control-plane contract as km1's centroids — where
+    * the (channels+1) chains iterate locally. Quantization discipline
+    * is pr1's: each contribution is round(p·n/tot·1e12) summed as
+    * exact longs, so the oracle's SQL replay of the same chain is
+    * bit-identical; effect totals are DECIMAL(38,12) sums (order-
+    * invariant) before the final share division.
+    */
+  def markovAttribution(spark: SparkSession, dir: String,
+                        iterations: Int = 20,
+                        maxStates: Int = 32): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(byUser))
+    val firstPurch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("pr"))
+    val cut = ev.join(firstPurch, Seq("user_id"), "left")
+      .filter(col("pr").isNull || col("rn") <= col("pr"))
+      .withColumn("state", when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")))
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+    val collapsed = cut
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("src", coalesce(lag(col("state"), 1).over(byUser),
+        lit("START")))
+    val steps = collapsed.select(col("src"), col("state").as("dst"))
+    val terminal = collapsed.filter(col("pr").isNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("state"))).as("m"))
+      .select(col("m.state").as("src"), lit("NULL").as("dst"))
+    val counts = steps.unionByName(terminal)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(counts.length <= maxStates * maxStates,
+      s"markovAttribution: ${counts.length} transition cells exceed " +
+        s"maxStates²=${maxStates * maxStates} — is event_type a channel taxonomy?")
+
+    // ---- driver-side chain algebra over the bounded matrix ----
+    val withLoops = counts.toSeq ++ Seq(("CONV", "CONV", 1L), ("NULL", "NULL", 1L))
+    val channels = withLoops.flatMap(t => Seq(t._1, t._2)).distinct
+      .filterNot(Set("START", "CONV", "NULL")).sorted
+    def roundQ(x: Double): Long = // == Spark/DuckDB round(): HALF_UP on
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def convProb(removed: Option[String]): Double = {
+      val redirected = removed match {
+        case None => withLoops
+        case Some(c) => withLoops
+          .filter(_._1 != c)
+          .map { case (s, d, n) => (s, if (d == c) "NULL" else d, n) }
+          .groupBy(t => (t._1, t._2)).toSeq
+          .map { case ((s, d), ts) => (s, d, ts.map(_._3).sum) }
+      }
+      val tot = redirected.groupBy(_._1).map { case (s, ts) => s -> ts.map(_._3).sum }
+      var p = Map("START" -> 1.0)
+      for (_ <- 1 to iterations) {
+        p = redirected
+          .flatMap { case (s, d, n) =>
+            p.get(s).map(ps => d -> roundQ(ps * n.toDouble / tot(s).toDouble * 1e12))
+          }
+          .groupBy(_._1)
+          .map { case (d, cs) => d -> cs.map(_._2).sum / 1e12 }
+      }
+      p.getOrElse("CONV", 0.0)
+    }
+    val cf = convProb(None)
+    val effects = channels.map { c =>
+      val cr = convProb(Some(c))
+      // effect quantized to DECIMAL(38,12) BEFORE the share total, so
+      // the total is an exact order-invariant decimal sum.
+      val eff = BigDecimal(1.0 - cr / cf)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      (c, cr, eff)
+    }
+    val effTot = effects.map(_._3).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    effects.map { case (c, cr, eff) =>
+      (c, r6(cf), r6(cr), r6(eff.toDouble),
+        r6(eff.toDouble / effTot.toDouble))
+    }.toDF("channel", "conv_full", "conv_removed", "removal_effect", "share")
+      .orderBy(col("channel"))
+  }
 }

@@ -881,4 +881,51 @@ object Quality {
           - expShare, 6).as("excess"))
       .orderBy(col("digit"))
   }
+
+  /** Gated ari1: ADJUSTED RAND INDEX between two customer partitions —
+    * nation membership vs. account-balance quartile (the chance-
+    * corrected clustering-agreement metric every segmentation /
+    * labeling-consistency readout reports; ~0 here is itself the
+    * finding: geography does not predict spend tier).
+    *
+    * Scale shape: the quartile labeling uses the exact distributed
+    * rank machinery ([[Ranks.withGlobalRowNumber]] + closed-form
+    * ntile — no single-partition window), the contingency table is a
+    * (clusters×4)-keyed count, and every pair count C(n,2) stays
+    * BIGINT until the final chance-correction ratio: the pair algebra
+    * never enumerates pairs, so the cost is one rank exchange + one
+    * count aggregation at any corpus size.
+    */
+  def adjustedRandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val (ranked, n) = Ranks.withGlobalRowNumber(cust,
+      Seq(col("c_acctbal").asc, col("c_custkey").asc), np, "_rn")
+    val labeled = ranked.withColumn("q", Ranks.ntileOfRank(col("_rn"), n, 4))
+    val cells = labeled.groupBy(col("c_nationkey"), col("q"))
+      .agg(count(lit(1)).as("nij")).persist()
+    // C(c,2) accumulated as DECIMAL(38,0): n_ij·(n_ij−1) overflows
+    // BIGINT once a cell passes ~3e9 members; the halving happens
+    // driver-side in exact BigDecimal.
+    def pairs2(c: Column): Column =
+      sum(c.cast("decimal(38,0)") * (c - 1)).cast("decimal(38,0)")
+    def half(r: Row): BigDecimal =
+      BigDecimal(r.getDecimal(0)) / 2
+    val sc = half(cells.agg(pairs2(col("nij"))).head())
+    val sa = half(cells.groupBy(col("c_nationkey")).agg(sum(col("nij")).as("a"))
+      .agg(pairs2(col("a"))).head())
+    val sb = half(cells.groupBy(col("q")).agg(sum(col("nij")).as("b"))
+      .agg(pairs2(col("b"))).head())
+    cells.unpersist(blocking = false)
+    // Fixed-order double algebra, mirrored verbatim in the oracle SQL.
+    val cn2 = n.toDouble * (n - 1).toDouble / 2.0
+    val exp = sc.toDouble - sa.toDouble * sb.toDouble / cn2
+    val den = (sa.toDouble + sb.toDouble) / 2.0 - sa.toDouble * sb.toDouble / cn2
+    import spark.implicits._
+    Seq((n, sc.toLong, sa.toLong, sb.toLong,
+        BigDecimal(exp / den).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("n", "sum_comb_cells", "sum_comb_rows", "sum_comb_cols", "ari")
+  }
 }
