@@ -184,6 +184,7 @@ object SparkEntry {
     "tt10_shallow_clone"   -> ((s, d) => Ingest.txCloneGate(s, d)),
     "tt11_conflict_detect" -> ((s, d) => Ingest.txConflictGate(s, d)),
     "tt12_multizone"       -> ((s, d) => Ingest.txMultiZoneGate(s, d)),
+    "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3230,6 +3231,26 @@ object SparkEntry {
         |UNION ALL SELECT CAST(4 AS INT), CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM o WHERE k BETWEEN 5000 AND 20000
         |ORDER BY range_id""".stripMargin,
+    // Log-checkpoint boundaries restated as plain set algebra: phase 1
+    // = the two pre-delete appends, 2 = minus the MoR-deleted rows,
+    // 3 = plus the post-checkpoint append, 4 = that head in a k-range.
+    // The O(tail)-replay property itself is spec-asserted.
+    "tt13_log_checkpoint" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |pre AS (SELECT * FROM o WHERE k % 3 IN (0, 1)),
+        |ck AS (SELECT * FROM pre WHERE cents <= 30000000),
+        |head AS (SELECT * FROM ck
+        |  UNION ALL SELECT * FROM o WHERE k % 3 = 2)
+        |SELECT '1_below_ckpt' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM pre
+        |UNION ALL SELECT '2_at_ckpt', CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM ck
+        |UNION ALL SELECT '3_head', CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM head
+        |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
+        |ORDER BY phase""".stripMargin,
     // Exact two-sample KS over the distinct-length spine: cumulative
     // per-source counts, D = max ecdf gap.
     "ks1_length_ks" ->

@@ -1204,4 +1204,43 @@ object Ingest {
         phase("1_full", vFull).unionAll(phase("2_mor_update", vUpd)))
       .orderBy(col("phase"))
   }
+
+  /** Gated tt13: SELF-CONTAINED LOG CHECKPOINT — two stats-annotated
+    * appends and a merge-on-read delete, then
+    * [[graft.sources.TxTable.checkpoint]] (one manifest carrying the
+    * full state: dirs + DVs + zones + Bloom refs, plus the
+    * `_last_checkpoint` pointer), then a third append. Four reads
+    * prove every boundary: time travel BELOW the checkpoint (full
+    * replay — history is never rewritten), a read AT the checkpoint
+    * (the fast path alone), the head (checkpoint + tail fold), and a
+    * zone-pruned range read whose skipping metadata flowed THROUGH
+    * the checkpoint for pre-checkpoint dirs and from tail manifests
+    * for the post-checkpoint one. This is what keeps replay
+    * O(commits since checkpoint) — not O(table history) — on a table
+    * that has accumulated a million commits; the O(tail) property
+    * itself (reads keep working with pre-checkpoint manifests
+    * physically removed) is asserted in the spec, where it belongs.
+    */
+  def txLogCheckpointGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt13_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    t.appendWithStats(o.filter(col("k") % 3 === 0), "k") // v1
+    val vPre = t.appendWithStats(o.filter(col("k") % 3 === 1), "k") // v2
+    t.deleteWhere(spark, col("cents") > lit(30000000L)) // v3: MoR DVs
+    val vCk = t.checkpoint() // v4: state-bearing manifest + pointer
+    t.appendWithStats(o.filter(col("k") % 3 === 2), "k") // v5
+    def phase(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(label).as("phase"), col("n_rows"), col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        phase("1_below_ckpt", t.snapshot(spark, Some(vPre)))
+          .unionAll(phase("2_at_ckpt", t.snapshot(spark, Some(vCk))))
+          .unionAll(phase("3_head", t.snapshot(spark)))
+          .unionAll(phase("4_range", t.snapshotRange(spark, "k", 1L, 5000L))))
+      .orderBy(col("phase"))
+  }
 }

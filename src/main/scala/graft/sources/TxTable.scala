@@ -329,6 +329,10 @@ class TxTable(val root: String) {
       .filter(v => v > afterVersion && untilVersion.forall(v <= _))
     val parts = vs.flatMap { v =>
       val m = readManifest(v)
+      // A checkpoint re-lists the whole live dir set without changing
+      // anything — to a changes consumer it is a no-op, not a change.
+      if (m.action == "checkpoint") None
+      else {
       if (m.action == "overwrite")
         throw new IllegalStateException(
           s"TxTable $root: overwrite at version $v inside the changes " +
@@ -341,6 +345,7 @@ class TxTable(val root: String) {
       if (m.dirs.isEmpty) None
       else Some(spark.read.parquet(m.dirs: _*)
         .withColumn("_commit_version", lit(v)))
+      }
     }
     if (parts.isEmpty)
       throw new IllegalStateException(
@@ -449,22 +454,27 @@ class TxTable(val root: String) {
         s"TxTable $root: concurrent $kind at version $v conflicts with a " +
           s"transaction that read version $readVersion — re-run the " +
           "read-compute-commit cycle against the new head")
-      if (m.action == "overwrite") fail("overwrite")
-      if (m.dvs.nonEmpty) fail("delete/update")
-      if (m.dirs.nonEmpty) {
-        if (readTable) fail("append")
-        // Range-only reader: the append passes iff its zones PROVE
-        // every appended dir misses every read range; a dir without a
-        // zone for the read column might overlap — conservative fail.
-        val disjoint = m.dirs.zipWithIndex.forall { case (_, i) =>
-          readRanges.forall { case (c, lo, hi) =>
-            val z = m.zones.collectFirst {
-              case (zi, zc, mn, mx) if zi == i && zc == c => (mn, mx) }
-              .orElse(m.stats.collect { case (sc, mn, mx) if sc == c => (mn, mx) })
-            z.exists { case (mn, mx) => mx < lo || mn > hi }
+      // A checkpoint republishes the SAME logical state (dirs + DVs +
+      // annotations) — nothing a reader observed can have changed, so
+      // it is the one dirs-bearing commit class that never conflicts.
+      if (m.action != "checkpoint") {
+        if (m.action == "overwrite") fail("overwrite")
+        if (m.dvs.nonEmpty) fail("delete/update")
+        if (m.dirs.nonEmpty) {
+          if (readTable) fail("append")
+          // Range-only reader: the append passes iff its zones PROVE
+          // every appended dir misses every read range; a dir without a
+          // zone for the read column might overlap — conservative fail.
+          val disjoint = m.dirs.zipWithIndex.forall { case (_, i) =>
+            readRanges.forall { case (c, lo, hi) =>
+              val z = m.zones.collectFirst {
+                case (zi, zc, mn, mx) if zi == i && zc == c => (mn, mx) }
+                .orElse(m.stats.collect { case (sc, mn, mx) if sc == c => (mn, mx) })
+              z.exists { case (mn, mx) => mx < lo || mn > hi }
+            }
           }
+          if (!disjoint) fail("append overlapping the read ranges")
         }
-        if (!disjoint) fail("append overlapping the read ranges")
       }
     }
   }
@@ -522,29 +532,112 @@ class TxTable(val root: String) {
 
   private def replayLog(asOf: Option[Long]): LogState = {
     val kept = versions().filter(v => asOf.forall(v <= _))
-    kept.foldLeft(LogState(Vector.empty, Vector.empty, Map.empty, Map.empty)) {
-      case (st, v) =>
-        val m = readManifest(v)
-        // Commit-level stats annotate every dir of the commit (the
-        // append path); index-keyed zones annotate dirs individually
-        // (the clustered-rewrite / multi-column path) and extend or
-        // override the commit-level entry column by column.
-        val withStats = m.stats match {
-          case Some((c, mn, mx)) => m.dirs.foldLeft(st.zones) { (z, d) =>
-            z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx))))
-          }
-          case None => st.zones
-        }
-        val zones = m.zones.foldLeft(withStats) { case (z, (i, c, mn, mx)) =>
-          m.dirs.lift(i).fold(z)(d =>
-            z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx)))))
-        }
-        val blooms = m.bloom.fold(st.blooms)(b => st.blooms ++ m.dirs.map(_ -> b))
-        m.action match {
-          case "overwrite" => LogState(m.dirs.toVector, m.dvs.toVector, zones, blooms)
-          case _ => LogState(st.dirs ++ m.dirs, st.dvs ++ m.dvs, zones, blooms)
-        }
+    val empty = LogState(Vector.empty, Vector.empty, Map.empty, Map.empty)
+    // Fast path: a self-contained checkpoint manifest ([[checkpoint]])
+    // carries the FULL state — dirs, DVs, per-dir zones and per-dir
+    // Bloom refs — so replay folds only the tail after it. The
+    // `_last_checkpoint` pointer is a best-effort hint (written after
+    // the publish, racy by design): a stale, missing, or post-asOf
+    // pointer just falls back to the full fold, never to a wrong one.
+    val start = lastCheckpointVersion().filter(cv =>
+      kept.contains(cv) && asOf.forall(cv <= _))
+    val (init, tail) = start match {
+      case Some(cv) =>
+        val m = readManifest(cv)
+        if (m.action == "checkpoint")
+          (replayStep(empty, m), kept.filter(_ > cv))
+        else (empty, kept) // corrupt pointer: full replay
+      case None => (empty, kept)
     }
+    tail.foldLeft(init)((st, v) => replayStep(st, readManifest(v)))
+  }
+
+  private def replayStep(st: LogState, m: Manifest): LogState = {
+    // Commit-level stats annotate every dir of the commit (the
+    // append path); index-keyed zones annotate dirs individually
+    // (the clustered-rewrite / multi-column / checkpoint path) and
+    // extend or override the commit-level entry column by column.
+    val withStats = m.stats match {
+      case Some((c, mn, mx)) => m.dirs.foldLeft(st.zones) { (z, d) =>
+        z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx))))
+      }
+      case None => st.zones
+    }
+    val zones = m.zones.foldLeft(withStats) { case (z, (i, c, mn, mx)) =>
+      m.dirs.lift(i).fold(z)(d =>
+        z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((mn, mx)))))
+    }
+    val withBloom = m.bloom.fold(st.blooms)(b => st.blooms ++ m.dirs.map(_ -> b))
+    val blooms = m.dblooms.foldLeft(withBloom) { case (b, (i, c, f)) =>
+      m.dirs.lift(i).fold(b)(d => b.updated(d, (c, f)))
+    }
+    m.action match {
+      case "overwrite" | "checkpoint" =>
+        LogState(m.dirs.toVector, m.dvs.toVector, zones, blooms)
+      case _ => LogState(st.dirs ++ m.dirs, st.dvs ++ m.dvs, zones, blooms)
+    }
+  }
+
+  private def lastCheckpointPath: Path = logDir.resolve("_last_checkpoint")
+
+  /** The checkpoint-pointer hint, validated only as far as "names an
+    * existing manifest" — action and asOf bounds are the caller's.
+    */
+  private def lastCheckpointVersion(): Option[Long] =
+    if (!Files.exists(lastCheckpointPath)) None
+    else try {
+      val v = new String(Files.readAllBytes(lastCheckpointPath), "UTF-8").trim.toLong
+      if (Files.exists(manifestPath(v))) Some(v) else None
+    } catch { case _: Exception => None }
+
+  /** Publish a SELF-CONTAINED log checkpoint (the Delta `_last_checkpoint`
+    * analog): one `checkpoint` manifest carrying the complete current
+    * state — live dirs, active DV dirs, per-dir zone maps AND per-dir
+    * Bloom refs — plus a pointer file so readers fold checkpoint +
+    * tail instead of the whole history. No data is staged or moved;
+    * the cost is one manifest write however large the table.
+    *
+    * This is what keeps replay O(recent commits) on a table that has
+    * accumulated a million commits: [[checkpointCompact]] collapses the
+    * DIR list but leaves zone/Bloom annotations in the historical
+    * manifests (replay must still read them all); a checkpoint carries
+    * the annotations too, so everything before it is dead weight for
+    * readers at or past it. Time travel BELOW the checkpoint still
+    * full-replays — history is never rewritten.
+    *
+    * Concurrency: the manifest publishes through the same
+    * create-exclusive loop as every commit; it changes no logical
+    * state, so [[TxTransaction]] validation skips it (a checkpoint
+    * landing mid-transaction is NOT a conflict). The pointer is
+    * written after the publish with an atomic rename; two racing
+    * checkpoints can leave the pointer at the older one, which costs
+    * tail length, never correctness.
+    */
+  def checkpoint(): Long = {
+    var v = latestVersion().getOrElse(0L) + 1
+    var st = replayLog(None)
+    def zonesOf(s: LogState): Seq[(Int, String, Long, Long)] =
+      s.dirs.zipWithIndex.flatMap { case (d, i) =>
+        s.zones.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => (i, c, mn, mx) }
+      }
+    def dbloomsOf(s: LogState): Seq[(Int, String, String)] =
+      s.dirs.zipWithIndex.flatMap { case (d, i) =>
+        s.blooms.get(d).map { case (c, f) => (i, c, f) }
+      }
+    while (!tryPublish(v, "checkpoint", st.dirs, zones = zonesOf(st),
+                       dblooms = dbloomsOf(st), dvs = st.dvs)) {
+      v = latestVersion().getOrElse(0L) + 1
+      st = replayLog(None)
+    }
+    val tmp = Files.createTempFile(logDir, "._lc-", ".tmp")
+    try {
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, lastCheckpointPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () } // pointer is a hint; publish stands
+    finally Files.deleteIfExists(tmp)
+    v
   }
 
   /** The visible data dirs and active DV dirs at `asOf` (one replay). */
@@ -931,7 +1024,9 @@ class TxTable(val root: String) {
       finally it.close()
     orphans.foreach(o => graft.TmpIO.deleteRecursively(new java.io.File(o)))
     // Orphan Bloom sidecars: same publish discipline, same retention.
-    val liveSidecars = manifests.flatMap(_.bloom.map(_._2)).toSet
+    val liveSidecars =
+      (manifests.flatMap(_.bloom.map(_._2)) ++
+        manifests.flatMap(_.dblooms.map(_._3))).toSet
     val deadSidecars =
       if (!Files.isDirectory(logDir)) Nil
       else {
@@ -958,7 +1053,8 @@ class TxTable(val root: String) {
                               stats: Option[(String, Long, Long)],
                               bloom: Option[(String, String)],
                               zones: Seq[(Int, String, Long, Long)] = Nil,
-                              dvs: Seq[String] = Nil)
+                              dvs: Seq[String] = Nil,
+                              dblooms: Seq[(Int, String, String)] = Nil)
 
   /** JSON string escape for manifest values that carry FILESYSTEM
     * paths (the table root flows into every dir entry): quote,
@@ -1041,7 +1137,15 @@ class TxTable(val root: String) {
         .map(m => (m.group(1).toInt, m.group(2),
           m.group(3).toLong, m.group(4).toLong))
         .toSeq
-    Manifest(action, dirs, stats, bloom, zones, dvs)
+    // Index-keyed per-dir Bloom refs (the checkpoint path): sidecar
+    // file names are engine-generated UUIDs, so the regex scan is
+    // exact here too.
+    val dblooms =
+      "\\{\"i\":(\\d+),\"column\":\"([^\"]*)\",\"file\":\"([^\"]*)\"\\}".r
+        .findAllMatchIn(s)
+        .map(m => (m.group(1).toInt, m.group(2), m.group(3)))
+        .toSeq
+    Manifest(action, dirs, stats, bloom, zones, dvs, dblooms)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -1076,7 +1180,8 @@ class TxTable(val root: String) {
                                 stats: Option[(String, Long, Long)] = None,
                                 bloom: Option[(String, String)] = None,
                                 zones: Seq[(Int, String, Long, Long)] = Nil,
-                                dvs: Seq[String] = Nil): Boolean = {
+                                dvs: Seq[String] = Nil,
+                                dblooms: Seq[(Int, String, String)] = Nil): Boolean = {
     Files.createDirectories(logDir)
     def pathArray(ps: Seq[String]): String =
       ps.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
@@ -1093,8 +1198,13 @@ class TxTable(val root: String) {
       else zones.map { case (i, c, mn, mx) =>
         s"""{"i":$i,"column":"$c","min":$mn,"max":$mx}""" }
         .mkString(""","zones":[""", ",", "]")
+    val dbloomsJson =
+      if (dblooms.isEmpty) ""
+      else dblooms.map { case (i, c, f) =>
+        s"""{"i":$i,"column":"$c","file":"${jsonEscape(f)}"}""" }
+        .mkString(""","dblooms":[""", ",", "]")
     val json =
-      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson$dvsJson}"""
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson$dbloomsJson$dvsJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

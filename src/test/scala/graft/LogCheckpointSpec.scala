@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.sources.{TxTable, ConcurrentWriteException}
+
+/** TxTable self-contained log checkpoints (tt13): a `checkpoint`
+  * manifest carries dirs + DVs + zones + Bloom refs, and the
+  * `_last_checkpoint` pointer lets replay fold checkpoint + tail.
+  * The O(tail) property is proven the only honest way: pre-checkpoint
+  * manifests are physically moved aside and every read path keeps
+  * working — if replay touched any of them it would throw.
+  */
+class LogCheckpointSpec extends SparkSpec {
+
+  private def mkTable(prefix: String): (String, TxTable) = {
+    val root = tmpDir(prefix)
+    (root, new TxTable(s"$root/t"))
+  }
+
+  private def rows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, (i * 7 % 101).toLong)).toDF("k", "v")
+  }
+
+  test("tt13: checkpoint+tail replay equals full replay on every read path") {
+    val (root, t) = mkTable("graft_ckpt_eq_")
+    t.appendWithStats(rows(0, 100), "k")
+    t.appendWithStats(rows(100, 200), "k")
+    t.appendWithBloom(rows(200, 300), "k")
+    t.deleteWhere(spark, col("v") > 90)
+    val ck = t.checkpoint()
+    t.appendWithStats(rows(300, 400), "k")
+
+    def state() = (
+      t.snapshot(spark).orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      t.resolveDirsRange("k", 120, 180).toSet,
+      t.resolveDirsEquals("k", 250).toSet)
+
+    val fast = state()
+    // Deleting the pointer forces the full fold — same answers.
+    Files.delete(Paths.get(s"$root/t/_txlog/_last_checkpoint"))
+    val full = state()
+    assert(fast === full)
+    // Ground truth from the construction: the delete ran while only
+    // k<300 was present; the post-checkpoint append is untouched.
+    val want = (0 until 400).map(i => (i.toLong, (i * 7 % 101).toLong))
+      .filterNot { case (k, v) => k < 300 && v > 90 }
+    assert(fast._1 === want)
+    assert(ck === 5L)
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
+  test("tt13: reads are O(tail) — pre-checkpoint manifests physically removed") {
+    val (root, t) = mkTable("graft_ckpt_tail_")
+    t.appendWithStats(rows(0, 100), "k")
+    t.appendWithBloom(rows(100, 200), "k")
+    t.deleteWhere(spark, col("k") % 10 === 0)
+    val ck = t.checkpoint()
+    t.appendWithStats(rows(200, 300), "k")
+
+    val before = t.snapshot(spark).orderBy("k").collect().map(_.getLong(0)).toSeq
+    val prunedBefore = t.resolveDirsRange("k", 0, 50).toSet
+    // 500 is absent from the bloom'd commit (100..200): its dir must
+    // be skipped, and the skip must survive the checkpoint.
+    val bloomBefore = t.resolveDirsEquals("k", 500).toSet
+    val allDirs = t.resolveDirs().toSet
+
+    // Move every pre-checkpoint manifest out of the log.
+    val aside = Files.createDirectories(Paths.get(root, "aside"))
+    (1L until ck).foreach { v =>
+      val p = Paths.get(f"$root/t/_txlog/v$v%010d.json")
+      Files.move(p, aside.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    assert(t.snapshot(spark).orderBy("k").collect().map(_.getLong(0)).toSeq === before)
+    assert(t.resolveDirsRange("k", 0, 50).toSet === prunedBefore)
+    assert(prunedBefore.subsetOf(allDirs) && prunedBefore.size < allDirs.size,
+      "zone pruning must keep working through the checkpoint")
+    assert(t.resolveDirsEquals("k", 500).toSet === bloomBefore)
+    assert(bloomBefore.size < allDirs.size,
+      "Bloom skipping must keep working through the checkpoint")
+
+    // Time travel BELOW the checkpoint needs the removed history — the
+    // documented contract is a clean no-data failure, not a wrong answer.
+    intercept[IllegalStateException] { t.snapshot(spark, Some(1L)) }
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
+  test("tt13: a checkpoint never conflicts with a pinned transaction; real writes still do") {
+    val (root, t) = mkTable("graft_ckpt_tx_")
+    t.appendWithStats(rows(0, 100), "k")
+
+    // Reader pinned, checkpoint lands, commit passes.
+    val tx1 = t.transaction()
+    tx1.snapshot(spark).count()
+    t.checkpoint()
+    tx1.commit(rows(100, 110), "append") // must not throw
+
+    // Reader pinned, DELETE lands, commit refuses.
+    val tx2 = t.transaction()
+    tx2.snapshot(spark).count()
+    t.deleteWhere(spark, col("k") < 5)
+    intercept[ConcurrentWriteException] { tx2.commit(rows(110, 120), "append") }
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
+  test("tt13: changes feed skips checkpoint manifests") {
+    val (root, t) = mkTable("graft_ckpt_cdc_")
+    val v1 = t.append(rows(0, 100))
+    t.checkpoint()
+    t.append(rows(100, 150))
+    val changed = t.readChanges(spark, afterVersion = v1)
+    assert(changed.count() === 50,
+      "a checkpoint re-lists every dir; the feed must not replay the table")
+    assert(changed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
+  test("tt13: stale pointer (corrupt or missing target) falls back to full replay") {
+    val (root, t) = mkTable("graft_ckpt_ptr_")
+    t.append(rows(0, 100))
+    t.checkpoint()
+    val ptr = Paths.get(s"$root/t/_txlog/_last_checkpoint")
+    Files.write(ptr, "garbage".getBytes("UTF-8"))
+    assert(t.snapshot(spark).count() === 100)
+    Files.write(ptr, "99".getBytes("UTF-8")) // no such manifest
+    assert(t.snapshot(spark).count() === 100)
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+}
