@@ -185,6 +185,7 @@ object SparkEntry {
     "tt11_conflict_detect" -> ((s, d) => Ingest.txConflictGate(s, d)),
     "tt12_multizone"       -> ((s, d) => Ingest.txMultiZoneGate(s, d)),
     "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
+    "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3251,6 +3252,42 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Exact RLE run counts per (sort order, column): lag over the
+    // total order, a run starts where the previous value differs.
+    "enc1_rle_runs" ->
+      """WITH l AS (SELECT l_shipdate, l_returnflag, l_linestatus,
+        |    l_suppkey, l_orderkey, l_linenumber FROM lineitem),
+        |a AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    l_suppkey AS sk, l_shipdate AS sd,
+        |    lag(l_returnflag) OVER w AS p_rf, lag(l_linestatus) OVER w AS p_ls,
+        |    lag(l_suppkey) OVER w AS p_sk, lag(l_shipdate) OVER w AS p_sd
+        |  FROM l WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    l_suppkey AS sk, l_shipdate AS sd,
+        |    lag(l_returnflag) OVER w AS p_rf, lag(l_linestatus) OVER w AS p_ls,
+        |    lag(l_suppkey) OVER w AS p_sk, lag(l_shipdate) OVER w AS p_sd
+        |  FROM l WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+        |runs_a AS (SELECT
+        |    CAST(sum(CASE WHEN p_rf IS NULL OR p_rf <> rf THEN 1 ELSE 0 END) AS BIGINT) AS r_rf,
+        |    CAST(sum(CASE WHEN p_ls IS NULL OR p_ls <> ls THEN 1 ELSE 0 END) AS BIGINT) AS r_ls,
+        |    CAST(sum(CASE WHEN p_sk IS NULL OR p_sk <> sk THEN 1 ELSE 0 END) AS BIGINT) AS r_sk,
+        |    CAST(sum(CASE WHEN p_sd IS NULL OR p_sd <> sd THEN 1 ELSE 0 END) AS BIGINT) AS r_sd
+        |  FROM a),
+        |runs_b AS (SELECT
+        |    CAST(sum(CASE WHEN p_rf IS NULL OR p_rf <> rf THEN 1 ELSE 0 END) AS BIGINT) AS r_rf,
+        |    CAST(sum(CASE WHEN p_ls IS NULL OR p_ls <> ls THEN 1 ELSE 0 END) AS BIGINT) AS r_ls,
+        |    CAST(sum(CASE WHEN p_sk IS NULL OR p_sk <> sk THEN 1 ELSE 0 END) AS BIGINT) AS r_sk,
+        |    CAST(sum(CASE WHEN p_sd IS NULL OR p_sd <> sd THEN 1 ELSE 0 END) AS BIGINT) AS r_sd
+        |  FROM b)
+        |SELECT 'ship_date' AS sort_order, 'l_returnflag' AS column_name, r_rf AS n_runs FROM runs_a
+        |UNION ALL SELECT 'ship_date', 'l_linestatus', r_ls FROM runs_a
+        |UNION ALL SELECT 'ship_date', 'l_suppkey', r_sk FROM runs_a
+        |UNION ALL SELECT 'ship_date', 'l_shipdate', r_sd FROM runs_a
+        |UNION ALL SELECT 'order_key', 'l_returnflag', r_rf FROM runs_b
+        |UNION ALL SELECT 'order_key', 'l_linestatus', r_ls FROM runs_b
+        |UNION ALL SELECT 'order_key', 'l_suppkey', r_sk FROM runs_b
+        |UNION ALL SELECT 'order_key', 'l_shipdate', r_sd FROM runs_b
+        |ORDER BY sort_order, column_name""".stripMargin,
     // Exact two-sample KS over the distinct-length spine: cumulative
     // per-source counts, D = max ecdf gap.
     "ks1_length_ks" ->

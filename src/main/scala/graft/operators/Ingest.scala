@@ -1243,4 +1243,63 @@ object Ingest {
           .unionAll(phase("4_range", t.snapshotRange(spark, "k", 1L, 5000L))))
       .orderBy(col("phase"))
   }
+
+  /** Gated enc1: RLE RUN-COUNT LAYOUT ESTIMATOR — the statistic a
+    * layout optimizer (tt8's clustered OPTIMIZE, z1's Z-order) reads
+    * to CHOOSE a sort order: for each candidate order and column, the
+    * exact number of value runs the written files would carry, which
+    * is what parquet RLE/dictionary pages actually encode (fewer runs
+    * ⇒ smaller files AND tighter per-page min/max ⇒ better skipping).
+    * lineitem under a time-clustered vs a key-clustered order: the
+    * shipdate run count collapses under the time sort while the
+    * high-cardinality suppkey stays ≈ n under both — the measured
+    * basis for "cluster by date, not by key" decisions.
+    *
+    * Scale shape: adjacency under a total order WITHOUT a global
+    * window — [[Ranks.withGlobalRowNumber]] assigns exact ranks
+    * (range exchange + local sort + driver-side offset prefix sum),
+    * then ONE self-join on rank = rank+1 (narrow rows: rank + the
+    * measured columns) feeds a single map-side-combinable aggregation
+    * counting transitions per column. Every stage is linear and
+    * partition-parallel; nothing ever sees more than its range band.
+    */
+  def rleRunsGate(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_shipdate"), col("l_returnflag"), col("l_linestatus"),
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+
+    def runsUnder(label: String, order: Seq[Column]): DataFrame = {
+      val (ranked, _) =
+        graft.operators.Ranks.withGlobalRowNumber(l, order, np, "_rn")
+      val cur = ranked.select(col("_rn"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_suppkey").as("sk"), col("l_shipdate").as("sd"))
+      val prv = cur.select((col("_rn") + 1).as("_rn"),
+        col("rf").as("p_rf"), col("ls").as("p_ls"),
+        col("sk").as("p_sk"), col("sd").as("p_sd"))
+      def runs(c: String): Column =
+        sum(when(col(s"p_$c").isNull || col(s"p_$c") =!= col(c), 1L)
+          .otherwise(0L)).cast("bigint")
+      cur.join(prv, Seq("_rn"), "left")
+        .agg(runs("rf").as("r_rf"), runs("ls").as("r_ls"),
+          runs("sk").as("r_sk"), runs("sd").as("r_sd"))
+        .selectExpr(
+          """stack(4, 'l_returnflag', r_rf, 'l_linestatus', r_ls,
+            |'l_suppkey', r_sk, 'l_shipdate', r_sd)
+            |AS (column_name, n_runs)""".stripMargin)
+        .select(lit(label).as("sort_order"), col("column_name"),
+          col("n_runs"))
+    }
+
+    // The ranked frames stay persisted until the harness's between-
+    // gates unpersist (Ranks.releaseAll would also be correct here,
+    // at the cost of a recompute if the caller re-materializes).
+    runsUnder("ship_date",
+        Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc))
+      .unionAll(runsUnder("order_key",
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc)))
+      .orderBy(col("sort_order"), col("column_name"))
+  }
 }

@@ -47,4 +47,28 @@ class LayoutSpec extends SparkSpec {
       assert(x == cx && y == cy, s"zval $z did not invert to ($cx,$cy)")
     }
   }
+
+  test("enc1: run counts match a literal sequential scan on sf lineitem") {
+    val got = graft.operators.Ingest.rleRunsGate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string"), col("l_returnflag"),
+        col("l_linestatus"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def runs[T](vals: Seq[T]): Long =
+      1L + vals.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+    def expect(sorted: Seq[(String, String, String, Long, Long, Long)]) = Seq(
+      ("l_returnflag", runs(sorted.map(_._2))),
+      ("l_linestatus", runs(sorted.map(_._3))),
+      ("l_suppkey", runs(sorted.map(_._4))),
+      ("l_shipdate", runs(sorted.map(_._1))))
+    val byDate = rows.sortBy(t => (t._1, t._5, t._6)).toSeq
+    val byKey = rows.sortBy(t => (t._5, t._6)).toSeq
+    val want = (expect(byDate).map { case (c, n) => ("ship_date", c, n) } ++
+      expect(byKey).map { case (c, n) => ("order_key", c, n) }).toSet
+    assert(got === want)
+  }
 }
