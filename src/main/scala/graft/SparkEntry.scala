@@ -186,6 +186,7 @@ object SparkEntry {
     "tt12_multizone"       -> ((s, d) => Ingest.txMultiZoneGate(s, d)),
     "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
+    "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3252,6 +3253,48 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Gopher rule battery: every threshold restated in the same
+    // integer arithmetic (no float boundary can disagree).
+    "t18_gopher_rules" ->
+      raw"""WITH w AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wl,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$$'))) AS BIGINT) AS ell,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'a') AS INT) + CAST(list_contains(ws, 'in') AS INT)
+        |      + CAST(list_contains(ws, 'is') AS INT) + CAST(list_contains(ws, 'it') AS INT)
+        |      + CAST(list_contains(ws, 'for') AS INT) + CAST(list_contains(ws, 'on') AS INT) AS stop_hits
+        |  FROM w),
+        |r AS (SELECT source,
+        |    (n_words BETWEEN 50 AND 100000) AS r_wc,
+        |    (3*n_words <= sum_wl AND sum_wl <= 10*n_words) AS r_mwl,
+        |    (10*symbols <= n_words) AS r_sym,
+        |    (10*bullets <= 9*n_lines) AS r_bul,
+        |    (10*ell <= 3*n_lines) AS r_ell,
+        |    (5*alpha_words >= 4*n_words) AS r_alpha,
+        |    (stop_hits >= 2) AS r_stop
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_bul AND r_ell
+        |    AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+        |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_meanwordlen,
+        |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+        |  CAST(sum(CASE WHEN NOT r_bul THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet,
+        |  CAST(sum(CASE WHEN NOT r_ell THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis,
+        |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // Exact RLE run counts per (sort order, column): lag over the
     // total order, a run starts where the previous value differs.
     "enc1_rle_runs" ->

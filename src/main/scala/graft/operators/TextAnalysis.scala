@@ -1260,4 +1260,66 @@ object TextAnalysis {
       .select(col("rnk").as("n_docs"), col("cum_tokens"), col("vocab"))
       .orderBy(col("n_docs"))
   }
+
+  /** Gated t18: the GOPHER/MassiveText rule battery (Rae et al. 2021,
+    * §A1.1) — the published heuristic filter set every large-scale
+    * LLM curation pipeline starts from: word-count bounds, mean word
+    * length bounds, symbol-to-word ratio, bullet/ellipsis line
+    * ratios, alphabetic-word fraction, and minimum distinct-stopword
+    * presence. One rule diverges by necessity: the stopword list is
+    * the engine's corpus-appropriate [[Stopwords]] (the synthetic
+    * vocabulary lacks 6 of Gopher's 8 function words, which would
+    * make the rule constant-false); the ≥2-distinct threshold and
+    * every other constant match the paper.
+    *
+    * Every threshold is evaluated in INTEGER arithmetic (3 ≤ mean ≤
+    * 10 as 3n ≤ Σlen ∧ Σlen ≤ 10n, ratio ≤ 0.1 as 10x ≤ n), so the
+    * pass/fail decisions are bit-exact across engines — no float
+    * boundary can flip a document. One scan, one narrow aggregation
+    * keyed by source; per-doc flags never leave the map side.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val lines = col("lines")
+    val flagged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        words(col("text")).as("ws"),
+        split(col("text"), "\n", -1).as("lines"))
+      .select(col("source"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_wl"),
+        size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
+        (length(regexp_replace(col("text"), "[^#]", "")).cast("long")
+          + size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+            .cast("long")).as("symbols"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long").as("bullets"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long").as("ell"),
+        Stopwords.map(s => array_contains(ws, s).cast("int"))
+          .reduce(_ + _).as("stop_hits"))
+      .select(col("source"),
+        (col("n_words").between(50L, 100000L)).as("r_wc"),
+        (lit(3L) * col("n_words") <= col("sum_wl")
+          && col("sum_wl") <= lit(10L) * col("n_words")).as("r_mwl"),
+        (lit(10L) * col("symbols") <= col("n_words")).as("r_sym"),
+        (lit(10L) * col("bullets") <= lit(9L) * col("n_lines")).as("r_bul"),
+        (lit(10L) * col("ell") <= lit(3L) * col("n_lines")).as("r_ell"),
+        (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stop"))
+    def fails(c: String): Column =
+      sum(when(!col(c), 1L).otherwise(0L)).cast("bigint")
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_bul")
+          && col("r_ell") && col("r_alpha") && col("r_stop"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_kept"),
+        fails("r_wc").as("f_wordcount"),
+        fails("r_mwl").as("f_meanwordlen"),
+        fails("r_sym").as("f_symbol"),
+        fails("r_bul").as("f_bullet"),
+        fails("r_ell").as("f_ellipsis"),
+        fails("r_alpha").as("f_alpha"),
+        fails("r_stop").as("f_stopword"))
+      .orderBy(col("source"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-9 continuation widening: Gopher rule battery (t18). The
+  * distributed rule evaluation is replayed literally from collected
+  * sf0.001 documents using the rule DEFINITIONS (string scans, not
+  * the engine's Column algebra), so agreement is evidence the
+  * integer-arithmetic restatements are the rules they claim to be.
+  */
+class Round9eSpec extends SparkSpec {
+
+  test("t18: per-source summaries match a literal per-document rule replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
+    case class Acc(var n: Long = 0, var kept: Long = 0, var fWc: Long = 0,
+                   var fMwl: Long = 0, var fSym: Long = 0, var fBul: Long = 0,
+                   var fEll: Long = 0, var fAlpha: Long = 0, var fStop: Long = 0)
+    val acc = collection.mutable.Map[String, Acc]()
+    for ((src, text) <- docs) {
+      val ws = text.trim.split("\\s+").toSeq
+      val lines = text.split("\n", -1).toSeq
+      val nWords = ws.size.toLong
+      val sumWl = ws.map(_.length.toLong).sum
+      val alphaWords = ws.count(_.exists(_.isLetter)).toLong
+      val symbols = text.count(_ == '#').toLong +
+        "\\.\\.\\.".r.findAllMatchIn(text).size.toLong
+      val nLines = lines.size.toLong
+      val bullets = lines.count(_.matches("^\\s*[-*•].*")).toLong
+      val ell = lines.count(l => l.matches(".*(\\.\\.\\.|…)\\s*$")).toLong
+      val stopHits = TextAnalysis.Stopwords.count(ws.contains(_)).toLong
+      val rWc = nWords >= 50 && nWords <= 100000
+      val rMwl = 3 * nWords <= sumWl && sumWl <= 10 * nWords
+      val rSym = 10 * symbols <= nWords
+      val rBul = 10 * bullets <= 9 * nLines
+      val rEll = 10 * ell <= 3 * nLines
+      val rAlpha = 5 * alphaWords >= 4 * nWords
+      val rStop = stopHits >= 2
+      val a = acc.getOrElseUpdate(src, Acc())
+      a.n += 1
+      if (rWc && rMwl && rSym && rBul && rEll && rAlpha && rStop) a.kept += 1
+      if (!rWc) a.fWc += 1; if (!rMwl) a.fMwl += 1; if (!rSym) a.fSym += 1
+      if (!rBul) a.fBul += 1; if (!rEll) a.fEll += 1
+      if (!rAlpha) a.fAlpha += 1; if (!rStop) a.fStop += 1
+    }
+    val want = acc.toSeq.map { case (s, a) =>
+      (s, a.n, a.kept, a.fWc, a.fMwl, a.fSym, a.fBul, a.fEll, a.fAlpha, a.fStop)
+    }.sortBy(_._1)
+    val got = TextAnalysis.gopherRules(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+      .toSeq
+    assert(got === want)
+    // the battery must actually discriminate on this corpus
+    assert(want.map(_._3).sum > 0 && want.map(_._3).sum < docs.length)
+  }
+}
