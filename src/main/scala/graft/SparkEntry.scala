@@ -187,6 +187,7 @@ object SparkEntry {
     "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
+    "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3253,6 +3254,41 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Ridge normal equations: DECIMAL-exact sufficient statistics,
+    // then the identical 3×3 adjugate solve — bit-equal doubles.
+    "ridge1_ridge_fit" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DECIMAL(30,2)) AS x1,
+        |    CAST(round(l_discount*100) AS BIGINT) AS x2,
+        |    CAST(l_extendedprice AS DECIMAL(30,2)) AS y FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+        |    CAST(sum(x1*x1) AS DOUBLE) AS sx1x1,
+        |    CAST(sum(x1*x2) AS DOUBLE) AS sx1x2,
+        |    CAST(sum(x2*x2) AS DOUBLE) AS sx2x2,
+        |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x1*y) AS DOUBLE) AS sx1y,
+        |    CAST(sum(x2*y) AS DOUBLE) AS sx2y, CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM f),
+        |m AS (SELECT s.*, sx1x1 + 10.0 AS a11, sx2x2 + 10.0 AS a22 FROM s),
+        |c AS (SELECT m.*,
+        |    (a11*a22 - sx1x2*sx1x2) AS c00,
+        |    -(sx1*a22 - sx1x2*sx2) AS c01,
+        |    (sx1*sx1x2 - a11*sx2) AS c02,
+        |    (n*a22 - sx2*sx2) AS c11,
+        |    -(n*sx1x2 - sx1*sx2) AS c12,
+        |    (n*a11 - sx1*sx1) AS c22
+        |  FROM m),
+        |b AS (SELECT c.*,
+        |    (c00*sy + c01*sx1y + c02*sx2y) / (n*c00 + sx1*c01 + sx2*c02) AS b0,
+        |    (c01*sy + c11*sx1y + c12*sx2y) / (n*c00 + sx1*c01 + sx2*c02) AS b1,
+        |    (c02*sy + c12*sx1y + c22*sx2y) / (n*c00 + sx1*c01 + sx2*c02) AS b2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_rows, round(b0, 6) AS intercept,
+        |  round(b1, 6) AS coef_quantity, round(b2, 6) AS coef_discount,
+        |  round(1.0 - (syy - 2.0*(b0*sy + b1*sx1y + b2*sx2y)
+        |    + (b0*b0*n + b1*b1*(a11-10.0) + b2*b2*(a22-10.0)
+        |       + 2.0*b0*b1*sx1 + 2.0*b0*b2*sx2 + 2.0*b1*b2*sx1x2))
+        |    / (syy - sy*sy/n), 6) AS r2
+        |FROM b""".stripMargin,
     // Gopher rule battery: every threshold restated in the same
     // integer arithmetic (no float boundary can disagree).
     "t18_gopher_rules" ->

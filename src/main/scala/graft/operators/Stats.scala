@@ -578,4 +578,70 @@ object Stats {
         round(col("fit"), 6).as("fitted_rate"))
       .orderBy(col("bin"))
   }
+
+  /** Gated ridge1: MULTI-FEATURE RIDGE REGRESSION by normal equations
+    * — (X'X + λI)β = X'y with the intercept unpenalized, fit to
+    * extendedprice on (quantity, discount-cents). The whole fit is
+    * ONE map-side-combinable aggregation (ten sufficient statistics:
+    * the unique entries of X'X, X'y, and Σy²) followed by a
+    * constant-size closed-form 3×3 adjugate solve INSIDE the plan —
+    * no iteration, no driver round-trips, no transcendental anywhere.
+    * Feature sums accumulate as DECIMALs over exact inputs (prices
+    * and quantities are 2-decimal; discount is re-expressed in
+    * integer cents), so the doubles entering the solve are identical
+    * on any engine and any partitioning — the coefficient hash is
+    * exact, not approximately right. This is the fit a 100 TB feature
+    * pipeline can afford: one pass, nine numbers per partition.
+    */
+  def ridgeFit(spark: SparkSession, dir: String, lambda: Double = 10.0): DataFrame = {
+    val f = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("decimal(30,2)").as("x1"),
+      round(col("l_discount") * 100, 0).cast("long").as("x2"),
+      col("l_extendedprice").cast("decimal(30,2)").as("y"))
+    val s = f.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).cast("double").as("sx1"),
+      sum(col("x2")).cast("double").as("sx2"),
+      sum(col("x1") * col("x1")).cast("double").as("sx1x1"),
+      sum(col("x1") * col("x2")).cast("double").as("sx1x2"),
+      sum(col("x2") * col("x2")).cast("double").as("sx2x2"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x1") * col("y")).cast("double").as("sx1y"),
+      sum(col("x2") * col("y")).cast("double").as("sx2y"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val m = s.select(col("*"),
+      (col("sx1x1") + lambda).as("a11"), (col("sx2x2") + lambda).as("a22"))
+    // Adjugate of the symmetric 3×3 system; operation order mirrors
+    // the oracle SQL term for term so the IEEE doubles agree in bits.
+    val c = m.select(col("*"),
+      (col("a11") * col("a22") - col("sx1x2") * col("sx1x2")).as("c00"),
+      (-(col("sx1") * col("a22") - col("sx1x2") * col("sx2"))).as("c01"),
+      (col("sx1") * col("sx1x2") - col("a11") * col("sx2")).as("c02"),
+      (col("n") * col("a22") - col("sx2") * col("sx2")).as("c11"),
+      (-(col("n") * col("sx1x2") - col("sx1") * col("sx2"))).as("c12"),
+      (col("n") * col("a11") - col("sx1") * col("sx1")).as("c22"))
+    val det = col("n") * col("c00") + col("sx1") * col("c01") +
+      col("sx2") * col("c02")
+    val b = c.select(col("*"),
+      ((col("c00") * col("sy") + col("c01") * col("sx1y")
+        + col("c02") * col("sx2y")) / det).as("b0"),
+      ((col("c01") * col("sy") + col("c11") * col("sx1y")
+        + col("c12") * col("sx2y")) / det).as("b1"),
+      ((col("c02") * col("sy") + col("c12") * col("sx1y")
+        + col("c22") * col("sx2y")) / det).as("b2"))
+    b.select(
+      col("n").cast("bigint").as("n_rows"),
+      round(col("b0"), 6).as("intercept"),
+      round(col("b1"), 6).as("coef_quantity"),
+      round(col("b2"), 6).as("coef_discount"),
+      round(lit(1.0) - (col("syy") - lit(2.0) * (col("b0") * col("sy")
+          + col("b1") * col("sx1y") + col("b2") * col("sx2y"))
+        + (col("b0") * col("b0") * col("n")
+          + col("b1") * col("b1") * (col("a11") - lambda)
+          + col("b2") * col("b2") * (col("a22") - lambda)
+          + lit(2.0) * col("b0") * col("b1") * col("sx1")
+          + lit(2.0) * col("b0") * col("b2") * col("sx2")
+          + lit(2.0) * col("b1") * col("b2") * col("sx1x2")))
+        / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+  }
 }

@@ -57,4 +57,40 @@ class Round9eSpec extends SparkSpec {
     // the battery must actually discriminate on this corpus
     assert(want.map(_._3).sum > 0 && want.map(_._3).sum < docs.length)
   }
+
+  test("ridge1: coefficients match a local exact-sum normal-equation solve") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), round(col("l_discount") * 100, 0).cast("long"),
+        col("l_extendedprice"))
+      .collect().map(r => (BigDecimal(r.getDouble(0)).setScale(2),
+        r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    val n = rows.length.toDouble
+    def d(b: BigDecimal) = b.toDouble
+    val sx1 = d(rows.map(_._1).sum); val sx2 = rows.map(_._2).sum.toDouble
+    val sx1x1 = d(rows.map(t => t._1 * t._1).sum)
+    val sx1x2 = d(rows.map(t => t._1 * BigDecimal(t._2)).sum)
+    val sx2x2 = rows.map(t => t._2 * t._2).sum.toDouble
+    val sy = d(rows.map(_._3).sum)
+    val sx1y = d(rows.map(t => t._1 * t._3).sum)
+    val sx2y = d(rows.map(t => BigDecimal(t._2) * t._3).sum)
+    val syy = d(rows.map(t => t._3 * t._3).sum)
+    val (a11, a22) = (sx1x1 + 10.0, sx2x2 + 10.0)
+    val c00 = a11 * a22 - sx1x2 * sx1x2
+    val c01 = -(sx1 * a22 - sx1x2 * sx2)
+    val c02 = sx1 * sx1x2 - a11 * sx2
+    val c11 = n * a22 - sx2 * sx2
+    val c12 = -(n * sx1x2 - sx1 * sx2)
+    val c22 = n * a11 - sx1 * sx1
+    val det = n * c00 + sx1 * c01 + sx2 * c02
+    val b0 = (c00 * sy + c01 * sx1y + c02 * sx2y) / det
+    val b1 = (c01 * sy + c11 * sx1y + c12 * sx2y) / det
+    val b2 = (c02 * sy + c12 * sx1y + c22 * sx2y) / det
+    val r = graft.operators.Stats.ridgeFit(spark, sf).head()
+    assert(r.getLong(0) === rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - b0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - b1) < 1e-6)
+    assert(math.abs(r.getDouble(3) - b2) < 1e-6)
+    // residual check: the fitted plane beats the mean-only model
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
 }
