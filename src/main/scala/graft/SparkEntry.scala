@@ -188,6 +188,7 @@ object SparkEntry {
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
+    "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3254,6 +3255,43 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Kendall tau-b by the contingency-grid closed form: dominance
+    // counts as two chained exclusive prefix sums over the dense
+    // grid; ties from marginals. Spec brute-forces all pairs.
+    "kt1_kendall_tau" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS x,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y FROM orders),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nij FROM o GROUP BY 1, 2),
+        |grid AS (SELECT xs.x, ys.y, COALESCE(c.nij, 0) AS nij
+        |  FROM (SELECT DISTINCT x FROM cells) xs
+        |  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        |  LEFT JOIN cells c USING (x, y)),
+        |w1 AS (SELECT x, y, nij,
+        |    COALESCE(sum(nij) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumx
+        |  FROM grid),
+        |w2 AS (SELECT x, y, nij,
+        |    COALESCE(sum(cumx) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_lt_lt,
+        |    COALESCE(sum(cumx) OVER (PARTITION BY x ORDER BY y DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_lt_gt
+        |  FROM w1),
+        |agg AS (SELECT
+        |    CAST(sum(CAST(nij AS DECIMAL(38,0)) * p_lt_lt) AS DECIMAL(38,0)) AS c_conc,
+        |    CAST(sum(CAST(nij AS DECIMAL(38,0)) * p_lt_gt) AS DECIMAL(38,0)) AS d_disc
+        |  FROM w2),
+        |marg AS (SELECT
+        |    (SELECT CAST(sum(nij) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(sum(CAST(t AS DECIMAL(38,0))*(t-1)/2) AS DECIMAL(38,0))
+        |       FROM (SELECT sum(nij) AS t FROM cells GROUP BY x)) AS n1,
+        |    (SELECT CAST(sum(CAST(t AS DECIMAL(38,0))*(t-1)/2) AS DECIMAL(38,0))
+        |       FROM (SELECT sum(nij) AS t FROM cells GROUP BY y)) AS n2)
+        |SELECT n AS n_rows, CAST(c_conc AS BIGINT) AS concordant,
+        |  CAST(d_disc AS BIGINT) AS discordant,
+        |  round((CAST(c_conc AS DOUBLE) - CAST(d_disc AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*(n-1)/2.0 - CAST(n1 AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*(n-1)/2.0 - CAST(n2 AS DOUBLE))), 9) AS tau_b
+        |FROM agg CROSS JOIN marg""".stripMargin,
     // Ridge normal equations: DECIMAL-exact sufficient statistics,
     // then the identical 3×3 adjugate solve — bit-equal doubles.
     "ridge1_ridge_fit" ->

@@ -93,4 +93,28 @@ class Round9eSpec extends SparkSpec {
     // residual check: the fitted plane beats the mean-only model
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
   }
+
+  test("kt1: contingency-grid tau-b matches a brute-force O(n^2) pair scan") {
+    val xy = Tables.orders(spark, sf)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var c = 0L; var d = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val ((xa, ya), (xb, yb)) = (xy(i), xy(j))
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) c += 1
+      else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) d += 1
+    }
+    val n = xy.length.toDouble
+    val n1 = xy.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = xy.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val half = n * (n - 1) / 2.0
+    val tau = (c - d).toDouble / math.sqrt((half - n1) * (half - n2))
+    val r = graft.operators.Stats.kendallTau(spark, sf).head()
+    assert(r.getLong(0) === xy.length.toLong)
+    assert(r.getLong(1) === c, "concordant")
+    assert(r.getLong(2) === d, "discordant")
+    assert(math.abs(r.getDouble(3) - tau) < 1e-9)
+  }
 }
