@@ -189,6 +189,8 @@ object SparkEntry {
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
+    "mod1_graph_modularity" -> ((s, d) => graft.operators.Graph.modularityGate(s, d)),
+    "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
     "st15_state_ttl_cache" -> ((s, d) => graft.streaming.StateTtlCache.ttlCacheGate(s, d)),
@@ -3255,6 +3257,39 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Modularity of the nation partition on the trade graph: pure
+    // counting on the edge list, per-community contributions.
+    "mod1_graph_modularity" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT cu.c_nationkey AS cn, su.s_nationkey AS sn
+        |  FROM pairs p JOIN customer cu ON cu.c_custkey = p.c
+        |  JOIN supplier su ON su.s_suppkey = p.s),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |w AS (SELECT cn AS nation, CAST(count(*) AS BIGINT) AS within
+        |  FROM e WHERE cn = sn GROUP BY 1),
+        |d AS (SELECT nation, CAST(count(*) AS BIGINT) AS degree_sum
+        |  FROM (SELECT cn AS nation FROM e UNION ALL SELECT sn FROM e)
+        |  GROUP BY 1)
+        |SELECT CAST(d.nation AS BIGINT) AS nation, d.degree_sum,
+        |  CAST(COALESCE(w.within, 0) AS BIGINT) AS within_edges,
+        |  round(CAST(COALESCE(w.within, 0) AS DOUBLE) / m.m
+        |    - (CAST(d.degree_sum AS DOUBLE) / (2.0 * m.m))
+        |      * (CAST(d.degree_sum AS DOUBLE) / (2.0 * m.m)), 12) AS contrib
+        |FROM d CROSS JOIN m LEFT JOIN w ON w.nation = d.nation
+        |ORDER BY nation""".stripMargin,
+    // Universe sampling: the oracle filters the JOINED result by the
+    // orders-side key alone — hash match proves the sampled join
+    // lost nothing (join preservation).
+    "us1_universe_sample" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Kendall tau-b by the contingency-grid closed form: dominance
     // counts as two chained exclusive prefix sums over the dense
     // grid; ties from marginals. Spec brute-forces all pairs.

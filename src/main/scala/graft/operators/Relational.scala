@@ -1921,4 +1921,42 @@ object Relational {
           col("pd").cast("int")).as("peak_day"))
       .orderBy(col("prio"))
   }
+
+  /** Gated us1: UNIVERSE (join-preserving) SAMPLING — both fact
+    * tables are sampled INDEPENDENTLY by the same deterministic hash
+    * condition on the JOIN KEY (md5 hex prefix of orderkey under the
+    * rate threshold, sa1's convention), so a sampled order keeps ALL
+    * its line items and the join of the samples IS a sample of the
+    * join. Bernoulli-sampling each side independently at rate p keeps
+    * only p² of the join pairs and biases every join aggregate;
+    * key-hash sampling keeps exactly the pairs of sampled keys — the
+    * only sampling scheme under which "estimate the join on 1% of a
+    * 100 TB fact table" is statistically meaningful (Universe
+    * sampling, e.g. Kandula et al., QuickR 2016).
+    *
+    * The oracle states the preservation property itself: it filters
+    * ON THE JOINED RESULT by the orders-side key alone — a hash match
+    * means sampling before the join lost nothing. The pushed-down
+    * per-side filters also shrink the exchange by 1/rate on both
+    * sides (the point at scale).
+    */
+  def universeSample(spark: SparkSession, dir: String,
+                     rate: Double = 0.25): DataFrame = {
+    val threshold = f"${(rate * 65536).toInt}%04x"
+    def keep(c: Column): Column =
+      substring(md5(c.cast("string")), 1, 4) < threshold
+    val o = Tables.orders(spark, dir)
+      .filter(keep(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(keep(col("l_orderkey")))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(countDistinct(col("o_orderkey")).cast("bigint").as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(col("cents")).cast("bigint").as("revenue_cents"))
+      .orderBy(col("priority"))
+  }
 }

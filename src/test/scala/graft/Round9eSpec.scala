@@ -117,4 +117,46 @@ class Round9eSpec extends SparkSpec {
     assert(r.getLong(2) === d, "discordant")
     assert(math.abs(r.getDouble(3) - tau) < 1e-9)
   }
+
+  test("mod1: per-nation contributions match a literal replay; Q bounded") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .join(Tables.customer(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(spark, sf), col("s_suppkey") === col("l_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = pairs.length.toDouble
+    val nations = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val want = nations.map { nat =>
+      val within = pairs.count(p => p._1 == nat && p._2 == nat).toLong
+      val dsum = pairs.count(_._1 == nat).toLong + pairs.count(_._2 == nat).toLong
+      val ratio = dsum / (2.0 * m)
+      (nat, dsum, within, within / m - ratio * ratio)
+    }
+    val got = graft.operators.Graph.modularityGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gn, gd, gw, gc), (wn, wd, ww, wc)) =>
+      assert(gn === wn && gd === wd && gw === ww)
+      assert(math.abs(gc - wc) < 1e-11)
+    }
+    val q = got.map(_._4).sum
+    assert(q > -1.0 && q < 1.0)
+  }
+
+  test("us1: sampling both sides by the join-key hash preserves the join exactly") {
+    val sampled = graft.operators.Relational.universeSample(spark, sf)
+      .agg(sum(col("n_lines"))).head.getLong(0)
+    // join first, then filter on the orders-side key alone
+    val joinThenFilter = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 4) < "4000")
+      .count()
+    assert(sampled === joinThenFilter)
+    // and per-side Bernoulli with DIFFERENT keys would not: sanity
+    // that the sample is a strict, non-empty subset
+    val full = Tables.lineitem(spark, sf).count()
+    assert(sampled > 0 && sampled < full)
+  }
 }
