@@ -190,6 +190,7 @@ object SparkEntry {
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
     "mod1_graph_modularity" -> ((s, d) => graft.operators.Graph.modularityGate(s, d)),
+    "sprt1_sequential_test" -> ((s, d) => graft.operators.Stats.sprtGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
@@ -3257,6 +3258,35 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Wald SPRT with pre-rounded DECIMAL weights: the whole LLR path
+    // is exact integer×decimal arithmetic — no ln at runtime.
+    "sprt1_sequential_test" ->
+      """WITH e AS (SELECT user_id % 4 AS variant, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+        |  FROM events),
+        |c AS (SELECT variant, event_id, succ,
+        |    row_number() OVER w AS i, sum(succ) OVER w AS s
+        |  FROM e WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id)),
+        |l AS (SELECT variant, i, s, succ,
+        |    CAST(s AS DECIMAL(28,6)) * 0.510826
+        |      + CAST(i - s AS DECIMAL(28,6)) * (-0.125163) AS llr
+        |  FROM c),
+        |x AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(succ) AS BIGINT) AS n_success,
+        |    min(CASE WHEN llr >= 2.944439 OR llr <= -2.944439 THEN i END)
+        |      AS cross_i
+        |  FROM l GROUP BY 1)
+        |SELECT x.variant, n_events, n_success,
+        |  CASE WHEN cross_i IS NULL THEN 'continue'
+        |       WHEN (SELECT max(llr) FROM l
+        |             WHERE l.variant = x.variant AND l.i = x.cross_i)
+        |            >= 2.944439 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  CAST(COALESCE(cross_i, 0) AS BIGINT) AS crossed_at,
+        |  round(CAST(CAST(n_success AS DECIMAL(28,6)) * 0.510826
+        |    + CAST(n_events - n_success AS DECIMAL(28,6)) * (-0.125163)
+        |    AS DOUBLE), 6) AS final_llr
+        |FROM x ORDER BY variant""".stripMargin,
     // Modularity of the nation partition on the trade graph: pure
     // counting on the edge list, per-community contributions.
     "mod1_graph_modularity" ->

@@ -593,6 +593,73 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated sprt1: WALD SEQUENTIAL PROBABILITY RATIO TEST — the
+    * always-valid A/B readout: per variant, walk events in time order
+    * accumulating the log-likelihood ratio for H1: p=0.25 vs
+    * H0: p=0.15 on the purchase indicator, and report the FIRST
+    * boundary crossing (±ln(0.95/0.05)) — the moment a sequential
+    * experiment could have stopped, which a fixed-horizon test (ab1)
+    * cannot tell you. Wald weights and thresholds are pre-rounded
+    * 6-dp DECIMAL constants (ln evaluated on 4 constants at design
+    * time, never per row), so the entire path — per-row LLR, boundary
+    * comparisons, decision — is exact integer×decimal arithmetic with
+    * no transcendental anywhere in either engine.
+    *
+    * Scale shape: per-variant prefix sums WITHOUT per-variant
+    * windows — one global [[Ranks]] prefix pass over the total order
+    * (variant, ts, event_id) for ranks and one for success counts,
+    * then per-variant offsets (a V-row broadcast) subtract out the
+    * earlier variants. The per-variant walk that looks inherently
+    * sequential costs two range exchanges and a unique-key join.
+    */
+  def sprtGate(spark: SparkSession, dir: String, variants: Int = 4): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val l1 = new java.math.BigDecimal("0.510826")  // ln(0.25/0.15), 6 dp
+    val l2 = new java.math.BigDecimal("-0.125163") // ln(0.75/0.85), 6 dp
+    val upper = new java.math.BigDecimal("2.944439") // ln(0.95/0.05)
+    val ev = Tables.events(spark, dir).select(
+      (col("user_id") % variants).as("variant"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+    val order = Seq(col("variant").asc, col("ts").asc, col("event_id").asc)
+    val (ranked, _) = Ranks.withGlobalRowNumber(ev, order, np, "_rn")
+    val prefixed = Ranks.withExclusivePrefixSum(
+      ev, order, col("succ"), np, "s_excl")
+    val joined = ranked.select(col("event_id"), col("variant"), col("_rn"))
+      .join(prefixed.select(col("event_id"), col("succ"), col("s_excl")),
+        "event_id")
+    // V-row offsets: rows/successes contributed by earlier variants.
+    val totals = ev.groupBy(col("variant"))
+      .agg(count(lit(1)).as("vn"), sum(col("succ")).as("vs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offRows = totals.map(_._1).zip(
+      totals.scanLeft((0L, 0L)) { case ((cn, cs), (_, n, s)) => (cn + n, cs + s) })
+      .map { case (v, (cn, cs)) => (v, cn, cs) }
+    import spark.implicits._
+    val offDf = broadcast(offRows.toSeq.toDF("variant", "rn_off", "s_off"))
+    val walked = joined.join(offDf, "variant")
+      .select(col("variant"),
+        (col("_rn") - col("rn_off")).as("i"),
+        (col("s_excl") + col("succ") - col("s_off")).as("s"),
+        col("succ"))
+      .withColumn("llr", col("s") * lit(l1) + (col("i") - col("s")) * lit(l2))
+    val crossing = when(col("llr") >= lit(upper)
+      || col("llr") <= lit(upper.negate()), struct(col("i"), col("llr")))
+    walked.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("succ")).cast("bigint").as("n_success"),
+        min(crossing).as("cx"))
+      .select(col("variant"), col("n_events"), col("n_success"),
+        when(col("cx").isNull, "continue")
+          .when(col("cx.llr") >= lit(upper), "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("cx.i"), lit(0L)).cast("bigint").as("crossed_at"),
+        round((col("n_success") * lit(l1)
+          + (col("n_events") - col("n_success")) * lit(l2)).cast("double"), 6)
+          .as("final_llr"))
+      .orderBy(col("variant"))
+  }
+
   /** Gated kt1: EXACT KENDALL tau-b between two ordinal variables
     * (order month × priority rank) by the contingency-grid closed
     * form. The naive statistic is O(n²) pairs; for ordinal data the

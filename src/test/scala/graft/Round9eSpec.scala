@@ -159,4 +159,40 @@ class Round9eSpec extends SparkSpec {
     val full = Tables.lineitem(spark, sf).count()
     assert(sampled > 0 && sampled < full)
   }
+
+  test("sprt1: distributed LLR walk matches a literal sequential replay") {
+    val ev = Tables.events(spark, sf)
+      .select((col("user_id") % 4).as("v"), unix_micros(col("ts")),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val l1 = BigDecimal("0.510826"); val l2 = BigDecimal("-0.125163")
+    val up = BigDecimal("2.944439")
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      var s = BigDecimal(0); var llr = BigDecimal(0)
+      var crossedAt = 0L; var decision = "continue"
+      for ((succ, idx) <- ordered.zipWithIndex) {
+        llr += (if (succ == 1) l1 else l2)
+        if (crossedAt == 0L && (llr >= up || llr <= -up)) {
+          crossedAt = idx + 1L
+          decision = if (llr >= up) "accept_h1" else "accept_h0"
+        }
+      }
+      (v, ordered.length.toLong, ordered.count(_ == 1L).toLong,
+        decision, crossedAt,
+        (BigDecimal(ordered.count(_ == 1L)) * l1
+          + BigDecimal(ordered.count(_ == 0L)) * l2).toDouble)
+    }
+    val got = graft.operators.Stats.sprtGate(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 === w._1 && g._2 === w._2 && g._3 === w._3)
+      assert(g._4 === w._4, s"decision for variant ${g._1}")
+      assert(g._5 === w._5, s"crossing rank for variant ${g._1}")
+      assert(math.abs(g._6 - w._6) < 1e-6)
+    }
+  }
 }
