@@ -191,6 +191,7 @@ object SparkEntry {
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
     "mod1_graph_modularity" -> ((s, d) => graft.operators.Graph.modularityGate(s, d)),
     "sprt1_sequential_test" -> ((s, d) => graft.operators.Stats.sprtGate(s, d)),
+    "lof1_local_outliers"  -> ((s, d) => Similarity.lofGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
@@ -3258,6 +3259,38 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Exact LOF chain on the capped sample: 6-dp DECIMAL distances,
+    // 9-dp quantized lrd, so every aggregation is order-invariant.
+    "lof1_local_outliers" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |p AS (SELECT a.id AS pa, b.id AS pb,
+         |    CAST(round(1.0 - (${foldCosine("a.v", "b.v")}), 6)
+         |      AS DECIMAL(10,6)) AS dist
+         |  FROM e a JOIN e b ON a.id <> b.id),
+         |r AS (SELECT pa, pb, dist,
+         |    row_number() OVER (PARTITION BY pa ORDER BY dist, pb) AS rn
+         |  FROM p),
+         |kd AS (SELECT pa AS id, min(CASE WHEN rn = 5 THEN dist END) AS kdist
+         |  FROM r GROUP BY 1),
+         |nk AS (SELECT p.pa, p.pb, p.dist FROM p JOIN kd ON kd.id = p.pa
+         |  WHERE p.dist <= kd.kdist),
+         |reach AS (SELECT nk.pa, nk.pb, greatest(kdo.kdist, nk.dist) AS rd
+         |  FROM nk JOIN kd kdo ON kdo.id = nk.pb),
+         |lrd AS (SELECT pa AS id,
+         |    CAST(round(CAST(count(*) AS DOUBLE) / CAST(sum(rd) AS DOUBLE), 9)
+         |      AS DECIMAL(28,9)) AS lrd
+         |  FROM reach GROUP BY 1),
+         |lof AS (SELECT nk.pa AS id, count(*) AS nn,
+         |    round(CAST(sum(lo.lrd) AS DOUBLE) / count(*)
+         |      / CAST(max(lp.lrd) AS DOUBLE), 6) AS lof
+         |  FROM nk JOIN lrd lo ON lo.id = nk.pb
+         |  JOIN lrd lp ON lp.id = nk.pa
+         |  GROUP BY 1)
+         |SELECT CAST(id AS BIGINT) AS vec_id,
+         |  CAST(nn AS BIGINT) AS n_neighbors, lof
+         |FROM lof ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin,
     // Wald SPRT with pre-rounded DECIMAL weights: the whole LLR path
     // is exact integer×decimal arithmetic — no ln at runtime.
     "sprt1_sequential_test" ->

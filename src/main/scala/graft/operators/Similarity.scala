@@ -960,4 +960,69 @@ object Similarity {
     cand.unpersist()
     res
   }
+
+  /** Gated lof1: LOCAL OUTLIER FACTOR (Breunig et al. 2000) — the
+    * density-relative outlier score embedding-curation pipelines use
+    * where a global distance threshold fails (a point is anomalous
+    * relative to ITS neighborhood's density, so sparse-but-uniform
+    * regions don't flood the readout the way they do od1/vo1-style
+    * global rules). Exact chain: k-distance (ties included, the
+    * paper's N_k), reachability distance max(kdist(o), d(p,o)),
+    * local reachability density, LOF = mean neighbor-lrd ratio.
+    *
+    * Determinism: distances are 6-dp DECIMAL (kcenter's convention),
+    * lrd is quantized to 9 dp before the neighbor sum, so every
+    * aggregation is order-invariant and the top-k hashes. Exact LOF
+    * is quadratic BY DEFINITION — the gate runs it on a capped
+    * deterministic sample (dd5's block-pair discipline); at corpus
+    * scale the same algebra runs on ANN candidate lists (ss2/ss9
+    * buckets) instead of the all-pairs frame.
+    */
+  def lofGate(spark: SparkSession, dir: String, k: Int = 5,
+              topN: Int = 20): DataFrame = {
+    val pts = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id"),
+        VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .persist()
+    val a = pts.select(col("id").as("pa"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = pts.select(col("id").as("pb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(b, col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb"),
+        round(lit(1.0) - VectorOps.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).cast("decimal(10,6)").as("dist"))
+      .persist()
+    val w = Window.partitionBy(col("pa"))
+      .orderBy(col("dist").asc, col("pb").asc)
+    val kd = pairs.withColumn("rn", row_number().over(w))
+      .groupBy(col("pa").as("id"))
+      .agg(min(when(col("rn") === k, col("dist"))).as("kdist"))
+    val nk = pairs.join(kd, pairs("pa") === kd("id"))
+      .filter(col("dist") <= col("kdist"))
+      .select(col("pa"), col("pb"), col("dist"))
+    val reach = nk
+      .join(kd.select(col("id").as("pb"), col("kdist").as("kdo")), "pb")
+      .select(col("pa"), col("pb"),
+        greatest(col("kdo"), col("dist")).as("rd"))
+    val lrd = reach.groupBy(col("pa").as("id"))
+      .agg(round(count(lit(1)).cast("double") / sum(col("rd")).cast("double"),
+        9).cast("decimal(28,9)").as("lrd"))
+    val out = nk
+      .join(lrd.select(col("id").as("pb"), col("lrd").as("lrdo")), "pb")
+      .join(lrd.select(col("id").as("pa"), col("lrd").as("lrdp")), "pa")
+      .groupBy(col("pa"))
+      .agg(count(lit(1)).as("nn"), sum(col("lrdo")).as("slrd"),
+        max(col("lrdp")).as("lrdp"))
+      .select(col("pa").as("vec_id"), col("nn").as("n_neighbors"),
+        round(col("slrd").cast("double") / col("nn")
+          / col("lrdp").cast("double"), 6).as("lof"))
+      .orderBy(desc("lof"), asc("vec_id"))
+      .limit(topN)
+    val rows = out.collect()
+    pts.unpersist(); pairs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }

@@ -195,4 +195,46 @@ class Round9eSpec extends SparkSpec {
       assert(math.abs(g._6 - w._6) < 1e-6)
     }
   }
+
+  test("lof1: distributed LOF chain matches a literal local replay") {
+    val data = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = data.map(_._1).sorted
+    val vecs = data.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = ids.map(i => i -> math.sqrt(dot(vecs(i), vecs(i)))).toMap
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dist = (for (a <- ids; b <- ids if a != b)
+      yield (a, b) -> d6(1.0 - dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))).toMap
+    val k = 5
+    val kdist = ids.map { a =>
+      val ds = ids.filter(_ != a).map(b => (dist((a, b)), b)).sorted
+      a -> ds(k - 1)._1
+    }.toMap
+    val nk = ids.map(a =>
+      a -> ids.filter(b => b != a && dist((a, b)) <= kdist(a))).toMap
+    val lrd = ids.map { a =>
+      val s = nk(a).map(o => kdist(o).max(dist((a, o)))).sum
+      a -> BigDecimal(nk(a).size.toDouble / s.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    val want = ids.map { a =>
+      val s = nk(a).map(lrd).sum
+      (a, nk(a).size.toLong,
+        BigDecimal(s.toDouble / nk(a).size / lrd(a).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    val got = graft.operators.Similarity.lofGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // LOF ≈ 1 for inliers; the readout must surface genuine spread
+    assert(got.head._3 > 1.0)
+  }
 }
