@@ -192,6 +192,7 @@ object SparkEntry {
     "mod1_graph_modularity" -> ((s, d) => graft.operators.Graph.modularityGate(s, d)),
     "sprt1_sequential_test" -> ((s, d) => graft.operators.Stats.sprtGate(s, d)),
     "lof1_local_outliers"  -> ((s, d) => Similarity.lofGate(s, d)),
+    "jcs1_join_card_est"   -> ((s, d) => Relational.joinCardStats(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
@@ -3259,6 +3260,29 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // CBO cardinality estimate (containment assumption) next to the
+    // exact join size; integer division for bucket ids on both sides.
+    "jcs1_join_card_est" ->
+      """WITH ko AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |ke AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |exact AS (SELECT CAST(sum(ko.c * ke.c) AS BIGINT) AS exact_pairs
+        |  FROM ko JOIN ke ON ko.k = ke.k),
+        |mx AS (SELECT greatest((SELECT max(k) FROM ko),
+        |    (SELECT max(k) FROM ke)) AS mk),
+        |bo AS (SELECT k * 64 // (mk + 1) AS b, sum(c) AS n, count(*) AS d
+        |  FROM ko CROSS JOIN mx GROUP BY 1),
+        |be AS (SELECT k * 64 // (mk + 1) AS b, sum(c) AS n, count(*) AS d
+        |  FROM ke CROSS JOIN mx GROUP BY 1),
+        |est AS (SELECT CAST(round(sum(CAST(bo.n AS DOUBLE)
+        |    * CAST(be.n AS DOUBLE)
+        |    / CAST(greatest(bo.d, be.d) AS DOUBLE)), 0) AS BIGINT) AS est_pairs
+        |  FROM bo JOIN be ON bo.b = be.b)
+        |SELECT exact_pairs, est_pairs,
+        |  CAST(round(10000.0 * (est_pairs - exact_pairs) / exact_pairs, 0)
+        |    AS BIGINT) AS err_bp
+        |FROM exact CROSS JOIN est""".stripMargin,
     // Exact LOF chain on the capped sample: 6-dp DECIMAL distances,
     // 9-dp quantized lrd, so every aggregation is order-invariant.
     "lof1_local_outliers" ->

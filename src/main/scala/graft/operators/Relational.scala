@@ -1940,6 +1940,46 @@ object Relational {
     * per-side filters also shrink the exchange by 1/rate on both
     * sides (the point at scale).
     */
+  /** Gated jcs1: JOIN-CARDINALITY ESTIMATION from bucket statistics —
+    * the cost-based-optimizer primitive: per-bucket (count, distinct)
+    * histograms on each side's join key, estimate |A⋈B| per bucket as
+    * nA·nB / max(dA, dB) (the containment assumption every CBO uses),
+    * and report it NEXT TO the exact join size Σ_k cA(k)·cB(k) so the
+    * estimation error is part of the hashed result. Both sides reduce
+    * to key-count frames first (the only corpus-sized aggregations);
+    * the exact pair count is a join of those count frames — never of
+    * the fact tables — and the histogram is B=64 rows per side.
+    * Bucketing uses integer division on both engines (float division
+    * + cast disagrees at bucket boundaries between trunc and round
+    * semantics).
+    */
+  def joinCardStats(spark: SparkSession, dir: String,
+                    buckets: Int = 64): DataFrame = {
+    val ko = Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val ke = Tables.events(spark, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val mk = ko.agg(max(col("k"))).head.getLong(0)
+      .max(ke.agg(max(col("k"))).head.getLong(0))
+    val exact = ko.join(ke.select(col("k"), col("c").as("c2")), "k")
+      .agg(sum(col("c") * col("c2")).cast("bigint").as("exact_pairs"))
+    val bo = kc2hist(ko, buckets, mk).as("bo")
+    val be = kc2hist(ke, buckets, mk).as("be")
+    val est = bo.join(be, col("bo.b") === col("be.b"))
+      .agg(round(sum(col("bo.n").cast("double") * col("be.n").cast("double")
+        / greatest(col("bo.d"), col("be.d")).cast("double")), 0)
+        .cast("bigint").as("est_pairs"))
+    exact.crossJoin(est)
+      .select(col("exact_pairs"), col("est_pairs"),
+        round(lit(10000.0) * (col("est_pairs") - col("exact_pairs"))
+          / col("exact_pairs"), 0).cast("bigint").as("err_bp"))
+  }
+
+  private def kc2hist(kc: DataFrame, buckets: Int, mk: Long): DataFrame = kc
+    .select(expr(s"k * $buckets div ${mk + 1}").as("b"), col("c"))
+    .groupBy(col("b"))
+    .agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+
   def universeSample(spark: SparkSession, dir: String,
                      rate: Double = 0.25): DataFrame = {
     val threshold = f"${(rate * 65536).toInt}%04x"

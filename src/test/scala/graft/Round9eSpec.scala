@@ -237,4 +237,15 @@ class Round9eSpec extends SparkSpec {
     // LOF ≈ 1 for inliers; the readout must surface genuine spread
     assert(got.head._3 > 1.0)
   }
+
+  test("jcs1: exact pair count equals a real join; estimate is sane") {
+    val r = graft.operators.Relational.joinCardStats(spark, sf).head()
+    val realJoin = Tables.orders(spark, sf)
+      .join(Tables.events(spark, sf), col("o_custkey") === col("user_id"))
+      .count()
+    assert(r.getLong(0) === realJoin, "exact_pairs must equal the actual join size")
+    // containment estimate from 64 buckets: same order of magnitude
+    assert(r.getLong(1) > realJoin / 10 && r.getLong(1) < realJoin * 10)
+    assert(math.abs(r.getLong(2)) < 10000L * 9)
+  }
 }
