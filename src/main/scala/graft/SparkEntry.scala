@@ -193,6 +193,7 @@ object SparkEntry {
     "sprt1_sequential_test" -> ((s, d) => graft.operators.Stats.sprtGate(s, d)),
     "lof1_local_outliers"  -> ((s, d) => Similarity.lofGate(s, d)),
     "jcs1_join_card_est"   -> ((s, d) => Relational.joinCardStats(s, d)),
+    "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
@@ -3260,6 +3261,26 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Subsample-ensemble CI: 32 md5-keyed half-rate replicas in one
+    // pass; CI = order statistics of the exact replica means.
+    "boot1_subsample_ci" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |reps AS (SELECT r FROM range(32) t(r)),
+        |sub AS (SELECT r, cents FROM reps, o
+        |  WHERE substring(md5(CAST(r AS VARCHAR) || ':'
+        |    || CAST(k AS VARCHAR)), 1, 4) < '8000'),
+        |m AS (SELECT r, round(CAST(sum(cents) AS DOUBLE) / count(*), 6)
+        |    AS mean_cents FROM sub GROUP BY 1),
+        |s AS (SELECT mean_cents,
+        |    row_number() OVER (ORDER BY mean_cents) AS rn FROM m),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean_full
+        |  FROM o)
+        |SELECT f.n_rows, f.mean_full,
+        |  (SELECT mean_cents FROM s WHERE rn = 4) AS ci_lo_10,
+        |  (SELECT mean_cents FROM s WHERE rn = 29) AS ci_hi_90
+        |FROM f""".stripMargin,
     // CBO cardinality estimate (containment assumption) next to the
     // exact join size; integer division for bucket ids on both sides.
     "jcs1_join_card_est" ->

@@ -593,6 +593,47 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated boot1: SUBSAMPLE-ENSEMBLE CONFIDENCE INTERVAL — the
+    * distribution-free uncertainty readout for any pipeline metric:
+    * B=32 deterministic half-rate WITHOUT-replacement replicas (row ∈
+    * replica r iff md5(r:key) falls under the threshold — sa1's
+    * reproducible-sampling convention, so the "resampling" is a pure
+    * function of the data), replica means, CI = 10th/90th-percentile
+    * order statistics of the 32 means (subsampling/subagging, the
+    * bootstrap variant that needs no with-replacement multiplicities
+    * and therefore no randomness). Everything hashes: per-replica
+    * sums are exact BIGINT cents, means are pinned single divisions,
+    * order statistics pick VALUES so rank ties cannot flip output.
+    *
+    * Scale shape: ONE pass — the replica axis is a broadcast 32-row
+    * frame crossed into the scan, filtered to ~B/2 weighted rows, and
+    * collapsed by a map-side-combinable per-replica aggregation; the
+    * order statistics run on the 32-row result. No per-replica jobs,
+    * no driver loop.
+    */
+  def subsampleCi(spark: SparkSession, dir: String, b: Int = 32): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val reps = spark.range(b).select(col("id").as("r"))
+    val sub = broadcast(reps).crossJoin(o)
+      .filter(substring(md5(concat(col("r").cast("string"), lit(":"),
+        col("k").cast("string"))), 1, 4) < "8000")
+    val means = sub.groupBy(col("r"))
+      .agg(round(sum(col("cents")).cast("double") / count(lit(1)), 6)
+        .as("mean_cents"))
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("r")))
+      .orderBy(col("mean_cents"))
+    val ci = means.withColumn("rn", row_number().over(w))
+      .agg(min(when(col("rn") === 4, col("mean_cents"))).as("ci_lo_10"),
+        min(when(col("rn") === 29, col("mean_cents"))).as("ci_hi_90"))
+    val full = o.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("cents")).cast("double") / count(lit(1)), 6)
+        .as("mean_full"))
+    full.crossJoin(ci)
+      .select(col("n_rows"), col("mean_full"), col("ci_lo_10"),
+        col("ci_hi_90"))
+  }
+
   /** Gated sprt1: WALD SEQUENTIAL PROBABILITY RATIO TEST — the
     * always-valid A/B readout: per variant, walk events in time order
     * accumulating the log-likelihood ratio for H1: p=0.25 vs

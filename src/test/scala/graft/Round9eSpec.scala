@@ -248,4 +248,26 @@ class Round9eSpec extends SparkSpec {
     assert(r.getLong(1) > realJoin / 10 && r.getLong(1) < realJoin * 10)
     assert(math.abs(r.getLong(2)) < 10000L * 9)
   }
+
+  test("boot1: replica means match a literal per-replica replay; CI brackets the mean") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hex4(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+    }
+    val means = (0 until 32).map { r =>
+      val kept = rows.filter { case (k, _) => hex4(s"$r:$k") < "8000" }
+      BigDecimal(kept.map(_._2).sum.toDouble / kept.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sorted
+    val out = graft.operators.Stats.subsampleCi(spark, sf).head()
+    assert(out.getLong(0) === rows.length.toLong)
+    assert(out.getDouble(2) === means(3), "10th-percentile order statistic")
+    assert(out.getDouble(3) === means(28), "90th-percentile order statistic")
+    assert(out.getDouble(2) < out.getDouble(1)
+      && out.getDouble(1) < out.getDouble(3), "CI brackets the full mean")
+  }
 }
