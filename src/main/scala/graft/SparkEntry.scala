@@ -194,6 +194,7 @@ object SparkEntry {
     "lof1_local_outliers"  -> ((s, d) => Similarity.lofGate(s, d)),
     "jcs1_join_card_est"   -> ((s, d) => Relational.joinCardStats(s, d)),
     "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
+    "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
     "st14_stream_tx_sink"  -> ((s, d) => graft.streaming.TxSink.streamTxSinkGate(s, d)),
@@ -519,6 +520,35 @@ object SparkEntry {
   private def foldCosine(a: String, b: String): String =
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** rbo1's oracle: weight constants generated from the SAME
+    * BigDecimal math the Spark plan embeds ([[graft.operators.Quality
+    * .rboWeights]]), so the two engines consume identical decimals.
+    */
+  private def rboOracle(k: Int = 20): String = {
+    val vals = graft.operators.Quality.rboWeights(k)
+      .map { case (d, w) => s"($d, CAST('${w.toPlainString}' AS DECIMAL(14,12)))" }
+      .mkString(", ")
+    s"""WITH o AS (SELECT o_custkey AS key,
+       |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+       |g AS (SELECT key, CAST(sum(cents) AS BIGINT) AS spend,
+       |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+       |ta AS (SELECT key, row_number() OVER (ORDER BY spend DESC, key) AS ra
+       |  FROM g QUALIFY ra <= $k),
+       |tb AS (SELECT key, row_number() OVER (ORDER BY n DESC, key) AS rb
+       |  FROM g QUALIFY rb <= $k),
+       |m AS (SELECT greatest(ra, rb) AS mx FROM ta JOIN tb USING (key)),
+       |w(d, wt) AS (VALUES $vals),
+       |ov AS (SELECT d, wt,
+       |    (SELECT count(*) FROM m WHERE mx <= d) AS overlap FROM w),
+       |t AS (SELECT sum(CAST(round(CAST(wt AS DOUBLE) * overlap / d, 12)
+       |      AS DECIMAL(20,12))) AS s,
+       |    max(CASE WHEN d = $k THEN overlap END) AS ov_k FROM ov)
+       |SELECT 'spend' AS metric_a, 'order_count' AS metric_b,
+       |  CAST(ov_k AS BIGINT) AS overlap_at_20,
+       |  round(0.1 * CAST(s AS DOUBLE), 9) AS rbo
+       |FROM t""".stripMargin
+  }
 
   /** Full replay of the Gonzalez greedy (Similarity.kcenterCoreset):
     * the k−1 argmax/relax rounds unroll into a generated CTE chain —
@@ -3261,6 +3291,9 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Rank-biased overlap between two top-20 rankings; weight
+    // constants generated from the same BigDecimal math as the plan.
+    "rbo1_rank_overlap" -> rboOracle(),
     // Subsample-ensemble CI: 32 md5-keyed half-rate replicas in one
     // pass; CI = order statistics of the exact replica means.
     "boot1_subsample_ci" ->

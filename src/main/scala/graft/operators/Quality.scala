@@ -928,4 +928,63 @@ object Quality {
           .toDouble))
       .toDF("n", "sum_comb_cells", "sum_comb_rows", "sum_comb_cols", "ari")
   }
+
+  /** Shared by the rbo1 gate and its generated oracle: exact
+    * geometric weights w_d = 0.9^(d-1) as 12-dp BigDecimals — 0.9^d
+    * is an exact finite decimal, so both engines consume literally
+    * identical constants (sprt1's pre-rounded-constant discipline).
+    */
+  def rboWeights(k: Int = 20): Seq[(Int, java.math.BigDecimal)] =
+    (1 to k).map(d => d -> BigDecimal("0.9").pow(d - 1)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).bigDecimal)
+
+  /** Gated rbo1: RANK-BIASED OVERLAP (Webber et al. 2010) between two
+    * top-k rankings of the same population — the top-weighted,
+    * intersection-based agreement measure for comparing rankers
+    * (spend-ranked vs frequency-ranked customers here; in a curation
+    * pipeline, two quality scorers or two retrieval indexes). Unlike
+    * Spearman/Kendall it handles TRUNCATED, non-conjoint lists — the
+    * only kind a top-k pipeline ever materializes.
+    *
+    * RBO@k = (1−p)·Σ_d w_d · |A_1..d ∩ B_1..d| / d with w_d exact
+    * decimal constants ([[rboWeights]]). Prefix overlaps collapse to
+    * one per-key max(rank_A, rank_B) join (a key is in both prefixes
+    * at depth d iff that max ≤ d), so the whole statistic after the
+    * two top-k's is a ≤k-row join against the k-row weight spine.
+    * Per-depth terms are rounded to 12 dp and summed as DECIMAL —
+    * order-invariant, hashable.
+    */
+  def rboGate(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend"),
+        count(lit(1)).as("n"))
+      .persist()
+    def topRank(metric: String, rname: String): DataFrame = {
+      val w = Window.partitionBy(Ranks.boundedOnePartition(col("key")))
+        .orderBy(col(metric).desc, col("key").asc)
+      g.orderBy(col(metric).desc, col("key").asc).limit(k)
+        .withColumn(rname, row_number().over(w))
+        .select(col("key"), col(rname))
+    }
+    val m = topRank("spend", "ra").join(topRank("n", "rb"), "key")
+      .select(greatest(col("ra"), col("rb")).as("mx"))
+    import spark.implicits._
+    val weights = broadcast(rboWeights(k).toDF("d", "wt")
+      .select(col("d"), col("wt").cast("decimal(14,12)").as("wt")))
+    val ov = weights.join(m, col("mx") <= col("d"), "left")
+      .groupBy(col("d"), col("wt"))
+      .agg(count(col("mx")).as("overlap"))
+    val out = ov.agg(
+      sum(round(col("wt").cast("double") * col("overlap") / col("d"), 12)
+        .cast("decimal(20,12)")).as("s"),
+      max(when(col("d") === k, col("overlap"))).as("ov_k"))
+      .select(lit("spend").as("metric_a"), lit("order_count").as("metric_b"),
+        col("ov_k").cast("bigint").as("overlap_at_20"),
+        round(lit(0.1) * col("s").cast("double"), 9).as("rbo"))
+    val rows = out.collect()
+    g.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }

@@ -270,4 +270,30 @@ class Round9eSpec extends SparkSpec {
     assert(out.getDouble(2) < out.getDouble(1)
       && out.getDouble(1) < out.getDouble(3), "CI brackets the full mean")
   }
+
+  test("rbo1: prefix-overlap closed form matches a literal per-depth replay") {
+    val g = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = 20
+    val bySpend = g.sortBy(t => (-t._2, t._1)).take(k).map(_._1)
+    val byCount = g.sortBy(t => (-t._3, t._1)).take(k).map(_._1)
+    // literal definition: overlap of the two depth-d prefixes
+    val terms = (1 to k).map { d =>
+      val ov = bySpend.take(d).toSet.intersect(byCount.take(d).toSet).size
+      val w = BigDecimal("0.9").pow(d - 1)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(w.toDouble * ov / d)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val wantRbo = BigDecimal(0.1 * terms.sum.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantOv = bySpend.toSet.intersect(byCount.toSet).size.toLong
+    val r = graft.operators.Quality.rboGate(spark, sf).head()
+    assert(r.getLong(2) === wantOv)
+    assert(r.getDouble(3) === wantRbo)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+  }
 }
