@@ -186,6 +186,7 @@ object SparkEntry {
     "tt12_multizone"       -> ((s, d) => Ingest.txMultiZoneGate(s, d)),
     "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
+    "tt14_string_zones"    -> ((s, d) => Ingest.txStringZoneGate(s, d)),
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
@@ -3545,6 +3546,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // String zone maps restated as plain VARCHAR BETWEENs (binary
+    // collation both engines); the pruning is spec-asserted.
+    "tt14_string_zones" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(1 AS INT) AS range_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM o WHERE prio BETWEEN '1' AND '2~'
+        |UNION ALL SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE prio BETWEEN '4' AND '9'
+        |UNION ALL SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE prio = '3-MEDIUM'
+        |ORDER BY range_id""".stripMargin,
     // Exact RLE run counts per (sort order, column): lag over the
     // total order, a run starts where the previous value differs.
     "enc1_rle_runs" ->

@@ -1244,6 +1244,43 @@ object Ingest {
       .orderBy(col("phase"))
   }
 
+  /** Gated tt14: STRING ZONE MAPS — VARCHAR min/max data skipping at
+    * the manifest level (the BIGINT zones of tt3/tt12, extended to
+    * the column type category/date-string/identifier predicates
+    * actually arrive in). Bounds ride the manifest as UTF-8 hex, so
+    * ordering is the binary collation Spark, parquet and DuckDB all
+    * compare strings with, and no string content ever needs JSON
+    * escaping. Orders are committed one priority class per commit
+    * (tight zones); a checkpoint lands mid-history so read 1's
+    * pruning metadata must flow THROUGH the checkpoint while read 2's
+    * comes from tail manifests. Correctness never depends on the
+    * skipping (residual BETWEEN either way — the oracle is the plain
+    * string-range scan); the pruning itself is spec-asserted.
+    */
+  def txStringZoneGate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshDir("graft_tt14_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM").foreach(p =>
+      t.appendWithStatsString(o.filter(col("prio") === p), "prio"))
+    t.checkpoint()
+    Seq("4-NOT SPECIFIED", "5-LOW").foreach(p =>
+      t.appendWithStatsString(o.filter(col("prio") === p), "prio"))
+    def rangeAgg(id: Int, lo: String, hi: String): DataFrame =
+      t.snapshotRangeString(spark, "prio", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(id).cast("int").as("range_id"), col("n_rows"),
+          col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        rangeAgg(1, "1", "2~")
+          .unionAll(rangeAgg(2, "4", "9"))
+          .unionAll(rangeAgg(3, "3-MEDIUM", "3-MEDIUM")))
+      .orderBy(col("range_id"))
+  }
+
   /** Gated enc1: RLE RUN-COUNT LAYOUT ESTIMATOR — the statistic a
     * layout optimizer (tt8's clustered OPTIMIZE, z1's Z-order) reads
     * to CHOOSE a sort order: for each candidate order and column, the

@@ -69,6 +69,17 @@ object TxTable {
     * same day. Pass 0 explicitly when no writer can be in flight.
     */
   final val DefaultVacuumRetentionMillis: Long = 60L * 60L * 1000L
+
+  /** String zone bounds ride the manifest as lowercase UTF-8 hex:
+    * fixed-width per byte, so lexicographic HEX order == byte order ==
+    * Spark's UTF8String order == parquet/DuckDB binary collation —
+    * pruning compares hex directly and stays sound without ever
+    * parsing arbitrary string content out of JSON.
+    */
+  private[graft] def toHex(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private[graft] def fromHex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
 }
 
 /** A concurrent commit invalidated this transaction's read snapshot:
@@ -237,6 +248,63 @@ class TxTable(val root: String) {
       applyDeletes(spark,
           spark.read.option("mergeSchema", "true").parquet(dirs: _*), st.dvs)
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** [[appendWithStats]] for a STRING column: the manifest records the
+    * batch's min/max as UTF-8 hex ([[TxTable.toHex]] — byte order ==
+    * Spark/parquet binary string order, and hex needs no JSON
+    * escaping however hostile the values). This is VARCHAR data
+    * skipping — category, date-string and identifier-prefix ranges
+    * prune at the manifest level just like BIGINT zones.
+    */
+  def appendWithStatsString(df: DataFrame, statsCol: String): Long = {
+    val r = df.agg(org.apache.spark.sql.functions.min(statsCol),
+      org.apache.spark.sql.functions.max(statsCol)).head()
+    val szones =
+      if (r.isNullAt(0)) Nil // empty/all-null batch: no zone, never skipped
+      else Seq((0, statsCol,
+        TxTable.toHex(r.getString(0)), TxTable.toHex(r.getString(1))))
+    val stage = stageData(df)
+    var attempt = latestVersion().getOrElse(0L) + 1
+    while (!tryPublish(attempt, "append", Seq(stage), szones = szones)) {
+      attempt = latestVersion().getOrElse(0L) + 1
+    }
+    attempt
+  }
+
+  /** [[snapshotRange]] for STRING bounds: dirs whose recorded [min,
+    * max] provably misses [lo,hi] under binary order are never
+    * opened; dirs without a string zone for `statsCol` are kept and
+    * the residual BETWEEN keeps the answer exact either way.
+    */
+  def snapshotRangeString(spark: SparkSession, statsCol: String,
+                          lo: String, hi: String,
+                          asOf: Option[Long] = None): DataFrame = {
+    val st = replayLog(asOf)
+    val dirs = pruneRangeString(st, statsCol, lo, hi)
+    import org.apache.spark.sql.functions.col
+    if (dirs.isEmpty)
+      snapshot(spark, asOf).filter(org.apache.spark.sql.functions.lit(false))
+    else
+      applyDeletes(spark,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*), st.dvs)
+        .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** The dirs a string-range read must open (exposed for testing). */
+  def resolveDirsRangeString(statsCol: String, lo: String, hi: String,
+                             asOf: Option[Long] = None): Seq[String] =
+    pruneRangeString(replayLog(asOf), statsCol, lo, hi)
+
+  private def pruneRangeString(st: LogState, statsCol: String,
+                               lo: String, hi: String): Seq[String] = {
+    val (loH, hiH) = (TxTable.toHex(lo), TxTable.toHex(hi))
+    st.dirs.filter { d =>
+      st.szones.getOrElse(d, Map.empty).get(statsCol) match {
+        case Some((mn, mx)) => !(mx < loH || mn > hiH)
+        case None => true // no zone: must read
+      }
+    }
   }
 
   /** Append with a BLOOM FILTER on long column `bloomCol`: the filter
@@ -528,11 +596,14 @@ class TxTable(val root: String) {
     */
   private case class LogState(dirs: Vector[String], dvs: Vector[String],
                               zones: Map[String, Map[String, (Long, Long)]],
-                              blooms: Map[String, (String, String)])
+                              blooms: Map[String, (String, String)],
+                              szones: Map[String, Map[String, (String, String)]]
+                                = Map.empty)
 
   private def replayLog(asOf: Option[Long]): LogState = {
     val kept = versions().filter(v => asOf.forall(v <= _))
-    val empty = LogState(Vector.empty, Vector.empty, Map.empty, Map.empty)
+    val empty = LogState(Vector.empty, Vector.empty, Map.empty, Map.empty,
+      Map.empty)
     // Fast path: a self-contained checkpoint manifest ([[checkpoint]])
     // carries the FULL state — dirs, DVs, per-dir zones and per-dir
     // Bloom refs — so replay folds only the tail after it. The
@@ -571,10 +642,15 @@ class TxTable(val root: String) {
     val blooms = m.dblooms.foldLeft(withBloom) { case (b, (i, c, f)) =>
       m.dirs.lift(i).fold(b)(d => b.updated(d, (c, f)))
     }
+    val szones = m.szones.foldLeft(st.szones) { case (z, (i, c, lo, hi)) =>
+      m.dirs.lift(i).fold(z)(d =>
+        z.updated(d, z.getOrElse(d, Map.empty) + (c -> ((lo, hi)))))
+    }
     m.action match {
       case "overwrite" | "checkpoint" =>
-        LogState(m.dirs.toVector, m.dvs.toVector, zones, blooms)
-      case _ => LogState(st.dirs ++ m.dirs, st.dvs ++ m.dvs, zones, blooms)
+        LogState(m.dirs.toVector, m.dvs.toVector, zones, blooms, szones)
+      case _ =>
+        LogState(st.dirs ++ m.dirs, st.dvs ++ m.dvs, zones, blooms, szones)
     }
   }
 
@@ -625,8 +701,14 @@ class TxTable(val root: String) {
       s.dirs.zipWithIndex.flatMap { case (d, i) =>
         s.blooms.get(d).map { case (c, f) => (i, c, f) }
       }
+    def szonesOf(s: LogState): Seq[(Int, String, String, String)] =
+      s.dirs.zipWithIndex.flatMap { case (d, i) =>
+        s.szones.getOrElse(d, Map.empty).toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => (i, c, lo, hi) }
+      }
     while (!tryPublish(v, "checkpoint", st.dirs, zones = zonesOf(st),
-                       dblooms = dbloomsOf(st), dvs = st.dvs)) {
+                       dblooms = dbloomsOf(st), dvs = st.dvs,
+                       szones = szonesOf(st))) {
       v = latestVersion().getOrElse(0L) + 1
       st = replayLog(None)
     }
@@ -1054,7 +1136,8 @@ class TxTable(val root: String) {
                               bloom: Option[(String, String)],
                               zones: Seq[(Int, String, Long, Long)] = Nil,
                               dvs: Seq[String] = Nil,
-                              dblooms: Seq[(Int, String, String)] = Nil)
+                              dblooms: Seq[(Int, String, String)] = Nil,
+                              szones: Seq[(Int, String, String, String)] = Nil)
 
   /** JSON string escape for manifest values that carry FILESYSTEM
     * paths (the table root flows into every dir entry): quote,
@@ -1145,7 +1228,14 @@ class TxTable(val root: String) {
         .findAllMatchIn(s)
         .map(m => (m.group(1).toInt, m.group(2), m.group(3)))
         .toSeq
-    Manifest(action, dirs, stats, bloom, zones, dvs, dblooms)
+    // String zones: bounds are lowercase hex ([0-9a-f] only), so the
+    // regex scan is exact however hostile the original string values.
+    val szones =
+      "\\{\"i\":(\\d+),\"column\":\"([^\"]*)\",\"slo\":\"([0-9a-f]*)\",\"shi\":\"([0-9a-f]*)\"\\}".r
+        .findAllMatchIn(s)
+        .map(m => (m.group(1).toInt, m.group(2), m.group(3), m.group(4)))
+        .toSeq
+    Manifest(action, dirs, stats, bloom, zones, dvs, dblooms, szones)
   }
 
   private def stageData(df: DataFrame): String = {
@@ -1181,7 +1271,8 @@ class TxTable(val root: String) {
                                 bloom: Option[(String, String)] = None,
                                 zones: Seq[(Int, String, Long, Long)] = Nil,
                                 dvs: Seq[String] = Nil,
-                                dblooms: Seq[(Int, String, String)] = Nil): Boolean = {
+                                dblooms: Seq[(Int, String, String)] = Nil,
+                                szones: Seq[(Int, String, String, String)] = Nil): Boolean = {
     Files.createDirectories(logDir)
     def pathArray(ps: Seq[String]): String =
       ps.map(d => "\"" + jsonEscape(d.replace("\\", "/")) + "\"")
@@ -1203,8 +1294,13 @@ class TxTable(val root: String) {
       else dblooms.map { case (i, c, f) =>
         s"""{"i":$i,"column":"$c","file":"${jsonEscape(f)}"}""" }
         .mkString(""","dblooms":[""", ",", "]")
+    val szonesJson =
+      if (szones.isEmpty) ""
+      else szones.map { case (i, c, lo, hi) =>
+        s"""{"i":$i,"column":"$c","slo":"$lo","shi":"$hi"}""" }
+        .mkString(""","szones":[""", ",", "]")
     val json =
-      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson$dbloomsJson$dvsJson}"""
+      s"""{"version":$v,"action":"$action","dirs":$dirsJson$statsJson$bloomJson$zonesJson$dbloomsJson$szonesJson$dvsJson}"""
     val tmp = Files.createTempFile(logDir, s".v$v-", ".tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     try {

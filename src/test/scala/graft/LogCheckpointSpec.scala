@@ -118,6 +118,37 @@ class LogCheckpointSpec extends SparkSpec {
     TmpIO.deleteRecursively(new java.io.File(root))
   }
 
+  test("tt14: string zones prune, survive a checkpoint, and hex round-trips") {
+    import graft.sources.TxTable._
+    // hex round-trip incl. non-ASCII; hex order == byte order
+    for (s <- Seq("", "abc", "ZÜRICH", "日本語", "a\"b\\c\nd"))
+      assert(fromHex(toHex(s)) === s)
+    assert(toHex("a") < toHex("aa") && toHex("2-HIGH") < toHex("2~"))
+
+    val (root, t) = mkTable("graft_szone_")
+    import spark.implicits._
+    def batch(p: String) =
+      (0 until 50).map(i => (p, i.toLong)).toDF("cat", "v")
+    Seq("alpha", "beta").foreach(p => t.appendWithStatsString(batch(p), "cat"))
+    val ck = t.checkpoint()
+    t.appendWithStatsString(batch("gamma"), "cat")
+
+    val all = t.resolveDirs().toSet
+    val alphaOnly = t.resolveDirsRangeString("cat", "a", "azzz").toSet
+    assert(alphaOnly.size === 1 && alphaOnly.subsetOf(all))
+    assert(t.snapshotRangeString(spark, "cat", "a", "azzz").count() === 50)
+    // pruning metadata flowed through the checkpoint: drop history
+    val aside = Files.createDirectories(Paths.get(root, "aside"))
+    (1L until ck).foreach { v =>
+      val p = Paths.get(f"$root/t/_txlog/v$v%010d.json")
+      Files.move(p, aside.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE)
+    }
+    assert(t.resolveDirsRangeString("cat", "a", "azzz").toSet === alphaOnly)
+    assert(t.resolveDirsRangeString("cat", "g", "h").toSet.size === 1)
+    assert(t.snapshotRangeString(spark, "cat", "b", "c").count() === 50)
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("tt13: stale pointer (corrupt or missing target) falls back to full replay") {
     val (root, t) = mkTable("graft_ckpt_ptr_")
     t.append(rows(0, 100))
