@@ -187,6 +187,7 @@ object SparkEntry {
     "tt13_log_checkpoint"  -> ((s, d) => Ingest.txLogCheckpointGate(s, d)),
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
     "tt14_string_zones"    -> ((s, d) => Ingest.txStringZoneGate(s, d)),
+    "k15_v2_required_distribution" -> ((s, d) => Ingest.v2RequiredDistribution(s, d)),
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
@@ -3546,6 +3547,12 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // The layout CONTRACT as literals: one file per cluster key, zero
+    // in-file inversions, row counts from the source table.
+    "k15_v2_required_distribution" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS inversions
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // String zone maps restated as plain VARCHAR BETWEENs (binary
     // collation both engines); the pruning is spec-asserted.
     "tt14_string_zones" ->

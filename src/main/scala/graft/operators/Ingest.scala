@@ -201,6 +201,51 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** Gated k15: DataSource V2 REQUIRED DISTRIBUTION AND ORDERING —
+    * with `clusterBy`/`sortBy` options the sink's Write advertises
+    * `RequiresDistributionAndOrdering`, and SPARK plans the hash
+    * exchange + per-partition sort before any writer runs: the
+    * connector states the layout contract, the engine satisfies it
+    * (the V2-native form of bucketed writes). The gate writes orders
+    * clustered by priority and sorted by orderkey, reads the
+    * published files back WITH their file identity, and hashes the
+    * contract itself: every priority lives in EXACTLY ONE file, and
+    * every file's rows arrive orderkey-sorted (counted as adjacent
+    * inversions in file order — zero). The oracle restates the
+    * contract as literals next to per-priority row counts, so a
+    * regression in the exchange/sort planning flips the hash.
+    */
+  def v2RequiredDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.TmpIO.stableDir("k15")
+    Tables.orders(spark, dir)
+      .selectExpr("o_orderpriority AS prio", "o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+      .repartition(16) // scatter the input so the exchange has work to do
+      .write.format("graft.sources.v2.LocalFileSink")
+      .option("path", root + "/out")
+      .option("clusterBy", "prio").option("sortBy", "k")
+      .mode("append").save()
+    val back = spark.read
+      .schema("prio STRING, k LONG, cents LONG")
+      .csv(root + "/out")
+      .select(col("prio"), col("k"),
+        col("_metadata.file_path").as("f"))
+    // A file may hold several cluster keys (hash partitions are
+    // many-to-one); the sort contract is (prio, k), so k-order holds
+    // WITHIN each (file, prio) run.
+    back
+      .withColumn("prev", lag(col("k"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("f"), col("prio"))
+          .orderBy(monotonically_increasing_id())))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).cast("bigint").as("n_files"),
+        sum(when(col("prev").isNotNull && col("prev") > col("k"), 1L)
+          .otherwise(0L)).cast("bigint").as("inversions"))
+      .orderBy(col("prio"))
+  }
+
   /** Gated k9: DataSource V2 AGGREGATE pushdown end-to-end. The quote
     * universe is the 25 nation names (read from the real parquet dim,
     * collected — a bounded catalog-size transfer), and the query asks

@@ -58,9 +58,34 @@ class LocalFileSinkTable(path: String, tschema: StructType)
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new LocalFileBatchWrite(path, info.schema(), doTruncate)
+      override def build(): Write = {
+        // k15: a sink that DEMANDS layout. With clusterBy/sortBy write
+        // options, the Write advertises RequiresDistributionAndOrdering
+        // and SPARK plans the hash exchange + per-partition sort before
+        // any writer runs — the connector states the contract, the
+        // engine satisfies it (the V2-native form of bucketed writes:
+        // every cluster key lands wholly inside one writer task, rows
+        // arrive sorted, so downstream readers get coarse clustering
+        // for free however the input was partitioned).
+        val cluster = Option(info.options().get("clusterBy")).filter(_.nonEmpty)
+        val sortCol = Option(info.options().get("sortBy")).filter(_.nonEmpty)
+        cluster match {
+          case Some(c) => new Write with RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.identity(c)))
+            override def requiredOrdering(): Array[V2SortOrder] =
+              (c +: sortCol.toSeq).map(s => Expressions.sort(
+                Expressions.identity(s), SortDirection.ASCENDING)).toArray
+            override def toBatch: BatchWrite =
+              new LocalFileBatchWrite(path, info.schema(), doTruncate)
+          }
+          case None => new Write {
+            override def toBatch: BatchWrite =
+              new LocalFileBatchWrite(path, info.schema(), doTruncate)
+          }
+        }
       }
     }
 }

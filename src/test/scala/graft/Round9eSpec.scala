@@ -296,4 +296,28 @@ class Round9eSpec extends SparkSpec {
     assert(r.getDouble(3) === wantRbo)
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
   }
+
+  test("k15: the sink's required distribution is what clusters the files") {
+    // Contract present: one file per priority (the gate hashes this at
+    // the driver). Contract absent: the same 16-partition input
+    // scatters every priority across many files — proving the
+    // clustering came from RequiresDistributionAndOrdering, not luck.
+    val root = tmpDir("graft_k15_spec_")
+    Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority AS prio", "o_orderkey AS k")
+      .repartition(16)
+      .write.format("graft.sources.v2.LocalFileSink")
+      .option("path", root + "/plain").mode("append").save()
+    val scattered = spark.read.schema("prio STRING, k LONG")
+      .csv(root + "/plain")
+      .select(col("prio"), col("_metadata.file_path").as("f"))
+      .groupBy(col("prio")).agg(countDistinct(col("f")).as("nf"))
+      .collect().map(_.getLong(1))
+    assert(scattered.max > 1L,
+      "without the contract, priorities must span multiple files")
+    val clustered = graft.operators.Ingest.v2RequiredDistribution(spark, sf)
+      .collect()
+    assert(clustered.forall(r => r.getLong(2) === 1L && r.getLong(3) === 0L))
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
 }
