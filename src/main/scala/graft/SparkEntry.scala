@@ -196,6 +196,7 @@ object SparkEntry {
     "lof1_local_outliers"  -> ((s, d) => Similarity.lofGate(s, d)),
     "jcs1_join_card_est"   -> ((s, d) => Relational.joinCardStats(s, d)),
     "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
+    "yw1_yule_walker"      -> ((s, d) => graft.operators.Stats.yuleWalkerGate(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3293,6 +3294,37 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Yule-Walker AR(2): exact integer sums over the hourly spine,
+    // identical pinned double assembly on both engines.
+    "yw1_yule_walker" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT x, lag(x, 1) OVER (ORDER BY hr) AS x1,
+        |    lag(x, 2) OVER (ORDER BY hr) AS x2 FROM h),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN x*x1 END) AS BIGINT) AS sxy1,
+        |    CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS sh1,
+        |    CAST(sum(x1) AS BIGINT) AS st1, CAST(count(x1) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN x2 IS NOT NULL THEN x*x2 END) AS BIGINT) AS sxy2,
+        |    CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS sh2,
+        |    CAST(sum(x2) AS BIGINT) AS st2, CAST(count(x2) AS BIGINT) AS n2
+        |  FROM o),
+        |g AS (SELECT n,
+        |    (CAST(sxx AS DOUBLE) - 2.0 * (CAST(sx AS DOUBLE) / n) * sx
+        |      + n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n AS g0,
+        |    (CAST(sxy1 AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sh1 + st1)
+        |      + n1 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n AS g1,
+        |    (CAST(sxy2 AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sh2 + st2)
+        |      + n2 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n AS g2
+        |  FROM s)
+        |SELECT n AS n_hours,
+        |  round(g1 / g0, 9) AS r1, round(g2 / g0, 9) AS r2,
+        |  round((g1 / g0) * (1.0 - g2 / g0)
+        |    / (1.0 - (g1 / g0) * (g1 / g0)), 9) AS phi1,
+        |  round((g2 / g0 - (g1 / g0) * (g1 / g0))
+        |    / (1.0 - (g1 / g0) * (g1 / g0)), 9) AS phi2
+        |FROM g""".stripMargin,
     // Rank-biased overlap between two top-20 rankings; weight
     // constants generated from the same BigDecimal math as the plan.
     "rbo1_rank_overlap" -> rboOracle(),

@@ -593,6 +593,48 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated yw1: AR(2) FIT BY YULE-WALKER — the autoregressive
+    * coefficients every forecasting/backfill pipeline starts from,
+    * from the closed form φ = R⁻¹r over lag-0/1/2 autocovariances
+    * (Levinson-Durbin's first two steps). The corpus collapses to the
+    * calendar-bounded hourly spine in one aggregation; lags come from
+    * two `lag` windows over that bounded frame; every autocovariance
+    * is assembled from EXACT integer sums (Σx, Σx², Σx·x₋ₖ, head/tail
+    * sums) in pinned double order, so the coefficients hash
+    * cross-engine. hw1/ts4 forecast with fixed smoothing constants;
+    * this ESTIMATES the dynamics from the data.
+    */
+  def yuleWalkerGate(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(Ranks.boundedOnePartition(col("hr")))
+      .orderBy(col("hr"))
+    val o = h.select(col("x"), lag(col("x"), 1).over(w).as("x1"),
+      lag(col("x"), 2).over(w).as("x2"))
+    val s = o.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(when(col("x1").isNotNull, col("x") * col("x1"))).as("sxy1"),
+      sum(when(col("x1").isNotNull, col("x"))).as("sh1"),
+      sum(col("x1")).as("st1"), count(col("x1")).as("n1"),
+      sum(when(col("x2").isNotNull, col("x") * col("x2"))).as("sxy2"),
+      sum(when(col("x2").isNotNull, col("x"))).as("sh2"),
+      sum(col("x2")).as("st2"), count(col("x2")).as("n2"))
+    val mu = col("sx").cast("double") / col("n")
+    val g0 = (col("sxx").cast("double") - lit(2.0) * mu * col("sx")
+      + col("n") * mu * mu) / col("n")
+    val g1 = (col("sxy1").cast("double") - mu * (col("sh1") + col("st1"))
+      + col("n1") * mu * mu) / col("n")
+    val g2 = (col("sxy2").cast("double") - mu * (col("sh2") + col("st2"))
+      + col("n2") * mu * mu) / col("n")
+    val (r1, r2) = (g1 / g0, g2 / g0)
+    s.select(col("n").as("n_hours"),
+      round(r1, 9).as("r1"), round(r2, 9).as("r2"),
+      round(r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1), 9).as("phi1"),
+      round((r2 - r1 * r1) / (lit(1.0) - r1 * r1), 9).as("phi2"))
+  }
+
   /** Gated boot1: SUBSAMPLE-ENSEMBLE CONFIDENCE INTERVAL — the
     * distribution-free uncertainty readout for any pipeline metric:
     * B=32 deterministic half-rate WITHOUT-replacement replicas (row ∈

@@ -320,4 +320,24 @@ class Round9eSpec extends SparkSpec {
     assert(clustered.forall(r => r.getLong(2) === 1L && r.getLong(3) === 0L))
     TmpIO.deleteRecursively(new java.io.File(root))
   }
+
+  test("yw1: Yule-Walker coefficients match a literal sequential estimate") {
+    val xs = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("hr")).collect().map(_.getLong(1).toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    def gamma(k: Int): Double =
+      (k until n).map(t => (xs(t) - mu) * (xs(t - k) - mu)).sum / n
+    val (r1, r2) = (gamma(1) / gamma(0), gamma(2) / gamma(0))
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val got = graft.operators.Stats.yuleWalkerGate(spark, sf).head()
+    assert(got.getLong(0) === n.toLong)
+    assert(math.abs(got.getDouble(1) - r1) < 1e-8)
+    assert(math.abs(got.getDouble(2) - r2) < 1e-8)
+    assert(math.abs(got.getDouble(3) - phi1) < 1e-8)
+    assert(math.abs(got.getDouble(4) - phi2) < 1e-8)
+  }
 }
