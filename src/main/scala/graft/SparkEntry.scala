@@ -188,6 +188,7 @@ object SparkEntry {
     "enc1_rle_runs"        -> ((s, d) => Ingest.rleRunsGate(s, d)),
     "tt14_string_zones"    -> ((s, d) => Ingest.txStringZoneGate(s, d)),
     "k15_v2_required_distribution" -> ((s, d) => Ingest.v2RequiredDistribution(s, d)),
+    "tt15_partial_optimize" -> ((s, d) => Ingest.txPartialOptimizeGate(s, d)),
     "t18_gopher_rules"     -> ((s, d) => TextAnalysis.gopherRules(s, d)),
     "ridge1_ridge_fit"     -> ((s, d) => graft.operators.Stats.ridgeFit(s, d)),
     "kt1_kendall_tau"      -> ((s, d) => graft.operators.Stats.kendallTau(s, d)),
@@ -3579,6 +3580,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // Partial OPTIMIZE: physical claim (6 dirs -> 4) as literals next
+    // to logical reads that must be unchanged by the rewrite.
+    "tt15_partial_optimize" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |p AS (SELECT (SELECT max(k) FROM o) // 6 + 1 AS w,
+        |    (SELECT max(k) FROM o) AS mk),
+        |live AS (SELECT * FROM o WHERE cents <= 40000000)
+        |SELECT '1_full' AS phase, CAST(6 AS BIGINT) AS dirs_before,
+        |  CAST(4 AS BIGINT) AS dirs_after, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM live
+        |UNION ALL SELECT '2_low_range', CAST(6 AS BIGINT), CAST(4 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM live, p WHERE k BETWEEN 1 AND 2*w
+        |UNION ALL SELECT '3_high_range', CAST(6 AS BIGINT), CAST(4 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM live, p WHERE k BETWEEN 4*w AND mk
+        |ORDER BY phase""".stripMargin,
     // The layout CONTRACT as literals: one file per cluster key, zero
     // in-file inversions, row counts from the source table.
     "k15_v2_required_distribution" ->

@@ -1326,6 +1326,49 @@ object Ingest {
       .orderBy(col("range_id"))
   }
 
+  /** Gated tt15: PARTIAL OPTIMIZE — compaction scoped by a zone
+    * predicate (`OPTIMIZE ... WHERE`): orders land in 6 orderkey
+    * bands, a merge-on-read delete tombstones high-price rows, then
+    * [[graft.sources.TxTable.optimizeCompactWhere]] compacts ONLY the
+    * bands intersecting the low-key range — cold bands keep their
+    * files, zones, and live tombstones; the rewritten dir materializes
+    * its deletes and carries a fresh zone. The hashed phases pin the
+    * physical claim (6 dirs before, 4 after: three bands fused into
+    * one) next to the logical one (row counts and sums unchanged by
+    * the rewrite, range reads exact through the mixed old/new
+    * layout).
+    */
+  def txPartialOptimizeGate(spark: SparkSession, dir: String,
+                            bands: Int = 6): DataFrame = {
+    val tmp = freshDir("graft_tt15_")
+    val t = new graft.sources.TxTable(s"$tmp/table")
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey AS k",
+        "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+    val maxK = o.agg(max(col("k"))).head.getLong(0)
+    val w = maxK / bands + 1
+    (0 until bands).foreach { i =>
+      t.appendWithStats(
+        o.filter(col("k") >= i * w && col("k") < (i + 1) * w), "k")
+    }
+    t.deleteWhere(spark, col("cents") > lit(40000000L))
+    val before = t.resolveDirs().size.toLong
+    t.optimizeCompactWhere(spark, "k", 0L, 3 * w - 1)
+    val after = t.resolveDirs().size.toLong
+    def phase(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("bigint").as("total_cents"))
+        .select(lit(label).as("phase"),
+          lit(before).as("dirs_before"), lit(after).as("dirs_after"),
+          col("n_rows"), col("total_cents"))
+    graft.TmpIO.collectAndClean(spark, tmp)(
+        phase("1_full", t.snapshot(spark))
+          .unionAll(phase("2_low_range", t.snapshotRange(spark, "k", 1L, 2 * w)))
+          .unionAll(phase("3_high_range",
+            t.snapshotRange(spark, "k", 4 * w, maxK))))
+      .orderBy(col("phase"))
+  }
+
   /** Gated enc1: RLE RUN-COUNT LAYOUT ESTIMATOR — the statistic a
     * layout optimizer (tt8's clustered OPTIMIZE, z1's Z-order) reads
     * to CHOOSE a sort order: for each candidate order and column, the

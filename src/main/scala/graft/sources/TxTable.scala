@@ -898,6 +898,53 @@ class TxTable(val root: String) {
     -1L // unreachable
   }
 
+  /** PARTIAL OPTIMIZE (the Delta `OPTIMIZE ... WHERE` analog): compact
+    * ONLY the dirs whose `statsCol` zone intersects [lo, hi] — the
+    * "compact the hot ingest range, never touch cold history" shape a
+    * streaming table needs weekly at 100 TB (a full rewrite costs the
+    * table; this costs the hot range). Dirs whose zone PROVABLY misses
+    * the range keep their files, their zone annotations and their
+    * active tombstones untouched; dirs without a zone for `statsCol`
+    * are conservatively included (they might hold matching rows).
+    * The rewritten dir materializes merge-on-read deletes for the
+    * range it absorbs and carries a fresh zone; DV dirs are carried
+    * forward — tombstones into retired files become no-ops (the
+    * anti-join is by file path), tombstones into kept files stay
+    * live. Optimistic like every commit.
+    */
+  def optimizeCompactWhere(spark: SparkSession, statsCol: String,
+                           lo: Long, hi: Long,
+                           targetPartitions: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    while (true) {
+      val head = latestVersion().getOrElse(0L)
+      val st = replayLog(None)
+      if (st.dirs.isEmpty)
+        throw new IllegalStateException(s"TxTable $root: nothing to optimize")
+      val (rewrite, keep) = st.dirs.partition { d =>
+        st.zones.getOrElse(d, Map.empty).get(statsCol) match {
+          case Some((mn, mx)) => !(mx < lo || mn > hi)
+          case None => true // unknown extent: must include
+        }
+      }
+      if (rewrite.isEmpty) return head // nothing intersects: no-op
+      val compacted = applyDeletes(spark,
+          spark.read.option("mergeSchema", "true").parquet(rewrite: _*),
+          st.dvs)
+        .coalesce(math.max(targetPartitions, 1))
+      val stage = stageData(compacted)
+      val r = spark.read.parquet(stage)
+        .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
+      val zones =
+        if (r.isNullAt(0)) Nil
+        else Seq((keep.length, statsCol, r.getLong(0), r.getLong(1)))
+      if (tryPublish(head + 1, "overwrite", keep :+ stage,
+          zones = zones, dvs = st.dvs)) return head + 1
+      graft.TmpIO.deleteRecursively(new java.io.File(stage))
+    }
+    -1L // unreachable
+  }
+
   /** OPTIMIZE with CLUSTERING (the Delta `OPTIMIZE ... ZORDER BY`
     * analog): rewrite the visible snapshot bucketed by `cluster`
     * (any deterministic numeric expression — callers pass a Morton

@@ -149,6 +149,34 @@ class LogCheckpointSpec extends SparkSpec {
     TmpIO.deleteRecursively(new java.io.File(root))
   }
 
+  test("tt15: partial optimize rewrites only intersecting dirs; cold dirs untouched") {
+    val (root, t) = mkTable("graft_popt_")
+    t.appendWithStats(rows(0, 100), "k")    // band A
+    t.appendWithStats(rows(100, 200), "k")  // band B
+    t.appendWithStats(rows(200, 300), "k")  // band C
+    t.deleteWhere(spark, col("k") % 10 === 0)
+    val beforeDirs = t.resolveDirs().toVector
+    val coldBefore = t.resolveDirsRange("k", 200, 299).toSet
+
+    val v = t.optimizeCompactWhere(spark, "k", 0, 150) // hits A and B
+    val afterDirs = t.resolveDirs().toVector
+    assert(afterDirs.size === 2, "A+B fused into one dir, C kept")
+    assert(afterDirs.contains(beforeDirs(2)), "cold dir C must keep its files")
+    assert(!afterDirs.contains(beforeDirs(0)) && !afterDirs.contains(beforeDirs(1)))
+    // cold band still zone-pruned to the SAME physical dir
+    assert(t.resolveDirsRange("k", 200, 299).toSet === coldBefore)
+    // rewritten band pruned to ONLY the new dir; fresh zone works
+    val hot = t.resolveDirsRange("k", 0, 150).toSet
+    assert(hot.size === 1 && !beforeDirs.take(2).exists(hot.contains))
+    // logical content unchanged: MoR deletes materialized for hot,
+    // still merge-on-read for cold
+    val want = (0 until 300).filterNot(_ % 10 == 0).map(_.toLong).toSeq
+    assert(t.snapshot(spark).orderBy("k").collect().map(_.getLong(0)).toSeq === want)
+    // disjoint predicate: a no-op that does not bump the version
+    assert(t.optimizeCompactWhere(spark, "k", 5000, 6000) === v)
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("tt13: stale pointer (corrupt or missing target) falls back to full replay") {
     val (root, t) = mkTable("graft_ckpt_ptr_")
     t.append(rows(0, 100))
