@@ -198,6 +198,7 @@ object SparkEntry {
     "jcs1_join_card_est"   -> ((s, d) => Relational.joinCardStats(s, d)),
     "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
     "yw1_yule_walker"      -> ((s, d) => graft.operators.Stats.yuleWalkerGate(s, d)),
+    "att3_position_touch"  -> ((s, d) => graft.operators.Behavior.positionAttribution(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3295,6 +3296,37 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // U-shaped multi-touch credit: per-touch credits quantized to 12
+    // dp before the DECIMAL sum; empty journeys attributed to 'none'.
+    "att3_position_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts FROM events),
+        |seg AS (SELECT *, COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM e),
+        |conv AS (SELECT user_id, s FROM seg WHERE event_type = 'purchase'),
+        |touch AS (SELECT t.user_id, t.s, t.event_type AS touch,
+        |    row_number() OVER (PARTITION BY t.user_id, t.s
+        |      ORDER BY t.ts, t.event_id) AS rn,
+        |    count(*) OVER (PARTITION BY t.user_id, t.s) AS k
+        |  FROM seg t SEMI JOIN conv c ON c.user_id = t.user_id AND c.s = t.s
+        |  WHERE t.event_type <> 'purchase'),
+        |credit AS (SELECT touch,
+        |    CAST(round(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |      WHEN rn = 1 OR rn = k THEN 0.4
+        |      ELSE 0.2 / (k - 2) END, 12) AS DECIMAL(28,12)) AS c
+        |  FROM touch),
+        |none_conv AS (SELECT count(*) AS n FROM conv c
+        |  ANTI JOIN (SELECT DISTINCT user_id, s FROM touch) t
+        |  ON t.user_id = c.user_id AND t.s = c.s)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(c) AS DOUBLE), 6) AS total_credit
+        |FROM credit GROUP BY 1
+        |UNION ALL
+        |SELECT 'none', CAST(n AS BIGINT), round(CAST(n AS DOUBLE), 6)
+        |FROM none_conv WHERE n > 0
+        |ORDER BY touch""".stripMargin,
     // Yule-Walker AR(2): exact integer sums over the hourly spine,
     // identical pinned double assembly on both engines.
     "yw1_yule_walker" ->

@@ -152,6 +152,56 @@ object Behavior {
     * the comparison is bytewise — deterministic across engines; the
     * final share table is |touch types| rows.
     */
+  /** Gated att3: POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION —
+    * the third member of the credit family (att1 = last-touch, att2 =
+    * Markov removal effect): each conversion's journey (the touches
+    * since the previous conversion) splits credit 40/20/40 — first
+    * touch 0.4, last touch 0.4, middle shared — with the k=1/k=2
+    * degenerate cases by the standard convention and empty journeys
+    * attributed to 'none'. Per-touch credits are rounded to 12 dp and
+    * summed as DECIMAL, so per-channel totals are order-invariant and
+    * conservation (Σ credit = conversions) holds to rounding.
+    *
+    * Shape: journeys come from ONE user-keyed exchange (the
+    * segment-id prefix count and the within-journey rank share it);
+    * everything after is channel-keyed counting.
+    */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val wSeg = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = e.withColumn("s",
+      coalesce(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wSeg), lit(0L)))
+    val conv = seg.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("s"))
+    val wj = Window.partitionBy(col("user_id"), col("s"))
+    val touches = seg.filter(col("event_type") =!= "purchase")
+      .join(conv.distinct(), Seq("user_id", "s"), "left_semi")
+      .withColumn("rn",
+        row_number().over(wj.orderBy(col("us"), col("event_id"))))
+      .withColumn("k", count(lit(1)).over(wj))
+    val credit = touches.select(col("event_type").as("touch"),
+      round(when(col("k") === 1, 1.0).when(col("k") === 2, 0.5)
+        .when(col("rn") === 1 || col("rn") === col("k"), 0.4)
+        .otherwise(lit(0.2) / (col("k") - 2)), 12)
+        .cast("decimal(28,12)").as("c"))
+    val channels = credit.groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("c")).cast("double"), 6).as("total_credit"))
+    val none = conv.join(
+        touches.select(col("user_id"), col("s")).distinct(),
+        Seq("user_id", "s"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit("none").as("touch"), col("n").as("n_touches"),
+        round(col("n").cast("double"), 6).as("total_credit"))
+    channels.unionAll(none).orderBy(col("touch"))
+  }
+
   def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),

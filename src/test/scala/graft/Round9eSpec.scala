@@ -340,4 +340,39 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - phi1) < 1e-8)
     assert(math.abs(got.getDouble(4) - phi2) < 1e-8)
   }
+
+  test("att3: credit conserves conversions and matches a literal journey replay") {
+    val out = graft.operators.Behavior.positionAttribution(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(math.abs(out.map(_._3).sum - purchases) < 1e-3,
+      "total credit must equal the number of conversions")
+    // literal replay per user journey
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    for ((_, rows) <- ev.groupBy(_._1)) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var journey = collection.mutable.ListBuffer[String]()
+      for ((_, _, _, ty) <- ordered) {
+        if (ty == "purchase") {
+          val k = journey.length
+          if (k == 0) want("none") += 1.0
+          else journey.zipWithIndex.foreach { case (t, i) =>
+            val c = if (k == 1) 1.0 else if (k == 2) 0.5
+              else if (i == 0 || i == k - 1) 0.4 else 0.2 / (k - 2)
+            want(t) += BigDecimal(c)
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          journey.clear()
+        } else journey += ty
+      }
+    }
+    out.foreach { case (t, _, c) =>
+      assert(math.abs(c - want(t)) < 1e-5, s"credit for channel $t")
+    }
+  }
 }
