@@ -199,6 +199,7 @@ object SparkEntry {
     "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
     "yw1_yule_walker"      -> ((s, d) => graft.operators.Stats.yuleWalkerGate(s, d)),
     "att3_position_touch"  -> ((s, d) => graft.operators.Behavior.positionAttribution(s, d)),
+    "c9_curation_v5"       -> ((s, d) => TextAnalysis.curationV5(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3296,6 +3297,59 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Capstone v5: Gopher filter -> exact dedup -> largest-remainder
+    // budget apportionment -> md5-ordered pick -> corpus card. All
+    // integer arithmetic end to end.
+    "c9_curation_v5" ->
+      raw"""WITH w AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, text,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wl,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$$'))) AS BIGINT) AS ell,
+        |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT) + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'a') AS INT) + CAST(list_contains(ws, 'in') AS INT)
+        |      + CAST(list_contains(ws, 'is') AS INT) + CAST(list_contains(ws, 'it') AS INT)
+        |      + CAST(list_contains(ws, 'for') AS INT) + CAST(list_contains(ws, 'on') AS INT) AS stop_hits
+        |  FROM w),
+        |kept AS (SELECT doc_id, source, text, n_words FROM m
+        |  WHERE (n_words BETWEEN 50 AND 100000)
+        |    AND (3*n_words <= sum_wl AND sum_wl <= 10*n_words)
+        |    AND (10*symbols <= n_words)
+        |    AND (10*bullets <= 9*n_lines) AND (10*ell <= 3*n_lines)
+        |    AND (5*alpha_words >= 4*n_words) AND (stop_hits >= 2)),
+        |dd AS (SELECT doc_id, source, n_words FROM kept
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |avail AS (SELECT source, CAST(count(*) AS BIGINT) AS available
+        |  FROM dd GROUP BY 1),
+        |q AS (SELECT source, available,
+        |    available * 200 // sum(available) OVER () AS base,
+        |    available * 200 % sum(available) OVER () AS rem
+        |  FROM avail),
+        |q2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS xr,
+        |    200 - sum(base) OVER () AS extras FROM q),
+        |alloc AS (SELECT source, available,
+        |    base + CASE WHEN xr <= extras THEN 1 ELSE 0 END AS allocated
+        |  FROM q2),
+        |p AS (SELECT dd.*, row_number() OVER (PARTITION BY dd.source
+        |    ORDER BY md5(CAST(dd.doc_id AS VARCHAR)), dd.doc_id) AS pr
+        |  FROM dd),
+        |picked AS (SELECT p.source, p.n_words, a.available, a.allocated
+        |  FROM p JOIN alloc a ON a.source = p.source
+        |  WHERE p.pr <= a.allocated)
+        |SELECT source, max(available) AS available,
+        |  CAST(max(allocated) AS BIGINT) AS allocated,
+        |  CAST(count(*) AS BIGINT) AS picked_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM picked GROUP BY 1 ORDER BY source""".stripMargin,
     // U-shaped multi-touch credit: per-touch credits quantized to 12
     // dp before the DECIMAL sum; empty journeys attributed to 'none'.
     "att3_position_touch" ->

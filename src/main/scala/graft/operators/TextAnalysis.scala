@@ -1279,13 +1279,33 @@ object TextAnalysis {
     * keyed by source; per-doc flags never leave the map side.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = gopherFlags(Tables.documents(spark, dir))
+    def fails(c: String): Column =
+      sum(when(!col(c), 1L).otherwise(0L)).cast("bigint")
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        fails("r_wc").as("f_wordcount"),
+        fails("r_mwl").as("f_meanwordlen"),
+        fails("r_sym").as("f_symbol"),
+        fails("r_bul").as("f_bullet"),
+        fails("r_ell").as("f_ellipsis"),
+        fails("r_alpha").as("f_alpha"),
+        fails("r_stop").as("f_stopword"))
+      .orderBy(col("source"))
+  }
+
+  /** Doc-level Gopher rule flags (+ the conjunction as `keep`) —
+    * shared by the t18 readout and the c9 capstone's filter stage.
+    */
+  private[operators] def gopherFlags(docs: DataFrame): DataFrame = {
     val ws = col("ws")
     val lines = col("lines")
-    val flagged = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), col("text"),
         words(col("text")).as("ws"),
         split(col("text"), "\n", -1).as("lines"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         size(ws).cast("long").as("n_words"),
         aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_wl"),
         size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
@@ -1297,7 +1317,7 @@ object TextAnalysis {
         size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long").as("ell"),
         Stopwords.map(s => array_contains(ws, s).cast("int"))
           .reduce(_ + _).as("stop_hits"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         (col("n_words").between(50L, 100000L)).as("r_wc"),
         (lit(3L) * col("n_words") <= col("sum_wl")
           && col("sum_wl") <= lit(10L) * col("n_words")).as("r_mwl"),
@@ -1306,20 +1326,64 @@ object TextAnalysis {
         (lit(10L) * col("ell") <= lit(3L) * col("n_lines")).as("r_ell"),
         (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")).as("r_alpha"),
         (col("stop_hits") >= 2).as("r_stop"))
-    def fails(c: String): Column =
-      sum(when(!col(c), 1L).otherwise(0L)).cast("bigint")
-    flagged.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_bul")
-          && col("r_ell") && col("r_alpha") && col("r_stop"), 1L)
-          .otherwise(0L)).cast("bigint").as("n_kept"),
-        fails("r_wc").as("f_wordcount"),
-        fails("r_mwl").as("f_meanwordlen"),
-        fails("r_sym").as("f_symbol"),
-        fails("r_bul").as("f_bullet"),
-        fails("r_ell").as("f_ellipsis"),
-        fails("r_alpha").as("f_alpha"),
-        fails("r_stop").as("f_stopword"))
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_sym") && col("r_bul")
+          && col("r_ell") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** Gated c9: CURATION CAPSTONE v5 — the round's new primitives
+    * composed into one corpus build: Gopher-rule filter
+    * ([[gopherFlags]]) → exact-hash dedup keep-first → per-source
+    * budget APPORTIONMENT by the largest-remainder method (Hamilton):
+    * base_s = ⌊B·n_s/N⌋ by integer division, the B−Σbase leftover
+    * seats go to the largest remainders B·n_s mod N (tie: source
+    * asc) — the standard exact-integer answer to "hit a total budget
+    * with proportional source mixture", no float quota can
+    * over/under-allocate. Selection within a source is the
+    * deterministic md5 order (sa1's convention). Everything is
+    * integer arithmetic end to end; the card hashes.
+    */
+  def curationV5(spark: SparkSession, dir: String, budget: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = gopherFlags(Tables.documents(spark, dir))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val deduped = kept
+      .withColumn("h", md5(col("text")))
+      .withColumn("dr", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("dr") === 1)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .persist()
+    val avail = deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("available"))
+    val wSrc = Window.partitionBy(Ranks.boundedOnePartition(col("source")))
+    val quotas = avail
+      .withColumn("total", sum(col("available")).over(wSrc))
+      .withColumn("base", expr(s"available * $budget div total"))
+      .withColumn("rem", expr(s"available * $budget % total"))
+      .withColumn("extra_rank", row_number().over(
+        wSrc.orderBy(desc("rem"), asc("source"))))
+      .withColumn("extras", lit(budget) - sum(col("base")).over(wSrc))
+      .withColumn("allocated",
+        col("base") + when(col("extra_rank") <= col("extras"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("available"), col("allocated"))
+    val picked = deduped
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(broadcast(quotas), "source")
+      .filter(col("pr") <= col("allocated"))
+    val out = picked.groupBy(col("source"))
+      .agg(max(col("available")).as("available"),
+        max(col("allocated")).as("allocated"),
+        count(lit(1)).as("picked_docs"),
+        sum(col("n_words")).cast("bigint").as("sum_words"))
       .orderBy(col("source"))
+    val rows = out.collect()
+    deduped.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

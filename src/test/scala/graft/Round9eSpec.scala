@@ -375,4 +375,23 @@ class Round9eSpec extends SparkSpec {
       assert(math.abs(c - want(t)) < 1e-5, s"credit for channel $t")
     }
   }
+
+  test("c9: largest-remainder apportionment hits the budget exactly") {
+    val rows = graft.operators.TextAnalysis.curationV5(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val budget = 200L
+    assert(rows.map(_._3).sum === budget, "allocations must sum to the budget")
+    assert(rows.forall(r => r._4 === r._3), "picked == allocated per source")
+    assert(rows.forall(r => r._3 <= r._2), "never allocate beyond availability")
+    // Hamilton replay from the availabilities
+    val n = rows.map(_._2).sum
+    val base = rows.map(r => (r._1, r._2 * budget / n, r._2 * budget % n))
+    val extras = (budget - base.map(_._2).sum).toInt
+    val winners = base.sortBy(t => (-t._3, t._1)).take(extras).map(_._1).toSet
+    base.foreach { case (s, b, _) =>
+      val want = b + (if (winners(s)) 1 else 0)
+      assert(rows.find(_._1 == s).get._3 === want, s"allocation for $s")
+    }
+  }
 }
