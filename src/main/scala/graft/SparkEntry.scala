@@ -200,6 +200,8 @@ object SparkEntry {
     "yw1_yule_walker"      -> ((s, d) => graft.operators.Stats.yuleWalkerGate(s, d)),
     "att3_position_touch"  -> ((s, d) => graft.operators.Behavior.positionAttribution(s, d)),
     "c9_curation_v5"       -> ((s, d) => TextAnalysis.curationV5(s, d)),
+    "st19_stream_sprt"     -> ((s, d) => graft.streaming.StreamSprt.sprtStreamGate(s, d)),
+    "hc1_harmonic_centrality" -> ((s, d) => graft.operators.Graph.harmonicCentrality(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -526,6 +528,37 @@ object SparkEntry {
   private def foldCosine(a: String, b: String): String =
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** Shared by sprt1 (batch walk) and st19 (streaming-state walk):
+    * the Wald SPRT restated over per-variant windows. */
+  private val SprtOracleSql: String =
+
+      """WITH e AS (SELECT user_id % 4 AS variant, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+        |  FROM events),
+        |c AS (SELECT variant, event_id, succ,
+        |    row_number() OVER w AS i, sum(succ) OVER w AS s
+        |  FROM e WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id)),
+        |l AS (SELECT variant, i, s, succ,
+        |    CAST(s AS DECIMAL(28,6)) * 0.510826
+        |      + CAST(i - s AS DECIMAL(28,6)) * (-0.125163) AS llr
+        |  FROM c),
+        |x AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(succ) AS BIGINT) AS n_success,
+        |    min(CASE WHEN llr >= 2.944439 OR llr <= -2.944439 THEN i END)
+        |      AS cross_i
+        |  FROM l GROUP BY 1)
+        |SELECT x.variant, n_events, n_success,
+        |  CASE WHEN cross_i IS NULL THEN 'continue'
+        |       WHEN (SELECT max(llr) FROM l
+        |             WHERE l.variant = x.variant AND l.i = x.cross_i)
+        |            >= 2.944439 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  CAST(COALESCE(cross_i, 0) AS BIGINT) AS crossed_at,
+        |  round(CAST(CAST(n_success AS DECIMAL(28,6)) * 0.510826
+        |    + CAST(n_events - n_success AS DECIMAL(28,6)) * (-0.125163)
+        |    AS DOUBLE), 6) AS final_llr
+        |FROM x ORDER BY variant""".stripMargin
 
   /** rbo1's oracle: weight constants generated from the SAME
     * BigDecimal math the Spark plan embeds ([[graft.operators.Quality
@@ -3297,6 +3330,29 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Harmonic centrality via per-seed BFS min-distances; 12-dp 1/d
+    // weights summed as DECIMAL (the bitmask pass computes the same
+    // per-(seed, dist) counts in one BSP sweep).
+    "hc1_harmonic_centrality" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey*2 AS src,
+        |    l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |seeds AS (SELECT node FROM
+        |    (SELECT DISTINCT src AS node FROM ed WHERE src % 2 = 0) t
+        |  ORDER BY node LIMIT 8),
+        |walk AS (
+        |  SELECT s.node AS seed, s.node AS node, 0 AS dist FROM seeds s
+        |  UNION
+        |  SELECT w.seed, e.dst AS node, w.dist + 1 AS dist FROM walk w
+        |  JOIN ed e ON w.node = e.src WHERE w.dist < 4),
+        |md AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT CAST(seed // 2 AS BIGINT) AS seed_custkey,
+        |  CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+        |  round(CAST(sum(CASE WHEN dist > 0
+        |      THEN CAST(round(1.0/dist, 12) AS DECIMAL(28,12)) END)
+        |    AS DOUBLE), 6) AS harmonic
+        |FROM md GROUP BY 1 ORDER BY seed_custkey""".stripMargin,
     // Capstone v5: Gopher filter -> exact dedup -> largest-remainder
     // budget apportionment -> md5-ordered pick -> corpus card. All
     // integer arithmetic end to end.
@@ -3491,34 +3547,11 @@ object SparkEntry {
          |  CAST(nn AS BIGINT) AS n_neighbors, lof
          |FROM lof ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin,
     // Wald SPRT with pre-rounded DECIMAL weights: the whole LLR path
-    // is exact integer×decimal arithmetic — no ln at runtime.
-    "sprt1_sequential_test" ->
-      """WITH e AS (SELECT user_id % 4 AS variant, ts, event_id,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
-        |  FROM events),
-        |c AS (SELECT variant, event_id, succ,
-        |    row_number() OVER w AS i, sum(succ) OVER w AS s
-        |  FROM e WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id)),
-        |l AS (SELECT variant, i, s, succ,
-        |    CAST(s AS DECIMAL(28,6)) * 0.510826
-        |      + CAST(i - s AS DECIMAL(28,6)) * (-0.125163) AS llr
-        |  FROM c),
-        |x AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
-        |    CAST(sum(succ) AS BIGINT) AS n_success,
-        |    min(CASE WHEN llr >= 2.944439 OR llr <= -2.944439 THEN i END)
-        |      AS cross_i
-        |  FROM l GROUP BY 1)
-        |SELECT x.variant, n_events, n_success,
-        |  CASE WHEN cross_i IS NULL THEN 'continue'
-        |       WHEN (SELECT max(llr) FROM l
-        |             WHERE l.variant = x.variant AND l.i = x.cross_i)
-        |            >= 2.944439 THEN 'accept_h1'
-        |       ELSE 'accept_h0' END AS decision,
-        |  CAST(COALESCE(cross_i, 0) AS BIGINT) AS crossed_at,
-        |  round(CAST(CAST(n_success AS DECIMAL(28,6)) * 0.510826
-        |    + CAST(n_events - n_success AS DECIMAL(28,6)) * (-0.125163)
-        |    AS DOUBLE), 6) AS final_llr
-        |FROM x ORDER BY variant""".stripMargin,
+    // is exact integer×decimal arithmetic — no ln at runtime. The
+    // SAME oracle checks the batch walk (sprt1) and the streaming-
+    // state walk (st19): batch ≡ stream is part of the hash.
+    "sprt1_sequential_test" -> SprtOracleSql,
+    "st19_stream_sprt" -> SprtOracleSql,
     // Modularity of the nation partition on the trade graph: pure
     // counting on the edge list, per-community contributions.
     "mod1_graph_modularity" ->

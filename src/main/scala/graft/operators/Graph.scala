@@ -891,6 +891,84 @@ object Graph {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Gated hc1: HARMONIC CENTRALITY of a seed set via ONE multi-source
+    * BFS with a BITMASK frontier — per node, one long whose bit i says
+    * "seed i has reached me"; each hop is one edge join + one `bit_or`
+    * aggregation, so K seeds cost ONE BSP pass instead of K (the
+    * classic multi-source trick: the OR of reachability masks is
+    * exactly simultaneous BFS, because masks are monotone). Newly-set
+    * bits at hop h are nodes at distance exactly h from that seed;
+    * harmonic centrality C(s) = Σ_v 1/d(s,v) accumulates from the
+    * per-hop per-seed counts with 12-dp-rounded 1/h weights (exact
+    * decimals), driver-side over ≤ maxHops·K scalars.
+    *
+    * Scale: edges persisted hash-partitioned on the join key (bfs1's
+    * discipline), mask frame is node-cardinality with ONE long of
+    * state however many seeds ≤ 64; one action per hop.
+    */
+  def harmonicCentrality(spark: SparkSession, dir: String,
+                         nSeeds: Int = 8, maxHops: Int = 4): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 8 smallest customer nodes: a bounded, deterministic seed panel.
+    val seedKeys = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0)
+      .orderBy(col("node")).limit(nSeeds)
+      .collect().map(_.getLong(0))
+    import spark.implicits._
+    var mask = seedKeys.zipWithIndex
+      .map { case (nd, i) => (nd, 1L << i) }.toSeq
+      .toDF("node", "mask")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val harmonic = Array.fill(seedKeys.length)(BigDecimal(0))
+    val reached = Array.fill(seedKeys.length)(0L)
+    var h = 0
+    var live = true
+    var retired = List.empty[DataFrame]
+    while (live && h < maxHops) {
+      h += 1
+      val prop = mask.join(edges, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("bit_or(mask)").as("nm"))
+      val merged = mask.select(col("node"), col("mask").as("om"))
+        .join(prop, Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("coalesce(om, 0) | coalesce(nm, 0)").as("mask"),
+          expr("coalesce(nm, 0) & ~coalesce(om, 0)").as("newly"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = merged.agg(
+        seedKeys.indices.map(i =>
+          sum(expr(s"(newly >> $i) & 1")).as(s"c$i")).head,
+        seedKeys.indices.map(i =>
+          sum(expr(s"(newly >> $i) & 1")).as(s"c$i")).tail: _*).head()
+      val w = BigDecimal(1.0 / h).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      live = false
+      seedKeys.indices.foreach { i =>
+        val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        if (c > 0) live = true
+        harmonic(i) += w * c
+        reached(i) += c
+      }
+      retired = merged :: mask :: retired
+      mask = merged.select(col("node"), col("mask"))
+    }
+    (edges :: retired).foreach(_.unpersist())
+    val out = seedKeys.zipWithIndex.map { case (nd, i) =>
+      (nd / 2, reached(i), harmonic(i).bigDecimal)
+    }.toSeq.toDF("seed_custkey", "n_reached", "h_exact")
+    out.select(col("seed_custkey"), col("n_reached"),
+        round(col("h_exact").cast("decimal(28,12)").cast("double"), 6)
+          .as("harmonic"))
+      .orderBy(col("seed_custkey"))
+  }
+
   /** Gated mod1: NEWMAN MODULARITY of the nation partition on the
     * bipartite trade graph — the quality functional every community-
     * detection method (Louvain, Leiden, label propagation's stopping

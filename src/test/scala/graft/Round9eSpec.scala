@@ -394,4 +394,36 @@ class Round9eSpec extends SparkSpec {
       assert(rows.find(_._1 == s).get._3 === want, s"allocation for $s")
     }
   }
+
+  test("hc1: bitmask multi-source BFS matches per-seed literal BFS") {
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = collection.mutable.Map[Long, collection.mutable.Set[Long]]()
+    for ((a, b) <- pairs) {
+      adj.getOrElseUpdate(a, collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set()) += a
+    }
+    val seeds = adj.keys.filter(_ % 2 == 0).toSeq.sorted.take(8)
+    val maxHops = 4
+    val want = seeds.map { s =>
+      val dist = collection.mutable.Map(s -> 0)
+      var frontier = Set(s); var h = 0
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        frontier.foreach(dist(_) = h)
+      }
+      val others = dist.filter(_._2 > 0)
+      val harm = others.values
+        .map(d => BigDecimal(1.0 / d).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      (s / 2, others.size.toLong,
+        BigDecimal(harm.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.Graph.harmonicCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+  }
 }
