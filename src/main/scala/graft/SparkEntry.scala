@@ -202,6 +202,8 @@ object SparkEntry {
     "c9_curation_v5"       -> ((s, d) => TextAnalysis.curationV5(s, d)),
     "st19_stream_sprt"     -> ((s, d) => graft.streaming.StreamSprt.sprtStreamGate(s, d)),
     "hc1_harmonic_centrality" -> ((s, d) => graft.operators.Graph.harmonicCentrality(s, d)),
+    "ney1_neyman_allocation" -> ((s, d) => graft.operators.Stats.neymanAllocation(s, d)),
+    "wil1_wilson_ci"       -> ((s, d) => graft.operators.Stats.wilsonIntervals(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3330,6 +3332,46 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Neyman allocation: exact DECIMAL sufficient sums -> quantized
+    // weights -> the same Hamilton integer apportionment as c9.
+    "ney1_neyman_allocation" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |s AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents*cents) AS DECIMAL(38,0)) AS sxx
+        |  FROM o GROUP BY 1),
+        |sd AS (SELECT prio, n,
+        |    round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |      / (n - 1)), 6) AS sdev
+        |  FROM s),
+        |wq AS (SELECT prio, n, sdev,
+        |    CAST(round(n * sdev, 0) AS BIGINT) AS u FROM sd),
+        |h AS (SELECT prio, n, sdev, u,
+        |    u * 1000 // sum(u) OVER () AS base,
+        |    u * 1000 % sum(u) OVER () AS rem FROM wq),
+        |h2 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, prio) AS xr,
+        |    1000 - sum(base) OVER () AS extras FROM h)
+        |SELECT prio, n AS n_rows, sdev AS sd_cents,
+        |  CAST(base + CASE WHEN xr <= extras THEN 1 ELSE 0 END AS BIGINT)
+        |    AS allocated
+        |FROM h2 ORDER BY prio""".stripMargin,
+    // Wilson score interval: closed form over exact counts, pinned
+    // double order, z constant shared verbatim.
+    "wil1_wilson_ci" ->
+      """WITH s AS (SELECT o_orderpriority AS prio,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nf
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT prio, n, nf, CAST(nf AS DOUBLE) / n AS p,
+        |    1.959964 AS z FROM s)
+        |SELECT prio, n, nf, round(p, 6) AS p_hat,
+        |  round((p + z*z/(2*n) - z * sqrt(p*(1.0-p)/n + z*z/(4.0*n*n)))
+        |    / (1.0 + z*z/n), 9) AS wilson_lo,
+        |  round((p + z*z/(2*n) + z * sqrt(p*(1.0-p)/n + z*z/(4.0*n*n)))
+        |    / (1.0 + z*z/n), 9) AS wilson_hi
+        |FROM w ORDER BY prio""".stripMargin,
     // Harmonic centrality via per-seed BFS min-distances; 12-dp 1/d
     // weights summed as DECIMAL (the bitmask pass computes the same
     // per-(seed, dist) counts in one BSP sweep).

@@ -593,6 +593,74 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated ney1: NEYMAN ALLOCATION — the optimal-stratified-sampling
+    * design primitive: allocate a sample budget across strata
+    * proportional to N_h·S_h (big AND volatile strata get more
+    * budget), which minimizes the stratified estimator's variance for
+    * a fixed total n. Per-stratum stddevs come from exact DECIMAL
+    * sufficient sums; the real-valued quotas are quantized (sd to
+    * 6 dp, weights to integers) and apportioned by the SAME exact
+    * Hamilton integer arithmetic as c9 — so the allocation hashes,
+    * with no float quota boundary in sight. One corpus aggregation;
+    * everything else runs on the stratum frame.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       budget: Int = 1000): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("bigint").as("sx"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sxx"))
+    val sd = s.select(col("prio"), col("n"),
+      round(sqrt((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx") / col("n"))
+        / (col("n") - 1)), 6).as("sdev"))
+    val wS = Window.partitionBy(Ranks.boundedOnePartition(col("prio")))
+    sd.withColumn("u", round(col("n") * col("sdev"), 0).cast("long"))
+      .withColumn("tu", sum(col("u")).over(wS))
+      .withColumn("base", expr(s"u * $budget div tu"))
+      .withColumn("rem", expr(s"u * $budget % tu"))
+      .withColumn("xr",
+        row_number().over(wS.orderBy(desc("rem"), asc("prio"))))
+      .withColumn("extras", lit(budget) - sum(col("base")).over(wS))
+      .select(col("prio"), col("n").as("n_rows"),
+        col("sdev").as("sd_cents"),
+        (col("base") + when(col("xr") <= col("extras"), 1L).otherwise(0L))
+          .cast("bigint").as("allocated"))
+      .orderBy(col("prio"))
+  }
+
+  /** Gated wil1: WILSON SCORE INTERVALS per stratum — the proportion
+    * CI that behaves at small n and extreme p (the Wald interval a
+    * naive readout uses collapses there): closed form over exact
+    * (n, successes) counts with the z=1.959964 constant, evaluated
+    * in pinned double order. The uncertainty column every rate
+    * readout (conversion, failure share, filter hit-rate) should
+    * carry; one aggregation, one formula.
+    */
+  def wilsonIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959964)
+    val s = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .cast("bigint").as("nf"))
+    val p = col("nf").cast("double") / col("n")
+    val half = z * sqrt(p * (lit(1.0) - p) / col("n")
+      + z * z / (lit(4.0) * col("n") * col("n")))
+    val denom = lit(1.0) + z * z / col("n")
+    s.select(col("prio"), col("n"), col("nf"),
+        round(p, 6).as("p_hat"),
+        round((p + z * z / (lit(2) * col("n")) - half) / denom, 9)
+          .as("wilson_lo"),
+        round((p + z * z / (lit(2) * col("n")) + half) / denom, 9)
+          .as("wilson_hi"))
+      .orderBy(col("prio"))
+  }
+
   /** Gated yw1: AR(2) FIT BY YULE-WALKER — the autoregressive
     * coefficients every forecasting/backfill pipeline starts from,
     * from the closed form φ = R⁻¹r over lag-0/1/2 autocovariances

@@ -426,4 +426,40 @@ class Round9eSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === want)
   }
+
+  test("ney1: allocations sum to the budget and follow N*S ordering") {
+    val rows = graft.operators.Stats.neymanAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._4).sum === 1000L)
+    // allocation order must match the N_h * S_h weight order
+    val byWeight = rows.sortBy(r => -r._2 * r._3).map(_._1).toSeq
+    val byAlloc = rows.sortBy(r => -r._4).map(_._1).toSeq
+    assert(byWeight === byAlloc)
+    // literal per-stratum stddev replay
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (p, n, sdev, _) =>
+      val xs = cents.filter(_._1 == p).map(_._2.toDouble)
+      assert(xs.length.toLong === n)
+      val mu = xs.sum / xs.length
+      val s = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1))
+      assert(math.abs(sdev - s) < 1.0, s"stddev for $p") // exact-sum form differs by fp only
+    }
+  }
+
+  test("wil1: intervals bracket p_hat and shrink with n; literal formula replay") {
+    val rows = graft.operators.Stats.wilsonIntervals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val z = 1.959964
+    rows.foreach { case (p0, n, nf, ph, lo, hi) =>
+      assert(lo < ph && ph < hi, s"bracket for $p0")
+      val p = nf.toDouble / n
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      val denom = 1.0 + z * z / n
+      assert(math.abs(lo - (p + z * z / (2 * n) - half) / denom) < 1e-8)
+      assert(math.abs(hi - (p + z * z / (2 * n) + half) / denom) < 1e-8)
+    }
+  }
 }
