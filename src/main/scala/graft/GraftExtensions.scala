@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcBoundsExpr, CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr, SortedIntersectWeightSumExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import graft.functions.{AhoCorasickCountExpr, AhoCorasickDistinctExpr, CdcBoundsExpr, CharTrigramsExpr, DeflateSizeExpr, DotProductExpr, JaroWinklerExpr, NfcNormalizeExpr, PolyFingerprintExpr, SimHashSigExpr, SortedIntersectCountExpr, SortedIntersectWeightSumExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` users get
@@ -71,7 +72,26 @@ object GraftExtensions {
     "sorted_intersect_weight_sum" ->
       ((c: Seq[Expression]) => { val v = arity("sorted_intersect_weight_sum", 3, c); SortedIntersectWeightSumExpr(v(0), v(1), v(2)) }),
     "cdc_bounds" ->
-      ((c: Seq[Expression]) => CdcBoundsExpr(arity("cdc_bounds", 1, c).head)))
+      ((c: Seq[Expression]) => CdcBoundsExpr(arity("cdc_bounds", 1, c).head)),
+    "ac_count" ->
+      ((c: Seq[Expression]) => { val v = arity("ac_count", 2, c)
+        AhoCorasickCountExpr(v(0), litPatterns("ac_count", v(1))) }),
+    "ac_distinct" ->
+      ((c: Seq[Expression]) => { val v = arity("ac_distinct", 2, c)
+        AhoCorasickDistinctExpr(v(0), litPatterns("ac_distinct", v(1))) }))
+
+  /** The Aho–Corasick automaton is built at PLAN time from the pattern
+    * dictionary, so the SQL form takes the dictionary as a
+    * comma-separated STRING LITERAL — the one shape that is already a
+    * Literal when the function builder runs (analysis hasn't folded
+    * anything yet).
+    */
+  private def litPatterns(fn: String, e: Expression): Seq[String] = e match {
+    case Literal(s, StringType) if s != null =>
+      s.toString.split(",").toSeq.filter(_.nonEmpty)
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the pattern dictionary must be a comma-separated string literal")
+  }
 
   private def exprClass(name: String): String = name match {
     case "poly_fingerprint" => classOf[PolyFingerprintExpr].getName
@@ -84,5 +104,7 @@ object GraftExtensions {
     case "simhash64"        => classOf[SimHashSigExpr].getName
     case "sorted_intersect_weight_sum" => classOf[SortedIntersectWeightSumExpr].getName
     case "cdc_bounds"       => classOf[CdcBoundsExpr].getName
+    case "ac_count"         => classOf[AhoCorasickCountExpr].getName
+    case "ac_distinct"      => classOf[AhoCorasickDistinctExpr].getName
   }
 }

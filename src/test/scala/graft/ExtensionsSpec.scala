@@ -148,6 +148,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(k("jellyfish", "smellyfish") == k("smellyfish", "jellyfish"))
   }
 
+  test("ac_count/ac_distinct are SQL-callable with a literal dictionary") {
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    val r = spark.sql(
+      "SELECT ac_count('abcabc', 'ab,bc') AS n, ac_distinct('abcabc', 'ab,bc,zz') AS d")
+      .head()
+    assert(r.getLong(0) === 4L) // ab@0, bc@1, ab@3, bc@4 — overlaps counted
+    assert(r.getLong(1) === 2L)
+    // a non-literal dictionary is rejected at build time
+    val e = intercept[Exception] {
+      spark.sql("SELECT ac_count('x', concat('a', 'b' || rand())) ").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("salted join equals plain join on skewed data") {
     val left = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toDouble))
       .toDF("k", "x") // key 1 is hot
