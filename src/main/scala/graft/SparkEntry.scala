@@ -204,6 +204,8 @@ object SparkEntry {
     "hc1_harmonic_centrality" -> ((s, d) => graft.operators.Graph.harmonicCentrality(s, d)),
     "ney1_neyman_allocation" -> ((s, d) => graft.operators.Stats.neymanAllocation(s, d)),
     "wil1_wilson_ci"       -> ((s, d) => graft.operators.Stats.wilsonIntervals(s, d)),
+    "cor2_partial_corr"    -> ((s, d) => graft.operators.Stats.partialCorrelation(s, d)),
+    "gini2_best_split"     -> ((s, d) => graft.operators.Stats.bestGiniSplit(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3332,6 +3334,52 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Partial correlation from the three pairwise Pearson r's; all
+    // ten sufficient sums DECIMAL-exact before the double assembly.
+    "cor2_partial_corr" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DECIMAL(30,2)) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y,
+        |    CAST(round(l_discount*100) AS BIGINT) AS z FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(z) AS DOUBLE) AS sz,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))*y) AS DOUBLE) AS syy,
+        |    CAST(sum(z*z) AS DOUBLE) AS szz,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x*z) AS DOUBLE) AS sxz,
+        |    CAST(sum(y*z) AS DOUBLE) AS syz FROM f),
+        |r AS (SELECT n,
+        |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS rxy,
+        |  (n*sxz - sx*sz) / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz)) AS rxz,
+        |  (n*syz - sy*sz) / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz)) AS ryz
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_rows, round(rxy, 9) AS r_xy,
+        |  round(rxz, 9) AS r_xz, round(ryz, 9) AS r_yz,
+        |  round((rxy - rxz*ryz)
+        |    / (sqrt(1.0 - rxz*rxz) * sqrt(1.0 - ryz*ryz)), 9) AS r_xy_given_z
+        |FROM r""".stripMargin,
+    // Optimal Gini split: cumulative class counts over the distinct-
+    // value spine, 12-dp impurities, argmin with threshold tie-break.
+    "gini2_best_split" ->
+      """WITH f AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS p FROM f GROUP BY 1),
+        |c AS (SELECT v, sum(n) OVER w AS cn, sum(p) OVER w AS cp,
+        |    (SELECT sum(n) FROM g) AS tn, (SELECT sum(p) FROM g) AS tp
+        |  FROM g WINDOW w AS (ORDER BY v)),
+        |s AS (SELECT v, cn, cp, tn, tp FROM c WHERE cn < tn),
+        |gini AS (SELECT v,
+        |    round((CAST(cn AS DOUBLE)/tn)
+        |      * (2.0*(CAST(cp AS DOUBLE)/cn)*(1.0 - CAST(cp AS DOUBLE)/cn))
+        |    + (CAST(tn - cn AS DOUBLE)/tn)
+        |      * (2.0*(CAST(tp - cp AS DOUBLE)/(tn - cn))
+        |         *(1.0 - CAST(tp - cp AS DOUBLE)/(tn - cn))), 12) AS wg
+        |  FROM s)
+        |SELECT CAST(v AS BIGINT) AS split_at, wg AS weighted_gini
+        |FROM gini ORDER BY wg, split_at LIMIT 1""".stripMargin,
     // Neyman allocation: exact DECIMAL sufficient sums -> quantized
     // weights -> the same Hamilton integer apportionment as c9.
     "ney1_neyman_allocation" ->

@@ -593,6 +593,87 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated cor2: PARTIAL CORRELATION r_xy·z — the confounder-adjusted
+    * association (does quantity relate to price once discount is held
+    * fixed), from the closed form over the three pairwise Pearson
+    * correlations: r_xy·z = (r_xy − r_xz·r_yz)/√(1−r_xz²)√(1−r_yz²).
+    * ONE aggregation of ten DECIMAL-exact sufficient sums (ridge1's
+    * discipline — products widened before summing so no partitioning
+    * can change a bit), then pinned double assembly. cor1 gives the
+    * raw matrix; this is the inference step people actually take
+    * next.
+    */
+  def partialCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("decimal(30,2)").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    val s = f.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("z")).cast("double").as("sz"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"),
+      sum(col("z") * col("z")).cast("double").as("szz"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("z")).cast("double").as("sxz"),
+      sum(col("y") * col("z")).cast("double").as("syz"))
+    def r(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column =
+      (col("n") * sab - sa * sb) /
+        (sqrt(col("n") * saa - sa * sa) * sqrt(col("n") * sbb - sb * sb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    s.select(col("n").cast("bigint").as("n_rows"),
+      round(rxy, 9).as("r_xy"), round(rxz, 9).as("r_xz"),
+      round(ryz, 9).as("r_yz"),
+      round((rxy - rxz * ryz)
+        / (sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz)), 9)
+        .as("r_xy_given_z"))
+  }
+
+  /** Gated gini2: OPTIMAL BINARY SPLIT by weighted Gini impurity —
+    * the decision-stump / supervised-discretization primitive: scan
+    * every candidate threshold on price and report the one minimizing
+    * left/right class impurity for the return flag. The scan that
+    * looks like "sort everything through one task" runs as: one
+    * groupBy to the distinct-value spine, two distributed exclusive
+    * prefix sums ([[Ranks.withExclusivePrefixSum]] — no single-
+    * partition window), per-row impurity arithmetic, and ONE
+    * min(struct) reduce for the argmin. Impurities are rounded to
+    * 12 dp so the argmin tie-break (then lowest threshold) is
+    * engine-stable.
+    */
+  def bestGiniSplit(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val f = Tables.lineitem(spark, dir).select(
+      round(col("l_extendedprice") * 100).cast("long").as("v"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+    val g = f.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val cn = Ranks.withExclusivePrefixSum(
+      g, Seq(col("v").asc), col("cnt"), np, "cn_ex")
+      .select(col("v"), col("cnt"), (col("cn_ex") + col("cnt")).as("cn"))
+    val cp = Ranks.withExclusivePrefixSum(
+      g, Seq(col("v").asc), col("p"), np, "cp_ex")
+      .select(col("v"), (col("cp_ex") + col("p")).as("cp"))
+    val tot = g.agg(sum(col("cnt")).as("tn"), sum(col("p")).as("tp"))
+    val j = cn.join(cp, "v").crossJoin(broadcast(tot))
+      .filter(col("cn") < col("tn"))
+    val pl = col("cp").cast("double") / col("cn")
+    val pr = (col("tp") - col("cp")).cast("double") / (col("tn") - col("cn"))
+    val wg = round(
+      (col("cn").cast("double") / col("tn")) * (lit(2.0) * pl * (lit(1.0) - pl))
+        + ((col("tn") - col("cn")).cast("double") / col("tn"))
+          * (lit(2.0) * pr * (lit(1.0) - pr)), 12)
+    j.select(col("v"), wg.as("wg"))
+      .agg(min(struct(col("wg"), col("v"))).as("best"))
+      .select(col("best.v").cast("bigint").as("split_at"),
+        col("best.wg").as("weighted_gini"))
+  }
+
   /** Gated ney1: NEYMAN ALLOCATION — the optimal-stratified-sampling
     * design primitive: allocate a sample budget across strata
     * proportional to N_h·S_h (big AND volatile strata get more

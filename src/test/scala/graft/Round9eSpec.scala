@@ -448,6 +448,53 @@ class Round9eSpec extends SparkSpec {
     }
   }
 
+  test("cor2: partial correlation matches a literal three-variable replay") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = rows.length.toDouble
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      val saa = a.map(x => x * x).sum; val sbb = b.map(x => x * x).sum
+      (n * sab - sa * sb) / (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    val (x, y, z) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxy, rxz, ryz) = (pearson(x, y), pearson(x, z), pearson(y, z))
+    val want = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    val got = graft.operators.Stats.partialCorrelation(spark, sf).head()
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - rxy) < 1e-8)
+    assert(math.abs(got.getDouble(4) - want) < 1e-8)
+  }
+
+  test("gini2: the argmin threshold matches a brute-force impurity scan") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byV = rows.groupBy(_._1).map { case (v, g) =>
+      (v, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val (tn, tp) = (byV.map(_._2).sum.toDouble, byV.map(_._3).sum.toDouble)
+    var (cn, cp) = (0.0, 0.0)
+    var best = (Double.MaxValue, Long.MaxValue)
+    for ((v, nn, pp) <- byV) {
+      cn += nn; cp += pp
+      if (cn < tn) {
+        val pl = cp / cn; val pr = (tp - cp) / (tn - cn)
+        val wg = BigDecimal((cn / tn) * (2.0 * pl * (1.0 - pl))
+          + ((tn - cn) / tn) * (2.0 * pr * (1.0 - pr)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (wg < best._1 || (wg == best._1 && v < best._2)) best = (wg, v)
+      }
+    }
+    val got = graft.operators.Stats.bestGiniSplit(spark, sf).head()
+    assert(got.getLong(0) === best._2)
+    assert(math.abs(got.getDouble(1) - best._1) < 1e-11)
+  }
+
   test("wil1: intervals bracket p_hat and shrink with n; literal formula replay") {
     val rows = graft.operators.Stats.wilsonIntervals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
