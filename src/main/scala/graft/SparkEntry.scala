@@ -206,6 +206,7 @@ object SparkEntry {
     "wil1_wilson_ci"       -> ((s, d) => graft.operators.Stats.wilsonIntervals(s, d)),
     "cor2_partial_corr"    -> ((s, d) => graft.operators.Stats.partialCorrelation(s, d)),
     "gini2_best_split"     -> ((s, d) => graft.operators.Stats.bestGiniSplit(s, d)),
+    "maha1_mahalanobis"    -> ((s, d) => graft.operators.Stats.mahalanobisOutliers(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3334,6 +3335,27 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Mahalanobis top-k on the (order-count, spend) profile: exact
+    // sums -> 2x2 covariance inverse in pinned double order.
+    "maha1_mahalanobis" ->
+      """WITH f AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))*y) AS DOUBLE) AS syy,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy FROM f),
+        |m AS (SELECT n, sx/n AS mx, sy/n AS my,
+        |    (sxx - sx*sx/n) / (n - 1) AS vxx,
+        |    (syy - sy*sy/n) / (n - 1) AS vyy,
+        |    (sxy - sx*sy/n) / (n - 1) AS vxy FROM s),
+        |d AS (SELECT f.k,
+        |    round(((f.x - mx)*(f.x - mx)*vyy - 2.0*(f.x - mx)*(f.y - my)*vxy
+        |      + (f.y - my)*(f.y - my)*vxx) / (vxx*vyy - vxy*vxy), 6) AS d2
+        |  FROM f CROSS JOIN m)
+        |SELECT k AS custkey, d2 AS mahalanobis_sq
+        |FROM d ORDER BY d2 DESC, k LIMIT 10""".stripMargin,
     // Partial correlation from the three pairwise Pearson r's; all
     // ten sufficient sums DECIMAL-exact before the double assembly.
     "cor2_partial_corr" ->

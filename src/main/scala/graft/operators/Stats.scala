@@ -593,6 +593,51 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated maha1: MAHALANOBIS OUTLIERS on the per-customer
+    * (order-count, spend) profile — the multivariate complement of
+    * od1 (univariate MAD) and lof1 (local density): distance is
+    * measured in covariance-whitened units, so a customer who is
+    * moderately extreme on BOTH correlated axes scores higher than
+    * one extreme on a single axis (the case marginal z-scores miss).
+    * Exact DECIMAL sufficient sums → the 2×2 covariance and its
+    * closed-form inverse in pinned double order → per-row d² inside
+    * the plan → one TakeOrdered top-k. Two aggregations and a
+    * broadcast of five scalars, whatever the customer count.
+    */
+  def mahalanobisOutliers(spark: SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    val f = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .persist()
+    val m = f.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(
+        (col("sx") / col("n")).as("mx"), (col("sy") / col("n")).as("my"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("vxx"),
+        ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)).as("vyy"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("vxy"))
+    val dx = col("x") - col("mx")
+    val dy = col("y") - col("my")
+    val out = f.crossJoin(broadcast(m))
+      .select(col("k").as("custkey"),
+        round((dx * dx * col("vyy") - lit(2.0) * dx * dy * col("vxy")
+          + dy * dy * col("vxx"))
+          / (col("vxx") * col("vyy") - col("vxy") * col("vxy")), 6)
+          .as("mahalanobis_sq"))
+      .orderBy(desc("mahalanobis_sq"), asc("custkey"))
+      .limit(k)
+    val rows = out.collect()
+    f.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated cor2: PARTIAL CORRELATION r_xy·z — the confounder-adjusted
     * association (does quantity relate to price once discount is held
     * fixed), from the closed form over the three pairwise Pearson

@@ -495,6 +495,31 @@ class Round9eSpec extends SparkSpec {
     assert(math.abs(got.getDouble(1) - best._1) < 1e-11)
   }
 
+  test("maha1: distances match a literal whitened-metric replay") {
+    val prof = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long"),
+        sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = prof.length.toDouble
+    val (mx, my) = (prof.map(_._2).sum / n, prof.map(_._3).sum / n)
+    val vxx = prof.map(p => (p._2 - mx) * (p._2 - mx)).sum / (n - 1)
+    val vyy = prof.map(p => (p._3 - my) * (p._3 - my)).sum / (n - 1)
+    val vxy = prof.map(p => (p._2 - mx) * (p._3 - my)).sum / (n - 1)
+    val det = vxx * vyy - vxy * vxy
+    val want = prof.map { case (k, x, y) =>
+      val (dx, dy) = (x - mx, y - my)
+      (k, (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det)
+    }.sortBy(t => (-t._2, t._1)).take(10)
+    val got = graft.operators.Stats.mahalanobisOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, gd), (_, wd)) =>
+      assert(math.abs(gd - wd) < 1e-5) }
+    // whitened metric: the top outlier must dominate marginal z-scores
+    assert(got.head._2 > 3.0)
+  }
+
   test("wil1: intervals bracket p_hat and shrink with n; literal formula replay") {
     val rows = graft.operators.Stats.wilsonIntervals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
