@@ -207,6 +207,7 @@ object SparkEntry {
     "cor2_partial_corr"    -> ((s, d) => graft.operators.Stats.partialCorrelation(s, d)),
     "gini2_best_split"     -> ((s, d) => graft.operators.Stats.bestGiniSplit(s, d)),
     "maha1_mahalanobis"    -> ((s, d) => graft.operators.Stats.mahalanobisOutliers(s, d)),
+    "lev1_brown_forsythe"  -> ((s, d) => graft.operators.Stats.brownForsythe(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3335,6 +3336,40 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Brown-Forsythe: exact per-group median order statistics, exact
+    // |x-med| sums, 9-dp-quantized between/within terms.
+    "lev1_brown_forsythe" ->
+      """WITH f AS (SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders),
+        |c AS (SELECT prio, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |cum AS (SELECT prio, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY prio ORDER BY v) AS cw,
+        |    sum(cnt) OVER (PARTITION BY prio) AS ng FROM c),
+        |med AS (SELECT prio, min(v) AS median_cents FROM cum
+        |  WHERE cw >= (ng + 1) // 2 GROUP BY 1),
+        |z AS (SELECT f.prio AS prio, abs(f.v - m.median_cents) AS z
+        |  FROM f JOIN med m ON m.prio = f.prio),
+        |g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(CAST(z AS DECIMAL(38,0))*z) AS DECIMAL(38,0)) AS szz
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT g.*, sum(n) OVER () AS tn, sum(sz) OVER () AS tg,
+        |    count(*) OVER () AS kgrp FROM g),
+        |u AS (SELECT *, CAST(sz AS DOUBLE)/n AS meang,
+        |    CAST(tg AS DOUBLE)/tn AS grand FROM t),
+        |w AS (SELECT *,
+        |    CAST(round(n * ((meang - grand)*(meang - grand)), 9)
+        |      AS DECIMAL(28,9)) AS ssb,
+        |    CAST(round(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz/n, 9)
+        |      AS DECIMAL(28,9)) AS ssw FROM u),
+        |fs AS (SELECT round((CAST(sum(ssb) AS DOUBLE)/(max(kgrp)-1))
+        |    / (CAST(sum(ssw) AS DOUBLE)/(max(tn)-max(kgrp))), 6) AS bf_f
+        |  FROM w)
+        |SELECT w.prio AS prio, w.n AS n_rows, m.median_cents,
+        |  round(w.meang, 6) AS mean_absdev, fs.bf_f
+        |FROM w JOIN med m ON m.prio = w.prio CROSS JOIN fs
+        |ORDER BY prio""".stripMargin,
     // Mahalanobis top-k on the (order-count, spend) profile: exact
     // sums -> 2x2 covariance inverse in pinned double order.
     "maha1_mahalanobis" ->

@@ -593,6 +593,70 @@ object Stats {
     * exact, not approximately right. This is the fit a 100 TB feature
     * pipeline can afford: one pass, nine numbers per partition.
     */
+  /** Gated lev1: BROWN–FORSYTHE HOMOGENEITY OF VARIANCES — the
+    * robust Levene variant: one-way ANOVA on |x − group MEDIAN|,
+    * the assumption check that belongs BEFORE anova1/wt1 readouts
+    * (classic ANOVA assumes equal variances; this tests it without
+    * itself assuming normality). Group medians are exact k-th order
+    * statistics via the conf1 machinery (per-(group, value) counts →
+    * one distributed exclusive prefix sum → min value whose
+    * within-group cumulative reaches ⌈n/2⌉ — no single-partition
+    * window); absolute deviations are exact integers; the F
+    * statistic assembles from DECIMAL-exact per-group sums with
+    * 9-dp-quantized between/within terms so the 5-term sums are
+    * order-invariant.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val f = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .persist()
+    val counts = f.groupBy(col("prio"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val pre = Ranks.withExclusivePrefixSum(counts,
+      Seq(col("prio").asc, col("v").asc), col("cnt"), np, "pref")
+    val starts = pre.groupBy(col("prio"))
+      .agg(min(col("pref")).as("start"), sum(col("cnt")).as("ng"))
+      .withColumn("kk", expr("(ng + 1) div 2"))
+    val med = pre.join(broadcast(starts), Seq("prio"))
+      .filter(col("pref") - col("start") + col("cnt") >= col("kk"))
+      .groupBy(col("prio"))
+      .agg(min(col("v")).as("median_cents"))
+    val z = f.join(broadcast(med), Seq("prio"))
+      .select(col("prio"), abs(col("v") - col("median_cents")).as("z"))
+    val g = z.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum(col("z").cast("decimal(38,0)") * col("z"))
+          .cast("decimal(38,0)").as("szz"))
+    val wAll = Window.partitionBy(Ranks.boundedOnePartition(col("prio")))
+    val terms = g
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("tg", sum(col("sz")).over(wAll))
+      .withColumn("kgrp", count(lit(1)).over(wAll))
+      .withColumn("meang", col("sz").cast("double") / col("n"))
+      .withColumn("grand", col("tg").cast("double") / col("tn"))
+      .withColumn("ssb", round(col("n") * ((col("meang") - col("grand"))
+        * (col("meang") - col("grand"))), 9).cast("decimal(28,9)"))
+      .withColumn("ssw", round(col("szz").cast("double")
+        - col("sz").cast("double") * col("sz") / col("n"), 9)
+        .cast("decimal(28,9)"))
+    val fstat = terms.groupBy(col("kgrp"), col("tn"))
+      .agg(sum(col("ssb")).as("ssbt"), sum(col("ssw")).as("sswt"))
+      .select(round((col("ssbt").cast("double") / (col("kgrp") - 1))
+        / (col("sswt").cast("double") / (col("tn") - col("kgrp"))), 6)
+        .as("bf_f"))
+    val out = terms.join(broadcast(med), Seq("prio"))
+      .select(col("prio"), col("n").cast("bigint").as("n_rows"),
+        col("median_cents"),
+        round(col("meang"), 6).as("mean_absdev"))
+      .crossJoin(broadcast(fstat))
+      .orderBy(col("prio"))
+    val rows = out.collect()
+    f.unpersist(); Ranks.releaseAll()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated maha1: MAHALANOBIS OUTLIERS on the per-customer
     * (order-count, spend) profile — the multivariate complement of
     * od1 (univariate MAD) and lof1 (local density): distance is

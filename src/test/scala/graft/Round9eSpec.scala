@@ -520,6 +520,39 @@ class Round9eSpec extends SparkSpec {
     assert(got.head._2 > 3.0)
   }
 
+  test("lev1: Brown-Forsythe matches a literal median/ANOVA replay") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val med = sorted((sorted.length + 1) / 2 - 1) // lower median, 1-based ceil(n/2)
+      g -> (sorted, med)
+    }
+    val zs = byG.map { case (g, (vs, med)) => g -> vs.map(v => math.abs(v - med).toDouble) }
+    val tn = zs.values.map(_.length).sum.toDouble
+    val grand = zs.values.map(_.sum).sum / tn
+    val k = zs.size.toDouble
+    val ssb = zs.values.map { z =>
+      val m = z.sum / z.length
+      BigDecimal(z.length * ((m - grand) * (m - grand)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val ssw = zs.values.map { z =>
+      val m = z.sum / z.length
+      BigDecimal(z.map(x => (x - m) * (x - m)).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val f = (ssb.toDouble / (k - 1)) / (ssw.toDouble / (tn - k))
+    val got = graft.operators.Stats.brownForsythe(spark, sf).collect()
+    got.foreach { r =>
+      val (vs, med) = byG(r.getString(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(r.getLong(2) === med, s"median for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - f) < 1e-4, "F statistic")
+    }
+  }
+
   test("wil1: intervals bracket p_hat and shrink with n; literal formula replay") {
     val rows = graft.operators.Stats.wilsonIntervals(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
