@@ -208,6 +208,7 @@ object SparkEntry {
     "gini2_best_split"     -> ((s, d) => graft.operators.Stats.bestGiniSplit(s, d)),
     "maha1_mahalanobis"    -> ((s, d) => graft.operators.Stats.mahalanobisOutliers(s, d)),
     "lev1_brown_forsythe"  -> ((s, d) => graft.operators.Stats.brownForsythe(s, d)),
+    "an1_analyze_stats"    -> ((s, d) => graft.operators.Quality.analyzeStats(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3336,6 +3337,33 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // ANALYZE catalog row: exact per-column stats in one pass,
+    // min/max normalized to engine-stable string forms.
+    "an1_analyze_stats" ->
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) - count(l_orderkey) AS BIGINT) AS nn_k,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_k,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS mn_k,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS mx_k,
+        |  CAST(count(*) - count(l_returnflag) AS BIGINT) AS nn_rf,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_rf,
+        |  min(l_returnflag) AS mn_rf, max(l_returnflag) AS mx_rf,
+        |  CAST(count(*) - count(l_quantity) AS BIGINT) AS nn_q,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_q,
+        |  CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR) AS mn_q,
+        |  CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) AS mx_q,
+        |  CAST(count(*) - count(l_shipdate) AS BIGINT) AS nn_d,
+        |  CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd_d,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS mn_d,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS mx_d
+        |FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, n, nn_k AS n_nulls,
+        |  nd_k AS n_distinct, mn_k AS min_val, mx_k AS max_val FROM s
+        |UNION ALL SELECT 'l_quantity', n, nn_q, nd_q, mn_q, mx_q FROM s
+        |UNION ALL SELECT 'l_returnflag', n, nn_rf, nd_rf, mn_rf, mx_rf FROM s
+        |UNION ALL SELECT 'l_shipdate', n, nn_d, nd_d, mn_d, mx_d FROM s
+        |ORDER BY column_name""".stripMargin,
     // Brown-Forsythe: exact per-group median order statistics, exact
     // |x-med| sums, 9-dp-quantized between/within terms.
     "lev1_brown_forsythe" ->

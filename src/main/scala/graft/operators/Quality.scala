@@ -929,6 +929,48 @@ object Quality {
       .toDF("n", "sum_comb_cells", "sum_comb_rows", "sum_comb_cols", "ari")
   }
 
+  /** Gated an1: ANALYZE-style COLUMN STATISTICS — the per-column
+    * (rows, nulls, exact NDV, min, max) table a cost-based optimizer
+    * consumes (jcs1 shows what it buys). One aggregation over the
+    * fact table computes every column's statistics together (Spark
+    * plans the multi-distinct via Expand — one pass over the data,
+    * not one per column); at 100 TB the exact NDVs swap for HLL
+    * sketches (x1's machinery) with the same output shape. Min/max
+    * are normalized to strings in engine-stable formats (integers,
+    * yyyy-MM-dd) so the catalog row hashes.
+    */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = l.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("l_orderkey"))).as("nn_k"),
+      count_distinct(col("l_orderkey")).as("nd_k"),
+      min(col("l_orderkey")).cast("string").as("mn_k"),
+      max(col("l_orderkey")).cast("string").as("mx_k"),
+      (count(lit(1)) - count(col("l_returnflag"))).as("nn_rf"),
+      count_distinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("mn_rf"),
+      max(col("l_returnflag")).as("mx_rf"),
+      (count(lit(1)) - count(col("l_quantity"))).as("nn_q"),
+      count_distinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).cast("bigint").cast("string").as("mn_q"),
+      max(col("l_quantity")).cast("bigint").cast("string").as("mx_q"),
+      (count(lit(1)) - count(col("l_shipdate"))).as("nn_d"),
+      count_distinct(col("l_shipdate")).as("nd_d"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn_d"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx_d"))
+    def rowFor(name: String, suffix: String) =
+      s.select(lit(name).as("column_name"), col("n"),
+        col(s"nn_$suffix").cast("bigint").as("n_nulls"),
+        col(s"nd_$suffix").cast("bigint").as("n_distinct"),
+        col(s"mn_$suffix").as("min_val"), col(s"mx_$suffix").as("max_val"))
+    rowFor("l_orderkey", "k")
+      .unionAll(rowFor("l_quantity", "q"))
+      .unionAll(rowFor("l_returnflag", "rf"))
+      .unionAll(rowFor("l_shipdate", "d"))
+      .orderBy(col("column_name"))
+  }
+
   /** Shared by the rbo1 gate and its generated oracle: exact
     * geometric weights w_d = 0.9^(d-1) as 12-dp BigDecimals — 0.9^d
     * is an exact finite decimal, so both engines consume literally

@@ -520,6 +520,20 @@ class Round9eSpec extends SparkSpec {
     assert(got.head._2 > 3.0)
   }
 
+  test("an1: catalog stats match direct per-column queries") {
+    val l = Tables.lineitem(spark, sf)
+    val got = graft.operators.Quality.analyzeStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    val n = l.count()
+    assert(got("l_orderkey")._1 === n)
+    assert(got("l_orderkey")._3 === l.select("l_orderkey").distinct().count())
+    assert(got("l_returnflag")._3 === l.select("l_returnflag").distinct().count())
+    assert(got("l_returnflag")._4 === "A" && got("l_returnflag")._5 === "R")
+    assert(got("l_quantity")._4 === "1" && got("l_quantity")._5 === "50")
+    assert(got.values.forall(_._2 === 0L), "no nulls in this corpus")
+  }
+
   test("lev1: Brown-Forsythe matches a literal median/ANOVA replay") {
     val rows = Tables.orders(spark, sf)
       .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long"))
