@@ -209,6 +209,7 @@ object SparkEntry {
     "maha1_mahalanobis"    -> ((s, d) => graft.operators.Stats.mahalanobisOutliers(s, d)),
     "lev1_brown_forsythe"  -> ((s, d) => graft.operators.Stats.brownForsythe(s, d)),
     "an1_analyze_stats"    -> ((s, d) => graft.operators.Quality.analyzeStats(s, d)),
+    "cs2_cramers_v"        -> ((s, d) => Relational.cramersV(s, d)),
     "rbo1_rank_overlap"    -> ((s, d) => graft.operators.Quality.rboGate(s, d)),
     "us1_universe_sample"  -> ((s, d) => Relational.universeSample(s, d)),
     "ks1_length_ks"        -> ((s, d) => graft.operators.Quality.ksTwoSample(s, d)),
@@ -3337,6 +3338,30 @@ object SparkEntry {
         |UNION ALL SELECT '4_range', CAST(count(*) AS BIGINT),
         |  CAST(sum(cents) AS BIGINT) FROM head WHERE k BETWEEN 1 AND 5000
         |ORDER BY phase""".stripMargin,
+    // Cramér's V: 9-dp-quantized chi-square terms, DECIMAL sum,
+    // pinned sqrt — the effect size next to cs1's statistic.
+    "cs2_cramers_v" ->
+      """WITH o AS (SELECT event_type, user_id % 5 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS obs FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot
+        |  FROM o GROUP BY 1),
+        |ct AS (SELECT cohort, CAST(sum(obs) AS BIGINT) AS ctot
+        |  FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT cohort) AS BIGINT) AS c FROM o),
+        |t AS (SELECT CAST(round((obs - exp) * (obs - exp) / exp, 9)
+        |      AS DECIMAL(28,9)) AS term
+        |  FROM (SELECT o.obs,
+        |      CAST(rt.rtot AS DOUBLE) * ct.ctot / nn.n AS exp
+        |    FROM o JOIN rt USING (event_type) JOIN ct USING (cohort)
+        |    CROSS JOIN nn))
+        |SELECT nn.n AS n_rows, nn.r AS r_levels, nn.c AS c_levels,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE)
+        |    / (CAST(nn.n AS DOUBLE) * least(nn.r - 1, nn.c - 1))), 9)
+        |    AS cramers_v
+        |FROM t CROSS JOIN nn GROUP BY nn.n, nn.r, nn.c""".stripMargin,
     // ANALYZE catalog row: exact per-column stats in one pass,
     // min/max normalized to engine-stable string forms.
     "an1_analyze_stats" ->

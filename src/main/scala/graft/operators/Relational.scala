@@ -763,6 +763,40 @@ object Relational {
       .orderBy(col("event_type"), col("cohort"))
   }
 
+  /** Gated cs2: CRAMÉR'S V — the EFFECT SIZE for contingency
+    * association (cs1 gives the test statistic; V = √(χ²/(n·min(r−1,
+    * c−1))) says whether the dependence is big enough to matter, on a
+    * 0..1 scale comparable across tables). Built on a 5×5 event-type ×
+    * cohort table: one corpus aggregation to cells, marginals folded
+    * from cells, per-cell χ² terms quantized to 9 dp and summed as
+    * DECIMAL (order-invariant), the final √ in pinned double order.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (col("user_id") % 5).as("cohort"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()
+    val rt = o.groupBy(col("event_type")).agg(sum(col("obs")).as("rtot"))
+    val ct = o.groupBy(col("cohort")).agg(sum(col("obs")).as("ctot"))
+    val tot = o.agg(sum(col("obs")).cast("bigint"),
+      count_distinct(col("event_type")), count_distinct(col("cohort"))).head()
+    val (n, r, c) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val terms = o.join(rt, "event_type").join(ct, "cohort")
+      .select((col("rtot").cast("double") * col("ctot") / lit(n.toDouble))
+        .as("exp"), col("obs"))
+      .select(round((col("obs") - col("exp")) * (col("obs") - col("exp"))
+        / col("exp"), 9).cast("decimal(28,9)").as("term"))
+    val out = terms.agg(sum(col("term")).as("chi2d"))
+      .select(lit(n).as("n_rows"), lit(r).as("r_levels"),
+        lit(c).as("c_levels"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2d").cast("double")
+          / (lit(n.toDouble) * math.min(r - 1, c - 1))), 9).as("cramers_v"))
+    val rows = out.collect()
+    o.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Gated mi1: mutual information + marginal entropies between two
     * categorical columns (event_type × user cohort) — the dependence
     * measure feature-selection and drift pipelines use where

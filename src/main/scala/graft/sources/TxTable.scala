@@ -1053,6 +1053,27 @@ class TxTable(val root: String) {
     v
   }
 
+  /** LOG RETENTION: delete every manifest BELOW the last checkpoint —
+    * the step that makes [[checkpoint]]'s O(tail) replay an O(tail)
+    * LOG too, and the head of the reclamation chain
+    * (checkpoint → vacuumLog → [[vacuum]]): once pre-checkpoint
+    * manifests are gone, data dirs referenced ONLY by them (e.g.
+    * retired by a pre-checkpoint OPTIMIZE) lose their last reference
+    * and become vacuumable. This EXPLICITLY surrenders time travel
+    * below the checkpoint (reads there fail cleanly with "no
+    * committed data" — spec'd in LogCheckpointSpec); like [[vacuum]]
+    * with retention 0, call it only when no reader can be replaying
+    * full history. No-op unless the pointer names a real checkpoint.
+    */
+  def vacuumLog(): Seq[Long] = lastCheckpointVersion() match {
+    case Some(cv) if Files.exists(manifestPath(cv))
+        && readManifest(cv).action == "checkpoint" =>
+      val old = versions().filter(_ < cv)
+      old.foreach(v => Files.deleteIfExists(manifestPath(v)))
+      old
+    case _ => Seq.empty
+  }
+
   /** RESTORE to `toVersion` (the Delta `RESTORE TABLE ... TO VERSION`
     * analog): publish the RESOLVED dir set of that version as a new
     * overwrite head. Zero data movement — history after `toVersion`

@@ -177,6 +177,33 @@ class LogCheckpointSpec extends SparkSpec {
     TmpIO.deleteRecursively(new java.io.File(root))
   }
 
+  test("vacuumLog completes the reclamation chain: checkpoint -> vacuumLog -> vacuum") {
+    val (root, t) = mkTable("graft_vlog_")
+    t.appendWithStats(rows(0, 100), "k")
+    t.appendWithStats(rows(100, 200), "k")
+    t.optimizeCompact(spark) // retires the two original dirs
+    val retired = 2
+    val ck = t.checkpoint()
+    t.appendWithStats(rows(200, 250), "k")
+
+    // before vacuumLog: nothing is reclaimable (old manifests still
+    // reference the retired dirs), and vacuumLog without a valid
+    // pointer would be a no-op (covered by the stale-pointer test).
+    assert(t.vacuum(retentionMillis = 0).isEmpty)
+    val dropped = t.vacuumLog()
+    assert(dropped === (1L until ck))
+    // reads at and above the checkpoint still exact
+    assert(t.snapshot(spark).count() === 250)
+    assert(t.snapshotRange(spark, "k", 0, 50).count() === 51)
+    // the retired dirs lost their last manifest reference: reclaimable
+    val reclaimed = t.vacuum(retentionMillis = 0)
+    assert(reclaimed.size === retired, s"got $reclaimed")
+    assert(t.snapshot(spark).count() === 250, "reads survive reclamation")
+    // time travel below the checkpoint is gone by contract
+    intercept[IllegalStateException] { t.snapshot(spark, Some(1L)) }
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("tt13: stale pointer (corrupt or missing target) falls back to full replay") {
     val (root, t) = mkTable("graft_ckpt_ptr_")
     t.append(rows(0, 100))

@@ -534,6 +534,28 @@ class Round9eSpec extends SparkSpec {
     assert(got.values.forall(_._2 === 0L), "no nulls in this corpus")
   }
 
+  test("cs2: Cramer's V matches a literal contingency replay and is in [0,1]") {
+    val cells = Tables.events(spark, sf)
+      .groupBy(col("event_type"), (col("user_id") % 5))
+      .agg(count(lit(1)))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val chi2 = cells.map { case ((r, c), obs) =>
+      val exp = rt(r).toDouble * ct(c) / n
+      BigDecimal((obs - exp) * (obs - exp) / exp)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val k = math.min(rt.size - 1, ct.size - 1)
+    val v = math.sqrt(chi2.toDouble / (n * k))
+    val got = graft.operators.Relational.cramersV(spark, sf).head()
+    assert(got.getLong(0) === n.toLong)
+    assert(math.abs(got.getDouble(3) - chi2.toDouble) < 1e-5)
+    assert(math.abs(got.getDouble(4) - v) < 1e-8)
+    assert(got.getDouble(4) >= 0.0 && got.getDouble(4) <= 1.0)
+  }
+
   test("lev1: Brown-Forsythe matches a literal median/ANOVA replay") {
     val rows = Tables.orders(spark, sf)
       .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long"))
