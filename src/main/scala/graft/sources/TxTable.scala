@@ -395,6 +395,20 @@ class TxTable(val root: String) {
     import org.apache.spark.sql.functions.lit
     val vs = versions()
       .filter(v => v > afterVersion && untilVersion.forall(v <= _))
+    // Vacuumed-log guard (Delta's CDF errors on missing log versions in
+    // range, and so must we): commits are minted sequentially, so the
+    // feed is complete only if the surviving manifests tile the range
+    // contiguously from afterVersion+1. After vacuumLog deletes
+    // pre-checkpoint manifests, a consumer whose afterVersion predates
+    // the checkpoint would otherwise get those appends silently DROPPED
+    // (the checkpoint replays as a no-op) — fail loudly instead.
+    vs.zipWithIndex.foreach { case (v, i) =>
+      if (v != afterVersion + 1 + i)
+        throw new IllegalStateException(
+          s"TxTable $root: changes after version $afterVersion requested but " +
+            s"version ${afterVersion + 1 + i} is missing from the log " +
+            "(vacuumed after a checkpoint) — re-read a full snapshot")
+    }
     val parts = vs.flatMap { v =>
       val m = readManifest(v)
       // A checkpoint re-lists the whole live dir set without changing

@@ -69,6 +69,13 @@ class LocalFileSinkTable(path: String, tschema: StructType)
         // for free however the input was partitioned).
         val cluster = Option(info.options().get("clusterBy")).filter(_.nonEmpty)
         val sortCol = Option(info.options().get("sortBy")).filter(_.nonEmpty)
+        // writeSeq: append a trailing per-writer row-sequence cell —
+        // an explicit in-file position witness. Readers that split a
+        // large file across partitions (Spark bin-packs CSV splits by
+        // size) cannot reconstruct write order from read order or
+        // monotonically_increasing_id(); the recorded sequence is the
+        // only split-safe statement of "the order this writer wrote".
+        val writeSeq = Option(info.options().get("writeSeq")).exists(_.toBoolean)
         cluster match {
           case Some(c) => new Write with RequiresDistributionAndOrdering {
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -79,11 +86,11 @@ class LocalFileSinkTable(path: String, tschema: StructType)
               (c +: sortCol.toSeq).map(s => Expressions.sort(
                 Expressions.identity(s), SortDirection.ASCENDING)).toArray
             override def toBatch: BatchWrite =
-              new LocalFileBatchWrite(path, info.schema(), doTruncate)
+              new LocalFileBatchWrite(path, info.schema(), doTruncate, writeSeq)
           }
           case None => new Write {
             override def toBatch: BatchWrite =
-              new LocalFileBatchWrite(path, info.schema(), doTruncate)
+              new LocalFileBatchWrite(path, info.schema(), doTruncate, writeSeq)
           }
         }
       }
@@ -93,13 +100,14 @@ class LocalFileSinkTable(path: String, tschema: StructType)
 case class CommittedFile(stagedPath: String, finalName: String)
     extends WriterCommitMessage
 
-class LocalFileBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class LocalFileBatchWrite(path: String, schema: StructType, truncate: Boolean,
+                          writeSeq: Boolean = false)
     extends BatchWrite {
   private val staging = s"$path/_staging"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(staging).mkdirs()
-    LocalFileWriterFactory(staging, schema)
+    LocalFileWriterFactory(staging, schema, writeSeq)
   }
 
   /** Driver-side publish: move EXACTLY the files the committed task
@@ -125,10 +133,11 @@ class LocalFileBatchWrite(path: String, schema: StructType, truncate: Boolean)
     graft.TmpIO.deleteRecursively(new java.io.File(staging))
 }
 
-case class LocalFileWriterFactory(staging: String, schema: StructType)
+case class LocalFileWriterFactory(staging: String, schema: StructType,
+                                  writeSeq: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LocalFileDataWriter(staging, schema, partitionId, taskId)
+    new LocalFileDataWriter(staging, schema, partitionId, taskId, writeSeq)
 }
 
 /** Executor-side writer: streams rows to a per-ATTEMPT staging file
@@ -137,11 +146,13 @@ case class LocalFileWriterFactory(staging: String, schema: StructType)
   * place the file becomes eligible for publish.
   */
 class LocalFileDataWriter(staging: String, schema: StructType,
-                          partitionId: Int, taskId: Long)
+                          partitionId: Int, taskId: Long,
+                          writeSeq: Boolean = false)
     extends DataWriter[InternalRow] {
   private val staged = s"$staging/attempt-$partitionId-$taskId.csv"
   private var out: java.io.BufferedWriter = _
   private var wrote = false
+  private var seq = 0L
 
   override def write(row: InternalRow): Unit = {
     if (out == null)
@@ -159,6 +170,7 @@ class LocalFileDataWriter(staging: String, schema: StructType,
       }
     }
     out.write(cells.mkString(","))
+    if (writeSeq) { out.write(","); out.write(seq.toString); seq += 1 }
     out.newLine()
     wrote = true
   }

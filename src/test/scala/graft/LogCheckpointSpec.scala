@@ -204,6 +204,23 @@ class LogCheckpointSpec extends SparkSpec {
     TmpIO.deleteRecursively(new java.io.File(root))
   }
 
+  test("readChanges refuses a range with vacuumed (missing) log versions") {
+    val (root, t) = mkTable("graft_vgap_")
+    t.appendWithStats(rows(0, 100), "k")    // v1
+    t.appendWithStats(rows(100, 200), "k")  // v2
+    val ck = t.checkpoint()                 // v3
+    t.appendWithStats(rows(200, 250), "k")  // v4
+    t.vacuumLog()                           // drops v1, v2
+    // afterVersion below the checkpoint: the vacuumed appends cannot be
+    // replayed — partial feed must throw, never silently omit.
+    val e = intercept[IllegalStateException] { t.readChanges(spark, 0L) }
+    assert(e.getMessage.contains("re-read a full snapshot"))
+    intercept[IllegalStateException] { t.readChanges(spark, 1L) }
+    // from the checkpoint onward the feed is still exact
+    assert(t.readChanges(spark, ck).count() === 50)
+    TmpIO.deleteRecursively(new java.io.File(root))
+  }
+
   test("tt13: stale pointer (corrupt or missing target) falls back to full replay") {
     val (root, t) = mkTable("graft_ckpt_ptr_")
     t.append(rows(0, 100))
