@@ -1374,6 +1374,40 @@ object SparkEntry {
          |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, score FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Full LSH-chain replay (ss2, upgraded from rows-only in round 10):
+    // the SAME deterministic hyperplanes (Similarity.planesSqlValues
+    // literals), 12-bit signatures per table, band-key equi-join,
+    // pair dedup, exact cosine re-rank — the approximate operator's
+    // ENTIRE pipeline stated in SQL and hash-matched.
+    "ss2_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pl AS (SELECT * FROM (VALUES
+         |${graft.operators.Similarity.planesSqlValues}
+         |) AS t(tbl, p, plane)),
+         |sg AS (SELECT vec_id, tbl AS table_idx,
+         |    CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT e.vec_id, pl.tbl, pl.p, ${foldDot("e.v", "pl.plane")} AS dot
+         |        FROM e CROSS JOIN pl)
+         |  GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id
+         |  FROM sg qs JOIN sg cs ON cs.table_idx = qs.table_idx
+         |    AND cs.bucket = qs.bucket AND cs.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 5),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |    sqrt(${foldSum("list_transform(v, x -> x*x)")}) AS qnrm
+         |  FROM e WHERE vec_id < 5),
+         |s AS (SELECT c.query_id, c.vec_id,
+         |    round(${foldDot("q.qv", "f.v")}
+         |      / (q.qnrm * sqrt(${foldSum("list_transform(f.v, x -> x*x)")})), 6) AS score
+         |  FROM cand c JOIN q ON q.query_id = c.query_id
+         |  JOIN e f ON f.vec_id = c.vec_id),
+         |r AS (SELECT query_id, vec_id AS neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

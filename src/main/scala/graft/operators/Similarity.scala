@@ -67,6 +67,22 @@ object Similarity {
     (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 
+  /** The (table, plane) hyperplanes as DuckDB VALUES rows — lets the
+    * ss2 oracle state the SAME deterministic planes in SQL (the `e0`
+    * suffix forces DOUBLE parsing; a bare 17-digit literal would be
+    * read as DECIMAL and lose mantissa bits).
+    */
+  def planesSqlValues: String =
+    (0 until Tables_).flatMap { t =>
+      (0 until PlanesPerTable).map { p =>
+        val arr = (0 until Dim).map { d =>
+          val s = planeComponent(t, p, d).toString
+          if (s.contains('E') || s.contains('e')) s else s + "e0"
+        }.mkString(",")
+        s"($t,$p,[$arr])"
+      }
+    }.mkString(",\n")
+
   /** Signature of vector `v` under table `t`: 12-bit integer whose bit
     * p is sign(v · plane_{t,p}). Built from literal plane arrays +
     * higher-order folds — fully codegen'd.
@@ -199,8 +215,11 @@ object Similarity {
   }
 
   /** Approximate top-k: LSH-bucket candidates, exact cosine re-rank.
-    * Approximate by construction → verified by rows/shape, not a SQL
-    * oracle; the ScalaTest suite checks recall against [[knnBrute]].
+    * The planes are deterministic plan literals ([[planeComponent]]),
+    * so the WHOLE chain — signatures, band join, pair dedup, cosine
+    * re-rank — is stated in SQL by the ss2 oracle
+    * ([[planesSqlValues]]) and hash-checked; the ScalaTest suite
+    * additionally bounds recall against [[knnBrute]].
     */
   def lshNeighbors(spark: SparkSession, dir: String,
                    nQueries: Int = 5, k: Int = 10): DataFrame = {
