@@ -383,7 +383,11 @@ object SparkEntry {
     "dd10_jw_fuzzy_pairs"  -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "t14_vocab_encode"     -> ((s, d) => TextAnalysis.vocabEncode(s, d)),
     "t15_nfc_normalize"    -> ((s, d) => TextAnalysis.nfcNormalizeGate(s, d)),
-    // rows-only (no DEFLATE in DuckDB); kernel exact-verified in spec
+    // hash-checked against a spec-pinned constant table (DuckDB has no
+    // DEFLATE): expected per-lang profiles were generated ONCE by an
+    // independent zlib implementation (CPython zlib, level 1, raw
+    // stream — cross-checked byte-identical to the JDK Deflater the
+    // kernel uses) and keyed by corpus byte totals; see oracleSql.
     "t16_compress_profile" -> ((s, d) => TextAnalysis.compressionProfile(s, d)),
     "m7_audio_windows"     -> ((s, d) => Multimodal.audioWindowStats(s, d)),
     "c2_adaptive_filter"   -> ((s, d) => graft.operators.Curation.adaptiveQualityFilter(s, d)),
@@ -1411,6 +1415,40 @@ object SparkEntry {
     "m1_asset_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t16: DEFLATE isn't in DuckDB, so the expected per-lang profile is
+    // a SPEC-PINNED constant table generated once by CPython's zlib
+    // (level 1, raw stream — an INDEPENDENT implementation verified
+    // byte-identical to the JDK Deflater the kernel uses, including the
+    // DECIMAL(38,18) mean replay), keyed by (corpus byte total, lang,
+    // live n_docs): a regenerated/changed corpus empties the join and
+    // FAILS loudly instead of matching a stale pin. Pins cover
+    // sf0.001 / sf0.01 / sf0.1.
+    "t16_compress_profile" ->
+      """WITH tot AS (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS bt
+        |  FROM documents),
+        |live AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |pin AS (SELECT * FROM (VALUES
+        |(153156,'de',71,0.520266e0,0.412451e0,0.833333e0,0),
+        |(153156,'en',193,0.544388e0,0.396917e0,0.981481e0,0),
+        |(153156,'es',80,0.536629e0,0.412791e0,0.887097e0,0),
+        |(153156,'fr',82,0.521944e0,0.404943e0,1.0e0,0),
+        |(153156,'zh',74,0.533378e0,0.410985e0,0.903226e0,0),
+        |(149174,'de',70,0.540438e0,0.396117e0,0.912281e0,0),
+        |(149174,'en',218,0.537903e0,0.4e0,0.907407e0,0),
+        |(149174,'es',73,0.53266e0,0.405458e0,0.873016e0,0),
+        |(149174,'fr',64,0.521404e0,0.409186e0,0.84058e0,0),
+        |(149174,'zh',75,0.52877e0,0.402439e0,0.873016e0,0),
+        |(1485576,'de',702,0.534918e0,0.400366e0,0.96e0,0),
+        |(1485576,'en',2059,0.537418e0,0.395918e0,1.0e0,0),
+        |(1485576,'es',744,0.535233e0,0.387156e0,0.948276e0,0),
+        |(1485576,'fr',742,0.534133e0,0.388007e0,0.924528e0,0),
+        |(1485576,'zh',753,0.550828e0,0.395176e0,0.956522e0,0)
+        |) AS t(bt, lang, n_docs, avg_ratio, min_ratio, max_ratio, n_repetitive))
+        |SELECT p.lang, l.n_docs, p.avg_ratio, p.min_ratio, p.max_ratio,
+        |  CAST(p.n_repetitive AS BIGINT) AS n_repetitive
+        |FROM pin p JOIN tot t ON p.bt = t.bt
+        |JOIN live l ON l.lang = p.lang AND l.n_docs = p.n_docs
+        |ORDER BY p.lang""".stripMargin,
     // nDCG over ss1's ranking: binary label relevance, the same k-row
     // discount table for hits and ideal, DECIMAL-accumulated sums.
     "dcg1_ndcg_at_k" ->
