@@ -84,13 +84,33 @@ object GraftExtensions {
     * dictionary, so the SQL form takes the dictionary as a
     * comma-separated STRING LITERAL — the one shape that is already a
     * Literal when the function builder runs (analysis hasn't folded
-    * anything yet).
+    * anything yet). A pattern containing a literal comma is written
+    * `\,` (and a literal backslash `\\`); an empty segment (trailing
+    * or doubled comma) is rejected loudly rather than silently
+    * dropped — it is always a dictionary-authoring mistake.
     */
   private def litPatterns(fn: String, e: Expression): Seq[String] = e match {
     case Literal(s, StringType) if s != null =>
-      s.toString.split(",").toSeq.filter(_.nonEmpty)
+      val str = s.toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (c == '\\' && i + 1 < str.length
+            && (str.charAt(i + 1) == ',' || str.charAt(i + 1) == '\\')) {
+          cur.append(str.charAt(i + 1)); i += 2
+        } else if (c == ',') { out += cur.result(); cur.clear(); i += 1 }
+        else { cur.append(c); i += 1 }
+      }
+      out += cur.result()
+      if (out.exists(_.isEmpty)) throw new IllegalArgumentException(
+        s"$fn: empty pattern in dictionary '$str' (trailing or doubled " +
+          "comma?) — write a literal comma inside a pattern as '\\,'")
+      out.toSeq
     case _ => throw new IllegalArgumentException(
-      s"$fn: the pattern dictionary must be a comma-separated string literal")
+      s"$fn: the pattern dictionary must be a comma-separated string " +
+        "literal ('\\,' escapes a literal comma)")
   }
 
   private def exprClass(name: String): String = name match {

@@ -3480,17 +3480,15 @@ object SparkEntry {
         |ORDER BY column_name""".stripMargin,
     // Brown-Forsythe: exact per-group median order statistics, exact
     // |x-med| sums, 9-dp-quantized between/within terms.
+    // Textbook (averaged-middle-pair) medians — DuckDB's own median();
+    // deviations doubled on both sides to stay exact integers (an F
+    // statistic is invariant under global z scaling).
     "lev1_brown_forsythe" ->
       """WITH f AS (SELECT o_orderpriority AS prio,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders),
-        |c AS (SELECT prio, v, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM f GROUP BY 1, 2),
-        |cum AS (SELECT prio, v, cnt,
-        |    sum(cnt) OVER (PARTITION BY prio ORDER BY v) AS cw,
-        |    sum(cnt) OVER (PARTITION BY prio) AS ng FROM c),
-        |med AS (SELECT prio, min(v) AS median_cents FROM cum
-        |  WHERE cw >= (ng + 1) // 2 GROUP BY 1),
-        |z AS (SELECT f.prio AS prio, abs(f.v - m.median_cents) AS z
+        |med AS (SELECT prio, CAST(median(v) AS DOUBLE) AS median_cents,
+        |    CAST(2*median(v) AS BIGINT) AS m2 FROM f GROUP BY 1),
+        |z AS (SELECT f.prio AS prio, abs(2*f.v - m.m2) AS z
         |  FROM f JOIN med m ON m.prio = f.prio),
         |g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(z) AS BIGINT) AS sz,
@@ -3509,7 +3507,7 @@ object SparkEntry {
         |    / (CAST(sum(ssw) AS DOUBLE)/(max(tn)-max(kgrp))), 6) AS bf_f
         |  FROM w)
         |SELECT w.prio AS prio, w.n AS n_rows, m.median_cents,
-        |  round(w.meang, 6) AS mean_absdev, fs.bf_f
+        |  round(w.meang/2, 6) AS mean_absdev, fs.bf_f
         |FROM w JOIN med m ON m.prio = w.prio CROSS JOIN fs
         |ORDER BY prio""".stripMargin,
     // Mahalanobis top-k on the (order-count, spend) profile: exact

@@ -105,9 +105,18 @@ object Ingest {
     * partition overwrite when updates align with the layout, keyed
     * merge when they don't.
     */
-  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
-    existing.join(updates, existing(key) === updates(key), "left_anti")
+  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    // `updates` usually SHARES the existing frame's lineage (the delta
+    // is computed from the table), so joining existing(key) ===
+    // updates(key) compares the same attribute id and the analyzer
+    // logs a "trivially true equals predicate" warning on every run —
+    // noise that would bury a real self-join bug. Rename the probe key
+    // so the equality is between distinct attributes by construction.
+    val uk = s"__upsert_$key"
+    val probe = updates.select(col(key).as(uk))
+    existing.join(probe, existing(key) === probe(uk), "left_anti")
       .unionByName(updates)
+  }
 
   /** Gated MERGE exercise (up1): updates = re-priced rows for every
     * 7th key plus brand-new keys minted from every 97th row; the

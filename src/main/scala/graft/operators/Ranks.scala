@@ -114,6 +114,45 @@ object Ranks {
       .drop("_ps_pid", "_ps_off", "_ps_v")
   }
 
+  /** [[withGlobalRowNumber]] and [[withExclusivePrefixSum]] FUSED over
+    * the same total order: ONE range exchange, one control-plane
+    * collect of per-partition (count, sum), and one per-partition
+    * window pass computing both readouts — for callers like sprt1 that
+    * need rank AND running sum of the same walk, this halves the
+    * global exchanges and removes the re-join on the key entirely.
+    * Returns (frame with `rnCol` and exclusive-prefix `psCol`, total
+    * row count).
+    */
+  def withRowNumberAndPrefixSum(df: DataFrame, order: Seq[Column],
+                                value: Column, np: Int, rnCol: String,
+                                psCol: String): (DataFrame, Long) = {
+    val parted = df.repartitionByRange(math.max(np, 1), order: _*)
+      .withColumn("_rp_pid", spark_partition_id())
+      .withColumn("_rp_v", value.cast("long"))
+      .persist()
+    live.add(parted)
+    val stats = parted.groupBy(col("_rp_pid"))
+      .agg(count(lit(1)).as("_n"), sum(col("_rp_v")).as("_s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = stats.values.map(_._1).sum
+    val maxPid = if (stats.isEmpty) 0 else stats.keys.max + 1
+    def scan(pick: ((Long, Long)) => Long) = (0 until maxPid)
+      .scanLeft(0L)((acc, p) => acc + pick(stats.getOrElse(p, (0L, 0L))))
+    val (rnOff, psOff) = (scan(_._1), scan(_._2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast((0 until maxPid)
+      .map(p => (p, rnOff(p), psOff(p))).toDF("_rp_pid", "_rp_rnoff", "_rp_psoff"))
+    val w = Window.partitionBy(col("_rp_pid")).orderBy(order: _*)
+    val wps = w.rowsBetween(Window.unboundedPreceding, -1)
+    val out = parted.join(offDf, "_rp_pid")
+      .withColumn(rnCol, (row_number().over(w) + col("_rp_rnoff")).cast("long"))
+      .withColumn(psCol,
+        coalesce(sum(col("_rp_v")).over(wps), lit(0L)) + col("_rp_psoff"))
+      .drop("_rp_pid", "_rp_rnoff", "_rp_psoff", "_rp_v")
+    (out, total)
+  }
+
   /** A constant-valued but NON-FOLDABLE partition key for windows over
     * audited-bounded frames (calendar spines, k-bounded candidate
     * lists, distinct-cardinality tables): `pmod(hash(c), 1)` is always

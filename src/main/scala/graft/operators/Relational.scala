@@ -265,12 +265,16 @@ object Relational {
       .withColumn("bin", floor(col("cus") / W))
     val pBins = p.withColumn("bin",
       explode(sequence(floor((col("pus") - W) / W), floor((col("pus") + W) / W))))
+    // Renamed join key: counts shares p's lineage, and a using-join on
+    // the same attribute id makes the analyzer log a "trivially true
+    // equals predicate" warning on every run — noise that would bury a
+    // real self-join bug elsewhere. A distinct name keeps it clean.
     val counts = pBins.join(c, "bin")
       .filter(abs(col("cus") - col("pus")) <= W)
-      .groupBy(col("event_id"))
+      .groupBy(col("event_id").as("p_event_id"))
       .agg(count(lit(1)).as("n_nearby"))
     p.select(col("event_id"))
-      .join(counts, Seq("event_id"), "left")
+      .join(counts, col("event_id") === col("p_event_id"), "left")
       .select(col("event_id"), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
       .orderBy(col("event_id"))
   }

@@ -113,6 +113,16 @@ object Similarity {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .cache()
+    ivfCentroidsFrom(corpus, nLists, iters)
+  }
+
+  /** Trainer over a caller-supplied (vec_id, v) frame — lets ss3 share
+    * ONE cached corpus between training and search instead of caching
+    * the scan twice (the corpus is the big thing here; the trainer
+    * output is 16×64 doubles).
+    */
+  def ivfCentroidsFrom(corpus: DataFrame, nLists: Int = 16,
+                       iters: Int = 3): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = corpus
       .filter(col("vec_id") < nLists).orderBy(col("vec_id"))
       .collect().map(_.getSeq[Double](1).toArray)
@@ -179,11 +189,16 @@ object Similarity {
   def ivfSearch(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10,
                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfCentroids(spark, dir, nLists, iters = 2)
+    // ONE cached corpus shared by the trainer's sweeps and the search:
+    // training reads (vec_id, v) projected off this frame, so every
+    // Lloyd iteration and the final index build hit the cache instead
+    // of re-scanning/re-decoding the parquet.
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
       .cache()
+    val centroids = ivfCentroidsFrom(
+      corpus.select(col("vec_id"), col("v")), nLists, iters = 2)
     val indexed = assignToCentroid(corpus, centroids).cache()
 
     // Per-query probe set: the nProbe closest centroids (same norm

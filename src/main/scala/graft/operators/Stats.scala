@@ -597,14 +597,18 @@ object Stats {
     * robust Levene variant: one-way ANOVA on |x − group MEDIAN|,
     * the assumption check that belongs BEFORE anova1/wt1 readouts
     * (classic ANOVA assumes equal variances; this tests it without
-    * itself assuming normality). Group medians are exact k-th order
-    * statistics via the conf1 machinery (per-(group, value) counts →
-    * one distributed exclusive prefix sum → min value whose
-    * within-group cumulative reaches ⌈n/2⌉ — no single-partition
-    * window); absolute deviations are exact integers; the F
-    * statistic assembles from DECIMAL-exact per-group sums with
-    * 9-dp-quantized between/within terms so the 5-term sums are
-    * order-invariant.
+    * itself assuming normality). Group medians follow the TEXTBOOK
+    * convention — for even group sizes the two middle order
+    * statistics are averaged (matching DuckDB's `median`/
+    * `quantile_cont(0.5)`) — computed exactly via the conf1
+    * machinery: per-(group, value) counts → one distributed
+    * exclusive prefix sum → conditional MINs at ranks ⌈n/2⌉ and
+    * ⌊n/2⌋+1, no single-partition window. Deviations are kept as
+    * EXACT integers by doubling: z₂ = |2v − (m_lo + m_hi)| (an F
+    * statistic is invariant under a global scaling of z, so the ×2
+    * changes nothing); the F assembles from DECIMAL-exact per-group
+    * sums with 9-dp-quantized between/within terms so the 5-term
+    * sums are order-invariant.
     */
   def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -619,12 +623,18 @@ object Stats {
     val starts = pre.groupBy(col("prio"))
       .agg(min(col("pref")).as("start"), sum(col("cnt")).as("ng"))
       .withColumn("kk", expr("(ng + 1) div 2"))
+      .withColumn("kk2", expr("ng div 2 + 1"))
     val med = pre.join(broadcast(starts), Seq("prio"))
-      .filter(col("pref") - col("start") + col("cnt") >= col("kk"))
       .groupBy(col("prio"))
-      .agg(min(col("v")).as("median_cents"))
+      .agg(
+        min(when(col("pref") - col("start") + col("cnt") >= col("kk"),
+          col("v"))).as("m_lo"),
+        min(when(col("pref") - col("start") + col("cnt") >= col("kk2"),
+          col("v"))).as("m_hi"))
+      .withColumn("m2", col("m_lo") + col("m_hi"))
+      .withColumn("median_cents", col("m2").cast("double") / lit(2.0))
     val z = f.join(broadcast(med), Seq("prio"))
-      .select(col("prio"), abs(col("v") - col("median_cents")).as("z"))
+      .select(col("prio"), abs(col("v") * 2 - col("m2")).as("z"))
     val g = z.groupBy(col("prio"))
       .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
         sum(col("z").cast("decimal(38,0)") * col("z"))
@@ -649,7 +659,9 @@ object Stats {
     val out = terms.join(broadcast(med), Seq("prio"))
       .select(col("prio"), col("n").cast("bigint").as("n_rows"),
         col("median_cents"),
-        round(col("meang"), 6).as("mean_absdev"))
+        // meang is the mean of the DOUBLED deviations; halve for the
+        // published readout (binary halving is exact)
+        round(col("meang") / 2, 6).as("mean_absdev"))
       .crossJoin(broadcast(fstat))
       .orderBy(col("prio"))
     val rows = out.collect()
@@ -962,14 +974,14 @@ object Stats {
       (col("user_id") % variants).as("variant"), col("ts"), col("event_id"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
     val order = Seq(col("variant").asc, col("ts").asc, col("event_id").asc)
-    val (ranked, _) = Ranks.withGlobalRowNumber(ev, order, np, "_rn")
-    val prefixed = Ranks.withExclusivePrefixSum(
-      ev, order, col("succ"), np, "s_excl")
-    val joined = ranked.select(col("event_id"), col("variant"), col("_rn"))
-      .join(prefixed.select(col("event_id"), col("succ"), col("s_excl")),
-        "event_id")
-    // V-row offsets: rows/successes contributed by earlier variants.
-    val totals = ev.groupBy(col("variant"))
+    // Rank and running-success come from ONE fused Ranks pass (one
+    // range exchange, one window) instead of two exchanges re-joined
+    // on event_id — same walk, half the shuffles.
+    val (joined, _) = Ranks.withRowNumberAndPrefixSum(
+      ev, order, col("succ"), np, "_rn", "s_excl")
+    // V-row offsets: rows/successes contributed by earlier variants —
+    // aggregated off the already-cached range exchange.
+    val totals = joined.groupBy(col("variant"))
       .agg(count(lit(1)).as("vn"), sum(col("succ")).as("vs"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)

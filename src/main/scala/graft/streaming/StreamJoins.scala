@@ -64,9 +64,9 @@ object StreamJoins {
     val tmp = graft.TmpIO.stableDir("st8")
     val e = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-    e.coalesce(1).write.parquet(s"$tmp/in")
+    e.write.parquet(s"$tmp/in")
     e.filter(col("event_id") % 5 === 0) // re-delivered slice
-      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      .write.mode("append").parquet(s"$tmp/in")
     GateIO.runPinned(spark, 4)(dedupStream(spark, s"$tmp/in")
       .select(col("event_id"), col("user_id"), col("value"))
       .writeStream
@@ -92,14 +92,19 @@ object StreamJoins {
   def attributionGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tmp = graft.TmpIO.stableDir("st5") // corpus-sized matches: lazy read-back
+    // Staging writes run at natural parallelism (no coalesce(1)): the
+    // file source under AvailableNow with no maxFilesPerTrigger folds
+    // ALL staged files into one micro-batch, so multi-file staging
+    // cannot reorder data relative to the watermark — and the staging
+    // write stops being a single-task funnel.
     val e = graft.Tables.events(spark, dir)
     e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      .coalesce(1).write.parquet(s"$tmp/clicks")
+      .write.parquet(s"$tmp/clicks")
     e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
         col("value").as("amount"))
-      .coalesce(1).write.parquet(s"$tmp/purchases")
+      .write.parquet(s"$tmp/purchases")
 
     val out = s"$tmp/out"
     // Fresh checkpoint per call → safe to shrink the stateful
@@ -151,13 +156,13 @@ object StreamJoins {
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     clicks.unionByName(spark.createDataFrame(Seq((-1L, far, -1L)))
         .toDF("user_id", "ts", "click_id"))
-      .coalesce(1).write.parquet(s"$tmp/clicks")
+      .write.parquet(s"$tmp/clicks")
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
         col("value").as("amount"))
     purchases.unionByName(spark.createDataFrame(Seq((-1L, far, -1L, 0.0)))
         .toDF("user_id", "ts", "purchase_id", "amount"))
-      .coalesce(1).write.parquet(s"$tmp/purchases")
+      .write.parquet(s"$tmp/purchases")
 
     val out = s"$tmp/out"
     val cs = spark.readStream
@@ -202,7 +207,7 @@ object StreamJoins {
     val tmp = graft.TmpIO.stableDir("st9") // corpus-sized enrichment: lazy read-back
     val e = graft.Tables.events(spark, dir)
     e.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .coalesce(1).write.parquet(s"$tmp/in")
+      .write.parquet(s"$tmp/in")
     val dim = e.select(col("event_type")).distinct()
       .withColumn("type_code", upper(substring(col("event_type"), 1, 2)))
     val stream = spark.readStream
@@ -241,10 +246,10 @@ object StreamJoins {
     val tmp = graft.TmpIO.stableDir("st12") // corpus-sized survivors: lazy read-back
     val e = graft.Tables.events(spark, dir)
     e.select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .coalesce(1).write.parquet(s"$tmp/in")
+      .write.parquet(s"$tmp/in")
     // "Already ingested" base index: every third event id.
     e.filter(col("event_id") % 3 === 0).select(col("event_id"))
-      .coalesce(1).write.parquet(s"$tmp/base")
+      .write.parquet(s"$tmp/base")
     // Renamed join key: both sides descend from the same events
     // lineage, and the self-referential `event_id == event_id` shape
     // makes the optimizer log a "trivially true predicate" warning on

@@ -21,6 +21,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: state is 4 longs + a string per variant regardless of
   * stream length; per-batch work is one sort of the batch's per-key
   * slice (the total-order contract every stateful gate here uses).
+  *
+  * DELIVERY-ORDER CONTRACT: [[update]] sorts only the CURRENT
+  * trigger's per-key slice by (event time, id) before folding — an
+  * event that arrives in a LATER micro-batch with an EARLIER
+  * timestamp folds into the LLR walk out of order, because an SPRT
+  * walk is a running decision and already-emitted crossings cannot be
+  * retracted. Batch ≡ stream therefore holds only under in-order
+  * delivery per variant (e.g. a per-key FIFO source, or an upstream
+  * watermark-buffered sort such as EventTimeWindows' pattern that
+  * releases rows only below the watermark). A deployment on an
+  * out-of-order source must add that buffering stage first; the gate
+  * stages its input as one AvailableNow batch, which satisfies the
+  * contract by construction.
   */
 object StreamSprt {
 

@@ -163,6 +163,21 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT ac_count('x', concat('a', 'b' || rand())) ").collect()
     }
     assert(e.getMessage.contains("string literal"))
+    // '\,' escapes a literal comma inside a pattern; '\\' a backslash
+    val esc = spark.sql(
+      """SELECT ac_count('a,b a,b', 'a\\,b') AS n,
+        |  ac_count('x\\y', '\\\\') AS b""".stripMargin).head()
+    assert(esc.getLong(0) === 2L)
+    assert(esc.getLong(1) === 1L)
+    // empty segments (trailing/doubled comma) are rejected, not dropped
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT ac_count('x', 'a,,b')").collect()
+    }
+    assert(e2.getMessage.contains("empty pattern"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT ac_count('x', 'a,b,')").collect()
+    }
+    assert(e3.getMessage.contains("empty pattern"))
   }
 
   test("salted join equals plain join on skewed data") {
