@@ -4,7 +4,6 @@ import java.time.{LocalDate, LocalDateTime, LocalTime}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.TickerStore
 
 /** D5 — scheduled partitioned materialization + date-range backfill
   * (SURVEY §2.4 D5; reference: dagster_repository/schedules.py:31-80,
@@ -21,7 +20,7 @@ import graft.sources.TickerStore
   * function (which partition keys a daily tick-at-09:00 has launched by
   * `now`) — deterministic and unit-testable, no wall-clock in the
   * engine. Each per-day run is a partition-pruned read of the upstream
-  * day + a dynamic-partition-overwrite of exactly that day in the
+  * day + an overwrite of exactly that day's partition directory in the
   * target (run_key idempotency by construction, never append). At
   * 100 TB the daily run touches 1/365th of the table on both the read
   * side (directory pruning) and the write side (single-partition
@@ -66,14 +65,27 @@ object Schedule {
   }
 
   /** Backfill driver (the engine-side `dagster backfill --from --to`):
-    * run `job` once per key, in calendar order, returning the number of
-    * runs launched. Sequential by design — each run's write is an
-    * idempotent single-partition overwrite, so a failed backfill is
-    * resumed by re-running the whole range (completed days rewrite to
-    * the identical bytes, run_key semantics).
+    * run `job` once per key, returning the number of runs launched.
+    * `parallelism` > 1 launches up to that many per-day runs
+    * CONCURRENTLY (Dagster's backfill run-concurrency) — legitimate
+    * because every run writes its own partition directory, so runs
+    * never share commit staging; Spark's FIFO scheduler interleaves
+    * the independent jobs across the executor pool. A failed backfill
+    * is resumed by re-running the whole range: completed days rewrite
+    * to identical bytes (run_key semantics), whatever the order.
     */
-  def backfill[K](keys: Seq[K])(job: K => Unit): Int = {
-    keys.foreach(job)
+  def backfill[K](keys: Seq[K], parallelism: Int = 1)(job: K => Unit): Int = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (parallelism == 1) keys.foreach(job)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        val fs = keys.map(k => pool.submit(new Runnable {
+          override def run(): Unit = job(k)
+        }))
+        fs.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
+    }
     keys.size
   }
 
@@ -103,22 +115,30 @@ object Schedule {
     val keys = dailyKeys(LocalDate.parse(mm.getString(0), fmt),
                          LocalDate.parse(mm.getString(1), fmt))
 
-    val store = new TickerStore(root + "/meta")
+    // Each daily run owns its partition DIRECTORY outright (the
+    // hive-layout equivalent of a per-partition log commit): overwrite
+    // of `partition_date=<key>/` is idempotent and shares no commit
+    // staging with any other day — which is what makes the
+    // parallelism-8 backfill safe. (TickerStore's table-level dynamic
+    // overwrite serializes through one _temporary dir; per-partition
+    // ownership is the concurrent-backfill shape.)
+    val metaRoot = root + "/meta"
     def dailyRun(day: LocalDate): Unit = {
       val key = runConfig(day)
-      val daily = upstream.filter(col("day") === lit(key))
+      upstream.filter(col("day") === lit(key))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
              Analytics.exactSum(col("value"), 30, 2).as("sum_value"))
-      store.overwritePartition(daily.drop("day"), key)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$metaRoot/partition_date=$key")
     }
-    backfill(keys)(dailyRun)
+    backfill(keys, parallelism = 8)(dailyRun)
     dailyRun(keys(keys.size / 2)) // schedule re-tick: must converge, not duplicate
 
     graft.TmpIO.collectAndClean(spark, root)(
-        store.read(spark)
-          .select(col("partition_date").as("day"), col("event_type"),
-                  col("n"), col("sum_value")))
+        spark.read.parquet(metaRoot)
+          .select(col("partition_date").cast("string").as("day"),
+                  col("event_type"), col("n"), col("sum_value")))
       .orderBy(col("day"), col("event_type"))
   }
 }
