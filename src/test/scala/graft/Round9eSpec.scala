@@ -562,10 +562,13 @@ class Round9eSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val byG = rows.groupBy(_._1).map { case (g, vs) =>
       val sorted = vs.map(_._2).sorted
-      val med = sorted((sorted.length + 1) / 2 - 1) // lower median, 1-based ceil(n/2)
-      g -> (sorted, med)
+      // textbook median: average of the two middle order statistics
+      // for even n (round-10 convention change, matching DuckDB median)
+      val lo = sorted((sorted.length + 1) / 2 - 1)
+      val hi = sorted(sorted.length / 2)
+      g -> (sorted, (lo + hi) / 2.0)
     }
-    val zs = byG.map { case (g, (vs, med)) => g -> vs.map(v => math.abs(v - med).toDouble) }
+    val zs = byG.map { case (g, (vs, med)) => g -> vs.map(v => math.abs(v - med)) }
     val tn = zs.values.map(_.length).sum.toDouble
     val grand = zs.values.map(_.sum).sum / tn
     val k = zs.size.toDouble
@@ -584,7 +587,7 @@ class Round9eSpec extends SparkSpec {
     got.foreach { r =>
       val (vs, med) = byG(r.getString(0))
       assert(r.getLong(1) === vs.length.toLong)
-      assert(r.getLong(2) === med, s"median for ${r.getString(0)}")
+      assert(r.getDouble(2) === med, s"median for ${r.getString(0)}")
       assert(math.abs(r.getDouble(4) - f) < 1e-4, "F statistic")
     }
   }
