@@ -600,10 +600,12 @@ object Stats {
     * itself assuming normality). Group medians follow the TEXTBOOK
     * convention — for even group sizes the two middle order
     * statistics are averaged (matching DuckDB's `median`/
-    * `quantile_cont(0.5)`) — computed exactly via the conf1
-    * machinery: per-(group, value) counts → one distributed
-    * exclusive prefix sum → conditional MINs at ranks ⌈n/2⌉ and
-    * ⌊n/2⌋+1, no single-partition window. Deviations are kept as
+    * `quantile_cont(0.5)`) — computed exactly over the per-(group,
+    * value) COUNT frame (corpus compresses to ≤ |value domain| rows
+    * per group), where a per-group cumulative window + conditional
+    * MINs at ranks ⌈n/2⌉ and ⌊n/2⌋+1 read off both middle order
+    * statistics; the window is domain-bounded and partitioned, never
+    * single-partition. Deviations are kept as
     * EXACT integers by doubling: z₂ = |2v − (m_lo + m_hi)| (an F
     * statistic is invariant under a global scaling of z, so the ×2
     * changes nothing); the F assembles from DECIMAL-exact per-group
@@ -611,26 +613,27 @@ object Stats {
     * sums are order-invariant.
     */
   def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
-    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val f = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("prio"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .persist()
-    val counts = f.groupBy(col("prio"), col("v"))
+    // Medians over the per-(prio, value) COUNT frame: the corpus
+    // compresses to at most |value domain| rows per group before any
+    // window runs, so the per-prio cumulative window is bounded by the
+    // price domain (cents), not corpus size — no global-order prefix
+    // machinery needed, and the window is partitioned (one task per
+    // group), never single-partition.
+    val wCum = Window.partitionBy(col("prio")).orderBy(col("v"))
+    val wGrp = Window.partitionBy(col("prio"))
+    val cum = f.groupBy(col("prio"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    val pre = Ranks.withExclusivePrefixSum(counts,
-      Seq(col("prio").asc, col("v").asc), col("cnt"), np, "pref")
-    val starts = pre.groupBy(col("prio"))
-      .agg(min(col("pref")).as("start"), sum(col("cnt")).as("ng"))
-      .withColumn("kk", expr("(ng + 1) div 2"))
-      .withColumn("kk2", expr("ng div 2 + 1"))
-    val med = pre.join(broadcast(starts), Seq("prio"))
+      .withColumn("cw", sum(col("cnt")).over(wCum))
+      .withColumn("ng", sum(col("cnt")).over(wGrp))
+    val med = cum
       .groupBy(col("prio"))
       .agg(
-        min(when(col("pref") - col("start") + col("cnt") >= col("kk"),
-          col("v"))).as("m_lo"),
-        min(when(col("pref") - col("start") + col("cnt") >= col("kk2"),
-          col("v"))).as("m_hi"))
+        min(when(col("cw") >= expr("(ng + 1) div 2"), col("v"))).as("m_lo"),
+        min(when(col("cw") >= expr("ng div 2 + 1"), col("v"))).as("m_hi"))
       .withColumn("m2", col("m_lo") + col("m_hi"))
       .withColumn("median_cents", col("m2").cast("double") / lit(2.0))
     val z = f.join(broadcast(med), Seq("prio"))
