@@ -3500,9 +3500,9 @@ object SparkEntry {
         |    CAST(tg AS DOUBLE)/tn AS grand FROM t),
         |w AS (SELECT *,
         |    CAST(round(n * ((meang - grand)*(meang - grand)), 9)
-        |      AS DECIMAL(28,9)) AS ssb,
+        |      AS DECIMAL(38,9)) AS ssb,
         |    CAST(round(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*sz/n, 9)
-        |      AS DECIMAL(28,9)) AS ssw FROM u),
+        |      AS DECIMAL(38,9)) AS ssw FROM u),
         |fs AS (SELECT round((CAST(sum(ssb) AS DOUBLE)/(max(kgrp)-1))
         |    / (CAST(sum(ssw) AS DOUBLE)/(max(tn)-max(kgrp))), 6) AS bf_f
         |  FROM w)
@@ -3818,7 +3818,9 @@ object SparkEntry {
          |  FROM r GROUP BY 1),
          |nk AS (SELECT p.pa, p.pb, p.dist FROM p JOIN kd ON kd.id = p.pa
          |  WHERE p.dist <= kd.kdist),
-         |reach AS (SELECT nk.pa, nk.pb, greatest(kdo.kdist, nk.dist) AS rd
+         |reach AS (SELECT nk.pa, nk.pb,
+         |    greatest(kdo.kdist, nk.dist,
+         |      CAST(0.000001 AS DECIMAL(10,6))) AS rd
          |  FROM nk JOIN kd kdo ON kdo.id = nk.pb),
          |lrd AS (SELECT pa AS id,
          |    CAST(round(CAST(count(*) AS DOUBLE) / CAST(sum(rd) AS DOUBLE), 9)

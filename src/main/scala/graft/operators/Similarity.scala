@@ -1037,10 +1037,19 @@ object Similarity {
     val nk = pairs.join(kd, pairs("pa") === kd("id"))
       .filter(col("dist") <= col("kdist"))
       .select(col("pa"), col("pb"), col("dist"))
+    // Reach distance floored at the 6-dp distance QUANTUM: a point
+    // whose k-neighborhood is entirely EXACT duplicates (the sf1
+    // rehearsal corpus ships 10 identical replicas per vector) has
+    // every reach distance 0 and lrd = n/0 — ANSI Spark throws
+    // DIVIDE_BY_ZERO. Flooring each rd at one quantum (1e-6, the
+    // smallest representable nonzero distance) is the paper's
+    // duplicate-cluster handling and a NO-OP whenever any neighbor
+    // differs (rd ≥ 1e-6 already, so oracle-SF hashes are unchanged).
     val reach = nk
       .join(kd.select(col("id").as("pb"), col("kdist").as("kdo")), "pb")
       .select(col("pa"), col("pb"),
-        greatest(col("kdo"), col("dist")).as("rd"))
+        greatest(col("kdo"), col("dist"),
+          expr("CAST(0.000001 AS DECIMAL(10,6))")).as("rd"))
     val lrd = reach.groupBy(col("pa").as("id"))
       .agg(round(count(lit(1)).cast("double") / sum(col("rd")).cast("double"),
         9).cast("decimal(28,9)").as("lrd"))

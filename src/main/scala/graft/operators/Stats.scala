@@ -649,11 +649,14 @@ object Stats {
       .withColumn("kgrp", count(lit(1)).over(wAll))
       .withColumn("meang", col("sz").cast("double") / col("n"))
       .withColumn("grand", col("tg").cast("double") / col("tn"))
+      // DECIMAL(38,9): the z2 (doubled-deviation) sums of squares reach
+      // ~6e19 at the sf1 rehearsal corpus — (28,9) holds only ~1e19
+      // integer mass and threw NUMERIC_VALUE_OUT_OF_RANGE there.
       .withColumn("ssb", round(col("n") * ((col("meang") - col("grand"))
-        * (col("meang") - col("grand"))), 9).cast("decimal(28,9)"))
+        * (col("meang") - col("grand"))), 9).cast("decimal(38,9)"))
       .withColumn("ssw", round(col("szz").cast("double")
         - col("sz").cast("double") * col("sz") / col("n"), 9)
-        .cast("decimal(28,9)"))
+        .cast("decimal(38,9)"))
     val fstat = terms.groupBy(col("kgrp"), col("tn"))
       .agg(sum(col("ssb")).as("ssbt"), sum(col("ssw")).as("sswt"))
       .select(round((col("ssbt").cast("double") / (col("kgrp") - 1))
