@@ -124,15 +124,23 @@ object Dedup {
   /** [[jaccardPairs]] over an explicit (doc_id, ws: array<string>)
     * frame — the seam the hot-shingle spec drives synthetically.
     *
-    * Plan shape: the df computation is a COUNT WINDOW over the posting
-    * list, not a groupBy+join — one shuffle on `shingle` whose output
-    * partitioning the posting self-join then REUSES (no second
-    * shuffle of the postings). The capped join both GENERATES the
-    * candidate pairs and counts their shared df-in-[2,cap] shingles;
-    * exactness then needs only a CORRECTION term, because a shared
-    * shingle missing from that count must have df > dfCap (df < 2 is
-    * impossible for a shared shingle): the candidates are joined back
-    * to the HOT (df > cap) postings only — per doc that is at most
+    * Plan shape: df is a MAP-SIDE-COMBINABLE `groupBy(shingle).count()`
+    * joined back to the postings — NOT a count window. A count window
+    * hauls the hot shingle's ENTIRE posting list into one WindowExec
+    * task (it spills, so it's a straggler, not an OOM — but at a 100 TB
+    * corpus the hottest boilerplate shingle is exactly where that
+    * bites). The combinable count reduces that shingle to one row per
+    * map partition before the shuffle, and the join back streams the
+    * 1-row-per-shingle count side against the postings — bounded
+    * per-task memory regardless of df skew (the dd8/dd15 min-struct
+    * discipline applied to df). The per-shingle filters then ride the
+    * tiny count frame, so the hot/capped splits never re-shuffle the
+    * postings. The capped join both GENERATES the candidate pairs and
+    * counts their shared df-in-[2,cap] shingles; exactness then needs
+    * only a CORRECTION term, because a shared shingle missing from
+    * that count must have df > dfCap (df < 2 is impossible for a
+    * shared shingle): the candidates are joined back to the HOT
+    * (df > cap) postings only — per doc that is at most
     * #distinct-hot-shingles rows, NOT the full set — and the two
     * counts are added. On a corpus where the cap never fires the hot
     * side is empty and the correction costs nothing (measured: the
@@ -143,12 +151,15 @@ object Dedup {
                        threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
     val sh = docWords
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val withDf = sh.withColumn("df", count(lit(1)).over(byShingle)).cache()
-    val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val capped = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
+      .cache()
+    val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val hotShingles = dfCounts.filter(col("df") > dfCap).select(col("shingle"))
+    val capped = sh.join(
+        dfCounts.filter(col("df") >= 2 && col("df") <= dfCap).select(col("shingle")),
+        Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
-    val hot = withDf.filter(col("df") > dfCap)
+    val hot = sh.join(broadcast(hotShingles), Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
     // Candidate generation + capped-space intersection counts in one join.
     val cappedCommon = capped.as("a").join(capped.as("b"),
@@ -156,11 +167,11 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("capped_common"))
     // Exactness correction: shared HOT shingles of the candidate pairs.
-    // Existence probe first (one scalar off the cached frame): on the
-    // common no-hot-shingle corpus the capped counts are already exact
-    // and the correction's extra pair-keyed shuffle is skipped
-    // entirely.
-    val inter = if (hot.isEmpty) {
+    // Existence probe first (one scalar off the cached per-shingle
+    // count frame — NOT the postings): on the common no-hot-shingle
+    // corpus the capped counts are already exact and the correction's
+    // extra pair-keyed shuffle is skipped entirely.
+    val inter = if (hotShingles.isEmpty) {
       cappedCommon.withColumnRenamed("capped_common", "common")
     } else {
       val hotCommon = cappedCommon.select(col("doc_a"), col("doc_b"))
@@ -191,30 +202,34 @@ object Dedup {
     * longer than A (the union swamps the overlap); containment is the
     * standard complement every serious dedup stack runs alongside it.
     *
-    * Same scale machinery as [[jaccardPairsFrom]] — df-windowed
-    * 5-gram postings, [2, dfCap] candidate generation, exact
-    * intersection from capped counts + hot-shingle correction (df=1
-    * shingles cannot be shared, so the sum IS the full intersection)
-    * — but over ORDERED pairs, since containment is directional.
-    * Ratio of exact integers → oracle hash-checkable.
+    * Same scale machinery as [[jaccardPairsFrom]] — map-side-combined
+    * per-shingle df counts joined back to the 5-gram postings (see the
+    * hot-shingle rationale there), [2, dfCap] candidate generation,
+    * exact intersection from capped counts + hot-shingle correction
+    * (df=1 shingles cannot be shared, so the sum IS the full
+    * intersection) — but over ORDERED pairs, since containment is
+    * directional. Ratio of exact integers → oracle hash-checkable.
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        n: Int = 5, threshold: Double = 0.5,
                        dfCap: Int = 1000): DataFrame = {
     val sh = docWords(spark, dir)
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"), n)).as("shingle"))
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val withDf = sh.withColumn("df", count(lit(1)).over(byShingle)).cache()
-    val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val capped = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
+      .cache()
+    val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val hotShingles = dfCounts.filter(col("df") > dfCap).select(col("shingle"))
+    val capped = sh.join(
+        dfCounts.filter(col("df") >= 2 && col("df") <= dfCap).select(col("shingle")),
+        Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
-    val hot = withDf.filter(col("df") > dfCap)
+    val hot = sh.join(broadcast(hotShingles), Seq("shingle"))
       .select(col("doc_id"), col("shingle"))
     val cappedCommon = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("capped_common"))
-    val inter = if (hot.isEmpty) {
+    val inter = if (hotShingles.isEmpty) {
       cappedCommon.withColumnRenamed("capped_common", "common")
     } else {
       val hotCommon = cappedCommon.select(col("doc_a"), col("doc_b"))
@@ -775,12 +790,18 @@ object Dedup {
   def ppjoinJaccardPairsFrom(docWords: DataFrame, threshold: Double): DataFrame = {
     val sh = docWords
       .select(col("doc_id"), explode(shinglesFromWords(col("ws"))).as("shingle"))
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      .cache()
+    // df as a map-side-combinable count joined back to the postings
+    // (same hot-shingle rationale as [[jaccardPairsFrom]]): the
+    // per-doc windows below are bounded by document length, but a
+    // count window over `shingle` would buffer the hottest shingle's
+    // whole posting list in one task.
+    val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byDocOrdered = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(asc("df"), asc("shingle"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = sh
-      .withColumn("df", count(lit(1)).over(byShingle))
+    val ranked = sh.join(dfCounts, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"), col("df"))
       .withColumn("r", row_number().over(byDocOrdered))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .cache()

@@ -132,7 +132,8 @@ object Ranks {
       .persist()
     live.add(parted)
     val stats = parted.groupBy(col("_rp_pid"))
-      .agg(count(lit(1)).as("_n"), sum(col("_rp_v")).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_rp_v")), lit(0L)).as("_s"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val total = stats.values.map(_._1).sum
     val maxPid = if (stats.isEmpty) 0 else stats.keys.max + 1

@@ -83,7 +83,18 @@ object Schedule {
         val fs = keys.map(k => pool.submit(new Runnable {
           override def run(): Unit = job(k)
         }))
-        fs.foreach(_.get()) // propagate the first failure
+        // Propagate the first failure in submission order, UNWRAPPED
+        // (callers match on the job's own exception type, not
+        // ExecutionException), and cancel everything still queued or
+        // running — a failed backfill must stop writing partitions,
+        // not keep materializing days behind the driver's back.
+        try fs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            fs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     }
     keys.size
