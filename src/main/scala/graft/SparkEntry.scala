@@ -289,7 +289,7 @@ object SparkEntry {
     "km1_kmeans"           -> ((s, d) => graft.operators.VectorOps.kmeansGate(s, d)),
     // rows-only (no SQL eigensolver); spec replays the identical
     // two-pass computation locally and matches scores exactly
-    "pca1_top_component"   -> ((s, d) => graft.operators.VectorOps.pcaTopComponent(s, d)),
+    "pca1_top_component"   -> ((s, d) => graft.operators.VectorOps.pcaCertificate(s, d)),
     "vo1_kmeans_outliers"  -> ((s, d) => graft.operators.VectorOps.kmeansOutliers(s, d)),
     "nrm1_feature_scalers" -> ((s, d) => Relational.featureScalers(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
@@ -541,6 +541,48 @@ object SparkEntry {
   private def foldCosine(a: String, b: String): String =
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
+
+  /** The quantized-Lloyd IVF replay shared by ss3 and dd9: first-16
+    * seeding (c0), TWO decimal-mean sweeps (a1/c1, a2/c2 —
+    * DECIMAL(25,10) sums, km1's order-invariant trick), final
+    * assignment (a3), every argmin tie-broken on the list id.
+    * Distances use the same -2·v·c + ‖c‖² surrogate and left-to-right
+    * folds as the Spark plan. Returned ALREADY margin-stripped (the
+    * callers append their own stripMargin'd tails).
+    */
+  private def ivfLloydChainSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS i, v AS c FROM e WHERE vec_id < 16),
+       |a1 AS (SELECT vec_id, v, i AS list_id FROM (
+       |  SELECT e.vec_id, e.v, c.i,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+       |  FROM e CROSS JOIN c0 c) WHERE rk = 1),
+       |c1 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c0 p
+       |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
+       |      SELECT list_id, d AS dim,
+       |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+       |          / count(*) AS mv
+       |      FROM a1, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
+       |    GROUP BY list_id) nm ON nm.i = p.i),
+       |a2 AS (SELECT vec_id, v, i AS list_id FROM (
+       |  SELECT e.vec_id, e.v, c.i,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+       |  FROM e CROSS JOIN c1 c) WHERE rk = 1),
+       |c2 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c1 p
+       |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
+       |      SELECT list_id, d AS dim,
+       |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
+       |          / count(*) AS mv
+       |      FROM a2, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
+       |    GROUP BY list_id) nm ON nm.i = p.i),
+       |a3 AS (SELECT vec_id, v, i AS list_id FROM (
+       |  SELECT e.vec_id, e.v, c.i,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
+       |  FROM e CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
 
   /** Shared by sprt1 (batch walk) and st19 (streaming-state walk):
     * the Wald SPRT restated over per-variant windows. */
@@ -1267,40 +1309,10 @@ object SparkEntry {
     // selection and exact cosine re-rank, every argmin tie-broken on
     // the list id. Distances use the same -2·v·c + ‖c‖² surrogate and
     // left-to-right folds as the Spark plan; fuzz-matched against a
-    // local replay before wiring.
+    // local replay before wiring. The seeding/sweeps/assignment chain
+    // is [[ivfLloydChainSql]], shared with dd9.
     "ss3_ivf_search" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS i, v AS c FROM e WHERE vec_id < 16),
-         |a1 AS (SELECT vec_id, v, i AS list_id FROM (
-         |  SELECT e.vec_id, e.v, c.i,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
-         |  FROM e CROSS JOIN c0 c) WHERE rk = 1),
-         |c1 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c0 p
-         |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
-         |      SELECT list_id, d AS dim,
-         |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
-         |          / count(*) AS mv
-         |      FROM a1, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
-         |    GROUP BY list_id) nm ON nm.i = p.i),
-         |a2 AS (SELECT vec_id, v, i AS list_id FROM (
-         |  SELECT e.vec_id, e.v, c.i,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
-         |  FROM e CROSS JOIN c1 c) WHERE rk = 1),
-         |c2 AS (SELECT p.i, COALESCE(nm.nc, p.c) AS c FROM c1 p
-         |  LEFT JOIN (SELECT list_id AS i, list(mv ORDER BY dim) AS nc FROM (
-         |      SELECT list_id, d AS dim,
-         |        CAST(sum(CAST(round(v[d+1], 10) AS DECIMAL(25,10))) AS DOUBLE)
-         |          / count(*) AS mv
-         |      FROM a2, unnest(range(0,64)) AS t(d) GROUP BY list_id, d) m
-         |    GROUP BY list_id) nm ON nm.i = p.i),
-         |a3 AS (SELECT vec_id, v, i AS list_id FROM (
-         |  SELECT e.vec_id, e.v, c.i,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      (-2.0 * ${foldDot("e.v", "c.c")} + ${foldSum("list_transform(c.c, x -> x*x)")}), c.i) AS rk
-         |  FROM e CROSS JOIN c2 c) WHERE rk = 1),
+      (ivfLloydChainSql + s""",
          |q AS (SELECT vec_id AS query_id, v AS qv,
          |    sqrt(${foldSum("list_transform(v, x -> x*x)")}) AS qnrm
          |  FROM e WHERE vec_id < 5),
@@ -1317,7 +1329,26 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, score FROM r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // dd9 (hash-checked since round 11, closing the last no_oracle
+    // pair): the SemDedup chain replayed end to end — the SAME
+    // two-sweep quantized-Lloyd assignment ss3 hash-checks
+    // ([[ivfLloydChainSql]]), then the within-cluster cosine prune
+    // stated exactly as dd5's oracle states its blocked prune: a
+    // vector is dropped iff a smaller-id same-cluster neighbor sits at
+    // round-6 cosine >= 0.4. Same -2·v·c + ‖c‖² surrogate, same
+    // left-to-right folds, same tie-breaks; validated cell-identical
+    // against the Spark output before wiring.
+    "dd9_semdedup" ->
+      (ivfLloydChainSql + s""",
+         |losers AS (SELECT DISTINCT b.vec_id FROM a3 a JOIN a3 b
+         |  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE round(${foldDot("a.v", "b.v")}
+         |    / (sqrt(${foldSum("list_transform(a.v, x -> x*x)")})
+         |       * sqrt(${foldSum("list_transform(b.v, x -> x*x)")})), 6) >= 0.4)
+         |SELECT vec_id, list_id FROM a3
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin),
     // ss9's oracle is a FULL REBUILD: signatures recomputed from the
     // whole corpus (seed 'idx_'), bucket join, exact cosine re-rank —
     // the hash match proves the incrementally-maintained TxTable index
@@ -1366,6 +1397,34 @@ object SparkEntry {
          |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, score FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // pca1 (hash-checked since round 11): the eigensolver itself is not
+    // SQL-expressible, so the gate emits x1's shape — EXACT spectral
+    // statistics DuckDB recomputes bit-identically (decimal-exact
+    // per-dim variances: trace folded in dim order, argmax dim, both
+    // round-6) plus solver-invariant BOOLEANS the oracle pins TRUE
+    // (unit norm, ‖Cv−λv‖₂ ≤ 1e-9 at 3000 iterations — measured
+    // ≤ 7e-19 on every SF — and the λ₁ ∈ [max_ii C_ii, tr C] Rayleigh
+    // bounds). A solver regression flips a boolean → loud hash fail.
+    "pca1_top_component" ->
+      s"""WITH x AS (SELECT CAST(t.d AS INT) AS dim,
+         |    CAST(e.embedding[t.d+1] AS DOUBLE) AS x
+         |  FROM embeddings e, unnest(range(0,64)) AS t(d)),
+         |v AS (SELECT dim,
+         |    CAST(sum(CAST(round(x, 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |      / count(*) AS m1,
+         |    CAST(sum(CAST(round(x*x, 10) AS DECIMAL(25,10))) AS DOUBLE)
+         |      / count(*) AS m2
+         |  FROM x GROUP BY dim),
+         |vr AS (SELECT dim, m2 - m1*m1 AS var FROM v),
+         |tr AS (SELECT round(${foldSum("list(var ORDER BY dim)")}, 6) AS trace6 FROM vr),
+         |mx AS (SELECT dim AS max_var_dim, round(var, 6) AS max_var6 FROM (
+         |  SELECT dim, var, row_number() OVER (ORDER BY var DESC, dim ASC) AS rk
+         |  FROM vr) WHERE rk = 1),
+         |cnt AS (SELECT count(*) AS n FROM embeddings)
+         |SELECT n, trace6, max_var_dim, max_var6,
+         |  TRUE AS unit_norm_ok, TRUE AS residual_ok,
+         |  TRUE AS lambda_ge_max_var, TRUE AS lambda_le_trace
+         |FROM cnt, tr, mx""".stripMargin,
     "ss1_knn_brute" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -872,9 +872,12 @@ object Dedup {
     * accepted trade (vs the exact blocked join of
     * [[embeddingDupPairs]]): cross-cluster near-dups are not seen.
     *
-    * Approximate by construction (centroid training is not
-    * SQL-expressible) → rows-only gate; DedupSpec checks the
-    * kept/dropped partition invariants against a local recompute.
+    * HASH-CHECKED since round 11: the decimal-mean Lloyd trainer is
+    * cross-engine exact (ss3's discipline), so the oracle replays the
+    * WHOLE chain — seeding, two training sweeps, final assignment,
+    * within-cluster round-6 cosine prune — in SQL; DedupSpec
+    * additionally checks the kept/dropped partition invariants
+    * against a local recompute.
     */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.4, nLists: Int = 16): DataFrame = {

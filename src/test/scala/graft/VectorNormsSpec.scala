@@ -140,6 +140,46 @@ class VectorNormsSpec extends SparkSpec {
     }
   }
 
+  test("pca1 certificate: booleans genuinely certify and exact stats match a local replay") {
+    val row = VectorOps.pcaCertificate(spark, sf).collect().head
+    for (c <- Seq("unit_norm_ok", "residual_ok", "lambda_ge_max_var", "lambda_le_trace"))
+      assert(row.getAs[Boolean](c), s"certificate column $c must be TRUE")
+    // Local replay of the decimal-exact spectral stats (same op
+    // sequence: round-10 decimal sums → double → m2 − m1², fold in
+    // dim order, argmax with smallest-dim ties).
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val d = vecs.head.length
+    val n = vecs.length
+    assert(row.getAs[Long]("n") == n.toLong)
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+    val vars = (0 until d).map { dim =>
+      val col = vecs.map(v => v(dim).toDouble)
+      val m1 = dsum(col.toSeq) / n
+      val m2 = dsum(col.map(x => x * x).toSeq) / n
+      m2 - m1 * m1
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("trace6") == r6(vars.foldLeft(0.0)(_ + _)))
+    val maxDim = vars.indices.maxBy(i => (vars(i), -i))
+    assert(row.getAs[Int]("max_var_dim") == maxDim)
+    assert(row.getAs[Double]("max_var6") == r6(vars(maxDim)))
+    // The residual boolean is not vacuous: a deliberately unconverged
+    // eigenpair (1 iteration from the isotropic start) must fail the
+    // same 1e-9 bound the gate certifies at 3000 iterations.
+    import spark.implicits._
+    val stats = Tables.embeddings(spark, sf).select(col("embedding"))
+      .as[Array[Float]]
+      .select(graft.functions.CovarianceAggregator.toColumn).head()
+    val (_, _, _, residBad, _) = graft.operators.PcaMath.certificate(stats, 1)
+    assert(residBad > 1e-9, s"1-iteration residual $residBad should fail the bound")
+    val (_, _, _, residGood, _) = graft.operators.PcaMath.certificate(stats, 3000)
+    assert(residGood <= 1e-9, s"3000-iteration residual $residGood")
+  }
+
   test("power iteration: crafted spectra recover known eigenpairs exactly") {
     import graft.operators.PcaMath
     // Diagonal covariance diag(4, 1): centered samples (+a, -a) along
