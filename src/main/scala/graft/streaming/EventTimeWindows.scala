@@ -110,22 +110,21 @@ object EventTimeWindows {
     val bounds = e.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
     val (mn, mx) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
 
-    def stage(df: DataFrame, n: Int): Unit = {
-      val part = s"$tmp/stage$n"
-      df.coalesce(1).write.parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(upstream, f"$n%04d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + n * 60000L)
-    }
     import spark.implicits._
-    stage(e, 1)
-    stage(Seq((new java.sql.Timestamp(mx.getTime + 90 * 60000L), "zz_bump"))
-      .toDF("ts", "event_type"), 2)
-    stage(e.filter(col("ts") < lit(new java.sql.Timestamp(mn.getTime + 3600000L))), 3)
-    stage(Seq((new java.sql.Timestamp(mx.getTime + 3 * 3600000L), "zz_sentinel"))
-      .toDF("ts", "event_type"), 4)
+    // Stage 1 range-ordered on ts (parallel staging write; time-
+    // contiguous files keep the progressively-advancing watermark from
+    // evicting a window with rows still in a later file — see
+    // GateIO.stageFiles). Stage 3's replay rows are late by
+    // construction whatever their file split, so it stages at natural
+    // parallelism unordered.
+    GateIO.stageFiles(e, tmp, upstream, 1, orderBy = Some(col("ts")))
+    GateIO.stageFiles(Seq((new java.sql.Timestamp(mx.getTime + 90 * 60000L), "zz_bump"))
+      .toDF("ts", "event_type"), tmp, upstream, 2)
+    GateIO.stageFiles(
+      e.filter(col("ts") < lit(new java.sql.Timestamp(mn.getTime + 3600000L))),
+      tmp, upstream, 3)
+    GateIO.stageFiles(Seq((new java.sql.Timestamp(mx.getTime + 3 * 3600000L), "zz_sentinel"))
+      .toDF("ts", "event_type"), tmp, upstream, 4)
 
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     // Stateful partition count is pinned by the FIRST run against a

@@ -38,18 +38,13 @@ object IncrementalUpsert {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
 
-    def stage(df: DataFrame, n: Int): Unit = {
-      val part = s"$tmp/stage$n"
-      df.coalesce(1).write.parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(upstream, f"$n%04d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + n * 60000L)
+    // Natural-parallelism staging (no coalesce(1) funnel): a slice may
+    // split into several consecutive micro-batches, which the
+    // full-outer decimal merge below absorbs exactly — the final state
+    // version is batch-boundary-invariant.
+    (0 until 3).foreach { n =>
+      GateIO.stageFiles(e.filter(col("event_id") % 3 === n), tmp, upstream, n + 1)
     }
-    stage(e.filter(col("event_id") % 3 === 0), 1)
-    stage(e.filter(col("event_id") % 3 === 1), 2)
-    stage(e.filter(col("event_id") % 3 === 2), 3)
 
     val stateRoot = s"$tmp/state"
     var latest = -1L // driver-side pointer to the newest state version
@@ -77,8 +72,11 @@ object IncrementalUpsert {
                   + coalesce(col("s"), lit(0).cast("decimal(30,6)"))).as("s"))
           }
         // immutable new version; readers of v(latest) are never
-        // disturbed — the swap is just the pointer bump below
-        merged.coalesce(1).write.parquet(s"$stateRoot/v$id")
+        // disturbed — the swap is just the pointer bump below. The
+        // frame is BOUNDED control-plane data (one row per distinct
+        // event_type), so it writes at whatever parallelism the merge
+        // left it with — no single-task funnel, no need for one.
+        merged.write.parquet(s"$stateRoot/v$id")
         latest = id
         ()
       }

@@ -69,9 +69,13 @@ object RunningStats {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val tmp = graft.TmpIO.stableDir("st7") // user-scaling output: lazy read-back
+    // Natural-parallelism staging: AvailableNow with no
+    // maxFilesPerTrigger folds ALL staged files into one micro-batch
+    // (the st5/st16 reasoning), so "one update per user" holds with
+    // any file count and the write stops being a single-task funnel.
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("value"))
-      .coalesce(1).write.parquet(s"$tmp/in")
+      .write.parquet(s"$tmp/in")
     // Provider + partition configs stay set for the query's whole
     // lifetime (the first micro-batch is planned async on the stream
     // thread) and are restored only after awaitTermination.

@@ -120,9 +120,13 @@ object SessionTimers {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val tmp = graft.TmpIO.stableDir("st18") // session-scaling output: lazy read-back
+    // Natural-parallelism staging: AvailableNow with no
+    // maxFilesPerTrigger folds ALL staged files into one data
+    // micro-batch (the st5/st16 reasoning), so the one-data-batch
+    // timer semantics hold with any file count.
     graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"))
-      .coalesce(1).write.parquet(s"$tmp/in")
+      .write.parquet(s"$tmp/in")
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     RunningStats.rocksdbConf(spark)

@@ -37,19 +37,13 @@ object StreamingSketch {
     val e = Tables.events(spark, dir).select(col("ts"), col("user_id"))
     val mx = e.agg(max(col("ts"))).head.getTimestamp(0)
 
-    def stage(df: DataFrame, n: Int): Unit = {
-      val part = s"$tmp/stage$n"
-      df.coalesce(1).write.parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(upstream, f"$n%04d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + n * 60000L)
-    }
     import spark.implicits._
-    stage(e, 1)
-    stage(Seq((new java.sql.Timestamp(mx.getTime + 3 * 3600000L), -1L))
-      .toDF("ts", "user_id"), 2)
+    // Corpus stage range-ordered on ts (parallel staging write; the
+    // watermark can then never outrun rows in later files of the
+    // stage — see GateIO.stageFiles); 1-row sentinel stage after it.
+    GateIO.stageFiles(e, tmp, upstream, 1, orderBy = Some(col("ts")))
+    GateIO.stageFiles(Seq((new java.sql.Timestamp(mx.getTime + 3 * 3600000L), -1L))
+      .toDF("ts", "user_id"), tmp, upstream, 2)
 
     val h = hashCol(col("user_id"))
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"

@@ -36,18 +36,14 @@ object TxSink {
     val upstream = new java.io.File(s"$tmp/upstream"); upstream.mkdirs()
     val e = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
 
-    // Three staged files with pinned mod times → three deterministic
-    // micro-batches under maxFilesPerTrigger=1.
-    def stage(df: DataFrame, n: Int): Unit = {
-      val part = s"$tmp/stage$n"
-      df.coalesce(1).write.parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(upstream, f"$n%04d.parquet")
-      java.nio.file.Files.move(f.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + n * 60000L)
-    }
-    (0 until 3).foreach(n => stage(e.filter(col("event_id") % 3 === n), n))
+    // Three staged slices with pinned mod times → deterministic
+    // micro-batch ORDER under maxFilesPerTrigger=1. Natural-parallelism
+    // staging (no coalesce(1) funnel): a slice splitting into several
+    // consecutive batches changes batch ids, not the exactly-once
+    // table contents — commitIfAbsent dedupes per batch id and the
+    // final table is the union either way.
+    (0 until 3).foreach(n =>
+      GateIO.stageFiles(e.filter(col("event_id") % 3 === n), tmp, upstream, n))
 
     val table = new TxTable(s"$tmp/table")
     val ckpt = s"$tmp/ckpt"
