@@ -64,6 +64,8 @@ object SparkEntry {
     "rk1_idempotent_overwrite"-> ((s, d) => Ingest.idempotentOverwrite(s, d)),
     "d5_scheduled_backfill"   -> ((s, d) => Schedule.scheduledBackfill(s, d)),
     "k2_orc_roundtrip"        -> ((s, d) => Ingest.orcRoundtrip(s, d)),
+    "k16_jdbc_roundtrip"      -> ((s, d) => graft.sources.JdbcStore.jdbcRoundtripGate(s, d)),
+    "rh1_run_history"         -> ((s, d) => graft.operators.RunLog.runHistoryGate(s, d)),
     // ---- reactive / event-time (SURVEY §2.4 D6, §2.5) ----
     "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
     "st1_hourly_windows" -> ((s, d) => EventTimeWindows.hourlyByType(s, d)),
@@ -1081,6 +1083,29 @@ object SparkEntry {
     "k2_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // k16: the JDBC sink/source parity slice — the round-trip through
+    // embedded Derby (auto-created table, partitioned JDBC read-back)
+    // must equal the slice read straight from parquet.
+    "k16_jdbc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+    // rh1: the consolidated run-history view of the simulated fleet —
+    // per day: one run, plus a failed-then-retried first day and a
+    // re-ticked middle day (keys[size/2], 0-based → row m//2+1); the
+    // latest attempt always succeeded and wrote the day's event count.
+    "rh1_run_history" ->
+      """WITH days AS (SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |ord AS (SELECT day, n, row_number() OVER (ORDER BY day) AS r,
+        |    count(*) OVER () AS m FROM days)
+        |SELECT day,
+        |  CAST(1 + (CASE WHEN r = 1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN r = (m // 2) + 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_runs,
+        |  CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_failed,
+        |  'SUCCESS' AS last_status,
+        |  n AS rows_ok
+        |FROM ord ORDER BY day""".stripMargin,
     "r1_reactive_meta" ->
       """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
         |  count(*) AS n_events

@@ -84,4 +84,23 @@ object TickerStore {
       .orderBy(desc("created_at"), asc("id"))
       .limit(5)
   }
+
+  /** [[syncPipeline]] recorded into the consolidated run-history
+    * surface ([[graft.operators.RunLog]]) — the reference's dagit run
+    * log analogue: one attempt row per sync (rows_written = the
+    * fetched batch size), failures logged FAILED and rethrown.
+    */
+  def syncPipelineLogged(spark: SparkSession, source: QuoteSource,
+                         symbols: Seq[String], date: String,
+                         store: TickerStore,
+                         log: graft.operators.RunLog): DataFrame = {
+    log.runLogged(spark, "sync_etf_pipeline", date) {
+      val batch = source.fetch(spark, symbols).toDF()
+      store.append(batch, date)
+      batch.count()
+    }
+    store.read(spark)
+      .orderBy(desc("created_at"), asc("id"))
+      .limit(5)
+  }
 }
