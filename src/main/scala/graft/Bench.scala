@@ -80,10 +80,49 @@ object Bench {
 
   /** Per-query outcome: `official` is what enters the totals — the
     * median normally, the min when the spread stayed above [[SpreadBar]]
-    * after extra reps (`stalled`).
+    * after extra reps (`stalled`). `stealDelta` is the host steal-tick
+    * growth across this query's reps (-1 when unreadable): the direct
+    * evidence channel when a single query's window landed on a
+    * contended epoch.
     */
   private final case class QStat(official: Double, median: Double,
-                                 min: Double, reps: Int, stalled: Boolean)
+                                 min: Double, reps: Int, stalled: Boolean,
+                                 stealDelta: Long)
+
+  /** Known-good per-query reference seconds (`bench_reference.json`,
+    * path overridable via SPARK_GRAFT_REF; absent → empty). The round-10
+    * driver record exposed the blind spot in spread-only stall control:
+    * e3_json_typed ran ~14 s on EVERY rep of a contended epoch (22× its
+    * clean-box steady state) with median/min under [[SpreadBar]], so no
+    * extra reps fired and a pure-environment number entered the record
+    * unflagged — while e2_json_extract, one slot earlier, happened to
+    * catch one clean rep and was corrected to 1.85 s. The reference
+    * closes it: a query whose BEST rep is still [[RefBar]]× the
+    * committed clean-box number gets the same extra-rep + min-reporting
+    * + stall-flag treatment, so the record either recovers a clean rep
+    * or carries the flag that says the number measures the box.
+    */
+  private def loadReference(sfDir: String): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_REF", "bench_reference.json")
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      // The reference is only meaningful at the SF it was measured at:
+      // an sf1 rehearsal against sf0.1 minima would flag every heavy
+      // gate. `_sf_dir` is compared by basename so the same corpus
+      // staged under a different parent (e.g. /dev/shm) still matches.
+      val sfRe = """"_sf_dir"\s*:\s*"([^"]+)"""".r
+      val refSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+      def base(p: String) = p.stripSuffix("/").split('/').last
+      if (refSf.exists(r => base(r) != base(sfDir))) Map.empty
+      else {
+        val re = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+  private final val RefBar = 4.0
+  private final val RefFloorSec = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,9 +181,16 @@ object Bench {
     // Optional name filter (local iteration / SF-rehearsal aid; the
     // driver never sets it and always measures the full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reference = loadReference(sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
+      // A rep whose BEST time is still RefBar× the clean-box reference
+      // (and above an absolute floor, so sub-second gates don't flap)
+      // is environment-suspect even when the spread is tight.
+      def refSlow(minT: Double): Boolean =
+        reference.get(name).exists(r => minT > RefBar * r && minT > RefFloorSec)
+      val stealQ0 = stealTicks()
       runOnce(fn) match { // untimed warm-up; its failure fails the query
         case Left(err) => name -> Left(err)
         case Right(_) =>
@@ -153,11 +199,12 @@ object Bench {
             case Some(err) => name -> Left(err)
             case None =>
               var ts = reps.collect { case Right(t) => t }
-              // Spread-triggered extra reps: a clean query converges in
-              // one or two; a genuinely stalled box keeps the flag.
+              // Spread- or reference-triggered extra reps: a clean query
+              // converges in one or two; a genuinely stalled box keeps
+              // the flag.
               var err: Option[String] = None
               while (err.isEmpty && ts.length < Reps + MaxExtraReps &&
-                     median(ts) / ts.min > SpreadBar) {
+                     (median(ts) / ts.min > SpreadBar || refSlow(ts.min))) {
                 runOnce(fn) match {
                   case Left(e) => err = Some(e)
                   case Right(t) => ts = ts :+ t
@@ -167,9 +214,11 @@ object Bench {
                 case Some(e) => name -> Left(e)
                 case None =>
                   val med = median(ts)
-                  val stalled = med / ts.min > SpreadBar
+                  val stalled = med / ts.min > SpreadBar || refSlow(ts.min)
+                  val stealQ1 = stealTicks()
+                  val sd = if (stealQ0 < 0 || stealQ1 < 0) -1L else stealQ1 - stealQ0
                   name -> Right(QStat(if (stalled) ts.min else med,
-                    med, ts.min, ts.length, stalled))
+                    med, ts.min, ts.length, stalled, sd))
               }
           }
       }
@@ -198,9 +247,13 @@ object Bench {
     val stallJson = stalls.map { case (k, v) =>
       s"${q(k)}:{" + "\"median\":" + math.round(v.median * 1000) / 1000.0 +
         ",\"min\":" + math.round(v.min * 1000) / 1000.0 +
-        ",\"reps\":" + v.reps + "}"
+        ",\"reps\":" + v.reps +
+        ",\"steal_delta\":" + v.stealDelta +
+        reference.get(k).map(r => ",\"ref\":" + r).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val repsJson = timed.map { case (k, v) => "\"" + k + "\":" + v.reps }
+      .mkString("{", ",", "}")
+    val stealJson = timed.map { case (k, v) => "\"" + k + "\":" + v.stealDelta }
       .mkString("{", ",", "}")
     val calibPost = calibrate()
     val stealPost = stealTicks()
@@ -209,6 +262,7 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
       s""""queries":${jsonMap(_.official)},"queries_median":${jsonMap(_.median)},""" +
       s""""queries_min":${jsonMap(_.min)},"queries_reps":$repsJson,""" +
+      s""""queries_steal":$stealJson,""" +
       s""""stalls":$stallJson,$epochJson,""" +
       s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), fullJson)

