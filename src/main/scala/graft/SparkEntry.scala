@@ -295,6 +295,7 @@ object SparkEntry {
     "vo1_kmeans_outliers"  -> ((s, d) => graft.operators.VectorOps.kmeansOutliers(s, d)),
     "nrm1_feature_scalers" -> ((s, d) => Relational.featureScalers(s, d)),
     "mx2_temperature_mix"  -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
+    "mx3_mixture_sample"   -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
     "dp2_psi_drift"        -> ((s, d) => graft.operators.Quality.psiDrift(s, d)),
     "od1_mad_outliers"     -> ((s, d) => graft.operators.Quality.madOutliers(s, d)),
     "cor1_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
@@ -2125,6 +2126,34 @@ object SparkEntry {
         |  round(sw / z.zsum, 6) AS weight,
         |  CAST(round(sw / z.zsum * t, 0) AS BIGINT) AS eff_tokens
         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+    // mx3: same weight chain as mx2 quantized through
+    // floor(round(·,8)·1e8) into BIGINT, then the Bernoulli-by-rate
+    // threshold replayed with the identical parenthesization; the
+    // 8-hex-digit md5 fold is dsir1's idiom.
+    "mx3_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_words) AS BIGINT) AS src_tokens
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t,
+        |    CAST(sum(src_tokens) AS BIGINT) // 5 AS b FROM s),
+        |w AS (SELECT source, src_tokens, tot.b AS b,
+        |    CAST(floor(round(sqrt(CAST(src_tokens AS DOUBLE) / tot.t), 8) * 1e8)
+        |      AS BIGINT) AS wq
+        |  FROM s CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(wq) AS BIGINT) AS z FROM w),
+        |thr AS (SELECT source,
+        |    CAST(floor(4294967296.0 * (CAST(w.b AS DOUBLE) * (CAST(w.wq AS DOUBLE)
+        |      / (CAST(z.z AS DOUBLE) * CAST(w.src_tokens AS DOUBLE))))) AS BIGINT) AS t
+        |  FROM w CROSS JOIN z)
+        |SELECT d.doc_id, d.source, d.n_words
+        |FROM d JOIN thr USING (source)
+        |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef',
+        |      md5(CAST(d.doc_id AS VARCHAR))[i]) - 1 AS BIGINT))),
+        |    (a, c) -> a * 16 + c) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
     "cor1_corr_matrix" -> {
       val cols = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
         "qty" -> "l_quantity", "tax" -> "l_tax")

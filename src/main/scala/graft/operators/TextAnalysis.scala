@@ -888,6 +888,48 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Gated mx3: MIXTURE SAMPLE MATERIALIZATION — the step [[temperatureMixture]]
+    * stops short of: turn the temperature weights into an ACTUAL
+    * document sample. Each source gets a deterministic acceptance
+    * threshold t_s = floor(2^32 · B · W_s / (Z · n_s)) (B = the 20%
+    * token budget, W_s = the source's 8-dp-quantized temperature
+    * weight, n_s = its token count, Z = ΣW_s) and a document is
+    * selected iff the first 8 hex digits of md5(doc_id) fall below
+    * its source's threshold — Bernoulli by RATE, not per-source
+    * top-k, so no per-source sort and no data-sized window partition
+    * exists anywhere: the selection is one broadcast join plus a
+    * map-side integer compare, and the expected selected token mass
+    * per source is exactly the budget share the weights imply.
+    *
+    * Determinism across engines: share and sqrt are IEEE binary64
+    * (bit-identical in Spark and DuckDB), the weight is quantized
+    * through floor(round(·,8)·1e8) into a BIGINT before any further
+    * arithmetic, the threshold chain is written with explicit
+    * parentheses so both engines evaluate the same float ops in the
+    * same order, and the final compare is integer-vs-integer.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_words"))
+    val s = docs.groupBy(col("source")).agg(sum(col("n_words")).as("src_tokens"))
+    // control-plane scalars (source-cardinality frame, ≤ #sources rows)
+    val total = s.agg(sum(col("src_tokens"))).head.getLong(0)
+    val budget = total / 5
+    val w = s.withColumn("wq",
+      floor(round(sqrt(col("src_tokens").cast("double") / lit(total.toDouble)), 8)
+        * lit(1e8)))
+    val z = w.agg(sum(col("wq"))).head.getLong(0)
+    val thr = w.select(col("source"),
+      floor(lit(4294967296.0) * (lit(budget.toDouble) * (col("wq").cast("double")
+        / (lit(z.toDouble) * col("src_tokens").cast("double"))))).as("t"))
+    docs.join(broadcast(thr), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") < col("t"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge-candidate induction (gate bp1): the first step of
     * byte-pair-encoding tokenizer training — count adjacent symbol
     * pairs (here: character bigrams inside words, weighted by word

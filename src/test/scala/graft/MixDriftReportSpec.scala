@@ -21,6 +21,49 @@ class MixDriftReportSpec extends SparkSpec {
     }
   }
 
+  test("mixture sample: realizes the temperature budget per source, no window, broadcast select") {
+    val out = TextAnalysis.mixtureSample(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // deterministic: an identical second run selects the identical docs
+    assert(TextAnalysis.mixtureSample(spark, sf).collect().map(_.getLong(0)).toSeq
+      == rows.map(_.getLong(0)).toSeq)
+    // each source's selected token mass approximates its temperature
+    // budget share: expected tokens = B·w_s/Z; md5 is uniform, so a
+    // 3× band catches a wrong threshold (off by source size or Z)
+    // without flaking on sampling noise at sf0.001
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.values.sum
+    val budget = total / 5
+    val wq = docs.view.mapValues(n =>
+      math.floor(math.round(math.sqrt(n.toDouble / total) * 1e8).toDouble)).toMap
+    val z = wq.values.sum
+    val picked = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    docs.keys.foreach { src =>
+      val expect = budget * wq(src) / z
+      val got = picked.getOrElse(src, 0L).toDouble
+      assert(got < expect * 3,
+        s"$src: selected $got tokens vs expected ~$expect")
+    }
+    // a single source CAN deterministically miss at sf0.001 (src2's
+    // 25 md5 fractions all sit above its ~0.2 rate — verified against
+    // the oracle), but most must land
+    val landed = docs.keys.count(s => picked.getOrElse(s, 0L) > 0)
+    assert(landed * 5 >= docs.size * 4,
+      s"only $landed/${docs.size} sources selected anything")
+    // total selected stays near the 20% budget
+    val sel = rows.map(_.getLong(2)).sum.toDouble
+    assert(sel > budget / 2 && sel < budget * 2, s"selected $sel vs budget $budget")
+    // scale shape: Bernoulli-by-rate — a broadcast join and NO window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "mixture sample must not sort per source")
+    assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
+  }
+
   test("psi drift: same-distribution halves stay under the 0.1 threshold") {
     val rows = Quality.psiDrift(spark, sf).collect()
     assert(rows.nonEmpty)
