@@ -84,6 +84,7 @@ object SparkEntry {
     // ---- similarity search (north star) ----
     "ss1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "ss2_lsh_ann"   -> ((s, d) => Similarity.lshNeighbors(s, d)),
+    "xl1_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
     // ---- multimodal / approx (north star) ----
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
@@ -138,6 +139,7 @@ object SparkEntry {
     "t9_pii_redact"        -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "s1_hash_split"        -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "s2_group_split"       -> ((s, d) => TextAnalysis.groupSplit(s, d)),
+    "s3_leakage_safe_split"-> ((s, d) => Dedup.leakageSafeSplit(s, d)),
     "zipf1_token_zipf"     -> ((s, d) => TextAnalysis.tokenZipf(s, d)),
     "kd1_split_kl"         -> ((s, d) => graft.operators.Quality.splitKlDivergence(s, d)),
     "ent1_token_entropy"   -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
@@ -1463,6 +1465,45 @@ object SparkEntry {
          |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, score FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // xl1: the full margin-mining chain replayed — parity split,
+    // exact bipartite cosines (rounded-6 before ranking, the ss1
+    // discipline), per-side top-4 neighborhood sums as EXACT BIGINTs
+    // on the 1e-6 score quanta, the all-integer margin ratio
+    // 2·si·ks·kt/(Ss·kt+St·ks), and the per-source argmax with its
+    // accept decision at threshold 1.05. Integer μ arithmetic is the
+    // point: a rounded mean of 6-dp values ties at .5e-6 ~25% of the
+    // time, where the engines' rounding of doubles disagrees.
+    "xl1_margin_mining" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |src AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+         |p0 AS (SELECT src_id, tgt_id,
+         |    round(${foldCosine("sv", "tv")}, 6) AS score
+         |  FROM src CROSS JOIN tgt),
+         |p AS (SELECT src_id, tgt_id, score,
+         |    CAST(round(score * 1000000, 0) AS BIGINT) AS si FROM p0),
+         |ms AS (SELECT src_id, CAST(sum(si) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS ks FROM (
+         |    SELECT src_id, si, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY score DESC, tgt_id ASC) AS rk FROM p) WHERE rk <= 4
+         |  GROUP BY src_id),
+         |mt AS (SELECT tgt_id, CAST(sum(si) AS BIGINT) AS st,
+         |    CAST(count(*) AS BIGINT) AS kt FROM (
+         |    SELECT tgt_id, si, row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY score DESC, src_id ASC) AS rk FROM p) WHERE rk <= 4
+         |  GROUP BY tgt_id),
+         |m AS (SELECT p.src_id, p.tgt_id, p.score,
+         |    round(CAST(2 * p.si * ms.ks * mt.kt AS DOUBLE)
+         |      / CAST(ms.ss * mt.kt + mt.st * ms.ks AS DOUBLE), 6) AS margin
+         |  FROM p JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+         |  WHERE ms.ss * mt.kt + mt.st * ms.ks > 0),
+         |b AS (SELECT src_id, tgt_id, score, margin,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin DESC, tgt_id ASC) AS rk FROM m)
+         |SELECT src_id, tgt_id, score, margin,
+         |  (margin >= 1.05) AS accepted
+         |FROM b WHERE rk = 1 ORDER BY src_id""".stripMargin,
     // Full LSH-chain replay (ss2, upgraded from rows-only in round 10):
     // the SAME deterministic hyperplanes (Similarity.planesSqlValues
     // literals), 12-bit signatures per table, band-key equi-join,
@@ -1791,6 +1832,30 @@ object SparkEntry {
          |  SELECT r.n, e.b FROM reach r JOIN ed e ON r.m = e.a)
          |SELECT n AS doc_id, min(m) AS cluster_rep
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    // s3: dd6's connected-component chain, then the s1 md5 12/2/2
+    // bucket map applied to the CLUSTER REP — the oracle hashes every
+    // per-doc assignment, so one cluster straddling a split boundary
+    // is a hash failure.
+    "s3_leakage_safe_split" ->
+      s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |jp AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.7),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS n, doc_id AS m FROM documents
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN ed e ON r.m = e.a),
+         |cl AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n)
+         |SELECT doc_id, cluster_rep, CASE
+         |    WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         |    WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 1) IN ('c','d')
+         |      THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
     "dd15_cluster_canonical" ->
       s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |jp AS (SELECT doc_a, doc_b FROM inter

@@ -714,6 +714,34 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Gated s3: LEAKAGE-SAFE train/val/test split — the eval-integrity
+    * step plain hash splitting ([[TextAnalysis.hashSplit]]) misses:
+    * near-duplicate documents must land on the SAME side of a split,
+    * or the test set silently contains paraphrases of training data
+    * and every eval number is inflated. The split key is therefore
+    * the near-dup CLUSTER representative ([[duplicateClusters]]'s
+    * connected-component label), not the document id: md5 of the
+    * cluster rep buckets 12/2/2 into train/val/test exactly like s1,
+    * and every member of a cluster inherits its rep's bucket — a
+    * cluster can never straddle a boundary by construction.
+    *
+    * Scale shape: the expensive part IS [[duplicateClusters]] (banded
+    * LSH pairs + iterated min-label propagation, all bucketed); the
+    * split itself adds one stateless projection — no extra shuffle,
+    * no new state. Singleton documents (their own rep) degrade to
+    * exactly s1's content-independent hash split.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("cluster_rep").cast("string")), 1, 1)
+    duplicateClusters(spark, dir)
+      .withColumn("split",
+        when(h.isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+          .when(h.isin("c", "d"), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gated dd15: CANONICAL-DOCUMENT SELECTION per duplicate cluster —
     * the step that turns "these docs are duplicates" into "keep THIS
     * one". Joins the connected-component labels

@@ -1068,4 +1068,97 @@ object Similarity {
     pts.unpersist(); pairs.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  /** Gated xl1: MARGIN-BASED PAIR MINING — the bitext-mining readout
+    * (Artetxe & Schwenk 2019's margin-ratio criterion) that turns two
+    * embedding collections into aligned training pairs: a candidate
+    * (x, y) is accepted not on raw cosine (which is hubness-biased —
+    * some vectors are near everything) but on the RATIO of its cosine
+    * to the mean cosine of each side's k-nearest neighborhood:
+    *
+    *   margin(x, y) = cos(x, y) / ((μk(x) + μk(y)) / 2)
+    *
+    * where μk(x) is the mean of x's top-k cosines into the OTHER
+    * side. A hub's high absolute similarity is normalized away by its
+    * own high neighborhood mean; a genuinely aligned pair stands out
+    * from both neighborhoods. The deterministic vec_id-parity split
+    * stands in for the two languages (the corpus has one embedding
+    * space; a real deployment feeds per-language tables).
+    *
+    * Emits each source vector's best target by margin (rounded-6
+    * tie-broken on tgt_id) with its cosine, margin and the
+    * `accepted` mining decision (margin ≥ threshold) — the full
+    * readout, not just the survivors, so the gate hashes the
+    * decision boundary itself.
+    *
+    * Scale shape: the target side broadcasts (vectors are the SMALL
+    * artifact — 64 doubles/row; 10 M rows ≈ 5 GB, sharded query
+    * batches at 100 TB), so candidate scoring is a broadcast
+    * nested-loop with NO corpus shuffle; the only shuffles are the
+    * two per-side top-k windows and the mean joins, all on the
+    * (src, tgt, score) triple frame — ids + one double, never the
+    * vectors. At real scale the cross-scoring step is replaced by the
+    * ANN index ([[ivfSearch]] / [[txAnnIndexGate]]'s maintained
+    * index) generating the top-k candidate frame directly; the margin
+    * arithmetic downstream is unchanged — which is why it is factored
+    * over a plain (src, tgt, score) frame here. Determinism: scores
+    * round to 1e-6 BEFORE ranking ([[knnBrute]]'s discipline), and
+    * the margin is then computed in EXACT INTEGER arithmetic on the
+    * 1e-6 score quanta: μk(x) is a mean of 6-dp-quantized values, so
+    * it lands on an exact .5e-6 halfway point ~25% of the time —
+    * precisely where Spark's shortest-repr HALF_UP and the oracle
+    * engine's binary rounding disagree. With si = score·1e6 (exact
+    * BIGINT) and per-side top-k integer sums Ss/St over ks/kt rows,
+    *
+    *   margin = 2·si·ks·kt / (Ss·kt + St·ks)
+    *
+    * is a ratio of exact integers (≤ 3.2e7, no overflow); the single
+    * final round-6 of that ratio never sits on a decimal-terminating
+    * boundary, so the readout is engine-stable.
+    */
+  def marginMining(spark: SparkSession, dir: String, k: Int = 4,
+                   threshold: Double = 1.05): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tnrm"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        round(VectorOps.dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")), 6)
+          .as("score"))
+      .withColumn("si", round(col("score") * 1e6, 0).cast("long"))
+      .persist()
+    val wS = Window.partitionBy(col("src_id")).orderBy(desc("score"), asc("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id")).orderBy(desc("score"), asc("src_id"))
+    val muS = pairs.withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
+      .groupBy(col("src_id"))
+      .agg(sum(col("si")).as("ss"), count(lit(1)).as("ks"))
+    val muT = pairs.withColumn("rk", row_number().over(wT)).filter(col("rk") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("si")).as("st"), count(lit(1)).as("kt"))
+    val out = pairs
+      .join(broadcast(muS), "src_id")
+      .join(broadcast(muT), "tgt_id")
+      .withColumn("den", col("ss") * col("kt") + col("st") * col("ks"))
+      // den ≤ 0 ⇒ the whole neighborhood is anti-similar — no
+      // meaningful margin (and a zero denominator); such candidates
+      // are unminable by the criterion and are dropped identically
+      // on both engines (a no-op on any real embedding corpus).
+      .filter(col("den") > 0)
+      .withColumn("margin", round(
+        (col("si") * lit(2L) * col("ks") * col("kt")).cast("double")
+          / col("den").cast("double"), 6))
+      .groupBy(col("src_id"))
+      .agg(max(struct(col("margin"), (-col("tgt_id")).as("ng"), col("score"))).as("b"))
+      .select(col("src_id"), (-col("b.ng")).as("tgt_id"),
+        col("b.score").as("score"), col("b.margin").as("margin"),
+        (col("b.margin") >= threshold).as("accepted"))
+      .orderBy(col("src_id"))
+    val rows = out.collect()
+    pairs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }

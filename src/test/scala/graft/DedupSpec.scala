@@ -311,4 +311,31 @@ class DedupSpec extends SparkSpec {
       assert(covered.contains(p.getAs[Long]("doc_b")), s"uncovered doc_b in $p")
     }
   }
+
+  test("s3 leakage-safe split: clusters never straddle a split boundary") {
+    val rows = Dedup.leakageSafeSplit(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count().toInt)
+    // THE invariant the gate exists for: one split per cluster.
+    rows.groupBy(_.getAs[Long]("cluster_rep")).foreach { case (rep, members) =>
+      assert(members.map(_.getAs[String]("split")).toSet.size == 1,
+        s"cluster $rep crosses splits")
+    }
+    // Singletons (their own rep) must match s1's md5 bucket map —
+    // the split degrades to the plain hash split when dedup is a no-op.
+    val singletons = rows.groupBy(_.getAs[Long]("cluster_rep"))
+      .filter(_._2.length == 1).values.flatten
+    singletons.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getAs[Long]("cluster_rep").toString.getBytes("UTF-8"))
+      val c = "%02x".format(h(0)).charAt(0)
+      val want =
+        if ("0123456789ab".contains(c)) "train"
+        else if (c == 'c' || c == 'd') "val" else "test"
+      assert(r.getAs[String]("split") == want, s"singleton bucket drifted: $r")
+    }
+    // Non-degenerate on the corpus: multi-member clusters exist AND
+    // all three splits are populated.
+    assert(rows.groupBy(_.getAs[Long]("cluster_rep")).exists(_._2.length > 1))
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+  }
 }

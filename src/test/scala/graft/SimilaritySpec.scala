@@ -173,4 +173,80 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: recall shrank when candidate depth grew")
     }
   }
+
+  test("xl1 margin mining: full local recomputation of the margin chain") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Local replay with the SAME op order: left-fold dot, cos =
+    // dot / (sqrt(n_a) * sqrt(n_b)), round-6 before rank/mean.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val srcIds = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val tgtIds = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val score = (for (s <- srcIds; t <- tgtIds)
+      yield (s, t) -> r6(cos(vecs(s), vecs(t)))).toMap
+    def si(x: Double): Long = math.round(x * 1e6)
+    // top-k by (rounded score desc, id asc) → exact integer sum + count
+    def topSum(scores: Seq[(Long, Double)], k: Int): (Long, Long) = {
+      val top = scores.sortBy { case (id, sc) => (-sc, id) }.take(k)
+      (top.map(p => si(p._2)).sum, top.length.toLong)
+    }
+    val muS = srcIds.map(s => s -> topSum(tgtIds.map(t => t -> score((s, t))), 4)).toMap
+    val muT = tgtIds.map(t => t -> topSum(srcIds.map(s => s -> score((s, t))), 4)).toMap
+    val expected = srcIds.map { s =>
+      val best = tgtIds.flatMap { t =>
+        val (ss, ks) = muS(s); val (st, kt) = muT(t)
+        val den = ss * kt + st * ks
+        if (den <= 0) None
+        else Some((t, score((s, t)),
+          r6((2L * si(score((s, t))) * ks * kt).toDouble / den.toDouble)))
+      }.minBy { case (t, _, m) => (-m, t) }
+      (s, best._1, best._2, best._3, best._3 >= 1.05)
+    }
+    val got = Similarity.marginMining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected, "margin-mining output differs from local replay")
+    assert(got.map(_._1) == srcIds, "one row per source, ordered")
+    // Non-degenerate decision: a best-of-neighborhood cosine sits
+    // above its own neighborhood mean, so margins exceed 1 somewhere.
+    assert(got.exists(_._5), "no pair accepted — threshold degenerate")
+  }
+
+  test("xl1 margin normalizes hubs: an exclusive pair outranks a hub match") {
+    // Synthetic 4-dim corpus written as an embeddings table: target 1
+    // is a HUB equidistant from both sources (cos 1/√2 ≈ 0.707 to
+    // each); target 3 is exclusively aligned with source 0 at a LOWER
+    // raw cosine (0.65). Raw cosine for source 0 therefore prefers
+    // the hub, but the margin ratio must prefer the exclusive target:
+    //   margin(s0,t1) = .707/((.679+.707)/2) ≈ 1.02
+    //   margin(s0,t3) = .650/((.679+.325)/2) ≈ 1.30
+    // because the hub's own neighborhood mean (μk = .707, it is near
+    // EVERYTHING) normalizes its similarity away, while the exclusive
+    // target's tiny μk (= .325) amplifies its one genuine alignment.
+    import spark.implicits._
+    val dir = tmpDir("xl1hub")
+    val rows = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),      // src 0
+      (2L, Array(0f, 1.0f, 0f, 0f), 0),      // src 2
+      (1L, Array(1.0f, 1.0f, 0f, 0f), 1),    // tgt 1: the hub
+      (3L, Array(0.65f, 0f, 0.76f, 0f), 1),  // tgt 3: aligned with src 0 only
+      (5L, Array(0f, 0f, 0f, 1.0f), 1))      // tgt 5: unrelated
+      .toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.marginMining(spark, dir, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // Raw cosine would send src 0 to the hub (0.707 > 0.65)…
+    assert(out(0L)._2 < 0.71, s"exclusive target's raw cosine drifted: ${out(0L)}")
+    // …but margin routes it to the exclusive target.
+    assert(out(0L)._1 == 3L, s"hub won over the exclusive pair: ${out(0L)}")
+    // src 2 has no exclusive alignment: the hub stays its best match.
+    assert(out(2L)._1 == 1L, s"src 2 should keep the hub: ${out(2L)}")
+  }
 }
