@@ -85,6 +85,10 @@ object SparkEntry {
     "ss1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "ss2_lsh_ann"   -> ((s, d) => Similarity.lshNeighbors(s, d)),
     "xl1_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
+    // ---- in-engine model fitting (north star) ----
+    "bt1_bradley_terry"   -> ((s, d) => graft.operators.Learn.bradleyTerry(s, d)),
+    "gb1_adaboost_stumps" -> ((s, d) => graft.operators.Learn.adaboostStumps(s, d)),
+    "dsk1_dawid_skene"    -> ((s, d) => graft.operators.Learn.dawidSkene(s, d)),
     // ---- multimodal / approx (north star) ----
     "m1_asset_metadata"        -> ((s, d) => Multimodal.assetMetadata(s, d)),
     "x1_approx_distinct_users" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
@@ -204,6 +208,7 @@ object SparkEntry {
     "boot1_subsample_ci"   -> ((s, d) => graft.operators.Stats.subsampleCi(s, d)),
     "yw1_yule_walker"      -> ((s, d) => graft.operators.Stats.yuleWalkerGate(s, d)),
     "att3_position_touch"  -> ((s, d) => graft.operators.Behavior.positionAttribution(s, d)),
+    "att4_shapley"         -> ((s, d) => graft.operators.Behavior.shapleyAttribution(s, d)),
     "c9_curation_v5"       -> ((s, d) => TextAnalysis.curationV5(s, d)),
     "st19_stream_sprt"     -> ((s, d) => graft.streaming.StreamSprt.sprtStreamGate(s, d)),
     "hc1_harmonic_centrality" -> ((s, d) => graft.operators.Graph.harmonicCentrality(s, d)),
@@ -1473,6 +1478,21 @@ object SparkEntry {
     // accept decision at threshold 1.05. Integer μ arithmetic is the
     // point: a rounded mean of 6-dp values ties at .5e-6 ~25% of the
     // time, where the engines' rounding of doubles disagrees.
+    // bt1: the MM trajectory replayed iteration by iteration — duel
+    // derivation, win/pair counts, then 5 unrolled CTE pairs with the
+    // same 1e12/1e18 quantization points the engine loop pins, so both
+    // engines walk bit-identical strength vectors (Learn.bradleyTerrySql
+    // generates the CTEs from the same iteration count).
+    "bt1_bradley_terry" -> graft.operators.Learn.bradleyTerrySql(),
+    // gb1: the boosting loop unrolled — one (byValue, cumulative,
+    // argmin LIMIT 1, reweight) CTE block per round with the identical
+    // long-quantized weight algebra, plus the ensemble sign test as
+    // exact HUGEINT odds products (engine side: DECIMAL(38,0)).
+    "gb1_adaboost_stumps" -> graft.operators.Learn.adaboostStumpsSql(),
+    // dsk1: EM replayed on the 2^K vote-pattern frame — M-step sums as
+    // exact BIGINT arithmetic, E-step likelihoods as HUGEINT products
+    // (engine side: BigInt on the collected ≤8-row control plane).
+    "dsk1_dawid_skene" -> graft.operators.Learn.dawidSkeneSql(),
     "xl1_margin_mining" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -3871,6 +3891,53 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS picked_docs,
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM picked GROUP BY 1 ORDER BY source""".stripMargin,
+    // att4: exact Shapley over the 2^4 exposure-set lattice — cohort
+    // rates 1e9-quantized, permutation weights {6,2,2,6}/24 as exact
+    // integers; φ emitted as the integer numerator over 24e9. Bit
+    // tests stated as //bit %2 arithmetic (portable across engines);
+    // micros convention per the Behavior.scala header.
+    "att4_shapley" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_ns(ts)//1000 AS us FROM events),
+        |pts AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) AS pus
+        |  FROM ev GROUP BY 1),
+        |um AS (SELECT e.user_id,
+        |    max(CASE WHEN e.event_type = 'click'
+        |      AND (p.pus IS NULL OR e.us < p.pus) THEN 1 ELSE 0 END)
+        |  + max(CASE WHEN e.event_type = 'error'
+        |      AND (p.pus IS NULL OR e.us < p.pus) THEN 2 ELSE 0 END)
+        |  + max(CASE WHEN e.event_type = 'signup'
+        |      AND (p.pus IS NULL OR e.us < p.pus) THEN 4 ELSE 0 END)
+        |  + max(CASE WHEN e.event_type = 'view'
+        |      AND (p.pus IS NULL OR e.us < p.pus) THEN 8 ELSE 0 END) AS mask,
+        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM ev e LEFT JOIN pts p USING (user_id) GROUP BY 1),
+        |cohorts AS (SELECT mask, count(*) AS u, sum(conv) AS c
+        |  FROM um GROUP BY 1),
+        |vq AS (SELECT m.mask,
+        |    CASE WHEN coalesce(ch.u, 0) > 0 THEN CAST(round(
+        |      CAST(ch.c AS DOUBLE) * 1e9 / CAST(ch.u AS DOUBLE)) AS BIGINT)
+        |      ELSE 0 END AS vq,
+        |    coalesce(ch.u, 0) AS u, coalesce(ch.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS mask) m
+        |  LEFT JOIN cohorts ch ON m.mask = ch.mask),
+        |chn AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |    ('signup', 4), ('view', 8)) t(channel, bit)),
+        |phis AS (SELECT chn.channel,
+        |    sum((CASE ((v0.mask // 1) % 2) + ((v0.mask // 2) % 2)
+        |            + ((v0.mask // 4) % 2) + ((v0.mask // 8) % 2)
+        |          WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |        * (v1.vq - v0.vq)) AS phi_wnum
+        |  FROM chn JOIN vq v0 ON ((v0.mask // chn.bit) % 2) = 0
+        |  JOIN vq v1 ON v1.mask = v0.mask + chn.bit
+        |  GROUP BY 1),
+        |expo AS (SELECT chn.channel, sum(v.u) AS users_exposed,
+        |    sum(v.c) AS conversions_exposed
+        |  FROM chn JOIN vq v ON ((v.mask // chn.bit) % 2) = 1 GROUP BY 1)
+        |SELECT p.channel, p.phi_wnum, e.users_exposed, e.conversions_exposed
+        |FROM phis p JOIN expo e USING (channel)
+        |ORDER BY channel""".stripMargin,
     // U-shaped multi-touch credit: per-touch credits quantized to 12
     // dp before the DECIMAL sum; empty journeys attributed to 'none'.
     "att3_position_touch" ->

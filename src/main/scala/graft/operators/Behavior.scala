@@ -828,4 +828,71 @@ object Behavior {
     }.toDF("channel", "conv_full", "conv_removed", "removal_effect", "share")
       .orderBy(col("channel"))
   }
+
+  /** Gated att4: SHAPLEY-VALUE ATTRIBUTION — the fourth member of the
+    * credit family (att1 last-touch, att3 position, att2 Markov
+    * removal-effect): each channel's credit is its exact Shapley value
+    * over the coalition game v(S) = conversion rate of users exposed
+    * to EXACTLY channel set S before their first purchase (Zhao et
+    * al.'s data-driven formulation; unobserved cohorts get v = 0).
+    *
+    * Scale shape: exposure sets are subsets of the bounded channel
+    * domain, so the corpus collapses in ONE user-keyed pass (pts
+    * window + per-user bitmask aggregate share the user_id exchange)
+    * to ≤ 2^C cohort rows. The Shapley sum — 2^(C-1) marginal terms
+    * per channel — runs on that collected control plane.
+    *
+    * Exactness: cohort rates are 1e9-quantized longs; with |N| = 4 the
+    * permutation weights |S|!·(3−|S|)!/4! have numerators {6,2,2,6}
+    * over 24, so each φ is emitted as the EXACT integer
+    * Σ wnum·(vq(S∪i) − vq(S)) with the /24e9 denominator documented —
+    * no float leaves the driver. Σᵢ φ_wnum = 24·(vq(N) − vq(∅)) (the
+    * efficiency axiom) is asserted in the spec.
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val byUser = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus",
+        min(when(col("event_type") === "purchase", col("us"))).over(byUser))
+    val qualifies = col("event_type") =!= "purchase" &&
+      (col("pus").isNull || col("us") < col("pus"))
+    val bits = channels.map { case (name, bit) =>
+      max(when(qualifies && col("event_type") === name, bit).otherwise(0))
+        .as(s"b$bit")
+    }
+    val cohorts: Array[(Int, Long, Long)] = ev
+      .groupBy(col("user_id"))
+      .agg(bits.head, bits.tail :+
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"): _*)
+      .select((col("b1") + col("b2") + col("b4") + col("b8")).as("mask"),
+        col("conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("u"), sum(col("conv")).as("c"))
+      .as[(Int, Long, Long)].collect()
+
+    def r(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val u = cohorts.map(t => t._1 -> t._2).toMap
+    val c = cohorts.map(t => t._1 -> t._3).toMap
+    val vq: Map[Int, Long] = (0 until 16).map { m =>
+      m -> (if (u.getOrElse(m, 0L) > 0L)
+        r(c(m).toDouble * 1e9 / u(m).toDouble) else 0L)
+    }.toMap
+    val wnum = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
+    channels.map { case (name, bit) =>
+      val phi = (0 until 16).filter(s => (s & bit) == 0).map { s =>
+        wnum(Integer.bitCount(s)) * (vq(s | bit) - vq(s))
+      }.sum
+      val exposed = (0 until 16).filter(s => (s & bit) != 0)
+      (name, phi,
+        exposed.map(u.getOrElse(_, 0L)).sum,
+        exposed.map(c.getOrElse(_, 0L)).sum)
+    }.toDF("channel", "phi_wnum", "users_exposed", "conversions_exposed")
+      .orderBy(col("channel"))
+  }
 }
