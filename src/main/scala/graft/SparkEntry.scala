@@ -85,6 +85,7 @@ object SparkEntry {
     "ss1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "ss2_lsh_ann"   -> ((s, d) => Similarity.lshNeighbors(s, d)),
     "xl1_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
+    "xl2_margin_mining_ann" -> ((s, d) => Similarity.marginMiningAnn(s, d)),
     // ---- in-engine model fitting (north star) ----
     "bt1_bradley_terry"   -> ((s, d) => graft.operators.Learn.bradleyTerry(s, d)),
     "gb1_adaboost_stumps" -> ((s, d) => graft.operators.Learn.adaboostStumps(s, d)),
@@ -1502,6 +1503,54 @@ object SparkEntry {
          |    round(${foldCosine("sv", "tv")}, 6) AS score
          |  FROM src CROSS JOIN tgt),
          |p AS (SELECT src_id, tgt_id, score,
+         |    CAST(round(score * 1000000, 0) AS BIGINT) AS si FROM p0),
+         |ms AS (SELECT src_id, CAST(sum(si) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS ks FROM (
+         |    SELECT src_id, si, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY score DESC, tgt_id ASC) AS rk FROM p) WHERE rk <= 4
+         |  GROUP BY src_id),
+         |mt AS (SELECT tgt_id, CAST(sum(si) AS BIGINT) AS st,
+         |    CAST(count(*) AS BIGINT) AS kt FROM (
+         |    SELECT tgt_id, si, row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY score DESC, src_id ASC) AS rk FROM p) WHERE rk <= 4
+         |  GROUP BY tgt_id),
+         |m AS (SELECT p.src_id, p.tgt_id, p.score,
+         |    round(CAST(2 * p.si * ms.ks * mt.kt AS DOUBLE)
+         |      / CAST(ms.ss * mt.kt + mt.st * ms.ks AS DOUBLE), 6) AS margin
+         |  FROM p JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+         |  WHERE ms.ss * mt.kt + mt.st * ms.ks > 0),
+         |b AS (SELECT src_id, tgt_id, score, margin,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin DESC, tgt_id ASC) AS rk FROM m)
+         |SELECT src_id, tgt_id, score, margin,
+         |  (margin >= 1.05) AS accepted
+         |FROM b WHERE rk = 1 ORDER BY src_id""".stripMargin,
+    // xl2: xl1's margin replay over ss2's LSH-chain replay — the same
+    // deterministic plane literals generate the candidate pairs, then
+    // the identical exact-integer margin CTEs run over them. The two
+    // oracles compose because both chains are stated, not sampled.
+    "xl2_margin_mining_ann" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |src AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+         |pl AS (SELECT * FROM (VALUES
+         |${graft.operators.Similarity.planesSqlValues}
+         |) AS t(tbl, p, plane)),
+         |sg AS MATERIALIZED (SELECT vec_id, tbl AS table_idx,
+         |    CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT e.vec_id, pl.tbl, pl.p, ${foldDot("e.v", "pl.plane")} AS dot
+         |        FROM e CROSS JOIN pl)
+         |  GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT ss.vec_id AS src_id, ts.vec_id AS tgt_id
+         |  FROM sg ss JOIN sg ts ON ts.table_idx = ss.table_idx
+         |    AND ts.bucket = ss.bucket
+         |  WHERE ss.vec_id % 2 = 0 AND ts.vec_id % 2 = 1),
+         |p0 AS (SELECT c.src_id, c.tgt_id,
+         |    round(${foldCosine("s.sv", "t.tv")}, 6) AS score
+         |  FROM cand c JOIN src s USING (src_id) JOIN tgt t USING (tgt_id)),
+         |p AS MATERIALIZED (SELECT src_id, tgt_id, score,
          |    CAST(round(score * 1000000, 0) AS BIGINT) AS si FROM p0),
          |ms AS (SELECT src_id, CAST(sum(si) AS BIGINT) AS ss,
          |    CAST(count(*) AS BIGINT) AS ks FROM (

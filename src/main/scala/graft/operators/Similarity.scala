@@ -59,7 +59,7 @@ object Similarity {
     * p, dim d) in [-1, 1) — splitmix64 mixed, fixed seed, generated as
     * plan literals so executors never fetch side data.
     */
-  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+  private[graft] def planeComponent(t: Int, p: Int, d: Int): Double = {
     var x = (t.toLong * 8191 + p.toLong * 131 + d.toLong + 7) * 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
@@ -1131,6 +1131,18 @@ object Similarity {
           .as("score"))
       .withColumn("si", round(col("score") * 1e6, 0).cast("long"))
       .persist()
+    val out = marginReadout(pairs, k, threshold)
+    val rows = out.collect()
+    pairs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The margin arithmetic over a persisted (src_id, tgt_id, score, si)
+    * candidate frame — shared verbatim by xl1 (exact brute candidates)
+    * and xl2 (LSH candidates): the factoring the xl1 Scaladoc promises.
+    */
+  private def marginReadout(pairs: DataFrame, k: Int,
+                            threshold: Double): DataFrame = {
     val wS = Window.partitionBy(col("src_id")).orderBy(desc("score"), asc("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id")).orderBy(desc("score"), asc("src_id"))
     val muS = pairs.withColumn("rk", row_number().over(wS)).filter(col("rk") <= k)
@@ -1139,7 +1151,7 @@ object Similarity {
     val muT = pairs.withColumn("rk", row_number().over(wT)).filter(col("rk") <= k)
       .groupBy(col("tgt_id"))
       .agg(sum(col("si")).as("st"), count(lit(1)).as("kt"))
-    val out = pairs
+    pairs
       .join(broadcast(muS), "src_id")
       .join(broadcast(muT), "tgt_id")
       .withColumn("den", col("ss") * col("kt") + col("st") * col("ks"))
@@ -1157,8 +1169,60 @@ object Similarity {
         col("b.score").as("score"), col("b.margin").as("margin"),
         (col("b.margin") >= threshold).as("accepted"))
       .orderBy(col("src_id"))
+  }
+
+  /** Gated xl2: ANN-ACCELERATED MARGIN MINING — the scale path the xl1
+    * Scaladoc (and the sf1 record: xl1 is quadratic by construction,
+    * 351 s at 10×) points at: candidate (src, tgt) pairs come from the
+    * ss2 LSH tables (a pair is scored iff it agrees on all 12 bits of
+    * any of the 4 deterministic hyperplane tables) instead of the full
+    * cross product, and the margin criterion runs UNCHANGED over the
+    * candidate frame — [[marginReadout]] is shared verbatim with xl1.
+    * Neighborhood means μk are computed over retrieved candidates,
+    * the standard practice when margin mining rides an ANN index
+    * (Artetxe & Schwenk 2019 §3.2 mine over FAISS top-k, not the full
+    * bipartite matrix).
+    *
+    * Scale shape: signature generation is linear (plan-literal planes,
+    * one pass per side), candidates come from a bucket-keyed equi-join
+    * (banded, never all-pairs), and everything downstream runs on the
+    * (ids, score) triple frame. Sub-quadratic end to end — the 100 TB
+    * form of xl1. Deterministic planes ⇒ the ORACLE replays the whole
+    * chain (signatures, bucket join, cosines, margins) in SQL and the
+    * gate hash-checks like ss2, instead of settling for a recall spec.
+    */
+  def marginMiningAnn(spark: SparkSession, dir: String, k: Int = 4,
+                      threshold: Double = 1.05): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v"))))
+      .cache()
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("nrm").as("snrm"))
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tnrm"))
+    def buckets(df: DataFrame, id: String, vcol: String): DataFrame =
+      df.select(col(id),
+        posexplode(array((0 until Tables_).map(t => tableSignature(col(vcol), t)): _*)))
+        .toDF(id, "table_idx", "bucket")
+    // Dedup candidates on the id pair BEFORE fetching vectors (the
+    // ss2 discipline — never distinct() over rows carrying arrays).
+    val cand = buckets(src, "src_id", "sv")
+      .join(buckets(tgt, "tgt_id", "tv"), Seq("table_idx", "bucket"))
+      .select(col("src_id"), col("tgt_id"))
+      .distinct()
+    val pairs = cand
+      .join(src, "src_id")
+      .join(tgt, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        round(VectorOps.dot(col("sv"), col("tv")) / (col("snrm") * col("tnrm")), 6)
+          .as("score"))
+      .withColumn("si", round(col("score") * 1e6, 0).cast("long"))
+      .persist()
+    val out = marginReadout(pairs, k, threshold)
     val rows = out.collect()
     pairs.unpersist()
+    e.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

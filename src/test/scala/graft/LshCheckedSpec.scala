@@ -53,4 +53,40 @@ class LshCheckedSpec extends SparkSpec {
           s"LSH rank-1 beats brute rank-1 for query $q")
       }
   }
+
+  test("xl2: ANN margin mining stays sub-quadratic and emits only LSH-colliding pairs") {
+    // Plan shape: no cross product anywhere — the candidate stage must
+    // be the bucket equi-join, not a disguised all-pairs scan.
+    val plan = Similarity.marginMiningAnn(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "xl2 plan contains a cartesian product")
+    val rows = Similarity.marginMiningAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Every emitted (src, tgt) must collide in at least one LSH table
+    // — recomputed brutely here from the same deterministic planes.
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sig(v: Array[Double], t: Int): Long =
+      (0 until Similarity.PlanesPerTable).map { p =>
+        val dot = (0 until Similarity.Dim)
+          .map(d => v(d) * Similarity.planeComponent(t, p, d)).sum
+        if (dot > 0) 1L << p else 0L
+      }.sum
+    rows.foreach { r =>
+      val (s, t) = (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))
+      assert(s % 2 == 0 && t % 2 == 1)
+      val collide = (0 until Similarity.Tables_)
+        .exists(tb => sig(e(s), tb) == sig(e(t), tb))
+      assert(collide, s"emitted pair ($s,$t) collides in no LSH table")
+      val m = r.getAs[Double]("margin")
+      assert(r.getAs[Boolean]("accepted") == (m >= 1.05))
+    }
+    // One row per source that had candidates; never more sources than
+    // exist on the src side.
+    val nSrc = e.keys.count(_ % 2 == 0)
+    assert(rows.map(_.getAs[Long]("src_id")).distinct.length == rows.length)
+    assert(rows.length <= nSrc)
+  }
 }
