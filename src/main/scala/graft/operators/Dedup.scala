@@ -438,8 +438,14 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // Filter BEFORE the pair-dedup exchange. Catalyst would push this
+      // through the distinct anyway (hamming is a grouping column — the
+      // dd7 plan-trap note, in the benign direction), but stating it
+      // here makes the intended shape explicit: the distinct shuffles
+      // only pairs that survive the distance test, not every
+      // 8-bit-chunk coincidence.
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
