@@ -3941,10 +3941,12 @@ object SparkEntry {
         |  CAST(sum(n_words) AS BIGINT) AS sum_words
         |FROM picked GROUP BY 1 ORDER BY source""".stripMargin,
     // att4: exact Shapley over the 2^4 exposure-set lattice — cohort
-    // rates 1e9-quantized, permutation weights {6,2,2,6}/24 as exact
-    // integers; φ emitted as the integer numerator over 24e9. Bit
-    // tests stated as //bit %2 arithmetic (portable across engines);
-    // micros convention per the Behavior.scala header.
+    // rates 1e9-quantized via PURE INTEGER round-half-up
+    // (2·c·1e9 + u) // (2·u), never round()-on-double (the round-11
+    // driver hash divergence); permutation weights {6,2,2,6}/24 as
+    // exact integers; φ emitted as the integer numerator over 24e9.
+    // Bit tests stated as //bit %2 arithmetic (portable across
+    // engines); micros convention per the Behavior.scala header.
     "att4_shapley" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    epoch_ns(ts)//1000 AS us FROM events),
@@ -3965,8 +3967,9 @@ object SparkEntry {
         |cohorts AS (SELECT mask, count(*) AS u, sum(conv) AS c
         |  FROM um GROUP BY 1),
         |vq AS (SELECT m.mask,
-        |    CASE WHEN coalesce(ch.u, 0) > 0 THEN CAST(round(
-        |      CAST(ch.c AS DOUBLE) * 1e9 / CAST(ch.u AS DOUBLE)) AS BIGINT)
+        |    CASE WHEN coalesce(ch.u, 0) > 0 THEN CAST(
+        |      (2 * CAST(ch.c AS HUGEINT) * 1000000000 + ch.u)
+        |        // (2 * ch.u) AS BIGINT)
         |      ELSE 0 END AS vq,
         |    coalesce(ch.u, 0) AS u, coalesce(ch.c, 0) AS c
         |  FROM (SELECT unnest(generate_series(0, 15)) AS mask) m

@@ -842,12 +842,16 @@ object Behavior {
     * to ≤ 2^C cohort rows. The Shapley sum — 2^(C-1) marginal terms
     * per channel — runs on that collected control plane.
     *
-    * Exactness: cohort rates are 1e9-quantized longs; with |N| = 4 the
-    * permutation weights |S|!·(3−|S|)!/4! have numerators {6,2,2,6}
-    * over 24, so each φ is emitted as the EXACT integer
-    * Σ wnum·(vq(S∪i) − vq(S)) with the /24e9 denominator documented —
-    * no float leaves the driver. Σᵢ φ_wnum = 24·(vq(N) − vq(∅)) (the
-    * efficiency axiom) is asserted in the spec.
+    * Exactness: cohort rates are 1e9-quantized longs via PURE INTEGER
+    * round-half-up — rhu(c·1e9, u) = (2·c·1e9 + u) div (2u), the same
+    * `//` form the oracle states, so no engine's round()-on-double is
+    * ever consulted (the round-11 driver hash divergence — see
+    * [[graft.operators.Learn]]). With |N| = 4 the permutation weights
+    * |S|!·(3−|S|)!/4! have numerators {6,2,2,6} over 24, so each φ is
+    * emitted as the EXACT integer Σ wnum·(vq(S∪i) − vq(S)) with the
+    * /24e9 denominator documented — no float leaves the driver.
+    * Σᵢ φ_wnum = 24·(vq(N) − vq(∅)) (the efficiency axiom) is
+    * asserted in the spec.
     */
   def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -874,14 +878,12 @@ object Behavior {
       .agg(count(lit(1)).as("u"), sum(col("conv")).as("c"))
       .as[(Int, Long, Long)].collect()
 
-    def r(x: Double): Long =
-      new java.math.BigDecimal(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
     val u = cohorts.map(t => t._1 -> t._2).toMap
     val c = cohorts.map(t => t._1 -> t._3).toMap
     val vq: Map[Int, Long] = (0 until 16).map { m =>
       m -> (if (u.getOrElse(m, 0L) > 0L)
-        r(c(m).toDouble * 1e9 / u(m).toDouble) else 0L)
+        graft.operators.Learn.rhu(BigInt(c(m)) * 1000000000L, u(m)).toLong
+      else 0L)
     }.toMap
     val wnum = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
     channels.map { case (name, bit) =>

@@ -1,27 +1,60 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** In-engine model fitting over corpus-scale data — the two training
+/** In-engine model fitting over corpus-scale data — the training
   * primitives an LLM-data pipeline runs INSIDE the data engine rather
   * than exporting to a trainer: pairwise-preference strength
-  * estimation (the reward-data / ranking primitive) and boosted
-  * decision stumps (the classic quality-classifier bootstrap).
+  * estimation (the reward-data / ranking primitive), boosted decision
+  * stumps (the classic quality-classifier bootstrap) and Dawid–Skene
+  * label aggregation (annotator-reliability consensus).
   *
-  * House determinism discipline throughout (see
-  * [[graft.operators.Graph]] pr1): every cross-row accumulation
-  * happens on quantized BIGINTs (exact, order-invariant), real-valued
-  * steps run as scalar double arithmetic on those exact integers in a
-  * pinned expression shape, and each iterate is re-quantized — so
-  * Spark and DuckDB replay bit-identical training trajectories and the
-  * gates hash cross-engine.
+  * House determinism discipline (round-12 revision): every
+  * quantization is PURE INTEGER arithmetic — round-half-up of a
+  * non-negative integer ratio a/b is floor((2a+b)/(2b)), computed as
+  * BigInt on the driver and HUGEINT `//` in the oracle SQL. No
+  * `round()` on doubles anywhere on either side: round 11 shipped
+  * these gates with decimal-HALF_UP-on-exact-double quantization that
+  * was bit-identical between the builder's Spark/DuckDB pair but
+  * diverged at the driver's oracle (CORRECTNESS_r11: rows+schema
+  * match, hash FAIL on all four) — `round(DOUBLE)` is an
+  * engine-VERSION-sensitive operation, and one ulp anywhere in a
+  * replayed training loop cascades through every remaining iteration.
+  * Integer division of non-negative integers has exactly one answer
+  * in every engine ever shipped, so the trajectories below cannot
+  * drift no matter which DuckDB the driver runs.
+  *
+  * Scale shape shared by all three: the corpus collapses in ONE
+  * aggregation to a bounded control frame (brand-pair duel counts,
+  * the integer feature grid, the 2^K vote-pattern table), which is
+  * collected once; the iterate loops are constant work on the driver.
+  * At 100 TB each gate is one scan + one shuffle, then O(domain²)
+  * driver arithmetic.
   */
 object Learn {
+
+  /** Round-half-up of the non-negative integer ratio a/b as pure
+    * integer arithmetic: floor((2a+b)/(2b)). The oracle states the
+    * identical form with HUGEINT `//`. This helper is the entire
+    * round-12 fix for the r11 driver hash divergence — see the object
+    * Scaladoc.
+    */
+  private[operators] def rhu(a: BigInt, b: BigInt): BigInt =
+    (2 * a + b) / (2 * b)
+
+  private val E9 = BigInt(1000000000L)
+  private val E12 = BigInt(1000000000000L)
+  private val E18 = BigInt("1000000000000000000")
+
+  /** SQL fragment: round-half-up of integer ratio `a/b` (both
+    * non-negative HUGEINT expressions) — `(2*a + b) // (2*b)`.
+    */
+  private def sqlRhu(a: String, b: String): String =
+    s"(2 * ($a) + ($b)) // (2 * ($b))"
 
   /** Gated bt1: BRADLEY–TERRY PREFERENCE STRENGTHS — the
     * pairwise-comparison model behind preference/RLHF data curation,
@@ -40,13 +73,15 @@ object Learn {
     * control frames: at 100 TB the plan shape is one scan + one
     * bounded aggregation, then constant work.
     *
-    * Quantization: strengths live as q = round(p·1e12) BIGINTs;
-    * per-pair MM terms n_ij/(p_i+p_j) are quantized to
-    * round(n·1e18/(q_i+q_j)) BIGINTs before the per-item sum (exact,
-    * order-invariant); the division back to p' and the normalization
-    * re-quantize. A zero-win item's strength is floored at one
-    * 1e-12 quantum (the standard ε-regularization) so q_i+q_j can
-    * never hit zero.
+    * Quantization (all integer): strengths live as q ≈ p·1e12
+    * BigInts; per-pair MM terms are rhu(n·1e18, q_i+q_j); the
+    * division back to p' and the normalization re-quantize via rhu.
+    * A zero-win item's strength is floored at one 1e-12 quantum (the
+    * standard ε-regularization) so q_i+q_j can never hit zero.
+    *
+    * Degenerate corpus (zero duels, e.g. every order single-brand):
+    * returns the empty frame with the declared schema — matching the
+    * oracle, whose empty `items` CTE propagates to an empty result.
     */
   def bradleyTerry(spark: SparkSession, dir: String,
                    iterations: Int = 5): DataFrame = {
@@ -70,12 +105,17 @@ object Learn {
     // The ONLY corpus-scale stage: duel generation + one aggregation
     // down to the item-domain² win-count frame (≤ m(m−1) rows) — a
     // bounded control plane, collected once. The MM loop then runs on
-    // the driver in the exact arithmetic the oracle states.
+    // the driver in the exact integer arithmetic the oracle states.
     val wRows: Array[(String, String, Long)] = duels
       .groupBy(col("winner"), col("loser"))
       .agg(count(lit(1)).as("w"))
       .as[(String, String, Long)].collect()
 
+    val schema = StructType(Seq(
+      StructField("item", StringType, nullable = true),
+      StructField("wins", LongType, nullable = false),
+      StructField("comparisons", LongType, nullable = false),
+      StructField("strength_q12", LongType, nullable = false)))
     // n(i,j) = n(j,i) = wins(i,j) + wins(j,i), kept directed.
     val nd = scala.collection.mutable.Map.empty[(String, String), Long]
     val winCnt = scala.collection.mutable.Map.empty[String, Long]
@@ -86,37 +126,34 @@ object Learn {
     }
     val items = nd.keysIterator.map(_._1).toSeq.distinct.sorted
     val m = items.size
-    // round() exactly as both engines compute it: decimal HALF_UP on
-    // the exact double (math.round's floor(x+0.5) drifts at .5-adjacent
-    // doubles; BigDecimal HALF_UP does not).
-    def r(x: Double): Long =
-      new java.math.BigDecimal(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    var q: Map[String, Long] = items.map(_ -> r(1e12 / m.toDouble)).toMap
+    if (m == 0)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    var q: Map[String, BigInt] = items.map(_ -> rhu(E12, BigInt(m))).toMap
     for (_ <- 1 to iterations) {
-      val den = scala.collection.mutable.Map.empty[String, Long]
+      val den = scala.collection.mutable.Map.empty[String, BigInt]
       nd.foreach { case ((i, j), n) =>
-        den(i) = den.getOrElse(i, 0L) +
-          r(n.toDouble * 1e18 / (q(i) + q(j)).toDouble)
+        den(i) = den.getOrElse(i, BigInt(0)) +
+          rhu(BigInt(n) * E18, q(i) + q(j))
       }
       val qp = items.map { i =>
-        i -> math.max(1L,
-          r(winCnt.getOrElse(i, 0L).toDouble * 1e18 / den(i).toDouble))
+        i -> rhu(BigInt(winCnt.getOrElse(i, 0L)) * E18, den(i)).max(BigInt(1))
       }.toMap
       val s = qp.valuesIterator.sum
-      q = items.map(i => i -> r(qp(i).toDouble * 1e12 / s.toDouble)).toMap
+      q = items.map(i => i -> rhu(qp(i) * E12, s)).toMap
     }
 
     val comparisons = items.map { i =>
       i -> nd.iterator.collect { case ((`i`, _), n) => n }.sum
     }.toMap
-    items.map(i => (i, winCnt.getOrElse(i, 0L), comparisons(i), q(i)))
+    items.map(i => (i, winCnt.getOrElse(i, 0L), comparisons(i), q(i).toLong))
       .sortBy { case (i, _, _, qv) => (-qv, i) }
       .toDF("item", "wins", "comparisons", "strength_q12")
   }
 
   /** Oracle SQL for bt1 — the MM loop unrolled as one CTE per
-    * iteration, every quantization stated verbatim. Every CTE that is
+    * iteration, every quantization stated as the same integer
+    * (2a+b)//(2b) form the engine computes. Every CTE that is
     * referenced more than once is AS MATERIALIZED: DuckDB inlines
     * plain CTEs, and with q_k reading q_{k-1} twice the inlined scan
     * tree grows 2^iterations-fold (measured: EMFILE on the parquet
@@ -140,21 +177,27 @@ object Learn {
         |  GROUP BY 1, 2),
         |wins AS MATERIALIZED (SELECT winner AS item, sum(w) AS wins FROM w GROUP BY 1),
         |items AS MATERIALIZED (SELECT DISTINCT i AS item FROM nd),
-        |q0 AS MATERIALIZED (SELECT item, CAST(round(1e12 / mm.m) AS BIGINT) AS q
-        |  FROM items CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS m FROM items) mm)""".stripMargin
+        |q0 AS MATERIALIZED (SELECT item,
+        |    CAST((2 * CAST(1000000000000 AS HUGEINT) + mm.m) // (2 * mm.m)
+        |      AS BIGINT) AS q
+        |  FROM items CROSS JOIN (SELECT count(*) AS m FROM items) mm)""".stripMargin
     val iters = (1 to iterations).map { k =>
       val p = s"q${k - 1}"
+      val denTerm = sqlRhu(
+        "CAST(nd.n AS HUGEINT) * 1000000000000000000", "qi.q + qj.q")
+      val qpTerm = sqlRhu(
+        "CAST(coalesce(w2.wins, 0) AS HUGEINT) * 1000000000000000000",
+        s"d$k.den")
+      val qTerm = sqlRhu("CAST(qp AS HUGEINT) * 1000000000000", "ss.s")
       s"""d$k AS MATERIALIZED (SELECT nd.i AS item,
-         |    sum(CAST(round(CAST(nd.n AS DOUBLE) * 1e18
-         |      / CAST(qi.q + qj.q AS DOUBLE)) AS BIGINT)) AS den
+         |    sum($denTerm) AS den
          |  FROM nd JOIN $p qi ON nd.i = qi.item JOIN $p qj ON nd.j = qj.item
          |  GROUP BY 1),
          |p$k AS MATERIALIZED (SELECT d$k.item,
-         |    greatest(CAST(round(CAST(coalesce(w2.wins, 0) AS DOUBLE) * 1e18
-         |      / CAST(d$k.den AS DOUBLE)) AS BIGINT), 1) AS qp
+         |    greatest($qpTerm, 1) AS qp
          |  FROM d$k LEFT JOIN wins w2 ON d$k.item = w2.item),
          |q$k AS MATERIALIZED (SELECT item,
-         |    CAST(round(CAST(qp AS DOUBLE) * 1e12 / CAST(ss.s AS DOUBLE)) AS BIGINT) AS q
+         |    CAST($qTerm AS BIGINT) AS q
          |  FROM p$k CROSS JOIN (SELECT sum(qp) AS s FROM p$k) ss)""".stripMargin
     }.mkString(",\n")
     val tail =
@@ -178,22 +221,26 @@ object Learn {
     * feature vector, rows with identical (features, label) share a
     * weight trajectory — so the corpus collapses in ONE aggregation
     * to the bounded feature grid (≤ 50·11·9·2 ≈ 10k groups carrying
-    * multiplicities) and the entire training loop runs on that
-    * broadcast-sized control frame. At 100 TB: one scan, then
-    * constant work per boosting round.
+    * multiplicities), which is collected once; the entire training
+    * loop is constant work on that control frame. At 100 TB: one
+    * scan, then driver arithmetic.
     *
-    * Exactness: group weights are BIGINTs (initially count·1e10);
-    * split errors accumulate via per-value partial sums + a
-    * cumulative window over each feature's ≤50-value spine, so every
-    * candidate's error numerator is an exact long and the argmin is
-    * an integer comparison (ties → lowest feature, threshold,
-    * polarity). The weight update factor sqrt((tot−e)/e) is the
-    * algebraic form of exp(±α) — IEEE sqrt on a ratio of exact longs,
-    * identical in both engines — and updated weights re-quantize to
-    * longs. The ensemble sign test avoids ln(·) entirely: with
-    * g_r = (1e9−eq_r)/eq_r the per-round odds at 1e-9 resolution,
-    * sign(Σ α_r h_r) = sign(Π g_r^{h_r} − 1) becomes an EXACT integer
-    * comparison of two ≤(1e9)^T decimal products.
+    * Exactness (all integer — see the object Scaladoc): group weights
+    * start at cnt·1e10; each round's stump is the argmin of an exact
+    * integer weighted error over each feature's ≤50-value spine
+    * (ties → lowest error, feature, threshold, polarity). The weight
+    * update uses the RATIONAL form of the AdaBoost step: wrong groups
+    * scale by (tot−e), right groups by e — the same (tot−e)/e odds
+    * RATIO as the classical ×e^{±α} update, so the stump trajectory
+    * is identical — then every weight renormalizes to the original
+    * total mass S0 by w' = rhu(ur·S0, Σur) after a deterministic
+    * magnitude reduction ur = u div (Σu div 1e18 + 1) that keeps the
+    * HUGEINT oracle inside int128. The ensemble sign test avoids
+    * ln(·) entirely: with g_r = (1e9−eq_r)/eq_r the per-round odds at
+    * 1e-9 resolution, sign(Σ α_r h_r) = sign(Π g_r^{h_r} − 1) becomes
+    * an EXACT integer comparison of two ≤(1e9)^T products — hence
+    * roundsT ≤ 4: at T=5 the oracle's HUGEINT product overflows
+    * (and Spark DECIMAL(38,0) would NULL silently).
     *
     * Output: one row per boosting round (chosen stump + exact error
     * fraction err_num/err_den in weight units) plus a final ensemble
@@ -201,121 +248,114 @@ object Learn {
     */
   def adaboostStumps(spark: SparkSession, dir: String,
                      roundsT: Int = 3): DataFrame = {
-    val grid0 = Tables.lineitem(spark, dir)
-      .select(col("l_quantity").cast("long").as("qty"),
-        round(col("l_discount") * 100).cast("long").as("disc"),
-        round(col("l_tax") * 100).cast("long").as("tax"),
-        when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
-      .groupBy(col("qty"), col("disc"), col("tax"), col("y"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+    import spark.implicits._
+    // The one corpus-scale stage: collapse to the feature grid.
+    val grid: Array[(Long, Long, Long, Long, Long)] =
+      Tables.lineitem(spark, dir)
+        .select(col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 100).cast("long").as("disc"),
+          round(col("l_tax") * 100).cast("long").as("tax"),
+          when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
+        .groupBy(col("qty"), col("disc"), col("tax"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(Long, Long, Long, Long, Long)].collect()
 
-    // Feature accessor shared by the melt and the prediction sites.
-    def fval(f: Column): Column =
-      when(f === 1, col("qty")).when(f === 2, col("disc")).otherwise(col("tax"))
-    def stumpPred(f: Column, t: Column, pol: Column): Column =
-      pol * when(fval(f) <= t, 1L).otherwise(-1L)
+    val outSchema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("feature", LongType, nullable = false),
+      StructField("threshold", LongType, nullable = false),
+      StructField("polarity", LongType, nullable = false),
+      StructField("err_num", LongType, nullable = true),
+      StructField("err_den", LongType, nullable = true)))
+    if (grid.isEmpty) {
+      // Mirror the oracle on an empty corpus: the per-round stump CTEs
+      // are empty (LIMIT 1 of nothing), but the ensemble aggregate
+      // still emits its one row with NULL sums.
+      val row = Row((roundsT + 1).toLong, 0L, 0L, 0L, null, null)
+      return spark.createDataFrame(
+        java.util.Collections.singletonList(row), outSchema)
+    }
 
-    // Each round's chosen stump is a 1-row control plane: collect it
-    // (the km1/Lloyd discipline) so later rounds re-enter as plan
-    // literals instead of re-executing the whole training lineage.
-    case class Stump(f: Long, t: Long, pol: Long, e: Long, tot: Long)
-    var grid = grid0.withColumn("w", col("cnt") * lit(10000000000L))
-    var models = List.empty[Stump]
+    def fv(g: (Long, Long, Long, Long, Long), f: Long): Long =
+      if (f == 1L) g._1 else if (f == 2L) g._2 else g._3
+    def pred(g: (Long, Long, Long, Long, Long),
+             f: Long, t: Long, pol: Long): Long =
+      pol * (if (fv(g, f) <= t) 1L else -1L)
+
+    var w: Array[BigInt] = grid.map(g => BigInt(g._5) * 10000000000L)
+    val s0: BigInt = w.sum
+    // (feature, threshold, polarity, err e, total mass tot) per round.
+    var models = List.empty[(Long, Long, Long, BigInt, BigInt)]
     for (_ <- 1 to roundsT) {
-      // Per-(feature, value) positive/negative weight mass.
-      val melted = (1 to 3).map { f =>
-        grid.select(lit(f.toLong).as("f"), fval(lit(f)).as("v"),
-          col("y"), col("w"))
-      }.reduce(_ unionAll _)
-      val byVal = melted.groupBy(col("f"), col("v"))
-        .agg(sum(when(col("y") === 1L, col("w")).otherwise(0L)).as("wp"),
-          sum(when(col("y") === -1L, col("w")).otherwise(0L)).as("wn"))
-      // Cumulative mass over each feature's bounded value spine
-      // (≤ 50 distinct values per feature — a bounded window, not a
-      // corpus-scale sort).
-      val wSpine = Window.partitionBy(col("f")).orderBy(col("v"))
-      val wTot = Window.partitionBy(col("f"))
-      val cand = byVal
-        .withColumn("cwp", sum(col("wp")).over(wSpine))
-        .withColumn("cwn", sum(col("wn")).over(wSpine))
-        .withColumn("tp", sum(col("wp")).over(wTot))
-        .withColumn("tn", sum(col("wn")).over(wTot))
-        .withColumn("vmax", max(col("v")).over(wTot))
-        .filter(col("v") < col("vmax")) // both sides non-empty
-      // Polarity +1 predicts +1 on v ≤ t: errors = cwn + (tp − cwp).
-      val errPos = col("cwn") + (col("tp") - col("cwp"))
-      val errNeg = col("cwp") + (col("tn") - col("cwn"))
-      val bRow = cand.select(col("f"), col("v").as("t"),
-          when(errPos <= errNeg, lit(1L)).otherwise(lit(-1L)).as("pol"),
-          greatest(least(errPos, errNeg), lit(1L)).as("e"),
-          (col("tp") + col("tn")).as("tot"))
-        .agg(min(struct(col("e"), col("f"), col("t"), col("pol"),
-          col("tot"))).as("b"))
-        .select(col("b.f"), col("b.t"), col("b.pol"), col("b.e"),
-          col("b.tot"))
-        .head()
-      val st = Stump(bRow.getLong(0), bRow.getLong(1), bRow.getLong(2),
-        bRow.getLong(3), bRow.getLong(4))
-      models = models :+ st
-      // Re-weight: wrong rows × sqrt((tot−e)/e), right rows × inverse.
-      val up = sqrt((lit(st.tot) - lit(st.e)).cast("double")
-        / lit(st.e).cast("double"))
-      grid = grid
-        .withColumn("pred", stumpPred(lit(st.f), lit(st.t), lit(st.pol)))
-        .withColumn("w",
-          round(col("w").cast("double")
-            * when(col("pred") =!= col("y"), up).otherwise(lit(1.0) / up))
-            .cast("long"))
-        .select(col("qty"), col("disc"), col("tax"), col("y"),
-          col("cnt"), col("w"))
+      val tot = w.sum
+      // Candidate argmin over each feature's bounded value spine —
+      // exact integer error, tie-break (e, f, t, pol) ascending,
+      // matching the oracle's ORDER BY be, bf, bt, bpol LIMIT 1.
+      var best: (BigInt, Long, Long, Long) = null
+      for (f <- 1L to 3L) {
+        val byV = scala.collection.mutable.SortedMap.empty[Long, (BigInt, BigInt)]
+        grid.indices.foreach { i =>
+          val v = fv(grid(i), f)
+          val (wp, wn) = byV.getOrElse(v, (BigInt(0), BigInt(0)))
+          byV(v) = if (grid(i)._4 == 1L) (wp + w(i), wn) else (wp, wn + w(i))
+        }
+        val tp = byV.valuesIterator.map(_._1).sum
+        val tn = byV.valuesIterator.map(_._2).sum
+        var cwp = BigInt(0); var cwn = BigInt(0)
+        val vmax = byV.lastKey
+        byV.foreach { case (v, (wp, wn)) =>
+          cwp += wp; cwn += wn
+          if (v < vmax) { // both sides non-empty
+            val errPos = cwn + (tp - cwp)
+            val errNeg = cwp + (tn - cwn)
+            val pol = if (errPos <= errNeg) 1L else -1L
+            val e = errPos.min(errNeg).max(BigInt(1))
+            val cand = (e, f, v, pol)
+            if (best == null ||
+                Ordering.Tuple4[BigInt, Long, Long, Long].lt(cand, best))
+              best = cand
+          }
+        }
+      }
+      val (e, f, t, pol) = best
+      models = models :+ ((f, t, pol, e, tot))
+      // Rational re-weight (wrong × (tot−e), right × e) + exact
+      // renormalization to S0 — the reduce step keeps the oracle's
+      // HUGEINT inside int128 and is replayed identically there.
+      val u = grid.indices.map { i =>
+        w(i) * (if (pred(grid(i), f, t, pol) != grid(i)._4) tot - e else e)
+      }
+      val d = u.sum / E18 + 1
+      val ur = u.map(_ / d)
+      val sr = ur.sum
+      w = ur.map(x => rhu(x * s0, sr)).toArray
     }
 
     // Ensemble readout: per grid row, compare the exact integer odds
-    // products (1e9-quantized per-round error rates).
-    import spark.implicits._
-    val stumps = models.zipWithIndex.map { case (st, i) =>
-      ((i + 1).toLong, st.f, st.t, st.pol, st.e, st.tot)
-    }.toDF("round", "feature", "threshold", "polarity",
-      "err_num", "err_den")
-    var scored = grid0.select(col("qty"), col("disc"), col("tax"),
-      col("y"), col("cnt"),
-      lit(java.math.BigDecimal.ONE).cast("decimal(38,0)").as("a"),
-      lit(java.math.BigDecimal.ONE).cast("decimal(38,0)").as("bb"))
-    models.foreach { st =>
-      // BigDecimal HALF_UP, not math.round: floor(x+0.5) drifts at
-      // .5-adjacent doubles where both engines' round() does not.
-      val eqVal = math.max(1L, math.min(999999999L,
-        new java.math.BigDecimal(st.e.toDouble * 1e9 / st.tot.toDouble)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
-      val pred = stumpPred(lit(st.f), lit(st.t), lit(st.pol))
-      scored = scored
-        .withColumn("pred", pred)
-        .withColumn("a", (col("a")
-          * when(col("pred") === 1L, lit(1000000000L - eqVal))
-            .otherwise(lit(eqVal)).cast("decimal(10,0)"))
-          .cast("decimal(38,0)"))
-        .withColumn("bb", (col("bb")
-          * when(col("pred") === 1L, lit(eqVal))
-            .otherwise(lit(1000000000L - eqVal)).cast("decimal(10,0)"))
-          .cast("decimal(38,0)"))
-        .select(col("qty"), col("disc"), col("tax"), col("y"), col("cnt"),
-          col("a"), col("bb"))
+    // products (1e9-quantized per-round error rates, clamped to
+    // [1, 1e9−1] so neither factor is ever zero).
+    val eqs = models.map { case (f, t, pol, e, totM) =>
+      (f, t, pol, rhu(e * E9, totM).min(E9 - 1).max(BigInt(1)))
     }
-    val ens = scored
-      .select(col("cnt"),
-        (when(col("a") > col("bb"), 1L).otherwise(-1L) =!= col("y"))
-          .as("wrong"))
-      .agg(sum(when(col("wrong"), col("cnt")).otherwise(0L)).as("err_num"),
-        sum(col("cnt")).as("err_den"))
-      .select(lit((roundsT + 1).toLong).as("round"), lit(0L).as("feature"),
-        lit(0L).as("threshold"), lit(0L).as("polarity"),
-        col("err_num"), col("err_den"))
+    var errNum = 0L; var errDen = 0L
+    grid.foreach { g =>
+      var aProd = BigInt(1); var bProd = BigInt(1)
+      eqs.foreach { case (f, t, pol, eq) =>
+        if (pred(g, f, t, pol) == 1L) { aProd *= E9 - eq; bProd *= eq }
+        else { aProd *= eq; bProd *= E9 - eq }
+      }
+      val sign = if (aProd > bProd) 1L else -1L
+      if (sign != g._4) errNum += g._5
+      errDen += g._5
+    }
 
-    val out = stumps.unionAll(ens).orderBy(col("round"))
-    val rows = out.collect() // T+1 rows
-    grid0.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val rows: Seq[Row] = models.zipWithIndex.map { case ((f, t, pol, e, totM), i) =>
+      Row((i + 1).toLong, f, t, pol, e.toLong, totM.toLong)
+    } :+ Row((roundsT + 1).toLong, 0L, 0L, 0L, errNum, errDen)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
   }
 
   /** Gated dsk1: DAWID–SKENE LABEL AGGREGATION — the EM consensus
@@ -331,10 +371,19 @@ object Learn {
     * pattern-count rows — the EM loop is constant work on a collected
     * control plane at any corpus size.
     *
-    * Exactness: posteriors are 1e9-quantized longs; every M-step sum
-    * is exact integer arithmetic over pattern counts; the E-step's
-    * likelihood products are exact ≤(1e9)^(K+1) integers (BigInt here,
-    * HUGEINT in the oracle) divided once in pinned double order.
+    * Exactness (all integer): posteriors are 1e9-quantized BigInts;
+    * every M-step sum is exact integer arithmetic over pattern counts;
+    * the E-step's likelihood products are exact ≤(1e9)^(K+1) integers.
+    * The posterior division a·Q/(a+b) first reduces both products by
+    * d = (a+b) div 1e18 + 1 (deterministic floor, replayed verbatim
+    * in the oracle) so the HUGEINT numerator stays inside int128,
+    * then applies rhu — relative error ≤ 1e-18, far below the 1e-9
+    * quantum, and identical on both engines by construction.
+    *
+    * Degenerate corpus (empty documents table): the oracle's
+    * grand-aggregate CTEs still emit one all-NULL parameter row, so
+    * the engine mirrors it — 3 labeler rows with NULL α/β/π and
+    * n_pos 0 — instead of crashing in the loop (round-11 advice).
     */
   def dawidSkene(spark: SparkSession, dir: String,
                  iterations: Int = 3): DataFrame = {
@@ -350,53 +399,68 @@ object Learn {
       .agg(count(lit(1)).as("cnt"))
       .as[(Long, Long, Long, Long)].collect()
 
-    def r(x: Double): Long =
-      new java.math.BigDecimal(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    val Q = 1000000000L
+    val outSchema = StructType(Seq(
+      StructField("labeler", LongType, nullable = false),
+      StructField("alpha_q9", LongType, nullable = true),
+      StructField("beta_q9", LongType, nullable = true),
+      StructField("pi_q9", LongType, nullable = true),
+      StructField("n_pos", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    if (patterns.isEmpty)
+      return spark.createDataFrame(
+        (1 to 3).map(k => Row(k.toLong, null, null, null, 0L)).asJava,
+        outSchema)
+
     def v(p: (Long, Long, Long, Long), k: Int): Long =
       k match { case 1 => p._1; case 2 => p._2; case _ => p._3 }
 
-    // μ⁰: majority-vote fraction, 1e9-quantized.
-    var mu: Map[(Long, Long, Long, Long), Long] = patterns.map { p =>
-      (p._1, p._2, p._3, p._4) -> r((p._1 + p._2 + p._3).toDouble * Q / 3.0)
+    // μ⁰: majority-vote fraction, 1e9-quantized (integer rhu).
+    var mu: Map[(Long, Long, Long, Long), BigInt] = patterns.map { p =>
+      (p._1, p._2, p._3, p._4) -> rhu(BigInt(p._1 + p._2 + p._3) * E9, 3)
     }.toMap
-    var alpha = Map.empty[Int, Long]
-    var beta = Map.empty[Int, Long]
-    var piQ = 0L
+    var alpha = Map.empty[Int, BigInt]
+    var beta = Map.empty[Int, BigInt]
+    var piQ = BigInt(0)
     for (_ <- 1 to iterations) {
       // M-step: exact integer sums over the pattern frame.
-      val denA = patterns.map(p => p._4 * mu(p)).sum
-      val denB = patterns.map(p => p._4 * (Q - mu(p))).sum
+      val denA = patterns.map(p => BigInt(p._4) * mu(p)).sum
+      val denB = patterns.map(p => BigInt(p._4) * (E9 - mu(p))).sum
       alpha = (1 to 3).map { k =>
-        k -> r(patterns.map(p => p._4 * mu(p) * v(p, k)).sum.toDouble * Q
-          / math.max(denA, 1L).toDouble)
+        k -> rhu(patterns.map(p => BigInt(p._4) * mu(p) * v(p, k)).sum * E9,
+          denA.max(BigInt(1)))
       }.toMap
       beta = (1 to 3).map { k =>
-        k -> r(patterns.map(p => p._4 * (Q - mu(p)) * (1L - v(p, k))).sum
-          .toDouble * Q / math.max(denB, 1L).toDouble)
+        k -> rhu(patterns.map(p =>
+          BigInt(p._4) * (E9 - mu(p)) * (1L - v(p, k))).sum * E9,
+          denB.max(BigInt(1)))
       }.toMap
-      piQ = r(denA.toDouble * Q / (denA + denB).toDouble)
-      // E-step: exact ≤(1e9)^4 likelihood products per pattern.
+      piQ = rhu(denA * E9, denA + denB)
+      // E-step: exact ≤(1e9)^4 likelihood products per pattern, then
+      // the reduce-and-rhu posterior division (see Scaladoc).
       mu = patterns.map { p =>
-        val a = (1 to 3).foldLeft(BigInt(piQ)) { (acc, k) =>
-          acc * BigInt(if (v(p, k) == 1L) alpha(k) else Q - alpha(k))
+        val a = (1 to 3).foldLeft(piQ) { (acc, k) =>
+          acc * (if (v(p, k) == 1L) alpha(k) else E9 - alpha(k))
         }
-        val b = (1 to 3).foldLeft(BigInt(Q - piQ)) { (acc, k) =>
-          acc * BigInt(if (v(p, k) == 1L) Q - beta(k) else beta(k))
+        val b = (1 to 3).foldLeft(E9 - piQ) { (acc, k) =>
+          acc * (if (v(p, k) == 1L) E9 - beta(k) else beta(k))
         }
-        (p._1, p._2, p._3, p._4) ->
-          r(a.toDouble * Q.toDouble / (a + b).toDouble)
+        val t = a + b
+        (p._1, p._2, p._3, p._4) -> (if (t == 0) BigInt(0) else {
+          val d = t / E18 + 1
+          rhu((a / d) * E9, a / d + b / d)
+        })
       }.toMap
     }
-    val nPos = patterns.filter(p => mu(p) > Q / 2).map(_._4).sum
+    val nPos = patterns.filter(p => mu(p) > E9 / 2).map(_._4).sum
     (1 to 3).map { k =>
-      (k.toLong, alpha(k), beta(k), piQ, nPos)
+      (k.toLong, alpha(k).toLong, beta(k).toLong, piQ.toLong, nPos)
     }.toDF("labeler", "alpha_q9", "beta_q9", "pi_q9", "n_pos")
   }
 
   /** Oracle SQL for dsk1 — pattern collapse + the EM loop unrolled;
-    * likelihood products as HUGEINTs, every quantization stated.
+    * likelihood products as HUGEINTs, every quantization the same
+    * integer (2a+b)//(2b) form the engine computes, the posterior
+    * division behind the same deterministic d-reduction.
     */
   def dawidSkeneSql(iterations: Int = 3): String = {
     val head =
@@ -408,36 +472,44 @@ object Learn {
         |    count(*) AS cnt
         |  FROM documents GROUP BY 1, 2, 3),
         |m0 AS MATERIALIZED (SELECT v1, v2, v3, cnt,
-        |    CAST(round(CAST(v1 + v2 + v3 AS DOUBLE) * 1e9 / 3.0) AS BIGINT) AS mu
+        |    CAST((2 * CAST(v1 + v2 + v3 AS HUGEINT) * 1000000000 + 3) // 6
+        |      AS BIGINT) AS mu
         |  FROM pat)""".stripMargin
     val iters = (1 to iterations).map { k =>
       val p = s"m${k - 1}"
       val vsel = (1 to 3).map { j =>
-        s"""    CAST(round(CAST(sum(cnt * mu * v$j) AS DOUBLE) * 1e9
-           |      / CAST(greatest(sum(cnt * mu), 1) AS DOUBLE)) AS BIGINT) AS a$j,
-           |    CAST(round(CAST(sum(cnt * (1000000000 - mu) * (1 - v$j)) AS DOUBLE) * 1e9
-           |      / CAST(greatest(sum(cnt * (1000000000 - mu)), 1) AS DOUBLE)) AS BIGINT) AS b$j""".stripMargin
+        val aT = sqlRhu(s"sum(CAST(cnt AS HUGEINT) * mu * v$j) * 1000000000",
+          "greatest(sum(CAST(cnt AS HUGEINT) * mu), 1)")
+        val bT = sqlRhu(
+          s"sum(CAST(cnt AS HUGEINT) * (1000000000 - mu) * (1 - v$j)) * 1000000000",
+          "greatest(sum(CAST(cnt AS HUGEINT) * (1000000000 - mu)), 1)")
+        s"    CAST($aT AS BIGINT) AS a$j,\n    CAST($bT AS BIGINT) AS b$j"
       }.mkString(",\n")
+      val piT = sqlRhu("sum(CAST(cnt AS HUGEINT) * mu) * 1000000000",
+        "sum(CAST(cnt AS HUGEINT) * mu) + sum(CAST(cnt AS HUGEINT) * (1000000000 - mu))")
       val aProd = (1 to 3).map { j =>
         s"CAST(CASE WHEN v$j = 1 THEN a$j ELSE 1000000000 - a$j END AS HUGEINT)"
       }.mkString(" * ")
       val bProd = (1 to 3).map { j =>
         s"CAST(CASE WHEN v$j = 1 THEN 1000000000 - b$j ELSE b$j END AS HUGEINT)"
       }.mkString(" * ")
+      val muT = sqlRhu("(a // d) * 1000000000", "a // d + b // d")
       s"""th$k AS MATERIALIZED (
          |  SELECT
          |$vsel,
-         |    CAST(round(CAST(sum(cnt * mu) AS DOUBLE) * 1e9
-         |      / CAST(sum(cnt * mu) + sum(cnt * (1000000000 - mu)) AS DOUBLE))
-         |      AS BIGINT) AS pi
+         |    CAST($piT AS BIGINT) AS pi
          |  FROM $p),
          |m$k AS MATERIALIZED (
          |  SELECT v1, v2, v3, cnt,
-         |    CAST(round(CAST(CAST(pi AS HUGEINT) * $aProd AS DOUBLE) * 1e9
-         |      / CAST(CAST(pi AS HUGEINT) * $aProd
-         |           + CAST(1000000000 - pi AS HUGEINT) * $bProd AS DOUBLE))
-         |      AS BIGINT) AS mu
-         |  FROM $p CROSS JOIN th$k)""".stripMargin
+         |    CASE WHEN a + b = 0 THEN 0 ELSE
+         |      CAST($muT AS BIGINT) END AS mu
+         |  FROM (SELECT v1, v2, v3, cnt,
+         |      CAST(pi AS HUGEINT) * $aProd AS a,
+         |      CAST(1000000000 - pi AS HUGEINT) * $bProd AS b,
+         |      (CAST(pi AS HUGEINT) * $aProd
+         |       + CAST(1000000000 - pi AS HUGEINT) * $bProd)
+         |        // 1000000000000000000 + 1 AS d
+         |    FROM $p CROSS JOIN th$k) x)""".stripMargin
     }.mkString(",\n")
     val t = s"th$iterations"
     val tail =
@@ -453,11 +525,15 @@ object Learn {
     head + ",\n" + iters + ",\n" + tail
   }
 
-  /** Oracle SQL for gb1 — the boosting loop unrolled, one weight CTE
-    * per round; the ensemble sign test replayed as HUGEINT products.
+  /** Oracle SQL for gb1 — the boosting loop unrolled, one
+    * update+reduce+renormalize CTE chain per round; the ensemble sign
+    * test replayed as HUGEINT products. Same roundsT ≤ 4 bound as the
+    * engine (the products are (1e9)^T).
     */
   def adaboostStumpsSql(roundsT: Int = 3): String = {
-    def fv(fcol: String, g: String) =
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+    def fvq(fcol: String, g: String) =
       s"CASE $fcol WHEN 1 THEN $g.qty WHEN 2 THEN $g.disc ELSE $g.tax END"
     val head =
       """WITH g0 AS (
@@ -467,13 +543,16 @@ object Learn {
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
         |    count(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2, 3, 4),
+        |s0 AS MATERIALIZED (
+        |  SELECT CAST(sum(cnt) AS HUGEINT) * 10000000000 AS s0 FROM g0),
         |w0 AS MATERIALIZED (SELECT qty, disc, tax, y, cnt,
         |    cnt * 10000000000 AS w FROM g0),
         |feats AS (SELECT unnest([1, 2, 3]) AS f)""".stripMargin
     val rounds = (1 to roundsT).map { k =>
       val wp = s"w${k - 1}"
+      val renorm = sqlRhu("ur * s0.s0", "sr.sr")
       s"""bv$k AS MATERIALIZED (
-         |  SELECT f, ${fv("f", wp)} AS v,
+         |  SELECT f, ${fvq("f", wp)} AS v,
          |    sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS wp,
          |    sum(CASE WHEN y = -1 THEN w ELSE 0 END) AS wn
          |  FROM $wp CROSS JOIN feats GROUP BY 1, 2),
@@ -493,19 +572,27 @@ object Learn {
          |    tp + tn AS btot
          |  FROM cd$k WHERE v < vmax
          |  ORDER BY be ASC, bf ASC, bt ASC, bpol ASC LIMIT 1),
+         |u$k AS MATERIALIZED (
+         |  SELECT qty, disc, tax, y, cnt,
+         |    CAST(w AS HUGEINT) * (CASE
+         |      WHEN bpol * (CASE WHEN ${fvq("bf", wp)} <= bt THEN 1 ELSE -1 END) <> y
+         |      THEN btot - be ELSE be END) AS u
+         |  FROM $wp CROSS JOIN best$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT sum(u) // 1000000000000000000 + 1 AS d FROM u$k),
+         |r$k AS MATERIALIZED (
+         |  SELECT qty, disc, tax, y, cnt, u // d AS ur
+         |  FROM u$k CROSS JOIN s$k),
          |w$k AS MATERIALIZED (
          |  SELECT qty, disc, tax, y, cnt,
-         |    CAST(round(CAST(w AS DOUBLE) * CASE
-         |      WHEN bpol * (CASE WHEN ${fv("bf", wp)} <= bt THEN 1 ELSE -1 END) <> y
-         |      THEN sqrt(CAST(btot - be AS DOUBLE) / CAST(be AS DOUBLE))
-         |      ELSE 1.0 / sqrt(CAST(btot - be AS DOUBLE) / CAST(be AS DOUBLE))
-         |      END) AS BIGINT) AS w
-         |  FROM $wp CROSS JOIN best$k)""".stripMargin
+         |    CAST($renorm AS BIGINT) AS w
+         |  FROM r$k CROSS JOIN (SELECT sum(ur) AS sr FROM r$k) sr
+         |  CROSS JOIN s0)""".stripMargin
     }.mkString(",\n")
     val eqs = (1 to roundsT).map { k =>
+      val eqT = sqlRhu("CAST(be AS HUGEINT) * 1000000000", "btot")
       s"""eq$k AS MATERIALIZED (SELECT bf, bt, bpol,
-         |    greatest(least(CAST(round(CAST(be AS DOUBLE) * 1e9
-         |      / CAST(btot AS DOUBLE)) AS BIGINT), 999999999), 1) AS eq
+         |    greatest(least($eqT, 999999999), 1) AS eq
          |  FROM best$k)""".stripMargin
     }.mkString(",\n")
     val aProd = (1 to roundsT).map { k =>

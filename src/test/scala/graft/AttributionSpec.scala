@@ -8,9 +8,9 @@ import graft.operators.Behavior
   */
 class AttributionSpec extends SparkSpec {
 
-  private def r(x: Double): Long =
-    new java.math.BigDecimal(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+  // Pure-integer round-half-up, the round-12 quantization shared by
+  // engine and oracle (no round()-on-double — see Learn.scala).
+  private def rhu(a: BigInt, b: BigInt): Long = ((2 * a + b) / (2 * b)).toLong
 
   test("att4: phi equals the brute 4!-permutation average and sums to v(N)-v(0)") {
     val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
@@ -30,7 +30,7 @@ class AttributionSpec extends SparkSpec {
     val c = masksConv.groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
     val vq = (0 until 16).map { m =>
       m -> (if (u.getOrElse(m, 0L) > 0L)
-        r(c(m).toDouble * 1e9 / u(m).toDouble) else 0L)
+        rhu(BigInt(c(m)) * 1000000000L, u(m)) else 0L)
     }.toMap
 
     // Brute Shapley: average marginal contribution over all 4! channel

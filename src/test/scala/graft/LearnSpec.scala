@@ -3,15 +3,21 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Learn
 
-/** Round-11 in-engine model fitting: Bradley–Terry strengths and
-  * AdaBoost stumps checked against in-test brute-force replicas on
-  * sf0.001, independent of the DuckDB oracle.
+/** Round-11 in-engine model fitting: Bradley–Terry strengths, AdaBoost
+  * stumps and Dawid–Skene EM checked against in-test brute-force
+  * replicas on sf0.001, independent of the DuckDB oracle.
+  *
+  * Round 12: the replicas quantize with the same PURE-INTEGER
+  * round-half-up rhu(a,b) = (2a+b)/(2b) the engine and oracle now
+  * share — no round()-on-double anywhere (the r11 driver hash
+  * divergence).
   */
 class LearnSpec extends SparkSpec {
 
-  private def r(x: Double): Long =
-    new java.math.BigDecimal(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+  private def rhu(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+  private val E9 = BigInt(1000000000L)
+  private val E12 = BigInt(1000000000000L)
+  private val E18 = BigInt("1000000000000000000")
 
   test("bt1: strengths replay a brute MM loop over brute duel counts") {
     // Brute duels: per (order, brand) max cents, all brand pairs.
@@ -39,32 +45,32 @@ class LearnSpec extends SparkSpec {
       nd((l, w)) = nd.getOrElse((l, w), 0L) + n
     }
     val items = nd.keys.map(_._1).toSeq.distinct.sorted
-    var q = items.map(_ -> r(1e12 / items.size.toDouble)).toMap
+    var q: Map[String, BigInt] =
+      items.map(_ -> rhu(E12, BigInt(items.size))).toMap
     val wtot = wins.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
     for (_ <- 1 to 5) {
       val den = items.map { i =>
         i -> items.filter(j => nd.contains((i, j))).map { j =>
-          r(nd((i, j)).toDouble * 1e18 / (q(i) + q(j)).toDouble)
+          rhu(BigInt(nd((i, j))) * E18, q(i) + q(j))
         }.sum
       }.toMap
       val qp = items.map { i =>
-        i -> math.max(1L,
-          r(wtot.getOrElse(i, 0L).toDouble * 1e18 / den(i).toDouble))
+        i -> rhu(BigInt(wtot.getOrElse(i, 0L)) * E18, den(i)).max(BigInt(1))
       }.toMap
       val s = qp.values.sum
-      q = items.map(i => i -> r(qp(i).toDouble * 1e12 / s.toDouble)).toMap
+      q = items.map(i => i -> rhu(qp(i) * E12, s)).toMap
     }
     val got = Learn.bradleyTerry(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.length == items.size)
     got.foreach { case (item, w, n, s) =>
-      assert(s == q(item), s"strength mismatch for $item")
+      assert(s == q(item).toLong, s"strength mismatch for $item")
       assert(w == wtot.getOrElse(item, 0L))
       assert(n == items.filter(j => nd.contains((item, j)))
         .map(j => nd((item, j))).sum)
     }
     // Strengths normalize to ~1e12 and the output is strength-sorted.
-    assert(math.abs(got.map(_._4).sum - 1e12) < items.size)
+    assert((got.map(t => BigInt(t._4)).sum - E12).abs < items.size)
     assert(got.map(t => (-t._4, t._1)).sameElements(
       got.map(t => (-t._4, t._1)).sorted))
   }
@@ -109,6 +115,13 @@ class LearnSpec extends SparkSpec {
     assert(s1.getAs[Long]("polarity") == best._4)
     assert(s1.getAs[Long]("err_num") == best._1)
     assert(s1.getAs[Long]("err_den") == rows.length.toLong * w0)
+    // Round 2+ total mass renormalizes to S0 with ≤ half-quantum
+    // per-group drift from the integer rounding.
+    stumps.drop(1).foreach { s =>
+      val tot = s.getAs[Long]("err_den")
+      assert(math.abs(tot - rows.length.toLong * w0) <= rows.length.toLong,
+        "renormalized mass must stay within rounding drift of S0")
+    }
     // Ensemble row: a valid error fraction over corpus rows. (AdaBoost's
     // train-error BOUND after 3 weak rounds can exceed ε₁, so the spec
     // asserts well-formedness here and leaves the exact trajectory to
@@ -118,6 +131,12 @@ class LearnSpec extends SparkSpec {
     assert(ens.getAs[Long]("err_den") == rows.length.toLong)
     val eEns = ens.getAs[Long]("err_num")
     assert(eEns >= 0L && eEns <= rows.length.toLong)
+    // T > 4 would overflow the oracle's HUGEINT odds product — the
+    // bound is enforced, not documented-only (round-11 advice).
+    intercept[IllegalArgumentException] {
+      Learn.adaboostStumps(spark, sf, roundsT = 5)
+    }
+    intercept[IllegalArgumentException] { Learn.adaboostStumpsSql(5) }
   }
 
   test("dsk1: EM fixed point replays a brute per-document EM") {
@@ -130,47 +149,52 @@ class LearnSpec extends SparkSpec {
           if (row.getString(1) == "en") 1L else 0L,
           if (spaces > 60) 1L else 0L)
       }
-    val Q = 1000000000L
     def v(p: (Long, Long, Long), k: Int): Long =
       k match { case 1 => p._1; case 2 => p._2; case _ => p._3 }
     // Brute per-document EM (no pattern collapse) with the same
-    // quantization — the collapse must be exactly invisible.
-    var mu = docs.map(p => r((p._1 + p._2 + p._3).toDouble * Q / 3.0))
-    var alpha = Map.empty[Int, Long]; var beta = Map.empty[Int, Long]
-    var piQ = 0L
+    // integer quantization — the collapse must be exactly invisible.
+    var mu = docs.map(p => rhu(BigInt(p._1 + p._2 + p._3) * E9, 3))
+    var alpha = Map.empty[Int, BigInt]; var beta = Map.empty[Int, BigInt]
+    var piQ = BigInt(0)
     for (_ <- 1 to 3) {
       val denA = mu.sum
-      val denB = mu.map(Q - _).sum
+      val denB = mu.map(E9 - _).sum
       alpha = (1 to 3).map { k =>
-        k -> r(docs.zip(mu).map { case (p, m) => m * v(p, k) }.sum.toDouble
-          * Q / math.max(denA, 1L).toDouble)
+        k -> rhu(docs.zip(mu).map { case (p, m) => m * v(p, k) }.sum * E9,
+          denA.max(BigInt(1)))
       }.toMap
       beta = (1 to 3).map { k =>
-        k -> r(docs.zip(mu).map { case (p, m) => (Q - m) * (1L - v(p, k)) }
-          .sum.toDouble * Q / math.max(denB, 1L).toDouble)
+        k -> rhu(docs.zip(mu).map { case (p, m) => (E9 - m) * (1L - v(p, k)) }
+          .sum * E9, denB.max(BigInt(1)))
       }.toMap
-      piQ = r(denA.toDouble * Q / (denA + denB).toDouble)
+      piQ = rhu(denA * E9, denA + denB)
       mu = docs.map { p =>
-        val a = (1 to 3).foldLeft(BigInt(piQ)) { (acc, k) =>
-          acc * BigInt(if (v(p, k) == 1L) alpha(k) else Q - alpha(k))
+        val a = (1 to 3).foldLeft(piQ) { (acc, k) =>
+          acc * (if (v(p, k) == 1L) alpha(k) else E9 - alpha(k))
         }
-        val b = (1 to 3).foldLeft(BigInt(Q - piQ)) { (acc, k) =>
-          acc * BigInt(if (v(p, k) == 1L) Q - beta(k) else beta(k))
+        val b = (1 to 3).foldLeft(E9 - piQ) { (acc, k) =>
+          acc * (if (v(p, k) == 1L) E9 - beta(k) else beta(k))
         }
-        r(a.toDouble * Q.toDouble / (a + b).toDouble)
+        val t = a + b
+        if (t == 0) BigInt(0)
+        else {
+          val d = t / E18 + 1
+          rhu((a / d) * E9, a / d + b / d)
+        }
       }
     }
     val got = Learn.dawidSkene(spark, sf).collect()
     assert(got.length == 3)
     got.foreach { row =>
       val k = row.getAs[Long]("labeler").toInt
-      assert(row.getAs[Long]("alpha_q9") == alpha(k), s"alpha labeler $k")
-      assert(row.getAs[Long]("beta_q9") == beta(k), s"beta labeler $k")
-      assert(row.getAs[Long]("pi_q9") == piQ)
-      assert(row.getAs[Long]("n_pos") == docs.indices.count(i => mu(i) > Q / 2))
+      assert(row.getAs[Long]("alpha_q9") == alpha(k).toLong, s"alpha labeler $k")
+      assert(row.getAs[Long]("beta_q9") == beta(k).toLong, s"beta labeler $k")
+      assert(row.getAs[Long]("pi_q9") == piQ.toLong)
+      assert(row.getAs[Long]("n_pos") ==
+        docs.indices.count(i => mu(i) > E9 / 2))
     }
     // Sensitivity/specificity are probabilities.
-    alpha.values.foreach(a => assert(a >= 0 && a <= Q))
-    beta.values.foreach(b => assert(b >= 0 && b <= Q))
+    alpha.values.foreach(a => assert(a >= 0 && a <= E9))
+    beta.values.foreach(b => assert(b >= 0 && b <= E9))
   }
 }

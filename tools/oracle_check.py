@@ -7,6 +7,21 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [name ...]
 import sys, json, glob, os
 import duckdb
 
+# The round-11 driver hash divergence (att4/bt1/dsk1/gb1) was
+# builder-green / driver-red: the builder's DuckDB and the driver's
+# disagreed on round(DOUBLE) inside iterated quantizations. The
+# arithmetic fix is in the oracles themselves (integer-only rounding),
+# but local verify must still announce which oracle engine it ran so a
+# future green can never silently mean "green on a different DuckDB".
+PINNED_DUCKDB = "1.0.0"
+if duckdb.__version__ != PINNED_DUCKDB:
+    print(f"FATAL: local DuckDB {duckdb.__version__} != pinned "
+          f"{PINNED_DUCKDB} — builder-green would not imply driver-green. "
+          f"Re-pin PINNED_DUCKDB deliberately if the upgrade is intended.",
+          file=sys.stderr)
+    sys.exit(2)
+print(f"[oracle_check] duckdb=={duckdb.__version__} (pinned)")
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
