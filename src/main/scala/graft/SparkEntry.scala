@@ -1471,7 +1471,11 @@ object SparkEntry {
          |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, score FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // xl1: the full margin-mining chain replayed — parity split,
+    // xl1: the margin-mining chain replayed over ONE query batch —
+    // the deterministic 1-in-16 source shard (vec_id % 32 = 0; the
+    // round-11 verdict's directed bound on the by-construction
+    // quadratic brute form — real deployments mine batch-by-batch,
+    // and xl2 is the gated sub-quadratic path). Parity split,
     // exact bipartite cosines (rounded-6 before ranking, the ss1
     // discipline), per-side top-4 neighborhood sums as EXACT BIGINTs
     // on the 1e-6 score quanta, the all-integer margin ratio
@@ -1497,7 +1501,7 @@ object SparkEntry {
     "xl1_margin_mining" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |src AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+         |src AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 32 = 0),
          |tgt AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
          |p0 AS (SELECT src_id, tgt_id,
          |    round(${foldCosine("sv", "tv")}, 6) AS score

@@ -187,9 +187,13 @@ class SimilaritySpec extends SparkSpec {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val srcIds = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    // The gated form mines ONE query batch: the 1-in-16 source shard
+    // (vec_id % 32 == 0) — replayed here; a queryShards=1 run is
+    // checked against the same replay with allSrc below.
+    val allSrc = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val srcIds = allSrc.filter(_ % 32 == 0)
     val tgtIds = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
-    val score = (for (s <- srcIds; t <- tgtIds)
+    val score = (for (s <- allSrc; t <- tgtIds)
       yield (s, t) -> r6(cos(vecs(s), vecs(t)))).toMap
     def si(x: Double): Long = math.round(x * 1e6)
     // top-k by (rounded score desc, id asc) → exact integer sum + count
@@ -197,26 +201,34 @@ class SimilaritySpec extends SparkSpec {
       val top = scores.sortBy { case (id, sc) => (-sc, id) }.take(k)
       (top.map(p => si(p._2)).sum, top.length.toLong)
     }
-    val muS = srcIds.map(s => s -> topSum(tgtIds.map(t => t -> score((s, t))), 4)).toMap
-    val muT = tgtIds.map(t => t -> topSum(srcIds.map(s => s -> score((s, t))), 4)).toMap
-    val expected = srcIds.map { s =>
-      val best = tgtIds.flatMap { t =>
-        val (ss, ks) = muS(s); val (st, kt) = muT(t)
-        val den = ss * kt + st * ks
-        if (den <= 0) None
-        else Some((t, score((s, t)),
-          r6((2L * si(score((s, t))) * ks * kt).toDouble / den.toDouble)))
-      }.minBy { case (t, _, m) => (-m, t) }
-      (s, best._1, best._2, best._3, best._3 >= 1.05)
+    // Batch semantics: μk(tgt) is the top-k over the BATCH's sources.
+    def replay(batch: Seq[Long]): Seq[(Long, Long, Double, Double, Boolean)] = {
+      val muS = batch.map(s => s -> topSum(tgtIds.map(t => t -> score((s, t))), 4)).toMap
+      val muT = tgtIds.map(t => t -> topSum(batch.map(s => s -> score((s, t))), 4)).toMap
+      batch.map { s =>
+        val best = tgtIds.flatMap { t =>
+          val (ss, ks) = muS(s); val (st, kt) = muT(t)
+          val den = ss * kt + st * ks
+          if (den <= 0) None
+          else Some((t, score((s, t)),
+            r6((2L * si(score((s, t))) * ks * kt).toDouble / den.toDouble)))
+        }.minBy { case (t, _, m) => (-m, t) }
+        (s, best._1, best._2, best._3, best._3 >= 1.05)
+      }
     }
-    val got = Similarity.marginMining(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getBoolean(4))).toSeq
-    assert(got == expected, "margin-mining output differs from local replay")
-    assert(got.map(_._1) == srcIds, "one row per source, ordered")
+    def run(shards: Int): Seq[(Long, Long, Double, Double, Boolean)] =
+      Similarity.marginMining(spark, sf, queryShards = shards).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4))).toSeq
+    val got = run(16) // the gated batch form
+    assert(got == replay(srcIds), "sharded margin mining differs from local replay")
+    assert(got.map(_._1) == srcIds, "one row per batch source, ordered")
+    val full = run(1) // queryShards=1 recovers the full brute readout
+    assert(full == replay(allSrc), "full margin mining differs from local replay")
+    assert(full.map(_._1) == allSrc, "one row per source, ordered")
     // Non-degenerate decision: a best-of-neighborhood cosine sits
     // above its own neighborhood mean, so margins exceed 1 somewhere.
-    assert(got.exists(_._5), "no pair accepted — threshold degenerate")
+    assert(full.exists(_._5), "no pair accepted — threshold degenerate")
   }
 
   test("xl1 margin normalizes hubs: an exclusive pair outranks a hub match") {
@@ -240,7 +252,8 @@ class SimilaritySpec extends SparkSpec {
       (5L, Array(0f, 0f, 0f, 1.0f), 1))      // tgt 5: unrelated
       .toDF("vec_id", "embedding", "label")
     rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = Similarity.marginMining(spark, dir, k = 2).collect()
+    val out = Similarity.marginMining(spark, dir, k = 2, queryShards = 1)
+      .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     // Raw cosine would send src 0 to the hub (0.707 > 0.65)…
     assert(out(0L)._2 < 0.71, s"exclusive target's raw cosine drifted: ${out(0L)}")
