@@ -18,6 +18,19 @@ import org.apache.spark.sql.SparkSession
   *  - each query then runs 3 times and the MEDIAN is reported (min also
   *    emitted), so round-over-round comparisons sit above the ±15%
   *    run-to-run noise observed in round 1.
+  *  - budgeted reps for the slow tail (round 12): a query whose
+  *    WARM-UP pass takes ≥ [[SlowRepBarSec]] gets ONE timed rep
+  *    instead of 3. The round-11 driver bench hit its wall-clock
+  *    budget (BENCH_r11 rc:124) as the suite grew to 382 gates; the
+  *    ≥1 s tail (~115 gates, ~257 s of medians) was 2/3 of the
+  *    suite's rep cost while being exactly the population whose
+  *    multi-second runtimes are least affected by scheduler noise in
+  *    RELATIVE terms. Sub-second gates — where one GC pause IS the
+  *    measurement — keep median-of-3. Slow gates remain protected by
+  *    the reference check below: a single rep that lands [[RefBar]]×
+  *    above the committed clean-box number still triggers extra reps
+  *    + min-reporting + the stall flag, so a noisy box cannot plant
+  *    an unflagged outlier.
   *  - stall control (round 8): when median/min > 2 the spread is an
   *    environment artifact (GC stall, box contention — the round-7
   *    driver recorded dd11 at 16.8 s vs a 3.4 s same-day steady state
@@ -44,6 +57,13 @@ object Bench {
     sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).filter(_ >= 1).getOrElse(3)
   private final val MaxExtraReps = 4
   private final val SpreadBar = 2.0
+  /** Warm-up seconds at/above which a query runs ONE timed rep
+    * instead of [[Reps]] — the round-12 wall-budget lever (see the
+    * methodology note above). SPARK_GRAFT_SLOW_BAR overrides;
+    * non-positive disables (every query gets full reps).
+    */
+  private def SlowRepBarSec: Double =
+    sys.env.get("SPARK_GRAFT_SLOW_BAR").map(_.toDouble).getOrElse(1.0)
 
   /** Hypervisor steal ticks from /proc/stat (cpu line, field 8) — the
     * direct evidence when a bench record was taken on a contended box
@@ -191,10 +211,13 @@ object Bench {
       def refSlow(minT: Double): Boolean =
         reference.get(name).exists(r => minT > RefBar * r && minT > RefFloorSec)
       val stealQ0 = stealTicks()
-      runOnce(fn) match { // untimed warm-up; its failure fails the query
+      runOnce(fn) match { // warm-up: never enters the stats, but its
+        // duration picks the rep budget (slow tail → 1 timed rep)
         case Left(err) => name -> Left(err)
-        case Right(_) =>
-          val reps = (1 to Reps).map(_ => runOnce(fn))
+        case Right(warmT) =>
+          val repBudget =
+            if (SlowRepBarSec > 0 && warmT >= SlowRepBarSec) 1 else Reps
+          val reps = (1 to repBudget).map(_ => runOnce(fn))
           reps.collectFirst { case Left(err) => err } match {
             case Some(err) => name -> Left(err)
             case None =>

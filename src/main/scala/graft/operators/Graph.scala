@@ -31,6 +31,46 @@ import graft.Tables
   */
 object Graph {
 
+  /** Run `f` with adaptive query execution OFF, restoring the prior
+    * setting afterwards (exception-safe, so the shared session's
+    * deterministic config is preserved — the Bench header's
+    * session-wide-config rule).
+    *
+    * Why (round 12): AQE materializes EVERY exchange as its own
+    * query-stage job, so a 3-iteration rank loop submits ~21 jobs and
+    * the 8-round k-core peel ~55 — pure driver scheduling round-trips.
+    * That is the right trade on a corpus-scale scan (runtime
+    * re-planning, skew splits), but these iterative loops run on
+    * BOUNDED node-cardinality control frames at a pinned 32
+    * partitions: there is nothing for AQE to re-plan, and its
+    * per-exchange round-trips are exactly the noisy-box fragility the
+    * r11 driver record measured (kc1 8.7 s noisy vs 6.3 s clean, pr1
+    * 5.1 vs 2.9 — PERF.md §Round 11). With AQE off the whole
+    * iteration chain executes as ONE multi-stage job. Results are
+    * unaffected (same plans, same arithmetic — AQE only re-plans
+    * partitioning), so gate hashes are unchanged.
+    */
+  private[operators] def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+    // Shuffle width drops with AQE: coalescing normally shrinks these
+    // ≤16 MB control-frame exchanges at runtime; with AQE off the
+    // session's 32-wide shuffles would quadruple the task count
+    // instead (measured: kc1 476 → 2653 tasks). 8 partitions ≈ what
+    // AQE's 64 MB advisory target picks here. Data volume does not
+    // change this choice — the loops run on NODE-cardinality frames
+    // (a 1e9-node graph's rank vector is ~16 GB → at real scale the
+    // width should scale with |V|/64 MB, which a deployment sets
+    // per-job; the gate pins 8 for determinism of the record).
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** PageRank over the bipartite customer↔supplier trade graph
     * (query pr1): an edge per distinct (customer, supplier) trade
     * relationship, both directions so the chain is ergodic; 3
@@ -51,7 +91,8 @@ object Graph {
     *    of the rank vector plus ONE dst-keyed aggregation.
     */
   def pageRank(spark: SparkSession, dir: String,
-               iterations: Int = 3, k: Int = 25): DataFrame = {
+               iterations: Int = 3, k: Int = 25): DataFrame =
+      withoutAqe(spark) {
     // Persist the distinct pair set BEFORE mirroring it: caching the
     // union instead would re-run the join+distinct once per direction.
     val pairs = Tables.orders(spark, dir)
@@ -64,12 +105,21 @@ object Graph {
     val edges = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
 
-    // Degree and rank vectors are node-cardinality (≪ edges): ship
-    // them to the edge partitions explicitly. At web-graph scale,
-    // where the rank vector outgrows broadcast, drop the hints and
-    // pre-bucket edges by src instead; the loop body is unchanged.
+    // Degree rides the edges via one broadcast (node-cardinality ≪
+    // edges), and the persisted frame is PRE-PARTITIONED on src so
+    // every iteration's rank join can reuse that exchange. The rank
+    // join itself is SHUFFLE-HASH, not broadcast (round 12): each
+    // broadcast(prev) was a driver round-trip — a separate
+    // broadcast-build job per iteration, the stage-scheduling
+    // exposure that inflated pr1 1.7× on the r11 driver's contended
+    // box. With the edge side's partitioning reused, the only moving
+    // data per iteration is the node-cardinality rank vector
+    // (hash-shuffled to the same 32 src buckets) — the whole
+    // iteration chain now executes as ONE job. At web-graph scale the
+    // same plan holds: bucket the edges on src, shuffle only ranks.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(broadcast(deg), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.count().toDouble // control-plane scalar
@@ -81,7 +131,7 @@ object Graph {
       // each rank vector feeds exactly one consumer — caching it
       // would only add memory pressure
       pr = edgesDeg
-        .join(broadcast(prev), edgesDeg("src") === prev("node"))
+        .join(prev.hint("shuffle_hash"), edgesDeg("src") === prev("node"))
         .select(col("dst"),
           round(col("pr") / col("deg") * lit(1e14)).cast("long").as("contrib"))
         .groupBy(col("dst"))
@@ -107,7 +157,7 @@ object Graph {
     pairs.unpersist()
     edgesDeg.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
-  }
+  } // withoutAqe
 
 
   /** Gated ppr1: PERSONALIZED PAGERANK — the seed-teleport variant of
@@ -129,7 +179,8 @@ object Graph {
     */
   def personalizedPageRank(spark: SparkSession, dir: String,
                            iterations: Int = 3, k: Int = 25,
-                           seedMax: Long = 10L): DataFrame = {
+                           seedMax: Long = 10L): DataFrame =
+      withoutAqe(spark) {
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
@@ -139,10 +190,18 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // Same round-12 shuffle-hash discipline as pr1: edges partitioned
+    // on src once, rank vectors shuffle to them, no per-iteration
+    // broadcast-build jobs. The left-join back onto the node frame is
+    // likewise shuffle-hash with the node frame pre-partitioned on
+    // its key, so each iteration adds exactly two node-cardinality
+    // shuffles to the single job.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(broadcast(deg), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def isSeed(c: Column): Column = c % 2 === 0 && c < seedMax * 2
     val ns = nodes.filter(isSeed(col("node"))).count().toDouble // control plane
@@ -153,12 +212,13 @@ object Graph {
     for (_ <- 1 to iterations) {
       val prev = pr
       val contribs = edgesDeg
-        .join(broadcast(prev), edgesDeg("src") === prev("node"))
+        .join(prev.hint("shuffle_hash"), edgesDeg("src") === prev("node"))
         .select(col("dst"),
           round(col("pr") / col("deg") * lit(1e14)).cast("long").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
-      pr = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      pr = nodes.join(contribs.hint("shuffle_hash"),
+          nodes("node") === contribs("dst"), "left")
         .select(nodes("node"),
           (when(isSeed(nodes("node")), lit(tel)).otherwise(lit(0.0))
             + lit(0.85) * (coalesce(col("s"), lit(0L)).cast("double")
@@ -176,7 +236,7 @@ object Graph {
     val rows = top.collect()
     pairs.unpersist(); edgesDeg.unpersist(); nodes.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
-  }
+  } // withoutAqe
 
 
   /** Gated gnn1: TWO-HOP NEIGHBOR FEATURE AGGREGATION — the data-prep
@@ -238,7 +298,8 @@ object Graph {
     * frames are node-cardinality, edges are touched once per hop.
     */
   def bfsDistances(spark: SparkSession, dir: String,
-                   seedNation: Long = 0, maxHops: Int = 4): DataFrame = {
+                   seedNation: Long = 0, maxHops: Int = 4): DataFrame =
+      withoutAqe(spark) {
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
@@ -267,9 +328,15 @@ object Graph {
     var retired = List.empty[DataFrame]
     while (n > 0 && h < maxHops) {
       h += 1
-      val next = frontier.join(edges, col("node") === col("src"))
+      // Shuffle-hash on the node-cardinality sides (round 12): the
+      // frontier hashes to the edge frame's resident src partitioning
+      // and the visited set builds a hash table for the anti-join —
+      // no per-hop broadcast-build jobs, no sort-merge sorts.
+      val next = frontier.hint("shuffle_hash")
+        .join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(dist.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
       val grown = dist.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
       // ONE action per round: materializing `grown` pins next's rows
@@ -288,7 +355,7 @@ object Graph {
     val rows = out.collect() // ≤ maxHops+1 rows
     (dist :: edges :: retired).foreach(_.unpersist())
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+  } // withoutAqe
 
   /** Distinct co-purchase edges over parts: (u, v) with u < v when
     * both parts appear in the same order. Pair enumeration is
@@ -578,7 +645,8 @@ object Graph {
     * so the gate is hash-identical cross-engine.
     */
   def labelPropagation(spark: SparkSession, dir: String,
-                       rounds: Int = 3, k: Int = 25): DataFrame = {
+                       rounds: Int = 3, k: Int = 25): DataFrame =
+      withoutAqe(spark) {
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
@@ -599,11 +667,12 @@ object Graph {
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       val prev = labels
-      // Label vectors are node-cardinality — broadcast them to the
-      // partitioned edges (at web scale, drop the hint and the join
-      // reuses the edge partitioning; the loop body is unchanged).
+      // Label vectors are node-cardinality — shuffle-hash them to the
+      // resident edge partitioning (round 12: broadcast builds were
+      // one driver round-trip per round; the same plan now runs as
+      // one job end to end, and it is already the web-scale shape).
       labels = edges
-        .join(broadcast(prev), edges("src") === prev("node"))
+        .join(prev.hint("shuffle_hash"), edges("src") === prev("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
         // argmax by (count DESC, label ASC) = min of the struct
@@ -621,7 +690,7 @@ object Graph {
     val rows = top.collect() // k rows
     pairs.unpersist(); edges.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
-  }
+  } // withoutAqe
 
   /** Gated sp1: BOUNDED-ROUND WEIGHTED SHORTEST PATHS (Bellman–Ford
     * BSP) over the trade graph — edge weight = the CHEAPEST trade
@@ -642,9 +711,15 @@ object Graph {
     * the min-fold is order-invariant and the gate hash-exact. The
     * driver never sees rows until the final k-row top list.
     */
+  // Broadcast is KEPT in the relaxation loop (unlike pr1/lp1): the
+  // per-round broadcast collect is what materializes `prev`'s cache,
+  // and prev is read TWICE per round (union + join) — without that
+  // barrier the two consumers race and the executed plan doubles per
+  // round (the 2^rounds note below). Only the AQE scope is applied.
   def cheapestRoutes(spark: SparkSession, dir: String,
                      seedNation: Long = 0, rounds: Int = 4,
-                     k: Int = 25): DataFrame = {
+                     k: Int = 25): DataFrame =
+      withoutAqe(spark) {
     val w = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
@@ -701,7 +776,7 @@ object Graph {
     val rows = top.collect() // k rows
     (dist :: w :: edges :: retired).foreach(_.unpersist())
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
-  }
+  } // withoutAqe
 
   /** Gated tr1: TEXTRANK KEYWORDS — weighted PageRank over the word
     * co-occurrence graph of the documents corpus (adjacent-token
@@ -724,7 +799,8 @@ object Graph {
     * The corpus is scanned exactly once however many iterations run.
     */
   def textRankKeywords(spark: SparkSession, dir: String,
-                       iterations: Int = 3, k: Int = 20): DataFrame = {
+                       iterations: Int = 3, k: Int = 20): DataFrame =
+      withoutAqe(spark) {
     val toks = Tables.documents(spark, dir)
       .select(split(trim(col("text")), "\\s+").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -744,7 +820,10 @@ object Graph {
     // Self-loops (a word adjacent to itself) mirror into TWO equal
     // edges; that double-count is part of the contract on both sides.
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    // pr1's round-12 discipline: src-partitioned persisted edges +
+    // shuffle-hash rank joins, one job for the whole iteration chain.
     val edgesDeg = edges.join(broadcast(wdeg), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.count().toDouble // control-plane scalar
@@ -754,7 +833,7 @@ object Graph {
     for (_ <- 1 to iterations) {
       val prev = pr
       pr = edgesDeg
-        .join(broadcast(prev), edgesDeg("src") === prev("node"))
+        .join(prev.hint("shuffle_hash"), edgesDeg("src") === prev("node"))
         .select(col("dst"),
           round(col("pr") * col("w") / col("wd") * lit(1e14))
             .cast("long").as("contrib"))
@@ -772,7 +851,7 @@ object Graph {
     val rows = top.collect() // k rows
     und.unpersist(); edgesDeg.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
-  }
+  } // withoutAqe
 
   /** Gated kc1: BOUNDED-ROUND k-CORE PEEL over the co-purchase graph
     * — iteratively drop every node with degree < `k` and the edges
@@ -805,7 +884,8 @@ object Graph {
     * are `AS MATERIALIZED`, else DuckDB inlines them exponentially.)
     */
   def kCorePeel(spark: SparkSession, dir: String,
-                k: Int = 80, rounds: Int = 8): DataFrame = {
+                k: Int = 80, rounds: Int = 8): DataFrame =
+      withoutAqe(spark) {
     var edges = copurchaseEdges(spark, dir).localCheckpoint()
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     (1 to rounds).foreach { r =>
@@ -813,15 +893,27 @@ object Graph {
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("node"))
+      // SHUFFLE-HASH semi-joins (round 12): with broadcast semi-joins
+      // every round paid TWO broadcast-build driver round-trips (the
+      // u-side and v-side keep builds are alias-distinct subtrees, so
+      // ReuseExchange cannot dedup them) — ~4 jobs per round, the
+      // stage-scheduling exposure that made kc1 the most noisy-box-
+      // fragile gate in the r11 driver record (8.7 s noisy vs 6.3 s
+      // clean). Hinted shuffle-hash keeps each round ONE job: keep's
+      // own groupBy exchange is partitioned on the join key already
+      // (reused across both joins), and the edge frame shuffles
+      // 16 MB/round — executor-side work instead of driver latency.
       val next = edges
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .join(keep.withColumnRenamed("node", "u").hint("shuffle_hash"),
+          Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v").hint("shuffle_hash"),
+          Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      // ONE action per round: the edge count rides the endpoint-union
-      // frame as a flag sum (each edge contributes exactly one
-      // flag-1 row via its u side), so the round's counters cost one
-      // job instead of two passes over the checkpointed blocks.
+      // ONE extra action per round: the edge count rides the
+      // endpoint-union frame as a flag sum (each edge contributes
+      // exactly one flag-1 row via its u side), so the round's
+      // counters cost one cheap block-scan job.
       val counts = next.select(col("u").as("nd"), lit(1L).as("fl"))
         .unionAll(next.select(col("v").as("nd"), lit(0L).as("fl")))
         .agg(sum(col("fl")).as("e"), countDistinct(col("nd")).as("nn"))
@@ -836,7 +928,7 @@ object Graph {
       .select(col("round").cast("int").as("round"),
         col("n_nodes"), col("n_edges"))
       .orderBy(col("round"))
-  }
+  } // withoutAqe
 
   /** Gated hits1: HITS hubs & authorities over the directed
     * customer→supplier trade graph — the OTHER classic link-centrality
@@ -869,8 +961,12 @@ object Graph {
   /** [[hitsScores]] over an explicit distinct (c, s) pair frame (the
     * seam the planted-hub saturation spec drives).
     */
+  // Broadcasts KEPT (each half-vector is persisted and read by both
+  // the norm action and the next join — the broadcast collect is the
+  // materialization barrier, sp1's situation); only the AQE scope.
   def hitsScoresFrom(spark: SparkSession, pairsCS: DataFrame,
-                     iterations: Int, k: Int): DataFrame = {
+                     iterations: Int, k: Int): DataFrame =
+      withoutAqe(spark) {
     val pairs = pairsCS.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Quantized-BIGINT terms, DECIMAL(38,0) sums: the per-key
@@ -928,7 +1024,7 @@ object Graph {
     pairs.unpersist()
     pinned.foreach(_.unpersist())
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+  } // withoutAqe
 
   /** Gated hc1: HARMONIC CENTRALITY of a seed set via ONE multi-source
     * BFS with a BITMASK frontier — per node, one long whose bit i says
@@ -946,7 +1042,8 @@ object Graph {
     * state however many seeds ≤ 64; one action per hop.
     */
   def harmonicCentrality(spark: SparkSession, dir: String,
-                         nSeeds: Int = 8, maxHops: Int = 4): DataFrame = {
+                         nSeeds: Int = 8, maxHops: Int = 4): DataFrame =
+      withoutAqe(spark) {
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
@@ -973,7 +1070,8 @@ object Graph {
     var retired = List.empty[DataFrame]
     while (live && h < maxHops) {
       h += 1
-      val prop = mask.join(edges, col("node") === col("src"))
+      val prop = mask.hint("shuffle_hash")
+        .join(edges, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(expr("bit_or(mask)").as("nm"))
       val merged = mask.select(col("node"), col("mask").as("om"))
@@ -1006,7 +1104,7 @@ object Graph {
         round(col("h_exact").cast("decimal(28,12)").cast("double"), 6)
           .as("harmonic"))
       .orderBy(col("seed_custkey"))
-  }
+  } // withoutAqe
 
   /** Gated mod1: NEWMAN MODULARITY of the nation partition on the
     * bipartite trade graph — the quality functional every community-

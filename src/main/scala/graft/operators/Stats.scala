@@ -238,7 +238,8 @@ object Stats {
     * back onto edges; the correlation reduces to DECIMAL sufficient
     * statistics (degree products overflow BIGINT at corpus scale).
     */
-  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+      Graph.withoutAqe(spark) {
     val e = Graph.copurchaseEdges(spark, dir)
     // Both orientations: assortativity is defined over the directed
     // double cover of an undirected graph.
@@ -264,7 +265,8 @@ object Stats {
     out.collect() // materialize before releasing the directed cover
     directed.unpersist()
     out
-  }
+  } // withoutAqe (round 12: single-shot, but AQE's per-exchange query
+    // stages made this 19 jobs; statically planned it is ~4)
 
   /** Gated ar1: ASSOCIATION RULES over frequent basket pairs —
     * confidence and lift for each frequent (a → b) co-purchase pair,
