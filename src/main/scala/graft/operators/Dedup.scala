@@ -630,9 +630,15 @@ object Dedup {
     * the high-diameter chain test drives synthetically.
     */
   def duplicateClustersFrom(nodes: DataFrame, edges: DataFrame,
-                            maxRounds: Int = 20): DataFrame = {
+                            maxRounds: Int = 20): DataFrame =
+      Graph.withoutAqe(nodes.sparkSession) {
+    // Edge frame resident-partitioned on the join key; label vectors
+    // shuffle-hash to it (the Graph round-12 discipline: under AQE
+    // this loop submitted one query-stage job per exchange — 46 for
+    // dd15 — pure driver scheduling latency on a contended box).
     val bidir = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .repartition(col("src"))
       .cache()
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("rep"))
@@ -643,11 +649,12 @@ object Dedup {
     while (!converged && round < maxRounds) {
       round += 1
       val neighborMin = bidir
-        .join(labels, col("src") === col("doc_id"))
+        .join(labels.hint("shuffle_hash"), col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min(col("rep")).as("nmin"))
       val step = labels
-        .join(neighborMin, col("doc_id") === col("dst"), "left")
+        .join(neighborMin.hint("shuffle_hash"),
+          col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
       // Periodic lineage truncation: the convergence sum below already
@@ -674,7 +681,7 @@ object Dedup {
     labels
       .select(col("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
-  }
+  } // withoutAqe
 
   /** Gated rsp1: REPEATED-SPAN MINING — the corpus-level boilerplate
     * detector: maximal word spans whose every n-gram occurs in ≥

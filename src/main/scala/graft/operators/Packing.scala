@@ -149,7 +149,8 @@ object Packing {
     * spread by customer.
     */
   def orderBatchPacking(spark: SparkSession, dir: String,
-                        capCents: Long = 30000000L): DataFrame = {
+                        capCents: Long = 30000000L): DataFrame =
+      Graph.withoutAqe(spark) {
     // The ordered/numbered per-customer frame is MATERIALIZED once
     // (cached, hash-partitioned on the customer key) instead of living
     // inside the recursive CTE text: the recursion unrolls to ~41
@@ -168,7 +169,12 @@ object Packing {
       .repartition(col("cust"))
       .cache()
     o.createOrReplaceTempView("graft_rcte_o")
-    spark.sql(
+    // Materialized INSIDE the AQE-off scope (a lazy return would
+    // execute after the conf restore): each recursion step is an
+    // exchange, and under AQE every one was a query-stage job — 95
+    // jobs for this gate, the worst scheduler exposure in the suite.
+    // The result is a ≤ chain-length histogram, a bounded transfer.
+    val out = spark.sql(
       s"""WITH RECURSIVE o AS (SELECT * FROM graft_rcte_o),
          |walk AS (
          |  SELECT cust, rn, cents AS acc, CAST(1 AS BIGINT) AS batch
@@ -186,5 +192,8 @@ object Packing {
          |  CAST(count(*) AS BIGINT) AS n_customers,
          |  CAST(sum(n_orders) AS BIGINT) AS total_orders
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
+    val rows = out.collect()
+    o.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  } // withoutAqe
 }

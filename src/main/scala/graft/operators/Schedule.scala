@@ -140,6 +140,11 @@ object Schedule {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
              Analytics.exactSum(col("value"), 30, 2).as("sum_value"))
+        // coalesce(1) is BOUNDED: rows here = distinct event types in
+        // one day's partition (single digits at any corpus size — the
+        // aggregate output, never the scanned rows), and one file per
+        // partition directory is the materialization contract. Not a
+        // funnel on a corpus-scale frame.
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$metaRoot/partition_date=$key")
     }

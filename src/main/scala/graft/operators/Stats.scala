@@ -262,9 +262,12 @@ object Stats {
             * sqrt(d("np") * d("syy") - d("sy") * d("sy"))),
           6).as("assortativity")
       })
-    out.collect() // materialize before releasing the directed cover
+    // Materialize the 1-row result INSIDE the scope (and before
+    // releasing the directed cover): returning the lazy frame would
+    // re-execute the whole chain unpersisted, outside the AQE scope.
+    val rows = out.collect()
     directed.unpersist()
-    out
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   } // withoutAqe (round 12: single-shot, but AQE's per-exchange query
     // stages made this 19 jobs; statically planned it is ~4)
 
