@@ -66,6 +66,7 @@ object SparkEntry {
     "k2_orc_roundtrip"        -> ((s, d) => Ingest.orcRoundtrip(s, d)),
     "k16_jdbc_roundtrip"      -> ((s, d) => graft.sources.JdbcStore.jdbcRoundtripGate(s, d)),
     "rh1_run_history"         -> ((s, d) => graft.operators.RunLog.runHistoryGate(s, d)),
+    "rh2_stream_run_history"  -> ((s, d) => graft.operators.RunLog.streamRunHistoryGate(s, d)),
     // ---- reactive / event-time (SURVEY §2.4 D6, §2.5) ----
     "r1_reactive_meta"   -> ((s, d) => Ingest.reactiveMeta(s, d)),
     "st1_hourly_windows" -> ((s, d) => EventTimeWindows.hourlyByType(s, d)),
@@ -1115,6 +1116,15 @@ object SparkEntry {
         |  'SUCCESS' AS last_status,
         |  n AS rows_ok
         |FROM ord ORDER BY day""".stripMargin,
+    // rh2: the streaming run history consolidated per day — the sum
+    // of a day's per-batch attempt rows is the day's event count
+    // however the micro-batches fall (the batch slicing is an
+    // execution detail; the log's consolidation is exact).
+    "rh2_stream_run_history" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS rows_ingested,
+        |  'SUCCESS' AS last_status
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "r1_reactive_meta" ->
       """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
         |  count(*) AS n_events

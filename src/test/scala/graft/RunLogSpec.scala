@@ -84,4 +84,23 @@ class RunLogSpec extends SparkSpec {
       assert(h.forall(_.getAs[String]("last_status") == "SUCCESS"))
     } finally graft.TmpIO.deleteRecursively(new java.io.File(tmp))
   }
+
+  test("rh2: per-day attempt rows consolidate to exact day counts " +
+       "whatever the micro-batch slicing") {
+    import org.apache.spark.sql.functions._
+    val expected = Tables.events(spark, sf)
+      .groupBy(date_format(to_date(col("ts")), "yyyyMMdd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.operators.RunLog.streamRunHistoryGate(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.map(_._1).toSeq == expected.keys.toSeq.sorted,
+      "one consolidated row per day, day-ordered")
+    got.foreach { case (day, n, status) =>
+      assert(n == expected(day), s"day $day: stream attempts must sum " +
+        s"to the day's event count regardless of batch boundaries")
+      assert(status == "SUCCESS")
+    }
+  }
 }
