@@ -52,16 +52,20 @@ object Graph {
     */
   private[operators] def withoutAqe[T](spark: SparkSession)(f: => T): T = {
     // Shuffle width drops with AQE: coalescing normally shrinks these
-    // ≤16 MB control-frame exchanges at runtime; with AQE off the
-    // session's 32-wide shuffles would quadruple the task count
-    // instead (measured: kc1 476 → 2653 tasks). 8 partitions ≈ what
-    // AQE's 64 MB advisory target picks here. Data volume does not
-    // change this choice — the loops run on NODE-cardinality frames
-    // (a 1e9-node graph's rank vector is ~16 GB → at real scale the
-    // width should scale with |V|/64 MB, which a deployment sets
-    // per-job; the gate pins 8 for determinism of the record).
+    // control-frame exchanges at runtime; with AQE off the session's
+    // full-width shuffles would quadruple the task count instead
+    // (measured: kc1 476 → 2653 tasks at 32-wide). Pin HALF the
+    // session width, floor 8: at sf0.1 that matches what AQE's 64 MB
+    // advisory target picked anyway, and at sf1 (12M-edge frames) it
+    // keeps 16 cores busy — the round-12 sf1 record showed a fixed
+    // pin of 8 costing the graph family 15–50% there. At real scale
+    // the width should track |V|/64 MB per job; the half-width rule
+    // is the bounded-loop default, not a corpus law.
+    val sessionWidth =
+      spark.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(32)
     val keys = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8")
+      "spark.sql.shuffle.partitions" -> math.max(8, sessionWidth / 2).toString)
     val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try f
