@@ -891,22 +891,39 @@ object Graph {
                 k: Int = 80, rounds: Int = 8): DataFrame =
       withoutAqe(spark) {
     var edges = copurchaseEdges(spark, dir).localCheckpoint()
+    // THE DEGREE FRAME IS THE ROUND'S WHOLE CONTROL STATE (round 12):
+    // one endpoint-union aggregation per round yields BOTH the
+    // survivor set for the NEXT peel (filter d ≥ k) and the CURRENT
+    // graph's counters (n_nodes = rows, n_edges = Σd/2 — every edge
+    // contributes exactly two endpoint rows). The old shape computed
+    // the same aggregation inside the peel job AND re-scanned the
+    // checkpointed blocks with a countDistinct for the counters —
+    // one full degree pass per round, now gone. Persisted because it
+    // is read twice (counter action + next round's joins); the
+    // counter action doubles as its materializer.
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def counters(byV: DataFrame): (Long, Long) = {
+      val row = byV.agg(count(lit(1)).as("nn"), sum(col("d")).as("sd")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1) / 2)
+    }
+    var byV = degrees(edges)
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     (1 to rounds).foreach { r =>
-      val keep = edges.select(col("u").as("node"))
-        .unionAll(edges.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("node"))
+      val keep = byV.filter(col("d") >= k).select(col("node"))
       // SHUFFLE-HASH semi-joins (round 12): with broadcast semi-joins
       // every round paid TWO broadcast-build driver round-trips (the
       // u-side and v-side keep builds are alias-distinct subtrees, so
       // ReuseExchange cannot dedup them) — ~4 jobs per round, the
       // stage-scheduling exposure that made kc1 the most noisy-box-
       // fragile gate in the r11 driver record (8.7 s noisy vs 6.3 s
-      // clean). Hinted shuffle-hash keeps each round ONE job: keep's
-      // own groupBy exchange is partitioned on the join key already
-      // (reused across both joins), and the edge frame shuffles
-      // 16 MB/round — executor-side work instead of driver latency.
+      // clean). Hinted shuffle-hash keeps the peel ONE job: keep
+      // reads the persisted degree frame (already partitioned on the
+      // join key by its own groupBy exchange), and the edge frame
+      // shuffles as executor-side work instead of driver latency.
       val next = edges
         .join(keep.withColumnRenamed("node", "u").hint("shuffle_hash"),
           Seq("u"), "left_semi")
@@ -914,19 +931,13 @@ object Graph {
           Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      // ONE extra action per round: the edge count rides the
-      // endpoint-union frame as a flag sum (each edge contributes
-      // exactly one flag-1 row via its u side), so the round's
-      // counters cost one cheap block-scan job.
-      val counts = next.select(col("u").as("nd"), lit(1L).as("fl"))
-        .unionAll(next.select(col("v").as("nd"), lit(0L).as("fl")))
-        .agg(sum(col("fl")).as("e"), countDistinct(col("nd")).as("nn"))
-        .head()
-      val nEdges = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-      val nNodes = counts.getLong(1)
+      byV.unpersist()
+      byV = degrees(next)
+      val (nNodes, nEdges) = counters(byV) // materializes byV too
       stats += ((r, nNodes, nEdges))
       edges = next
     }
+    byV.unpersist()
     spark.createDataFrame(stats.toSeq)
       .toDF("round", "n_nodes", "n_edges")
       .select(col("round").cast("int").as("round"),
