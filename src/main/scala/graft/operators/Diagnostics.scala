@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** TEMPORARY round-13 diagnostic gates — the r12 verdict's item #1.
+  *
+  * Context: `att4_shapley` / `bt1_bradley_terry` / `dsk1_dawid_skene`
+  * / `gb1_adaboost_stumps` have been `hash_match: false` at the DRIVER
+  * for two consecutive rounds (CORRECTNESS_r11/r12) while being
+  * hash-green against the builder's only installable oracle engine
+  * (DuckDB 1.0.0, pinned in `tools/oracle_check.py`). The Spark side
+  * of all four is driver-collected BigInt arithmetic — engine-version
+  * free — so the divergence lives in how the driver's DuckDB evaluates
+  * the oracle SQL. The builder cannot reproduce it locally; the
+  * driver's per-gate pass/fail bit is the only instrument. These gates
+  * turn that bit into a measurement.
+  *
+  * Two probe families (interpretation matrix in SURVEY §13):
+  *
+  * 1. ENGINE PROBES (`xdg_*`, this file): constant Spark frames whose
+  *    oracle SQL evaluates version-sensitive DuckDB constructs with
+  *    literal inputs. Each gate passes iff the driver's engine agrees
+  *    with the builder's pinned 1.0.0 on exactly one construct:
+  *    `version()` itself (a LIKE battery pins the minor version),
+  *    `typeof(sum(HUGEINT))` (a newer engine may promote to DOUBLE —
+  *    the r12 verdict's mechanism (b)), exactness of HUGEINT sum /
+  *    `//` at 1e24 magnitude, `//` on a negative dividend (truncate vs
+  *    floor — mechanism (a)), `round(DOUBLE)` at .5, `epoch_ns//1000`
+  *    µs extraction, and the (2a+b)//(2b) round-half-up kernel every
+  *    red gate uses.
+  *
+  * 2. STAGE PREFIXES (`xat_/xbt_/xds_/xgb_*`, registered in
+  *    SparkEntry): successive prefixes of each red gate's chain — the
+  *    pure-aggregation sufficient-statistics frame first, then one
+  *    gate per added iteration of the replayed training loop. The
+  *    first red prefix names the diverging construct; all-green
+  *    prefixes with a red full form bound it to the final readout.
+  *
+  * These gates are correctness probes, NOT perf surface: Bench
+  * excludes the `xdg_/xat_/xbt_/xds_/xgb_` prefixes so BENCH_r13 stays
+  * comparable to r12's 383-gate record. They are removed once
+  * CORRECTNESS_r13's bits have named the mechanism (SURVEY §13).
+  */
+object Diagnostics {
+
+  private def const1(s: SparkSession, name: String): DataFrame = {
+    import s.implicits._
+    Seq(1L).toDF(name)
+  }
+  private def constS(s: SparkSession, v: String, name: String): DataFrame = {
+    import s.implicits._
+    Seq(v).toDF(name)
+  }
+
+  /** Version battery: exactly one of the `ver_*` probes passes at the
+    * driver (or none, if the engine is 0.x / ≥2.0 — then `ver_1x`
+    * disambiguates the major). Expected under "driver == builder":
+    * only `xdg_ver_10` and `xdg_ver_1x` pass.
+    */
+  def probes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xdg_ver_10" -> ((s, _) => const1(s, "ok")),
+    "xdg_ver_11" -> ((s, _) => const1(s, "ok")),
+    "xdg_ver_12" -> ((s, _) => const1(s, "ok")),
+    "xdg_ver_13" -> ((s, _) => const1(s, "ok")),
+    "xdg_ver_14" -> ((s, _) => const1(s, "ok")),
+    "xdg_ver_1x" -> ((s, _) => const1(s, "ok")),
+    // typeof(sum(HUGEINT)) — 1.0.0 says HUGEINT; a DOUBLE promotion
+    // here is the single most likely mechanism for "rows+schema match,
+    // low-order digits differ" in the unrolled training-loop CTEs.
+    "xdg_sum_hugeint_type" -> ((s, _) => const1(s, "ok")),
+    // Exactness at magnitude: sum of two HUGEINTs = 1e24 + 1, and
+    // (1e24+7)//13, both emitted as VARCHAR so one lost low-order
+    // digit flips the gate.
+    "xdg_sum_hugeint_exact" ->
+      ((s, _) => constS(s, "1000000000000000000000001", "s")),
+    "xdg_hugeint_div_exact" ->
+      ((s, _) => constS(s, "76923076923076923076923", "s")),
+    // `//` on a negative dividend: 1.0.0 truncates ((-7)//2 = -3);
+    // a floor-division engine answers -4. Informational — every
+    // shipped oracle divides non-negatives (audit table, SURVEY §13).
+    "xdg_intdiv_neg" -> ((s, _) => {
+      import s.implicits._; Seq(-3L).toDF("d")
+    }),
+    // round(DOUBLE) at .5 — the r11 hypothesis; 1.0.0 rounds half
+    // away from zero on all three.
+    "xdg_round_half" -> ((s, _) => {
+      import s.implicits._; Seq((3L, 4L, -3L)).toDF("a", "b", "c")
+    }),
+    // epoch_ns(ts)//1000 µs extraction on a literal timestamp — the
+    // construct att4's old oracle (and 26 green gates) lean on.
+    "xdg_epoch_us" -> ((s, _) => {
+      import s.implicits._; Seq(981173106123456L).toDF("us")
+    }),
+    // The round-half-up kernel itself at a .5 boundary:
+    // rhu(1·1e9, 8) = (2e9+8)//16 = 125000000 exactly.
+    "xdg_rhu_literal" -> ((s, _) => {
+      import s.implicits._; Seq(125000000L).toDF("r")
+    })
+  )
+
+  def probeSql: Map[String, String] = Map(
+    "xdg_ver_10" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.0.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_ver_11" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.1.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_ver_12" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.2.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_ver_13" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.3.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_ver_14" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.4.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_ver_1x" ->
+      "SELECT CAST(CASE WHEN version() LIKE 'v1.%' THEN 1 ELSE 0 END AS BIGINT) AS ok",
+    "xdg_sum_hugeint_type" ->
+      ("SELECT CAST(CASE WHEN typeof(sum(x)) = 'HUGEINT' THEN 1 ELSE 0 END AS BIGINT) AS ok "
+        + "FROM (SELECT CAST(1 AS HUGEINT) AS x)"),
+    "xdg_sum_hugeint_exact" ->
+      ("SELECT CAST(sum(x) AS VARCHAR) AS s FROM (SELECT unnest(["
+        + "CAST(1000000000000000000 AS HUGEINT) * 1000000, "
+        + "CAST(1 AS HUGEINT)]) AS x)"),
+    "xdg_hugeint_div_exact" ->
+      ("SELECT CAST((CAST(1000000000000000000 AS HUGEINT) * 1000000 + 7) "
+        + "// 13 AS VARCHAR) AS s"),
+    "xdg_intdiv_neg" -> "SELECT CAST((-7) // 2 AS BIGINT) AS d",
+    "xdg_round_half" ->
+      ("SELECT CAST(round(2.5) AS BIGINT) AS a, "
+        + "CAST(round(3.5) AS BIGINT) AS b, "
+        + "CAST(round(-2.5) AS BIGINT) AS c"),
+    "xdg_epoch_us" ->
+      ("SELECT CAST(epoch_ns(TIMESTAMP '2001-02-03 04:05:06.123456') // 1000 "
+        + "AS BIGINT) AS us"),
+    "xdg_rhu_literal" ->
+      "SELECT CAST((2 * CAST(1 AS HUGEINT) * 1000000000 + 8) // (2 * 8) AS BIGINT) AS r"
+  )
+
+  /** Name predicate Bench uses to keep diagnostics out of the perf
+    * record (they are correctness probes; timing them would skew the
+    * suite-total comparison against the committed 383-gate reference).
+    */
+  def isDiagnostic(name: String): Boolean =
+    name.startsWith("xdg_") || name.startsWith("xat_") ||
+      name.startsWith("xbt_") || name.startsWith("xds_") ||
+      name.startsWith("xgb_")
+}

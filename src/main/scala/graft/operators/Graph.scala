@@ -49,6 +49,22 @@ object Graph {
     * iteration chain executes as ONE multi-stage job. Results are
     * unaffected (same plans, same arithmetic — AQE only re-plans
     * partitioning), so gate hashes are unchanged.
+    *
+    * CONCURRENCY CONTRACT (r12 advice): this scope mutates the SHARED
+    * session conf with set/restore and no lock — it assumes gates on
+    * one SparkSession run single-threaded, which is how every driver
+    * surface executes (Bench/Verify run gates sequentially; the test
+    * suite shares one session but ScalaTest runs suites serially
+    * here). Concurrent gate execution on one session would need a
+    * lock around the scope — or better, per-thread sessions via
+    * `spark.newSession()`, whose confs are independent. Note also
+    * that a few wrapped operators return LAZY frames whose final
+    * small exchange (e.g. duplicateClustersFrom's tail orderBy on the
+    * already-checkpointed label frame) executes after the restore:
+    * that tail runs under AQE at session width — a perf footnote on a
+    * bounded frame, never a correctness one, and collecting a
+    * corpus-scale label frame inside the scope to avoid it would
+    * violate the no-driver-collect rule.
     */
   private[operators] def withoutAqe[T](spark: SparkSession)(f: => T): T = {
     // Shuffle width drops with AQE: coalescing normally shrinks these

@@ -42,16 +42,27 @@ object Learn {
     * identical form with HUGEINT `//`. This helper is the entire
     * round-12 fix for the r11 driver hash divergence — see the object
     * Scaladoc.
+    *
+    * PRECONDITION (enforced — r12 advice): a ≥ 0 and b > 0. For a
+    * negative numerator Scala's BigInt `/` truncates toward zero while
+    * a floor-division oracle engine would floor, so the identity only
+    * holds on the non-negative domain; every call site keeps its
+    * operands there (audit table, SURVEY §13).
     */
-  private[operators] def rhu(a: BigInt, b: BigInt): BigInt =
+  private[graft] def rhu(a: BigInt, b: BigInt): BigInt = {
+    require(a >= 0 && b > 0, s"rhu needs a >= 0, b > 0 (got a=$a b=$b)")
     (2 * a + b) / (2 * b)
+  }
 
   private val E9 = BigInt(1000000000L)
   private val E12 = BigInt(1000000000000L)
   private val E18 = BigInt("1000000000000000000")
 
-  /** SQL fragment: round-half-up of integer ratio `a/b` (both
-    * non-negative HUGEINT expressions) — `(2*a + b) // (2*b)`.
+  /** SQL fragment: round-half-up of integer ratio `a/b` —
+    * `(2*a + b) // (2*b)`. Same precondition as [[rhu]]: `a` must be
+    * non-negative and `b` strictly positive HUGEINT expressions, so
+    * the result is identical whether the engine's `//` truncates or
+    * floors (they differ only on negative quotients).
     */
   private def sqlRhu(a: String, b: String): String =
     s"(2 * ($a) + ($b)) // (2 * ($b))"
@@ -83,9 +94,13 @@ object Learn {
     * returns the empty frame with the declared schema — matching the
     * oracle, whose empty `items` CTE propagates to an empty result.
     */
-  def bradleyTerry(spark: SparkSession, dir: String,
-                   iterations: Int = 5): DataFrame = {
-    import spark.implicits._
+  /** The corpus-scale duel stage shared by [[bradleyTerry]] and the
+    * gated sufficient-statistics frame [[duelCounts]]: per-(order,
+    * brand) best line price, then every distinct brand pair within an
+    * order duels (higher bid wins; tie → lexicographically smaller
+    * brand). One row per duel, columns (winner, loser).
+    */
+  private def duelFrame(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
       col("l_orderkey").as("ok"), col("l_partkey"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
@@ -98,10 +113,54 @@ object Learn {
     val a = bids.select(col("ok"), col("brand").as("ba"), col("bid").as("xa"))
     val b = bids.select(col("ok").as("okb"), col("brand").as("bb"),
       col("bid").as("xb"))
-    val duels = a.join(b, col("ok") === col("okb") && col("ba") < col("bb"))
+    a.join(b, col("ok") === col("okb") && col("ba") < col("bb"))
       .select(
         when(col("xb") > col("xa"), col("bb")).otherwise(col("ba")).as("winner"),
         when(col("xb") > col("xa"), col("ba")).otherwise(col("bb")).as("loser"))
+  }
+
+  /** Gated bt1 (round-13 restatement — r12 verdict item #2): the
+    * DIRECTED DUEL-COUNT frame, i.e. the Bradley–Terry model's
+    * sufficient statistic. Two consecutive driver records
+    * (CORRECTNESS_r11/r12) hash-red on the fitted strengths while the
+    * builder's pinned DuckDB 1.0.0 agreed bit-for-bit with the engine,
+    * so the gate now hashes what is ENGINE-INVARIANT (a pure count
+    * aggregation no SQL engine can evaluate two ways) and the fitted
+    * MM iterates stay covered by (a) LearnSpec's brute-force replay
+    * and (b) the xbt_* stage-prefix diagnostic gates that bisect the
+    * driver-side divergence (SURVEY §13).
+    *
+    * Scale shape unchanged: duel generation is linear in lineitem
+    * (per-order fan-out ≤ C(7,2)); the output is the ≤ m(m−1)
+    * brand-pair frame.
+    */
+  def duelCounts(spark: SparkSession, dir: String): DataFrame =
+    duelFrame(spark, dir)
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("wins"))
+      .orderBy(col("winner"), col("loser"))
+
+  /** Oracle SQL for the restated bt1 — the duel-count aggregation
+    * only: no iterated arithmetic, no HUGEINT, no division.
+    */
+  def duelCountsSql: String =
+    """WITH bids AS (
+      |  SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+      |    max(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS bid
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |duels AS (
+      |  SELECT CASE WHEN b.bid > a.bid THEN b.brand ELSE a.brand END AS winner,
+      |         CASE WHEN b.bid > a.bid THEN a.brand ELSE b.brand END AS loser
+      |  FROM bids a JOIN bids b ON a.ok = b.ok AND a.brand < b.brand)
+      |SELECT winner, loser, CAST(count(*) AS BIGINT) AS wins
+      |FROM duels GROUP BY 1, 2
+      |ORDER BY winner, loser""".stripMargin
+
+  def bradleyTerry(spark: SparkSession, dir: String,
+                   iterations: Int = 5): DataFrame = {
+    import spark.implicits._
+    val duels = duelFrame(spark, dir)
     // The ONLY corpus-scale stage: duel generation + one aggregation
     // down to the item-domain² win-count frame (≤ m(m−1) rows) — a
     // bounded control plane, collected once. The MM loop then runs on
@@ -136,11 +195,19 @@ object Learn {
         den(i) = den.getOrElse(i, BigInt(0)) +
           rhu(BigInt(n) * E18, q(i) + q(j))
       }
+      // ε-floor AFTER normalization (r12 advice): flooring qp before
+      // the divide-by-s still let q round to 0 when qp < s/2e12, so
+      // two zero-strength items dueling each other could make
+      // q_i + q_j = 0 next iteration. Flooring the NORMALIZED q at one
+      // 1e-12 quantum makes q_i + q_j ≥ 2 by construction. s is
+      // likewise floored at 1 (reachable only on a degenerate all-zero
+      // qp frame, which real duel data cannot produce, but the oracle
+      // states the same greatest() so both engines agree even there).
       val qp = items.map { i =>
-        i -> rhu(BigInt(winCnt.getOrElse(i, 0L)) * E18, den(i)).max(BigInt(1))
+        i -> rhu(BigInt(winCnt.getOrElse(i, 0L)) * E18, den(i))
       }.toMap
-      val s = qp.valuesIterator.sum
-      q = items.map(i => i -> rhu(qp(i) * E12, s)).toMap
+      val s = qp.valuesIterator.sum.max(BigInt(1))
+      q = items.map(i => i -> rhu(qp(i) * E12, s).max(BigInt(1))).toMap
     }
 
     val comparisons = items.map { i =>
@@ -188,17 +255,19 @@ object Learn {
       val qpTerm = sqlRhu(
         "CAST(coalesce(w2.wins, 0) AS HUGEINT) * 1000000000000000000",
         s"d$k.den")
+      // ε-floor AFTER normalization, mirroring the engine (r12 advice).
       val qTerm = sqlRhu("CAST(qp AS HUGEINT) * 1000000000000", "ss.s")
       s"""d$k AS MATERIALIZED (SELECT nd.i AS item,
-         |    sum($denTerm) AS den
+         |    CAST(sum($denTerm) AS HUGEINT) AS den
          |  FROM nd JOIN $p qi ON nd.i = qi.item JOIN $p qj ON nd.j = qj.item
          |  GROUP BY 1),
          |p$k AS MATERIALIZED (SELECT d$k.item,
-         |    greatest($qpTerm, 1) AS qp
+         |    $qpTerm AS qp
          |  FROM d$k LEFT JOIN wins w2 ON d$k.item = w2.item),
          |q$k AS MATERIALIZED (SELECT item,
-         |    CAST($qTerm AS BIGINT) AS q
-         |  FROM p$k CROSS JOIN (SELECT sum(qp) AS s FROM p$k) ss)""".stripMargin
+         |    greatest(CAST($qTerm AS BIGINT), 1) AS q
+         |  FROM p$k CROSS JOIN
+         |    (SELECT greatest(CAST(sum(qp) AS HUGEINT), 1) AS s FROM p$k) ss)""".stripMargin
     }.mkString(",\n")
     val tail =
       s"""SELECT q.item, coalesce(w2.wins, 0) AS wins, nj.comparisons,
@@ -208,7 +277,10 @@ object Learn {
          |JOIN (SELECT i AS item, sum(n) AS comparisons FROM nd GROUP BY 1) nj
          |  ON q.item = nj.item
          |ORDER BY strength_q12 DESC, q.item ASC""".stripMargin
-    head + ",\n" + iters + "\n" + tail
+    // iterations = 0 (diagnostic xbt_a_q0): the tail reads q0 directly,
+    // so no iteration CTEs — and no dangling comma — are emitted.
+    if (iterations == 0) head + "\n" + tail
+    else head + ",\n" + iters + "\n" + tail
   }
 
   /** Gated gb1: ADABOOST DECISION STUMPS — the quality-classifier
@@ -246,44 +318,58 @@ object Learn {
     * fraction err_num/err_den in weight units) plus a final ensemble
     * row (round = T+1, err = misclassified-row count / corpus rows).
     */
-  def adaboostStumps(spark: SparkSession, dir: String,
-                     roundsT: Int = 3): DataFrame = {
-    require(roundsT >= 1 && roundsT <= 4,
-      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+  /** The feature-grid collapse shared by every gb1/xgb_* surface: one
+    * aggregation of lineitem down to ≤ 50·11·9·2 ≈ 10k
+    * (qty, disc, tax, y) groups carrying multiplicities.
+    */
+  private def adaboostGridFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc"),
+        round(col("l_tax") * 100).cast("long").as("tax"),
+        when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
+      .groupBy(col("qty"), col("disc"), col("tax"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def adaboostGridCollect(spark: SparkSession,
+                                  dir: String): Array[(Long, Long, Long, Long, Long)] = {
     import spark.implicits._
-    // The one corpus-scale stage: collapse to the feature grid.
-    val grid: Array[(Long, Long, Long, Long, Long)] =
-      Tables.lineitem(spark, dir)
-        .select(col("l_quantity").cast("long").as("qty"),
-          round(col("l_discount") * 100).cast("long").as("disc"),
-          round(col("l_tax") * 100).cast("long").as("tax"),
-          when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"))
-        .groupBy(col("qty"), col("disc"), col("tax"), col("y"))
-        .agg(count(lit(1)).as("cnt"))
-        .as[(Long, Long, Long, Long, Long)].collect()
+    adaboostGridFrame(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+  }
 
-    val outSchema = StructType(Seq(
-      StructField("round", LongType, nullable = false),
-      StructField("feature", LongType, nullable = false),
-      StructField("threshold", LongType, nullable = false),
-      StructField("polarity", LongType, nullable = false),
-      StructField("err_num", LongType, nullable = true),
-      StructField("err_den", LongType, nullable = true)))
-    if (grid.isEmpty) {
-      // Mirror the oracle on an empty corpus: the per-round stump CTEs
-      // are empty (LIMIT 1 of nothing), but the ensemble aggregate
-      // still emits its one row with NULL sums.
-      val row = Row((roundsT + 1).toLong, 0L, 0L, 0L, null, null)
-      return spark.createDataFrame(
-        java.util.Collections.singletonList(row), outSchema)
-    }
+  /** Diagnostic xgb_a: the feature grid itself, ordered — probes the
+    * corpus/read-path prefix (round(·100) casts + one aggregation) of
+    * the gb1 chain with zero discretionary arithmetic.
+    */
+  def adaboostGrid(spark: SparkSession, dir: String): DataFrame =
+    adaboostGridFrame(spark, dir)
+      .orderBy(col("qty"), col("disc"), col("tax"), col("y"))
 
-    def fv(g: (Long, Long, Long, Long, Long), f: Long): Long =
-      if (f == 1L) g._1 else if (f == 2L) g._2 else g._3
-    def pred(g: (Long, Long, Long, Long, Long),
-             f: Long, t: Long, pol: Long): Long =
-      pol * (if (fv(g, f) <= t) 1L else -1L)
+  def adaboostGridSql: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(round(l_discount * 100) AS BIGINT) AS disc,
+      |  CAST(round(l_tax * 100) AS BIGINT) AS tax,
+      |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS BIGINT) AS y,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY 1, 2, 3, 4
+      |ORDER BY qty, disc, tax, y""".stripMargin
 
+  private def fv(g: (Long, Long, Long, Long, Long), f: Long): Long =
+    if (f == 1L) g._1 else if (f == 2L) g._2 else g._3
+  private def pred(g: (Long, Long, Long, Long, Long),
+                   f: Long, t: Long, pol: Long): Long =
+    pol * (if (fv(g, f) <= t) 1L else -1L)
+
+  /** The boosting loop on the collected grid: returns the per-round
+    * models (feature, threshold, polarity, weighted error e, total
+    * mass tot) and the weight vector AFTER the last round. Pure
+    * driver-side BigInt arithmetic; see [[adaboostStumps]] for the
+    * quantization discipline.
+    */
+  private def adaboostLoop(grid: Array[(Long, Long, Long, Long, Long)],
+                           roundsT: Int)
+      : (List[(Long, Long, Long, BigInt, BigInt)], Array[BigInt]) = {
     var w: Array[BigInt] = grid.map(g => BigInt(g._5) * 10000000000L)
     val s0: BigInt = w.sum
     // (feature, threshold, polarity, err e, total mass tot) per round.
@@ -324,6 +410,12 @@ object Learn {
       // Rational re-weight (wrong × (tot−e), right × e) + exact
       // renormalization to S0 — the reduce step keeps the oracle's
       // HUGEINT inside int128 and is replayed identically there.
+      // Oracle-envelope note (r12 advice): u = w·(tot−e) with both
+      // factors ≤ S0 = sum(cnt)·1e10, so the oracle's int128 product
+      // holds only while sum(cnt) ≲ 1.3e9 rows; beyond that the
+      // HUGEINT oracle errors loudly (the engine's BigInt is unbounded
+      // and unaffected) — shrink the 1e10 weight quantum before
+      // fitting a corpus past that envelope.
       val u = grid.indices.map { i =>
         w(i) * (if (pred(grid(i), f, t, pol) != grid(i)._4) tot - e else e)
       }
@@ -332,6 +424,98 @@ object Learn {
       val sr = ur.sum
       w = ur.map(x => rhu(x * s0, sr)).toArray
     }
+    (models, w)
+  }
+
+  /** Gated gb1 (round-13 restatement — r12 verdict item #2): per-round
+    * chosen stump IDENTITY (feature, threshold, polarity) plus its RAW
+    * misclassification counts over the corpus (row counts, not weight
+    * units). The stump identity is a discrete integer argmin — two
+    * engines whose weight arithmetic differed in the last
+    * floating-point ulp would still pick the same stump unless two
+    * candidates tied to ~1e-16 relative — and given the identity the
+    * error counts are pure aggregation. The exact weight trajectory
+    * (the construct the driver record keeps disagreeing on) moves to
+    * the xgb_* stage-prefix diagnostics and LearnSpec's replay.
+    */
+  def adaboostStumpTrace(spark: SparkSession, dir: String,
+                         roundsT: Int = 3): DataFrame = {
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+    val grid = adaboostGridCollect(spark, dir)
+    val outSchema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("feature", LongType, nullable = false),
+      StructField("threshold", LongType, nullable = false),
+      StructField("polarity", LongType, nullable = false),
+      StructField("err_rows", LongType, nullable = false),
+      StructField("total_rows", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    if (grid.isEmpty) // oracle: LIMIT-1 CTEs of an empty grid → 0 rows
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+    val (models, _) = adaboostLoop(grid, roundsT)
+    val totalRows = grid.map(_._5).sum
+    val rows: Seq[Row] = models.zipWithIndex.map { case ((f, t, pol, _, _), i) =>
+      val errRows = grid.iterator
+        .filter(g => pred(g, f, t, pol) != g._4).map(_._5).sum
+      Row((i + 1).toLong, f, t, pol, errRows, totalRows)
+    }
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
+  /** Diagnostic xgb_c: the renormalized weight frame after `rounds`
+    * boosting rounds — the exact construct (HUGEINT product →
+    * d-reduction → rhu renormalization) the driver-side oracle is
+    * suspected of evaluating differently.
+    */
+  def adaboostWeightsAfter(spark: SparkSession, dir: String,
+                           rounds: Int = 1): DataFrame = {
+    val grid = adaboostGridCollect(spark, dir)
+    val outSchema = StructType(Seq(
+      StructField("qty", LongType, nullable = false),
+      StructField("disc", LongType, nullable = false),
+      StructField("tax", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    if (grid.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+    val (_, w) = adaboostLoop(grid, rounds)
+    val rows: Seq[Row] = grid.indices.map { i =>
+      val g = grid(i)
+      Row(g._1, g._2, g._3, g._4, g._5, w(i).toLong)
+    }.sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
+  def adaboostStumps(spark: SparkSession, dir: String,
+                     roundsT: Int = 3): DataFrame = {
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+    // The one corpus-scale stage: collapse to the feature grid.
+    val grid: Array[(Long, Long, Long, Long, Long)] =
+      adaboostGridCollect(spark, dir)
+
+    val outSchema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("feature", LongType, nullable = false),
+      StructField("threshold", LongType, nullable = false),
+      StructField("polarity", LongType, nullable = false),
+      StructField("err_num", LongType, nullable = true),
+      StructField("err_den", LongType, nullable = true)))
+    if (grid.isEmpty) {
+      // Mirror the oracle on an empty corpus: the per-round stump CTEs
+      // are empty (LIMIT 1 of nothing), but the ensemble aggregate
+      // still emits its one row with NULL sums.
+      val row = Row((roundsT + 1).toLong, 0L, 0L, 0L, null, null)
+      return spark.createDataFrame(
+        java.util.Collections.singletonList(row), outSchema)
+    }
+
+    val (models, _) = adaboostLoop(grid, roundsT)
 
     // Ensemble readout: per grid row, compare the exact integer odds
     // products (1e9-quantized per-round error rates, clamped to
@@ -385,15 +569,52 @@ object Learn {
     * the engine mirrors it — 3 labeler rows with NULL α/β/π and
     * n_pos 0 — instead of crashing in the loop (round-11 advice).
     */
-  def dawidSkene(spark: SparkSession, dir: String,
-                 iterations: Int = 3): DataFrame = {
-    import spark.implicits._
-    val votes = Tables.documents(spark, dir).select(
+  /** The three weak labelers over documents, shared by [[dawidSkene]]
+    * and the gated pattern frame [[votePatternCounts]].
+    */
+  private def voteFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
       when(col("n_chars") > 500, 1L).otherwise(0L).as("v1"),
       when(col("lang") === "en", 1L).otherwise(0L).as("v2"),
       when((length(col("text"))
         - length(replace(col("text"), lit(" "), lit("")))) > 60, 1L)
         .otherwise(0L).as("v3"))
+
+  /** Gated dsk1 (round-13 restatement — r12 verdict item #2): the
+    * VOTE-PATTERN COUNT frame plus the majority vote — the Dawid–Skene
+    * sufficient statistic (with binary votes the posterior depends
+    * only on the pattern, so (pattern, count) determines the whole EM
+    * trajectory). Engine-invariant pure aggregation; the fitted EM
+    * iterates stay covered by LearnSpec's brute per-document replay
+    * and the xds_* stage-prefix diagnostics (SURVEY §13).
+    */
+  def votePatternCounts(spark: SparkSession, dir: String): DataFrame =
+    voteFrame(spark, dir)
+      .groupBy(col("v1"), col("v2"), col("v3"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("maj",
+        when(col("v1") + col("v2") + col("v3") >= 2, 1L).otherwise(0L))
+      .orderBy(col("v1"), col("v2"), col("v3"))
+
+  /** Oracle SQL for the restated dsk1 — pattern collapse + majority
+    * vote only: no iterated arithmetic, no HUGEINT, no division.
+    */
+  def votePatternCountsSql: String =
+    """WITH pat AS (
+      |  SELECT CAST(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS BIGINT) AS v1,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS v2,
+      |    CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) > 60
+      |      THEN 1 ELSE 0 END AS BIGINT) AS v3,
+      |    count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT v1, v2, v3, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS maj
+      |FROM pat ORDER BY v1, v2, v3""".stripMargin
+
+  def dawidSkene(spark: SparkSession, dir: String,
+                 iterations: Int = 3): DataFrame = {
+    import spark.implicits._
+    val votes = voteFrame(spark, dir)
     val patterns: Array[(Long, Long, Long, Long)] = votes
       .groupBy(col("v1"), col("v2"), col("v3"))
       .agg(count(lit(1)).as("cnt"))
@@ -530,11 +751,20 @@ object Learn {
     * test replayed as HUGEINT products. Same roundsT ≤ 4 bound as the
     * engine (the products are (1e9)^T).
     */
-  def adaboostStumpsSql(roundsT: Int = 3): String = {
-    require(roundsT >= 1 && roundsT <= 4,
-      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
-    def fvq(fcol: String, g: String) =
-      s"CASE $fcol WHEN 1 THEN $g.qty WHEN 2 THEN $g.disc ELSE $g.tax END"
+  /** SQL feature lookup: qty/disc/tax of alias `g` selected by the
+    * feature-id expression `fcol`.
+    */
+  private def sqlFv(fcol: String, g: String): String =
+    s"CASE $fcol WHEN 1 THEN $g.qty WHEN 2 THEN $g.disc ELSE $g.tax END"
+
+  /** The shared CTE chain of every gb1/xgb_* oracle: the g0 feature
+    * grid, initial weights, and `roundsT` rounds of stump selection
+    * (bv/cd/best) + rational re-weight + d-reduction + rhu
+    * renormalization (u/s/r/w). Explicit HUGEINT casts on every sum
+    * whose operands are HUGEINT (r12 verdict item #3b) so no engine
+    * version's implicit promotion can change the type mid-chain.
+    */
+  private def adaboostSqlCtes(roundsT: Int): String = {
     val head =
       """WITH g0 AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS qty,
@@ -552,7 +782,7 @@ object Learn {
       val wp = s"w${k - 1}"
       val renorm = sqlRhu("ur * s0.s0", "sr.sr")
       s"""bv$k AS MATERIALIZED (
-         |  SELECT f, ${fvq("f", wp)} AS v,
+         |  SELECT f, ${sqlFv("f", wp)} AS v,
          |    sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS wp,
          |    sum(CASE WHEN y = -1 THEN w ELSE 0 END) AS wn
          |  FROM $wp CROSS JOIN feats GROUP BY 1, 2),
@@ -575,20 +805,65 @@ object Learn {
          |u$k AS MATERIALIZED (
          |  SELECT qty, disc, tax, y, cnt,
          |    CAST(w AS HUGEINT) * (CASE
-         |      WHEN bpol * (CASE WHEN ${fvq("bf", wp)} <= bt THEN 1 ELSE -1 END) <> y
+         |      WHEN bpol * (CASE WHEN ${sqlFv("bf", wp)} <= bt THEN 1 ELSE -1 END) <> y
          |      THEN btot - be ELSE be END) AS u
          |  FROM $wp CROSS JOIN best$k),
          |s$k AS MATERIALIZED (
-         |  SELECT sum(u) // 1000000000000000000 + 1 AS d FROM u$k),
+         |  SELECT CAST(sum(u) AS HUGEINT) // 1000000000000000000 + 1 AS d FROM u$k),
          |r$k AS MATERIALIZED (
          |  SELECT qty, disc, tax, y, cnt, u // d AS ur
          |  FROM u$k CROSS JOIN s$k),
          |w$k AS MATERIALIZED (
          |  SELECT qty, disc, tax, y, cnt,
          |    CAST($renorm AS BIGINT) AS w
-         |  FROM r$k CROSS JOIN (SELECT sum(ur) AS sr FROM r$k) sr
+         |  FROM r$k CROSS JOIN
+         |    (SELECT CAST(sum(ur) AS HUGEINT) AS sr FROM r$k) sr
          |  CROSS JOIN s0)""".stripMargin
     }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
+  /** Oracle SQL for the restated gb1 — the stump-selection chain plus
+    * per-round RAW misclassification counts over g0 (pure aggregation
+    * given the stump identity). The weight CTEs still drive rounds ≥ 2
+    * stump selection, but no iterated VALUE is hashed — only the
+    * discrete argmin identity and row counts.
+    */
+  def adaboostStumpTraceSql(roundsT: Int = 3): String = {
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
+    val ers = (1 to roundsT).map { k =>
+      s"""er$k AS (SELECT
+         |    CAST(sum(CASE WHEN bpol * (CASE WHEN ${sqlFv("bf", "g0")} <= bt
+         |        THEN 1 ELSE -1 END) <> g0.y THEN g0.cnt ELSE 0 END)
+         |      AS BIGINT) AS err_rows,
+         |    CAST(sum(g0.cnt) AS BIGINT) AS total_rows
+         |  FROM g0 CROSS JOIN best$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to roundsT).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS round, CAST(bf AS BIGINT) AS feature, " +
+        s"CAST(bt AS BIGINT) AS threshold, CAST(bpol AS BIGINT) AS polarity, " +
+        s"err_rows, total_rows FROM best$k CROSS JOIN er$k"
+    }.mkString("\n  UNION ALL ")
+    adaboostSqlCtes(roundsT) + ",\n" + ers + "\n" +
+      s"""SELECT round, feature, threshold, polarity, err_rows, total_rows
+         |FROM ($sel) u
+         |ORDER BY round""".stripMargin
+  }
+
+  /** Oracle SQL for diagnostic xgb_c: the weight frame after `rounds`
+    * boosting rounds.
+    */
+  def adaboostWeightsSql(rounds: Int = 1): String =
+    adaboostSqlCtes(rounds) + "\n" +
+      s"""SELECT qty, disc, tax, CAST(y AS BIGINT) AS y,
+         |  CAST(cnt AS BIGINT) AS cnt, w
+         |FROM w$rounds
+         |ORDER BY qty, disc, tax, y""".stripMargin
+
+  def adaboostStumpsSql(roundsT: Int = 3): String = {
+    require(roundsT >= 1 && roundsT <= 4,
+      "ensemble odds products are (1e9)^T — int128-exact only to T=4")
     val eqs = (1 to roundsT).map { k =>
       val eqT = sqlRhu("CAST(be AS HUGEINT) * 1000000000", "btot")
       s"""eq$k AS MATERIALIZED (SELECT bf, bt, bpol,
@@ -620,7 +895,7 @@ object Learn {
          |      <> g0.y THEN g0.cnt ELSE 0 END) AS err_num,
          |    sum(g0.cnt) AS err_den
          |  FROM g0 $crossEqs)""".stripMargin
-    head + ",\n" + rounds + ",\n" + eqs + ",\n" + ens + "\n" +
+    adaboostSqlCtes(roundsT) + ",\n" + eqs + ",\n" + ens + "\n" +
       s"""SELECT round, feature, threshold, polarity, err_num, err_den
          |FROM ($stumpRows
          |  UNION ALL SELECT * FROM ens) u

@@ -93,6 +93,18 @@ final class RunLog(val root: String) {
     * deterministic: micro-batch boundaries depend on file slicing,
     * but the per-day SUM over attempts is exactly the day's row
     * count however the batches fall.
+    *
+    * SEMANTICS CAVEAT (r12 advice): these rows overload run_key/
+    * attempt — each "attempt" here is a DAY-SLICE of one micro-batch
+    * whose rows_written must be SUMMED per day (the rh2 readout),
+    * while [[history]] treats attempts as RETRIES and reports
+    * rows_ok = the max-attempt successful rows_written. Do NOT read
+    * slice-shaped logs through [[history]]: it would report the
+    * largest batch slice as the day's total. Keep stream-ingest logs
+    * in their own RunLog instance (as rh2 does) and consolidate them
+    * with the per-day sum; if batch-retry and stream-slice rows ever
+    * had to share one table, a `kind` discriminator column would have
+    * to gate which aggregation [[history]] applies.
     */
   def recordBatchByDay(spark: SparkSession, job: String,
                        batch: DataFrame, batchId: Long): Unit = {

@@ -109,20 +109,39 @@ object Similarity {
     * the driver.
     */
   def ivfCentroids(spark: SparkSession, dir: String,
-                   nLists: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+                   nLists: Int = 0, iters: Int = 3): Array[Array[Double]] = {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("v"))
       .cache()
     ivfCentroidsFrom(corpus, nLists, iters)
   }
 
+  /** Cluster-count derivation (r12 verdict item #6): nLists grows with
+    * the corpus so the within-cluster pair/probe mass is bounded BY
+    * CONSTRUCTION at any SF — ceil(n / targetClusterSize), floored at
+    * the historical 16 so every corpus the test SFs can produce keeps
+    * its round-12 clustering (and hashes) bit-for-bit. At 100× the
+    * corpus this is the parameter that keeps semDedup's quadratic
+    * within-cluster join and ivfSearch's probe cost linear-per-task:
+    * expected cluster size stays ≤ targetClusterSize instead of
+    * N/16. The oracle derives the same count in SQL
+    * (greatest(16, (count(*) + 4095) // 4096)).
+    */
+  def derivedNLists(n: Long, targetClusterSize: Long = 4096L): Int = {
+    require(targetClusterSize > 0)
+    math.max(16L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
   /** Trainer over a caller-supplied (vec_id, v) frame — lets ss3 share
     * ONE cached corpus between training and search instead of caching
     * the scan twice (the corpus is the big thing here; the trainer
-    * output is 16×64 doubles).
+    * output is nLists×64 doubles). `nLists ≤ 0` derives the cluster
+    * count from the corpus row count ([[derivedNLists]]).
     */
-  def ivfCentroidsFrom(corpus: DataFrame, nLists: Int = 16,
+  def ivfCentroidsFrom(corpus: DataFrame, nLists0: Int = 16,
                        iters: Int = 3): Array[Array[Double]] = {
+    val nLists =
+      if (nLists0 > 0) nLists0 else derivedNLists(corpus.count())
     var centroids: Array[Array[Double]] = corpus
       .filter(col("vec_id") < nLists).orderBy(col("vec_id"))
       .collect().map(_.getSeq[Double](1).toArray)
@@ -188,7 +207,7 @@ object Similarity {
     */
   def ivfSearch(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 10,
-                nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                nLists: Int = 0, nProbe: Int = 4): DataFrame = {
     // ONE cached corpus shared by the trainer's sweeps and the search:
     // training reads (vec_id, v) projected off this frame, so every
     // Lloyd iteration and the final index build hit the cache instead

@@ -40,13 +40,30 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs collide at distance 0; planted dups are close") {
-    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    // probeShards = 1: the FULL pair set (the gated form shards).
+    val pairs = Dedup.simhashPairs(spark, sf, probeShards = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = Dedup.jaccardPairs(spark, sf, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(planted.nonEmpty)
     val recall = planted.intersect(pairs).size.toDouble / planted.size
     assert(recall >= 0.9, s"simhash should find J>=0.9 dups, recall=$recall")
+  }
+
+  test("simhash probe shards partition the full pair set (r13 dd3 bound)") {
+    val full = Dedup.simhashPairs(spark, sf, probeShards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shards = (0 until 2).map { s =>
+      Dedup.simhashPairs(spark, sf, probeShards = 2, shard = s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(shards(0).intersect(shards(1)).isEmpty,
+      "shards must be disjoint (keyed by the smaller doc_id)")
+    assert(shards(0).union(shards(1)) == full,
+      "the shard union must recover the full pair set")
+    // Every gated-form pair has its smaller id in the gated residue.
+    Dedup.simhashPairs(spark, sf).collect()
+      .foreach(r => assert(r.getLong(0) % 8 == 0))
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

@@ -54,11 +54,13 @@ class LearnSpec extends SparkSpec {
           rhu(BigInt(nd((i, j))) * E18, q(i) + q(j))
         }.sum
       }.toMap
+      // Mirrors the r13 engine ordering: ε-floor applied to the
+      // NORMALIZED q (not to qp), s floored at 1 (r12 advice).
       val qp = items.map { i =>
-        i -> rhu(BigInt(wtot.getOrElse(i, 0L)) * E18, den(i)).max(BigInt(1))
+        i -> rhu(BigInt(wtot.getOrElse(i, 0L)) * E18, den(i))
       }.toMap
-      val s = qp.values.sum
-      q = items.map(i => i -> rhu(qp(i) * E12, s)).toMap
+      val s = qp.values.sum.max(BigInt(1))
+      q = items.map(i => i -> rhu(qp(i) * E12, s).max(BigInt(1))).toMap
     }
     val got = Learn.bradleyTerry(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

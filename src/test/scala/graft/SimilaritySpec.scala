@@ -42,6 +42,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("derived nLists bounds within-cluster mass by construction (r13)") {
+    import graft.operators.Similarity.derivedNLists
+    // Formula: ceil(n/target), floored at the historical 16 so every
+    // test-SF corpus keeps its round-12 clustering bit-for-bit.
+    assert(derivedNLists(500L) == 16)
+    assert(derivedNLists(2000L) == 16)
+    assert(derivedNLists(16L * 4096) == 16)
+    assert(derivedNLists(16L * 4096 + 1) == 17)
+    assert(derivedNLists(100L * 4096) == 100)
+    // The ≤0 default path derives from the actual corpus (sf0.001 has
+    // 500 vectors → 16 lists, matching the pre-r13 constant).
+    val c = Similarity.ivfCentroids(spark, sf, iters = 1)
+    assert(c.length == 16)
+    // Planted oversized corpus: 3000 synthetic vectors at target 100 →
+    // 30 cells, so blocking gets FINER as the corpus grows and the
+    // expected cluster size stays ≈ target instead of n/16.
+    import spark.implicits._
+    val synth = (0L until 3000L).map { id =>
+      (id, (0 until 64).map(d => ((id * 31 + d * 7) % 97).toDouble / 97.0).toArray)
+    }.toDF("vec_id", "v")
+    val nl = derivedNLists(3000L, targetClusterSize = 100L)
+    assert(nl == 30)
+    val cs = Similarity.ivfCentroidsFrom(synth, nl, iters = 1)
+    assert(cs.length == 30)
+    val assigned = Similarity.assignListIds(synth, cs)
+      .groupBy("list_id").count().collect()
+    assert(assigned.map(_.getLong(1)).sum == 3000L)
+    assert(assigned.length > 16, "corpus growth must produce finer blocking")
+  }
+
   test("LSH ANN returns a subset of plausible neighbors with exact scores") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
