@@ -107,9 +107,15 @@ object Learn {
     val pt = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"))
     // Per-(order, brand) bid: the brand's best line price in the order.
+    // Cached: both sides of the duel self-join read this frame, and
+    // without the barrier Catalyst recomputes it per side — i.e. TWO
+    // lineitem scans (r13 plan audit). The bids frame is the
+    // order×brand aggregate (≲ 7 rows/order), far smaller than the
+    // corpus it summarizes.
     val bids = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .groupBy(col("ok"), col("p_brand").as("brand"))
       .agg(max(col("cents")).as("bid"))
+      .cache()
     val a = bids.select(col("ok"), col("brand").as("ba"), col("bid").as("xa"))
     val b = bids.select(col("ok").as("okb"), col("brand").as("bb"),
       col("bid").as("xb"))
