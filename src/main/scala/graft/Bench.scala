@@ -232,12 +232,23 @@ object Bench {
           // codegen/JIT, so keying the budget off it silently dropped
           // median-of-3 for gates whose steady state is well under the
           // bar — exactly the sub-second population where one GC pause
-          // IS the measurement.
+          // IS the measurement. Second guard (both halves of the r12
+          // advice): the 1-rep path also requires t1 to be CONSISTENT
+          // with the committed clean-box reference (≤ SpreadBar×ref) —
+          // a fast gate whose t1 caught a transient stall would
+          // otherwise become a 1-rep official with no spread signal
+          // and no refSlow recovery (min ≤ RefBar×ref can hold while
+          // still 3× inflated). Absent a reference entry (new gate, or
+          // an SF the reference isn't pinned to — the map is empty
+          // then) the time-only rule stands: at sf1 strictness would
+          // triple the heavy tail's wall for no protection gain.
           runOnce(fn) match {
             case Left(err) => name -> Left(err)
             case Right(t1) =>
               val repBudget =
-                if (SlowRepBarSec > 0 && t1 >= SlowRepBarSec) 1 else Reps
+                if (SlowRepBarSec > 0 && t1 >= SlowRepBarSec &&
+                    reference.get(name).forall(r => t1 <= SpreadBar * r)) 1
+                else Reps
               val reps = (2 to repBudget).map(_ => runOnce(fn))
               reps.collectFirst { case Left(err) => err } match {
             case Some(err) => name -> Left(err)

@@ -586,6 +586,29 @@ object SparkEntry {
     s"${foldDot(a, b)} / (sqrt(${foldSum(s"list_transform($a, x -> x*x)")}) * " +
       s"sqrt(${foldSum(s"list_transform($b, x -> x*x)")}))"
 
+  /** The direct-timestamp exposure-cohort chain shared VERBATIM by
+    * the restated att4 oracle and the xat_b_vq diagnostic (r13
+    * bisection contract — the diagnostic must be exactly the gate's
+    * chain plus one rhu step, so the text exists once).
+    */
+  private val att4CohortCtesSql: String =
+    """WITH pts AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
+      |  FROM events GROUP BY 1),
+      |um AS (SELECT e.user_id,
+      |    max(CASE WHEN e.event_type = 'click'
+      |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 1 ELSE 0 END)
+      |  + max(CASE WHEN e.event_type = 'error'
+      |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 2 ELSE 0 END)
+      |  + max(CASE WHEN e.event_type = 'signup'
+      |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 4 ELSE 0 END)
+      |  + max(CASE WHEN e.event_type = 'view'
+      |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 8 ELSE 0 END) AS mask,
+      |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events e LEFT JOIN pts p USING (user_id) GROUP BY 1),
+      |cohorts AS (SELECT mask, count(*) AS u, sum(conv) AS c
+      |  FROM um GROUP BY 1)""".stripMargin
+
   /** The quantized-Lloyd IVF replay shared by ss3 and dd9: first-nl
     * seeding (c0) where nl = greatest(16, ceil(count/4096)) — the SAME
     * corpus-derived cluster count the engine computes
@@ -3993,28 +4016,13 @@ object SparkEntry {
     // comparison (no epoch_ns extraction, no rhu, no bit arithmetic);
     // the fitted Shapley frame moved to diagnostic xat_c_full.
     "att4_shapley" ->
-      """WITH pts AS (SELECT user_id,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
-        |  FROM events GROUP BY 1),
-        |um AS (SELECT e.user_id,
-        |    max(CASE WHEN e.event_type = 'click'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 1 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'error'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 2 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'signup'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 4 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'view'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 8 ELSE 0 END) AS mask,
-        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        |  FROM events e LEFT JOIN pts p USING (user_id) GROUP BY 1),
-        |cohorts AS (SELECT mask, count(*) AS u, sum(conv) AS c
-        |  FROM um GROUP BY 1)
-        |SELECT CAST(m.mask AS BIGINT) AS mask,
+      (att4CohortCtesSql + "\n" +
+      """SELECT CAST(m.mask AS BIGINT) AS mask,
         |  CAST(coalesce(ch.u, 0) AS BIGINT) AS u,
         |  CAST(coalesce(ch.c, 0) AS BIGINT) AS c
         |FROM (SELECT unnest(generate_series(0, 15)) AS mask) m
         |LEFT JOIN cohorts ch ON m.mask = ch.mask
-        |ORDER BY mask""".stripMargin,
+        |ORDER BY mask""".stripMargin),
     // xat_c_full (TEMPORARY diagnostic — the pre-r13 att4 gate
     // verbatim): exact Shapley over the 2^4 exposure-set lattice —
     // cohort rates 1e9-quantized via PURE INTEGER round-half-up
@@ -6689,30 +6697,15 @@ object SparkEntry {
         |LEFT JOIN cohorts ch ON m.mask = ch.mask
         |ORDER BY mask""".stripMargin,
     "xat_b_vq" ->
-      """WITH pts AS (SELECT user_id,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
-        |  FROM events GROUP BY 1),
-        |um AS (SELECT e.user_id,
-        |    max(CASE WHEN e.event_type = 'click'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 1 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'error'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 2 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'signup'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 4 ELSE 0 END)
-        |  + max(CASE WHEN e.event_type = 'view'
-        |      AND (p.pts IS NULL OR e.ts < p.pts) THEN 8 ELSE 0 END) AS mask,
-        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        |  FROM events e LEFT JOIN pts p USING (user_id) GROUP BY 1),
-        |cohorts AS (SELECT mask, count(*) AS u, sum(conv) AS c
-        |  FROM um GROUP BY 1)
-        |SELECT CAST(m.mask AS BIGINT) AS mask,
+      (att4CohortCtesSql + "\n" +
+      """SELECT CAST(m.mask AS BIGINT) AS mask,
         |  CASE WHEN coalesce(ch.u, 0) > 0 THEN CAST(
         |    (2 * CAST(ch.c AS HUGEINT) * 1000000000 + ch.u)
         |      // (2 * ch.u) AS BIGINT)
         |    ELSE 0 END AS vq
         |FROM (SELECT unnest(generate_series(0, 15)) AS mask) m
         |LEFT JOIN cohorts ch ON m.mask = ch.mask
-        |ORDER BY mask""".stripMargin,
+        |ORDER BY mask""".stripMargin),
     // bt1 prefixes: the full unrolled-MM oracle at increasing depth.
     "xbt_a_q0"   -> graft.operators.Learn.bradleyTerrySql(0),
     "xbt_b_q1"   -> graft.operators.Learn.bradleyTerrySql(1),

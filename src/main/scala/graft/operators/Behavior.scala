@@ -920,17 +920,25 @@ object Behavior {
     * frame plus exactly ONE rhu step, isolating the integer
     * round-half-up construct from the φ summation that follows it.
     */
-  def exposureVq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cohorts = collectCohorts(spark, dir)
+  /** vq(mask) = rhu(c·1e9, u) over the 16-mask lattice — ONE
+    * implementation shared by the xat_b diagnostic and the full φ
+    * chain, so the diagnostic's isolation guarantee (xat_b is exactly
+    * the vq step inside xat_c) cannot drift (r13 review).
+    */
+  private def vqMap(cohorts: Array[(Int, Long, Long)]): Map[Int, Long] = {
     val u = cohorts.map(t => t._1 -> t._2).toMap
     val c = cohorts.map(t => t._1 -> t._3).toMap
     (0 until 16).map { m =>
-      val vq = if (u.getOrElse(m, 0L) > 0L)
+      m -> (if (u.getOrElse(m, 0L) > 0L)
         graft.operators.Learn.rhu(BigInt(c(m)) * 1000000000L, u(m)).toLong
-      else 0L
-      (m.toLong, vq)
-    }.toDF("mask", "vq")
+      else 0L)
+    }.toMap
+  }
+
+  def exposureVq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vq = vqMap(collectCohorts(spark, dir))
+    (0 until 16).map(m => (m.toLong, vq(m))).toDF("mask", "vq")
   }
 
   def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
@@ -940,11 +948,7 @@ object Behavior {
 
     val u = cohorts.map(t => t._1 -> t._2).toMap
     val c = cohorts.map(t => t._1 -> t._3).toMap
-    val vq: Map[Int, Long] = (0 until 16).map { m =>
-      m -> (if (u.getOrElse(m, 0L) > 0L)
-        graft.operators.Learn.rhu(BigInt(c(m)) * 1000000000L, u(m)).toLong
-      else 0L)
-    }.toMap
+    val vq: Map[Int, Long] = vqMap(cohorts)
     val wnum = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
     channels.map { case (name, bit) =>
       val phi = (0 until 16).filter(s => (s & bit) == 0).map { s =>

@@ -146,11 +146,14 @@ object Learn {
       .agg(count(lit(1)).as("wins"))
       .orderBy(col("winner"), col("loser"))
 
-  /** Oracle SQL for the restated bt1 — the duel-count aggregation
-    * only: no iterated arithmetic, no HUGEINT, no division.
+  /** The duel-derivation CTE prefix shared VERBATIM by the restated
+    * bt1 oracle ([[duelCountsSql]]) and the full unrolled-MM oracle
+    * ([[bradleyTerrySql]], diagnostics xbt_*): the r13 bisection
+    * contract requires the gate's aggregation to be EXACTLY the
+    * prefix of the diagnostic chain, so the text exists once.
     */
-  def duelCountsSql: String =
-    """WITH bids AS (
+  private val duelCtesSql: String =
+    """WITH bids AS MATERIALIZED (
       |  SELECT l.l_orderkey AS ok, p.p_brand AS brand,
       |    max(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS bid
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -158,10 +161,16 @@ object Learn {
       |duels AS (
       |  SELECT CASE WHEN b.bid > a.bid THEN b.brand ELSE a.brand END AS winner,
       |         CASE WHEN b.bid > a.bid THEN a.brand ELSE b.brand END AS loser
-      |  FROM bids a JOIN bids b ON a.ok = b.ok AND a.brand < b.brand)
-      |SELECT winner, loser, CAST(count(*) AS BIGINT) AS wins
-      |FROM duels GROUP BY 1, 2
-      |ORDER BY winner, loser""".stripMargin
+      |  FROM bids a JOIN bids b ON a.ok = b.ok AND a.brand < b.brand)""".stripMargin
+
+  /** Oracle SQL for the restated bt1 — the duel-count aggregation
+    * only: no iterated arithmetic, no HUGEINT, no division.
+    */
+  def duelCountsSql: String =
+    duelCtesSql + "\n" +
+      """SELECT winner, loser, CAST(count(*) AS BIGINT) AS wins
+        |FROM duels GROUP BY 1, 2
+        |ORDER BY winner, loser""".stripMargin
 
   def bradleyTerry(spark: SparkSession, dir: String,
                    iterations: Int = 5): DataFrame = {
@@ -233,17 +242,8 @@ object Learn {
     * scan before it even gets slow).
     */
   def bradleyTerrySql(iterations: Int = 5): String = {
-    val head =
-      """WITH bids AS MATERIALIZED (
-        |  SELECT l.l_orderkey AS ok, p.p_brand AS brand,
-        |    max(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS bid
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |  GROUP BY 1, 2),
-        |duels AS (
-        |  SELECT CASE WHEN b.bid > a.bid THEN b.brand ELSE a.brand END AS winner,
-        |         CASE WHEN b.bid > a.bid THEN a.brand ELSE b.brand END AS loser
-        |  FROM bids a JOIN bids b ON a.ok = b.ok AND a.brand < b.brand),
-        |w AS MATERIALIZED (SELECT winner, loser, count(*) AS w FROM duels GROUP BY 1, 2),
+    val head = duelCtesSql + ",\n" +
+      """w AS MATERIALIZED (SELECT winner, loser, count(*) AS w FROM duels GROUP BY 1, 2),
         |nd AS MATERIALIZED (SELECT i, j, sum(w) AS n FROM (
         |    SELECT winner AS i, loser AS j, w FROM w
         |    UNION ALL SELECT loser AS i, winner AS j, w FROM w) u
@@ -606,16 +606,23 @@ object Learn {
     * vote only: no iterated arithmetic, no HUGEINT, no division.
     */
   def votePatternCountsSql: String =
+    patCteSql + "\n" +
+      """SELECT v1, v2, v3, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS maj
+        |FROM pat ORDER BY v1, v2, v3""".stripMargin
+
+  /** The vote-pattern CTE shared VERBATIM by the restated dsk1 oracle
+    * and the unrolled-EM oracle (diagnostics xds_*) — same bisection
+    * contract as [[duelCtesSql]].
+    */
+  private val patCteSql: String =
     """WITH pat AS (
       |  SELECT CAST(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS BIGINT) AS v1,
       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS v2,
       |    CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) > 60
       |      THEN 1 ELSE 0 END AS BIGINT) AS v3,
       |    count(*) AS cnt
-      |  FROM documents GROUP BY 1, 2, 3)
-      |SELECT v1, v2, v3, CAST(cnt AS BIGINT) AS cnt,
-      |  CAST(CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS maj
-      |FROM pat ORDER BY v1, v2, v3""".stripMargin
+      |  FROM documents GROUP BY 1, 2, 3)""".stripMargin
 
   def dawidSkene(spark: SparkSession, dir: String,
                  iterations: Int = 3): DataFrame = {
@@ -690,15 +697,8 @@ object Learn {
     * division behind the same deterministic d-reduction.
     */
   def dawidSkeneSql(iterations: Int = 3): String = {
-    val head =
-      """WITH pat AS (
-        |  SELECT CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS v1,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v2,
-        |    CASE WHEN length(text) - length(replace(text, ' ', '')) > 60
-        |      THEN 1 ELSE 0 END AS v3,
-        |    count(*) AS cnt
-        |  FROM documents GROUP BY 1, 2, 3),
-        |m0 AS MATERIALIZED (SELECT v1, v2, v3, cnt,
+    val head = patCteSql + ",\n" +
+      """m0 AS MATERIALIZED (SELECT v1, v2, v3, cnt,
         |    CAST((2 * CAST(v1 + v2 + v3 AS HUGEINT) * 1000000000 + 3) // 6
         |      AS BIGINT) AS mu
         |  FROM pat)""".stripMargin
@@ -826,7 +826,9 @@ object Learn {
          |    (SELECT CAST(sum(ur) AS HUGEINT) AS sr FROM r$k) sr
          |  CROSS JOIN s0)""".stripMargin
     }.mkString(",\n")
-    head + ",\n" + rounds
+    // roundsT = 0 (a hypothetical w0 probe): head only, no dangling
+    // comma — the same guard bradleyTerrySql(0) carries.
+    if (roundsT == 0) head else head + ",\n" + rounds
   }
 
   /** Oracle SQL for the restated gb1 — the stump-selection chain plus
