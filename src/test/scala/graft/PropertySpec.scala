@@ -18,6 +18,24 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("prop: rhu is exact round-half-up of the integer ratio (r13)") {
+    // The cross-engine quantization kernel (Learn.rhu, SQL (2a+b)//(2b))
+    // must equal decimal HALF_UP division on its whole non-negative
+    // domain, including magnitudes past int64/int128 — the property the
+    // r12/r13 driver-divergence work leans on.
+    check(forAll(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(1L, Long.MaxValue),
+      Gen.chooseNum(0, 60), Gen.chooseNum(0, 30)) { (a0, b0, sa, sb) =>
+      val a = BigInt(a0) << sa
+      val b = (BigInt(b0) >> sb).max(BigInt(1))
+      // Exact scale-0 HALF_UP division (java BigDecimal — no MathContext
+      // precision cap, so the rounding decision is exact at any size).
+      val viaDecimal = BigInt(new java.math.BigDecimal(a.bigInteger)
+        .divide(new java.math.BigDecimal(b.bigInteger), 0,
+          java.math.RoundingMode.HALF_UP).toBigIntegerExact)
+      graft.operators.Learn.rhu(a, b) == viaDecimal
+    }, 60)
+  }
+
   test("prop: count is invariant under repartitioning") {
     check(forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(1, 7)) {
       (xs, parts) =>
