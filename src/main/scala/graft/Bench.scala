@@ -18,19 +18,23 @@ import org.apache.spark.sql.SparkSession
   *  - each query then runs 3 times and the MEDIAN is reported (min also
   *    emitted), so round-over-round comparisons sit above the ±15%
   *    run-to-run noise observed in round 1.
-  *  - budgeted reps for the slow tail (round 12): a query whose
-  *    WARM-UP pass takes ≥ [[SlowRepBarSec]] gets ONE timed rep
+  *  - budgeted reps for the slow tail (round 12, revised round 13): a
+  *    query whose FIRST TIMED rep takes ≥ [[SlowRepBarSec]] — AND is
+  *    consistent with its committed clean-box reference (≤
+  *    [[SpreadBar]]× ref, when an entry exists) — gets ONE timed rep
   *    instead of 3. The round-11 driver bench hit its wall-clock
   *    budget (BENCH_r11 rc:124) as the suite grew to 382 gates; the
   *    ≥1 s tail (~115 gates, ~257 s of medians) was 2/3 of the
   *    suite's rep cost while being exactly the population whose
   *    multi-second runtimes are least affected by scheduler noise in
   *    RELATIVE terms. Sub-second gates — where one GC pause IS the
-  *    measurement — keep median-of-3. Slow gates remain protected by
-  *    the reference check below: a single rep that lands [[RefBar]]×
-  *    above the committed clean-box number still triggers extra reps
-  *    + min-reporting + the stall flag, so a noisy box cannot plant
-  *    an unflagged outlier.
+  *    measurement — keep median-of-3, and (r13) so does any gate
+  *    whose first rep is slow only relative to its own reference
+  *    (the transient-stall case the warm-up-keyed r12 rule missed).
+  *    Slow gates remain protected by the reference check below: a
+  *    single rep that lands [[RefBar]]× above the committed clean-box
+  *    number still triggers extra reps + min-reporting + the stall
+  *    flag, so a noisy box cannot plant an unflagged outlier.
   *  - stall control (round 8): when median/min > 2 the spread is an
   *    environment artifact (GC stall, box contention — the round-7
   *    driver recorded dd11 at 16.8 s vs a 3.4 s same-day steady state
