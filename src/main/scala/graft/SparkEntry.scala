@@ -4071,7 +4071,9 @@ object SparkEntry {
         |expo AS (SELECT chn.channel, sum(v.u) AS users_exposed,
         |    sum(v.c) AS conversions_exposed
         |  FROM chn JOIN vq v ON ((v.mask // chn.bit) % 2) = 1 GROUP BY 1)
-        |SELECT p.channel, p.phi_wnum, e.users_exposed, e.conversions_exposed
+        |SELECT p.channel, CAST(p.phi_wnum AS BIGINT) AS phi_wnum,
+        |  CAST(e.users_exposed AS BIGINT) AS users_exposed,
+        |  CAST(e.conversions_exposed AS BIGINT) AS conversions_exposed
         |FROM phis p JOIN expo e USING (channel)
         |ORDER BY channel""".stripMargin,
     // U-shaped multi-touch credit: per-touch credits quantized to 12

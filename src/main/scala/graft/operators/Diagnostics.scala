@@ -95,6 +95,36 @@ object Diagnostics {
     // rhu(1·1e9, 8) = (2e9+8)//16 = 125000000 exactly.
     "xdg_rhu_literal" -> ((s, _) => {
       import s.implicits._; Seq(125000000L).toDF("r")
+    }),
+    // OUTPUT-TYPE probes (added after the r13 local sweep): the four
+    // r11/r12 driver-red gates are EXACTLY the four whose oracle
+    // result columns contained uncast-sum() HUGEINTs, and none of the
+    // 379 driver-green gates has one — while DOUBLE-sum emulation of
+    // the hypothesized arithmetic mechanisms produced ZERO diffs at
+    // corpus magnitudes (SURVEY §13.2a). Primary hypothesis: the
+    // driver's comparator canonicalizes a HUGEINT result column
+    // differently from Spark's LONG (locally reproducible: DuckDB
+    // fetchdf() renders HUGEINT as float64 — "12.0" vs "12" — while
+    // fetchall(), the builder's oracle_check path, yields int). These
+    // probes measure that boundary directly:
+    //   hug_small — uncast HUGEINT 12 (float64-exact, so a NUMERIC
+    //     comparator passes, a string/bytes one fails);
+    //   hug_big   — uncast HUGEINT 2^53+1 (float64-INEXACT, fails
+    //     under either canonicalization if HUGEINT→float anywhere);
+    //   hug_cast  — the same 2^53+1 CAST to BIGINT (control: green
+    //     everywhere, proves the cast is the fix);
+    //   dec_out   — DECIMAL(38,0) 12 (is DECIMAL also affected?).
+    "xdg_hug_small" -> ((s, _) => {
+      import s.implicits._; Seq(12L).toDF("v")
+    }),
+    "xdg_hug_big" -> ((s, _) => {
+      import s.implicits._; Seq(9007199254740993L).toDF("v")
+    }),
+    "xdg_hug_cast" -> ((s, _) => {
+      import s.implicits._; Seq(9007199254740993L).toDF("v")
+    }),
+    "xdg_dec_out" -> ((s, _) => {
+      import s.implicits._; Seq(12L).toDF("v")
     })
   )
 
@@ -130,7 +160,18 @@ object Diagnostics {
       ("SELECT CAST(epoch_ns(TIMESTAMP '2001-02-03 04:05:06.123456') // 1000 "
         + "AS BIGINT) AS us"),
     "xdg_rhu_literal" ->
-      "SELECT CAST((2 * CAST(1 AS HUGEINT) * 1000000000 + 8) // (2 * 8) AS BIGINT) AS r"
+      "SELECT CAST((2 * CAST(1 AS HUGEINT) * 1000000000 + 8) // (2 * 8) AS BIGINT) AS r",
+    "xdg_hug_small" ->
+      ("SELECT sum(x) AS v FROM (SELECT CAST(5 AS BIGINT) AS x "
+        + "UNION ALL SELECT 7)"),
+    "xdg_hug_big" ->
+      ("SELECT sum(x) AS v FROM (SELECT CAST(9007199254740992 AS BIGINT) AS x "
+        + "UNION ALL SELECT 1)"),
+    "xdg_hug_cast" ->
+      ("SELECT CAST(sum(x) AS BIGINT) AS v "
+        + "FROM (SELECT CAST(9007199254740992 AS BIGINT) AS x "
+        + "UNION ALL SELECT 1)"),
+    "xdg_dec_out" -> "SELECT CAST(12 AS DECIMAL(38,0)) AS v"
   )
 
   /** Name predicate Bench uses to keep diagnostics out of the perf

@@ -275,8 +275,15 @@ object Learn {
          |  FROM p$k CROSS JOIN
          |    (SELECT greatest(CAST(sum(qp) AS HUGEINT), 1) AS s FROM p$k) ss)""".stripMargin
     }.mkString(",\n")
+    // Output types: wins/comparisons are sums (HUGEINT in DuckDB) —
+    // cast to BIGINT like every other gate's outputs. The r13 local
+    // sweep found the four driver-red gates were EXACTLY the four
+    // whose oracle outputs carried uncast HUGEINT columns (SURVEY
+    // §13.2a) — the cast removes the type boundary from the readout
+    // so these diagnostics measure the CHAIN arithmetic alone.
     val tail =
-      s"""SELECT q.item, coalesce(w2.wins, 0) AS wins, nj.comparisons,
+      s"""SELECT q.item, CAST(coalesce(w2.wins, 0) AS BIGINT) AS wins,
+         |  CAST(nj.comparisons AS BIGINT) AS comparisons,
          |  q.q AS strength_q12
          |FROM q$iterations q
          |LEFT JOIN wins w2 ON q.item = w2.item
@@ -740,9 +747,9 @@ object Learn {
     }.mkString(",\n")
     val t = s"th$iterations"
     val tail =
-      s"""npos AS (SELECT coalesce(sum(cnt), 0) AS n_pos
+      s"""npos AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pos
          |  FROM m$iterations WHERE mu > 500000000)
-         |SELECT k AS labeler,
+         |SELECT CAST(k AS BIGINT) AS labeler,
          |  CASE k WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END AS alpha_q9,
          |  CASE k WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS beta_q9,
          |  pi AS pi_q9, n_pos
@@ -904,7 +911,12 @@ object Learn {
          |    sum(g0.cnt) AS err_den
          |  FROM g0 $crossEqs)""".stripMargin
     adaboostSqlCtes(roundsT) + ",\n" + eqs + ",\n" + ens + "\n" +
-      s"""SELECT round, feature, threshold, polarity, err_num, err_den
+      s"""SELECT CAST(round AS BIGINT) AS round,
+         |  CAST(feature AS BIGINT) AS feature,
+         |  CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(polarity AS BIGINT) AS polarity,
+         |  CAST(err_num AS BIGINT) AS err_num,
+         |  CAST(err_den AS BIGINT) AS err_den
          |FROM ($stumpRows
          |  UNION ALL SELECT * FROM ens) u
          |ORDER BY round""".stripMargin

@@ -20,8 +20,8 @@ class DiagnosticsSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     val diag = qs.filter(Diagnostics.isDiagnostic)
-    // All 28 diagnostics registered, each with an oracle.
-    assert(diag.size == 28, s"expected 28 diagnostic gates, got ${diag.size}")
+    // All 32 diagnostics registered, each with an oracle.
+    assert(diag.size == 32, s"expected 32 diagnostic gates, got ${diag.size}")
     diag.foreach(k => assert(os.contains(k), s"$k has no oracle"))
     // Probe maps stay key-aligned.
     assert(Diagnostics.probes.keySet == Diagnostics.probeSql.keySet)
