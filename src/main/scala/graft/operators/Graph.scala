@@ -496,12 +496,24 @@ object Graph {
   def edgeStrengthFrom(spark: SparkSession, edgesUV: DataFrame,
                        k: Int, degreeCap: Int = 4096): DataFrame = {
     val e = edgesUV.persist(StorageLevel.MEMORY_AND_DISK)
+    // The mirrored half-edge frame is SYMMETRIC — (x,y) ∈ und ⇔
+    // (y,x) ∈ und — so grouping on `a` and grouping on `b` see the
+    // same multiset of keys. Hash-partition it ONCE on `a` (round 14)
+    // and key BOTH the degree count and the adjacency collection on
+    // `a`: the former shape exchanged the 2m-row frame twice (degree
+    // keyed on b, adjacency keyed on a — same values, different
+    // columns, so Catalyst cannot share the exchange). The persisted
+    // repartition also feeds capNeighbors' two broadcast probes and
+    // the weight join, all partitioning-preserving, so ONE 2m-row
+    // exchange now serves the whole adjacency build.
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Node-cardinality; read three ways (weight join, hub list,
     // implicit reuse across them) — persist, or the half-edge
     // aggregation reruns per subscriber.
-    val deg = und.groupBy(col("b").as("node")).agg(count(lit(1)).as("d"))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Neighbor lists annotated with the NEIGHBOR's degree weight: join
     // on the dst endpoint (node-cardinality degree table broadcasts),
@@ -558,7 +570,7 @@ object Graph {
       .select(col("u"), col("v"), col("n_common"),
         round(col("aa_scaled").cast("double") / lit(1e12), 6).as("aa_score"))
     val rows = scored.collect() // k rows
-    e.unpersist(); adj.unpersist(); deg.unpersist()
+    e.unpersist(); adj.unpersist(); deg.unpersist(); und.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
   }
 
@@ -922,13 +934,32 @@ object Graph {
         .unionAll(e.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    def counters(byV: DataFrame): (Long, Long) = {
-      val row = byV.agg(count(lit(1)).as("nn"), sum(col("d")).as("sd")).head()
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1) / 2)
+    // One aggregate yields the counters AND the below-threshold count
+    // that decides whether the NEXT peel can change anything (round
+    // 14): when nBelow = 0 every remaining node has degree ≥ k, the
+    // keep-set is the whole node set, both semi-joins are identities
+    // and round r+1's graph equals round r's — so the rest of the
+    // trajectory provably repeats the fixpoint row. The loop
+    // short-circuits there and replicates the row instead of paying
+    // (checkpoint + degree pass) per already-converged round (the
+    // sf0.1 cascade settles by round 5 of 8; the oracle's unrolled
+    // CTEs still state all `rounds` rows — identical by the proof
+    // above, hash-checked).
+    def counters(byV: DataFrame): (Long, Long, Long) = {
+      val row = byV.agg(count(lit(1)).as("nn"), sum(col("d")).as("sd"),
+        coalesce(sum(when(col("d") < k, 1L).otherwise(0L)), lit(0L))
+          .as("nb")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1) / 2,
+        row.getLong(2))
     }
     var byV = degrees(edges)
+    var below = -1L // unknown before the first aggregate
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     (1 to rounds).foreach { r =>
+      if (below == 0L && stats.nonEmpty) {
+        val (_, nn, ne) = stats.last
+        stats += ((r, nn, ne))
+      } else {
       val keep = byV.filter(col("d") >= k).select(col("node"))
       // SHUFFLE-HASH semi-joins (round 12): with broadcast semi-joins
       // every round paid TWO broadcast-build driver round-trips (the
@@ -949,9 +980,11 @@ object Graph {
         .localCheckpoint()
       byV.unpersist()
       byV = degrees(next)
-      val (nNodes, nEdges) = counters(byV) // materializes byV too
+      val (nNodes, nEdges, nBelow) = counters(byV) // materializes byV too
+      below = nBelow
       stats += ((r, nNodes, nEdges))
       edges = next
+      }
     }
     byV.unpersist()
     spark.createDataFrame(stats.toSeq)

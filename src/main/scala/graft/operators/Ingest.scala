@@ -1397,12 +1397,20 @@ object Ingest {
     * basis for "cluster by date, not by key" decisions.
     *
     * Scale shape: adjacency under a total order WITHOUT a global
-    * window — [[Ranks.withGlobalRowNumber]] assigns exact ranks
-    * (range exchange + local sort + driver-side offset prefix sum),
-    * then ONE self-join on rank = rank+1 (narrow rows: rank + the
-    * measured columns) feeds a single map-side-combinable aggregation
-    * counting transitions per column. Every stage is linear and
-    * partition-parallel; nothing ever sees more than its range band.
+    * window and WITHOUT a rank self-join (round 14): a range exchange
+    * on the sort key makes every partition a contiguous band of the
+    * total order, a PARTITION-LOCAL lag window counts within-band
+    * transitions (plus each band's first/last row values, from the
+    * same pass), and the only sequential residue — whether a band's
+    * first value continues the previous band's last run — is resolved
+    * on the #partitions-sized band-boundary frame (the same bounded
+    * control-plane object as [[Ranks]]' offset folds). The former
+    * shape assigned exact global ranks and self-joined rank = rank+1,
+    * which paid a second full-frame hash exchange plus the join; the
+    * identity `runs = Σ within-band starts − Σ band boundaries whose
+    * values match` computes the same exact counts with one exchange
+    * and no join. Every stage is linear and partition-parallel;
+    * nothing ever sees more than its range band.
     */
   def rleRunsGate(spark: SparkSession, dir: String): DataFrame = {
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -1411,20 +1419,47 @@ object Ingest {
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
 
     def runsUnder(label: String, order: Seq[Column]): DataFrame = {
-      val (ranked, _) =
-        graft.operators.Ranks.withGlobalRowNumber(l, order, np, "_rn")
-      val cur = ranked.select(col("_rn"),
+      val parted = l.repartitionByRange(math.max(np, 1), order: _*)
+        .withColumn("_pid", spark_partition_id())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(order: _*)
+      // All four lags + the last-row marker ride ONE window pass; the
+      // measured columns are non-null (TPC-H shape), so lag-is-null ⇔
+      // band-first and lead-is-null ⇔ band-last.
+      val lagged = parted.select(col("_pid"),
         col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
-        col("l_suppkey").as("sk"), col("l_shipdate").as("sd"))
-      val prv = cur.select((col("_rn") + 1).as("_rn"),
-        col("rf").as("p_rf"), col("ls").as("p_ls"),
-        col("sk").as("p_sk"), col("sd").as("p_sd"))
+        col("l_suppkey").as("sk"), col("l_shipdate").as("sd"),
+        lag(col("l_returnflag"), 1).over(w).as("p_rf"),
+        lag(col("l_linestatus"), 1).over(w).as("p_ls"),
+        lag(col("l_suppkey"), 1).over(w).as("p_sk"),
+        lag(col("l_shipdate"), 1).over(w).as("p_sd"),
+        lead(col("l_orderkey"), 1).over(w).isNull.as("_is_last"))
       def runs(c: String): Column =
         sum(when(col(s"p_$c").isNull || col(s"p_$c") =!= col(c), 1L)
           .otherwise(0L)).cast("bigint")
-      cur.join(prv, Seq("_rn"), "left")
-        .agg(runs("rf").as("r_rf"), runs("ls").as("r_ls"),
-          runs("sk").as("r_sk"), runs("sd").as("r_sd"))
+      // Per-band: within-band run starts + first/last row values. The
+      // groupBy reuses the window's _pid partitioning — no exchange.
+      val vals = struct(col("rf"), col("ls"), col("sk"), col("sd"))
+      val perBand = lagged.groupBy(col("_pid")).agg(
+        runs("rf").as("w_rf"), runs("ls").as("w_ls"),
+        runs("sk").as("w_sk"), runs("sd").as("w_sd"),
+        max(when(col("p_rf").isNull, vals)).as("f"),
+        max(when(col("_is_last"), vals)).as("z"))
+      // Band-boundary correction over the ≤ np-row band frame: a
+      // band-first row was counted as a run start within its band;
+      // subtract it when it actually continues the previous
+      // (non-empty) band's last value.
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.operators.Ranks.boundedOnePartition(col("_pid")))
+        .orderBy(col("_pid"))
+      def cont(c: String): Column =
+        coalesce(sum(when(col(s"pz.$c") === col(s"f.$c"), 1L)
+          .otherwise(0L)), lit(0L))
+      perBand.withColumn("pz", lag(col("z"), 1).over(wb))
+        .agg((sum(col("w_rf")) - cont("rf")).cast("bigint").as("r_rf"),
+          (sum(col("w_ls")) - cont("ls")).cast("bigint").as("r_ls"),
+          (sum(col("w_sk")) - cont("sk")).cast("bigint").as("r_sk"),
+          (sum(col("w_sd")) - cont("sd")).cast("bigint").as("r_sd"))
         .selectExpr(
           """stack(4, 'l_returnflag', r_rf, 'l_linestatus', r_ls,
             |'l_suppkey', r_sk, 'l_shipdate', r_sd)
@@ -1433,9 +1468,6 @@ object Ingest {
           col("n_runs"))
     }
 
-    // The ranked frames stay persisted until the harness's between-
-    // gates unpersist (Ranks.releaseAll would also be correct here,
-    // at the cost of a recompute if the caller re-materializes).
     runsUnder("ship_date",
         Seq(col("l_shipdate").asc, col("l_orderkey").asc,
           col("l_linenumber").asc))

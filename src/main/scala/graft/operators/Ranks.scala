@@ -154,6 +154,58 @@ object Ranks {
     (out, total)
   }
 
+  /** N exclusive prefix sums over the SAME total order in ONE ranged
+    * pass (round 14): callers that need several running sums of one
+    * spine (gini2's cumulative count + cumulative positives, vg1's
+    * vocab + token scans) previously paid one range exchange, one
+    * control-plane collect and one window PER SUM, plus a re-join on
+    * the key to line the sums up again. Fusing them shares the single
+    * range exchange, one per-partition (sum₁..sumₙ) collect, and one
+    * window pass — and the grand totals fall out of the same
+    * control-plane fold for free (`totals`), so callers drop their
+    * separate full-frame total aggregation too. Semantics per sum are
+    * exactly [[withExclusivePrefixSum]]'s.
+    */
+  def withExclusivePrefixSums(df: DataFrame, order: Seq[Column],
+                              values: Seq[(Column, String)],
+                              np: Int): (DataFrame, Seq[Long]) = {
+    val nv = values.length
+    require(nv >= 1, "need at least one value column")
+    val parted0 = df.repartitionByRange(math.max(np, 1), order: _*)
+      .withColumn("_pn_pid", spark_partition_id())
+    val parted = values.zipWithIndex.foldLeft(parted0) {
+      case (acc, ((v, _), i)) => acc.withColumn(s"_pn_v$i", v.cast("long"))
+    }.persist()
+    live.add(parted)
+    val sums = parted.groupBy(col("_pn_pid"))
+      .agg(coalesce(sum(col("_pn_v0")), lit(0L)).as("_s0"),
+        (1 until nv).map(i =>
+          coalesce(sum(col(s"_pn_v$i")), lit(0L)).as(s"_s$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until nv).map(i => r.getLong(i + 1)))
+      .toMap
+    val maxPid = if (sums.isEmpty) 0 else sums.keys.max + 1
+    val zero = (0 until nv).map(_ => 0L)
+    def scan(i: Int): IndexedSeq[Long] = (0 until maxPid)
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, zero)(i))
+    val offs: Seq[IndexedSeq[Long]] = (0 until nv).map(scan)
+    val totals: Seq[Long] = (0 until nv).map(i => offs(i)(maxPid))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast((0 until maxPid)
+      .map(p => (p, (0 until nv).map(i => offs(i)(p))))
+      .toDF("_pn_pid", "_pn_offs"))
+    val w = Window.partitionBy(col("_pn_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out0 = parted.join(offDf, "_pn_pid")
+    val out = values.zipWithIndex.foldLeft(out0) {
+      case (acc, ((_, name), i)) => acc.withColumn(name,
+        coalesce(sum(col(s"_pn_v$i")).over(w), lit(0L))
+          + col("_pn_offs").getItem(i))
+    }.drop("_pn_pid" +: "_pn_offs" +: (0 until nv).map(i => s"_pn_v$i"): _*)
+    (out, totals)
+  }
+
   /** A constant-valued but NON-FOLDABLE partition key for windows over
     * audited-bounded frames (calendar spines, k-bounded candidate
     * lists, distinct-cardinality tables): `pmod(hash(c), 1)` is always

@@ -946,6 +946,32 @@ object Relational {
     }
   }
 
+  /** Per-basket ordered pairs `(o, pa, pb)` with pa < pb via ONE
+    * groupBy + in-row expansion (round 14) — the same shape
+    * [[graft.operators.Graph.copurchaseEdges]] adopted in round 11:
+    * collect each basket's DISTINCT sorted items (the sort makes
+    * pa < pb fall out of array order), truncate to the `cap` smallest
+    * in-row (`slice` on the sorted array ≡ [[capBaskets]]' rank
+    * filter, same exactness contract), and expand pairs WITHIN the
+    * row. The former per-basket self-join sorted and merge-joined the
+    * full item stream to produce the identical rows; pair mass is
+    * unchanged (Σ min(k,cap)²/2), but it now materializes as a map
+    * step over basket rows instead of an SMJ over the item frame.
+    */
+  private def basketPairs(items: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"basketCap must be >= 2, got $cap")
+    items.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps0"))
+      .select(col("l_orderkey").as("o"),
+        (if (cap == Int.MaxValue) col("ps0") else slice(col("ps0"), 1, cap))
+          .as("ps"))
+      .select(col("o"), explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2),
+            greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .select(col("o"), col("e.pa").as("pa"), col("e.pb").as("pb"))
+  }
+
   /** Gated fi1: FREQUENT ITEM PAIRS (a-priori candidate pass) —
     * market-basket co-occurrence over order baskets. The pair
     * generator is a per-basket self-join, so its cost is Σ k²/2 over
@@ -967,11 +993,11 @@ object Relational {
     */
   def frequentItemPairsFrom(spark: SparkSession, items: DataFrame,
                             minSupport: Long, basketCap: Int): DataFrame = {
-    val i = capBaskets(items, basketCap)
-    i.as("a").join(i.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // In-row pair expansion ([[basketPairs]], round 14): one basket
+    // groupBy replaces the per-basket self-join — identical pair rows,
+    // no merge-join sort of the item frame.
+    basketPairs(items, basketCap)
+      .groupBy(col("pa").as("part_a"), col("pb").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .orderBy(desc("support"), col("part_a"), col("part_b"))
@@ -1006,27 +1032,41 @@ object Relational {
     */
   def frequentItemTriplesFrom(spark: SparkSession, items: DataFrame,
                               minSupport: Long, basketCap: Int): DataFrame = {
-    val i = capBaskets(items, basketCap)
-    // Basket pairs (one per-basket self-join; bounded by basket size).
-    val p = i.as("a").join(i.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_orderkey").as("o"),
-        col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // Basket pairs via ONE groupBy + in-row expansion ([[basketPairs]],
+    // round 14; was a per-basket self-join). p stays hash-partitioned
+    // on the basket key end to end, which the assembly below reuses.
+    val p = basketPairs(items, basketCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // L2: corpus-frequent pairs — node-scale, reused twice.
-    val l2 = p.groupBy(col("pa"), col("pb"))
+    // L2: corpus-frequent pairs — node-scale, reused twice. BROADCAST
+    // to both prunes (the classic distributed-apriori shape: the
+    // candidate set rides to the data): the semi-joins then preserve
+    // p's basket partitioning, so the per-basket assembly below needs
+    // NO further exchange of the pair frame. (The former pf ⋈ pf
+    // assembly exchanged + sorted the pruned pair frame twice, on
+    // (o, pb) and (o, pa).)
+    val l2 = broadcast(p.groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport)
-      .select(col("pa"), col("pb"))
+      .select(col("pa"), col("pb")))
     // Apriori prune 1: keep only frequent pairs inside each basket.
     val pf = p.join(l2, Seq("pa", "pb"), "left_semi")
-    // Triple assembly: (a,b) ⋈ (b,c) within the basket, then prune 2
-    // on the closing side (a,c). All three sides frequent by now.
-    val cand = pf.as("x").join(pf.as("y"),
-        col("x.o") === col("y.o") && col("x.pb") === col("y.pa"))
-      .select(col("x.o"), col("x.pa").as("part_a"),
-        col("x.pb").as("part_b"), col("y.pb").as("part_c"))
+    // Triple assembly IN-ROW: collect each basket's surviving pairs
+    // (sorted, so output order is deterministic), match (a,b)×(b,c)
+    // within the row, then prune 2 on the closing side (a,c). All
+    // three sides frequent by now. Candidate mass is unchanged from
+    // the join formulation — downward closure still bounds it by
+    // coincidences of already-frequent pairs.
+    val cand = pf
+      .groupBy(col("o"))
+      .agg(sort_array(collect_list(struct(col("pa"), col("pb")))).as("fp"))
+      .select(col("o"), explode(flatten(transform(col("fp"), x =>
+        transform(
+          filter(col("fp"), y => y.getField("pa") === x.getField("pb")),
+          y => struct(x.getField("pa").as("part_a"),
+            x.getField("pb").as("part_b"),
+            y.getField("pb").as("part_c")))))).as("t"))
+      .select(col("t.part_a").as("part_a"), col("t.part_b").as("part_b"),
+        col("t.part_c").as("part_c"))
       .join(l2.select(col("pa").as("part_a"), col("pb").as("part_c")),
         Seq("part_a", "part_c"), "left_semi")
     val out = cand.groupBy(col("part_a"), col("part_b"), col("part_c"))

@@ -785,14 +785,21 @@ object Stats {
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
     val g = f.groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
-    val cn = Ranks.withExclusivePrefixSum(
-      g, Seq(col("v").asc), col("cnt"), np, "cn_ex")
-      .select(col("v"), col("cnt"), (col("cn_ex") + col("cnt")).as("cn"))
-    val cp = Ranks.withExclusivePrefixSum(
-      g, Seq(col("v").asc), col("p"), np, "cp_ex")
-      .select(col("v"), (col("cp_ex") + col("p")).as("cp"))
-    val tot = g.agg(sum(col("cnt")).as("tn"), sum(col("p")).as("tp"))
-    val j = cn.join(cp, "v").crossJoin(broadcast(tot))
+    // BOTH running sums in one ranged pass (round 14,
+    // [[Ranks.withExclusivePrefixSums]]): the former two independent
+    // prefix-sum calls re-ranged (and re-aggregated) the spine twice
+    // and re-joined the results on the value key; the grand totals
+    // previously cost a THIRD full aggregation of g — they now fall
+    // out of the shared control-plane fold (identical values: exact
+    // BIGINT sums either way). One lineitem scan + one groupBy + one
+    // range exchange, join-free.
+    val (pre, totals) = Ranks.withExclusivePrefixSums(g, Seq(col("v").asc),
+      Seq(col("cnt") -> "cn_ex", col("p") -> "cp_ex"), np)
+    val (tn, tp) = (totals(0), totals(1))
+    val j = pre
+      .select(col("v"), (col("cn_ex") + col("cnt")).as("cn"),
+        (col("cp_ex") + col("p")).as("cp"),
+        lit(tn).as("tn"), lit(tp).as("tp"))
       .filter(col("cn") < col("tn"))
     val pl = col("cp").cast("double") / col("cn")
     val pr = (col("tp") - col("cp")).cast("double") / (col("tn") - col("cn"))

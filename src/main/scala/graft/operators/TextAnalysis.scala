@@ -1290,12 +1290,14 @@ object TextAnalysis {
       .join(firstRank, ranked("doc_id") === firstRank("fdoc"), "left")
       .select(col("rnk"), col("n_tok"),
         coalesce(col("new_toks"), lit(0L)).as("new_toks"))
-    val withV = Ranks.withExclusivePrefixSum(
-      spine, Seq(col("rnk").asc), col("new_toks"), np, "v_excl")
-    val withT = Ranks.withExclusivePrefixSum(
-      withV, Seq(col("rnk").asc), col("n_tok"), np, "t_excl")
+    // Both running sums share one ranged pass (round 14,
+    // [[Ranks.withExclusivePrefixSums]]) — the former chained calls
+    // re-ranged the spine for the token scan.
+    val (withVT, _) = Ranks.withExclusivePrefixSums(spine,
+      Seq(col("rnk").asc),
+      Seq(col("new_toks") -> "v_excl", col("n_tok") -> "t_excl"), np)
     val step = math.max(1L, nDocs / math.max(points, 1))
-    withT
+    withVT
       .withColumn("vocab", col("v_excl") + col("new_toks"))
       .withColumn("cum_tokens", col("t_excl") + col("n_tok"))
       .filter(col("rnk") % step === 0 || col("rnk") === nDocs)
