@@ -119,7 +119,7 @@ object Bench {
     */
   private final case class QStat(official: Double, median: Double,
                                  min: Double, reps: Int, stalled: Boolean,
-                                 stealDelta: Long)
+                                 stealDelta: Long, noRef: Boolean = false)
 
   /** Known-good per-query reference seconds (`bench_reference.json`,
     * path overridable via SPARK_GRAFT_REF; absent → empty). The round-10
@@ -253,6 +253,12 @@ object Bench {
                 if (SlowRepBarSec > 0 && t1 >= SlowRepBarSec &&
                     reference.get(name).forall(r => t1 <= SpreadBar * r)) 1
                 else Reps
+              // r13 advice: a 1-rep official taken where NO reference
+              // entry existed (new gate, or an SF the reference map is
+              // not pinned to) had no consistency guard — mark it so
+              // readers can discount a possibly stall-inflated single
+              // rep instead of mistaking it for a ref-consistent one.
+              val noRef = repBudget == 1 && !reference.contains(name)
               val reps = (2 to repBudget).map(_ => runOnce(fn))
               reps.collectFirst { case Left(err) => err } match {
             case Some(err) => name -> Left(err)
@@ -284,7 +290,8 @@ object Bench {
                   val stealQ1 = stealTicks()
                   val sd = if (stealQ0 < 0 || stealQ1 < 0) -1L else stealQ1 - stealQ0
                   name -> Right(QStat(if (stalled) ts.min else med,
-                    med, ts.min, ts.length, stalled, sd))
+                    med, ts.min, ts.length, stalled, sd,
+                    noRef && ts.length == 1))
               }
               }
           }
@@ -322,6 +329,8 @@ object Bench {
       .mkString("{", ",", "}")
     val stealJson = timed.map { case (k, v) => "\"" + k + "\":" + v.stealDelta }
       .mkString("{", ",", "}")
+    val norefJson = timed.filter(_._2.noRef).map(kv => "\"" + kv._1 + "\"")
+      .mkString("[", ",", "]")
     val calibPost = calibrate()
     val stealPost = stealTicks()
     val epochJson = s""""calib_sec":[$calibPre,$calibPost],""" +
@@ -330,6 +339,7 @@ object Bench {
       s""""queries":${jsonMap(_.official)},"queries_median":${jsonMap(_.median)},""" +
       s""""queries_min":${jsonMap(_.min)},"queries_reps":$repsJson,""" +
       s""""queries_steal":$stealJson,""" +
+      s""""queries_noref":$norefJson,""" +
       s""""stalls":$stallJson,$epochJson,""" +
       s""""errors":$errJson,"n_failed":${errors.length},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), fullJson)

@@ -79,7 +79,11 @@ object SparkEntry {
     // ---- deduplication (north star) ----
     "dd1_exact_dedup"   -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd2_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-    "dd3_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // The GATE narrows to one deterministic 1-in-8 probe shard (r12
+    // verdict #5; oracle mirrors). Library default stays probeShards=1
+    // (full pair set) — the narrowing is visible here, at the gate.
+    "dd3_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(s, d, probeShards = 8, shard = 0)),
     "dd4_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dd5_embedding_dup" -> ((s, d) => Dedup.embeddingDupPairs(s, d)),
     // ---- similarity search (north star) ----
@@ -489,7 +493,10 @@ object SparkEntry {
     "xds_c_th2"  -> ((s, d) => graft.operators.Learn.dawidSkene(s, d, iterations = 2)),
     "xds_d_full" -> ((s, d) => graft.operators.Learn.dawidSkene(s, d)),
     // gb1 chain: raw grid → 1-round fit → weights after round 1 →
-    // 2-round fit → full 3-round fit (the old gb1 output verbatim).
+    // 2-round fit → full 3-round fit (the pre-r13 gb1 chain with
+    // BIGINT-cast outputs and the ε-floor reordering — the arithmetic
+    // trajectory, not the old gate byte-for-byte; xdg_hug_* carries
+    // the output-type hypothesis).
     "xgb_a_grid" -> ((s, d) => graft.operators.Learn.adaboostGrid(s, d)),
     "xgb_b_t1"   -> ((s, d) => graft.operators.Learn.adaboostStumps(s, d, roundsT = 1)),
     "xgb_c_w1"   -> ((s, d) => graft.operators.Learn.adaboostWeightsAfter(s, d, rounds = 1)),
@@ -4023,8 +4030,11 @@ object SparkEntry {
         |FROM (SELECT unnest(generate_series(0, 15)) AS mask) m
         |LEFT JOIN cohorts ch ON m.mask = ch.mask
         |ORDER BY mask""".stripMargin),
-    // xat_c_full (TEMPORARY diagnostic — the pre-r13 att4 gate
-    // verbatim): exact Shapley over the 2^4 exposure-set lattice —
+    // xat_c_full (TEMPORARY diagnostic — the pre-r13 att4 chain with
+    // BIGINT-CAST outputs; the type boundary is deliberately removed
+    // here and measured separately by the xdg_hug_* probes, so a green
+    // bit means "arithmetic chain sound", NOT "old gate as shipped was
+    // sound"): exact Shapley over the 2^4 exposure-set lattice —
     // cohort rates 1e9-quantized via PURE INTEGER round-half-up
     // (2·c·1e9 + u) // (2·u), never round()-on-double (the round-11
     // driver hash divergence); permutation weights {6,2,2,6}/24 as

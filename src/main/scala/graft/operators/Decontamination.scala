@@ -154,7 +154,11 @@ object Decontamination {
       .distinct()
       .persist() // three consumers: train build, eval probe, per-doc totals
     val isEval = col("doc_id") % 10 === 7
-    val train = grams.filter(!isEval).select(col("g")).distinct()
+    // Persisted (round 14): read THREE times — the sizing count, the
+    // Bloom-bank build, and the exact-confirm semi-join — and each read
+    // previously re-ran the full distinct exchange over the train-side
+    // gram set on top of the persisted (doc_id, g) frame.
+    val train = grams.filter(!isEval).select(col("g")).distinct().persist()
     val trainBucketed = train
       .withColumn("bucket", pmod(xxhash64(col("g")), lit(buckets.toLong)))
     // Size sketches to the ACTUAL per-bucket load (one cheap count

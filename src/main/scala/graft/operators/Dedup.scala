@@ -420,7 +420,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String,
                    maxDist: Int = 7,
                    wordHash: Column => Column = md5WordHash,
-                   probeShards: Int = 8, shard: Int = 0): DataFrame = {
+                   probeShards: Int = 1, shard: Int = 0): DataFrame = {
     require(probeShards >= 1 && shard >= 0 && shard < probeShards)
     // Single cache at the signature level (reused by both sides of the
     // chunk self-join); the word-hash array is referenced exactly once
@@ -1196,12 +1196,24 @@ object Dedup {
           && col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("dd"), col("y.doc_id").as("bb"))
       .distinct()
+      .cache() // read 3×: both prefilters + the confirm join
+    // Confirm-side PREFILTER (round 14, guide §3.4): shingle arrays are
+    // only needed for docs that survived the band probe, but the former
+    // shape tokenized+shingled the ENTIRE base snapshot (9/10 of the
+    // corpus) and sorted those arrays through the confirm join's
+    // exchange before the join discarded the non-candidates. Semi-join
+    // each side on the candidate ids FIRST — the candidate id frames
+    // are LSH-bounded (broadcast), so the expensive shingle projection
+    // runs on candidate rows only. Inner-join semantics make this
+    // exactly result-preserving.
     def shingleSets(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"),
         shinglesFromWords(TextAnalysis.words(col("text"))).as("sh"))
-    val shD = shingleSets(delta)
+    val shD = shingleSets(delta
+        .join(cand.select(col("dd").as("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("dd"), col("sh").as("sh_d"))
-    val shB = shingleSets(corpus.snapshot(spark, Some(1)))
+    val shB = shingleSets(corpus.snapshot(spark, Some(1))
+        .join(cand.select(col("bb").as("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("bb"), col("sh").as("sh_b"))
     val confirmed = cand.join(shD, "dd").join(shB, "bb")
       .withColumn("common",
@@ -1219,11 +1231,15 @@ object Dedup {
       .join(bestId, col("doc_id") === col("dd"), "left")
       .select(col("doc_id"), col("matched_doc"), col("jac").as("jaccard"),
         col("matched_doc").isNull.as("novel"))
-    deltaBands.unpersist()
     // The delta scales with the corpus (1/10 of docs): stage the result
     // to parquet inside the stable dir, reclaim the TxTable trees
     // eagerly, and return a lazy reader - never a driver collect.
+    // Unpersist AFTER the write (round 14): the former order dropped
+    // the deltaBands cache before the only action that reads the
+    // confirm pipeline, so the band signatures were recomputed from
+    // raw text inside the result write.
     out.write.mode("overwrite").parquet(s"$tmp/result")
+    deltaBands.unpersist(); cand.unpersist()
     graft.TmpIO.deleteSubdirs(tmp, "corpus", "index")
     spark.read.parquet(s"$tmp/result").orderBy(col("doc_id"))
   }

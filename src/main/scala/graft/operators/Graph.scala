@@ -471,9 +471,26 @@ object Graph {
     * O(nodes × cap) by construction.
     */
   private def capNeighbors(half: DataFrame, a: String, b: String,
-                           cap: Int, degUpper: DataFrame): DataFrame = {
+                           cap: Int, degUpper: DataFrame): DataFrame =
+    capNeighborsThen(half, a, b, cap, degUpper)(identity)
+
+  /** [[capNeighbors]] with the caller's per-`a`-group aggregation
+    * PUSHED BELOW the cold∪hot union (round 14): a node's half-edge
+    * group lives entirely on one side of the hub split, so aggregating
+    * each side and unioning the RESULTS is row-identical to
+    * aggregating the union — but the union of two frames reports
+    * unknown output partitioning, which forced the callers'
+    * collect_list groupBy to re-exchange the full half-edge frame that
+    * aa1/tc1 had just hash-partitioned. With the aggregation inside,
+    * the cold path (ALL rows, at catalog density) rides the resident
+    * partitioning exchange-free end to end; only the hub slice — empty
+    * until the cap bites — pays the window and its own (tiny) shuffle.
+    */
+  private def capNeighborsThen(half: DataFrame, a: String, b: String,
+                               cap: Int, degUpper: DataFrame)(
+                               agg: DataFrame => DataFrame): DataFrame = {
     require(cap >= 1, s"degreeCap must be >= 1, got $cap")
-    if (cap == Int.MaxValue) half
+    if (cap == Int.MaxValue) agg(half)
     else {
       val hubs = broadcast(
         degUpper.filter(col("d") > cap).select(col("node").as("_hub")))
@@ -483,7 +500,7 @@ object Graph {
       val hot = half.join(hubs, col(a) === col("_hub"), "left_semi")
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") <= cap).drop("_r")
-      cold.unionAll(hot)
+      agg(cold).unionAll(agg(hot))
     }
   }
 
@@ -522,16 +539,22 @@ object Graph {
     // Weights use TRUE degrees (computed pre-cap); only the collected
     // lists are capped. Undirected degree IS the per-`a` group size
     // here, so it is the exact hub bound for [[capNeighbors]].
-    val adj = capNeighbors(und, "a", "b", degreeCap, deg)
-      .join(broadcast(deg), col("b") === col("node"))
-      .select(col("a"), struct(col("b"),
-        // d = 1 nodes can never be common neighbors; pin their weight
-        // to 0 rather than divide by ln(1).
-        when(col("d") >= 2,
-          round(lit(1e12) / log(col("d").cast("double"))).cast("long"))
-          .otherwise(lit(0L)).as("w")).as("nw"))
-      .groupBy(col("a"))
-      .agg(sort_array(collect_list(col("nw"))).as("arr"))
+    // The weight join + collect_list run per hub-split side
+    // ([[capNeighborsThen]], round 14): both are broadcast/partition-
+    // preserving, so the cold side (everything, at catalog density)
+    // aggregates straight off und's resident `a`-partitioning with NO
+    // further exchange — the union used to erase that partitioning and
+    // re-exchange the 2m-row weighted frame just before the groupBy.
+    val adj = capNeighborsThen(und, "a", "b", degreeCap, deg)(h => h
+        .join(broadcast(deg), col("b") === col("node"))
+        .select(col("a"), struct(col("b"),
+          // d = 1 nodes can never be common neighbors; pin their weight
+          // to 0 rather than divide by ln(1).
+          when(col("d") >= 2,
+            round(lit(1e12) / log(col("d").cast("double"))).cast("long"))
+            .otherwise(lit(0L)).as("w")).as("nw"))
+        .groupBy(col("a"))
+        .agg(sort_array(collect_list(col("nw"))).as("arr")))
       .select(col("a"),
         transform(col("arr"), x => x.getField("b")).as("nbrs"),
         transform(col("arr"), x => x.getField("w")).as("wts"))
@@ -600,7 +623,16 @@ object Graph {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
-    val or = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    // Hash-partition the oriented list ONCE on src (round 14, the same
+    // move as [[edgeStrengthFrom]]'s adjacency build): the adjacency
+    // groupBy keys on src and the wedge join's streamed side probes on
+    // src, so both reuse the resident partitioning — the former shape
+    // exchanged the full edge list separately for the groupBy and for
+    // the first join. adj inherits src-partitioning through its
+    // groupBy, so the s2-side of the wedge join is exchange-free too;
+    // only the dst-side probe still moves the edge stream.
+    val or = oriented.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // EDGE-ITERATOR closure: a triangle {u,v,w} oriented from its
     // lowest-priority corner has out-edges u→v, u→w and closing edge
     // v→w, so n_triangles = Σ_{(s,t)∈oriented} |N⁺(s) ∩ N⁺(t)|.
@@ -624,9 +656,13 @@ object Graph {
     // a sound hub bound for [[capNeighbors]] here: any src group it
     // clears is provably under the cap, and the (empty, at catalog
     // density) remainder gets the exact window.
-    val adj = capNeighbors(or, "src", "dst", degreeCap, deg)
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // collect_list per hub-split side ([[capNeighborsThen]], round 14):
+    // the cold side aggregates on or's resident src-partitioning with
+    // no exchange (the union used to erase it and re-shuffle the full
+    // oriented list into the groupBy).
+    val adj = capNeighborsThen(or, "src", "dst", degreeCap, deg)(h => h
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Shuffle-hash for the same reason as [[edgeStrengthFrom]]'s score
     // join: the streamed edge list carries the src-side array through

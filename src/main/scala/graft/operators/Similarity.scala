@@ -138,7 +138,7 @@ object Similarity {
     * output is nLists×64 doubles). `nLists ≤ 0` derives the cluster
     * count from the corpus row count ([[derivedNLists]]).
     */
-  def ivfCentroidsFrom(corpus: DataFrame, nLists0: Int = 16,
+  def ivfCentroidsFrom(corpus: DataFrame, nLists0: Int = 0,
                        iters: Int = 3): Array[Array[Double]] = {
     val nLists =
       if (nLists0 > 0) nLists0 else derivedNLists(corpus.count())

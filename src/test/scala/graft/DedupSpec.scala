@@ -61,9 +61,14 @@ class DedupSpec extends SparkSpec {
       "shards must be disjoint (keyed by the smaller doc_id)")
     assert(shards(0).union(shards(1)) == full,
       "the shard union must recover the full pair set")
-    // Every gated-form pair has its smaller id in the gated residue.
-    Dedup.simhashPairs(spark, sf).collect()
+    // Every gated-form pair has its smaller id in the gated residue
+    // (the 1-in-8 narrowing is passed EXPLICITLY at the dd3
+    // registration; the library default is the full pair set).
+    Dedup.simhashPairs(spark, sf, probeShards = 8, shard = 0).collect()
       .foreach(r => assert(r.getLong(0) % 8 == 0))
+    // Library default ≡ probeShards = 1 (full semantics).
+    assert(Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == full)
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

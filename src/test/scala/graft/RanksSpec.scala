@@ -68,6 +68,44 @@ class RanksSpec extends SparkSpec {
     Ranks.releaseAll()
   }
 
+  test("withExclusivePrefixSums fuses N sums identically to N single passes") {
+    val rnd = new scala.util.Random(47)
+    val df = (1L to 2500L)
+      .map(id => (id, rnd.nextInt(90).toLong, rnd.nextInt(7).toLong))
+      .toDF("id", "a", "b")
+    val (fused, totals) = Ranks.withExclusivePrefixSums(df,
+      Seq(col("id").asc), Seq(col("a") -> "a_off", col("b") -> "b_off"), 7)
+    val fusedRows = fused
+      .select(col("id").as[Long], col("a_off").as[Long], col("b_off").as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    Ranks.releaseAll()
+    def single(v: String): Map[Long, Long] = {
+      val out = Ranks.withExclusivePrefixSum(df, Seq(col("id").asc), col(v), 7, "off")
+        .select(col("id").as[Long], col("off").as[Long]).collect().toMap
+      Ranks.releaseAll(); out
+    }
+    val (sa, sb) = (single("a"), single("b"))
+    assert(fusedRows.forall { case (id, (ao, bo)) => sa(id) == ao && sb(id) == bo },
+      "fused prefix sums diverge from the single-pass helper")
+    val exp = df.agg(sum(col("a")), sum(col("b"))).head()
+    assert(totals == Seq(exp.getLong(0), exp.getLong(1)),
+      s"grand totals $totals != ${exp.toSeq}")
+  }
+
+  test("withExclusivePrefixSums is stable across partition counts") {
+    val df = (1L to 800L).map(id => (id, (id * 17L) % 11L, id % 3L))
+      .toDF("id", "a", "b")
+    def at(np: Int): (Map[Long, (Long, Long)], Seq[Long]) = {
+      val (out, tot) = Ranks.withExclusivePrefixSums(df, Seq(col("id").asc),
+        Seq(col("a") -> "ao", col("b") -> "bo"), np)
+      val m = out.select(col("id").as[Long], col("ao").as[Long], col("bo").as[Long])
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      Ranks.releaseAll(); (m, tot)
+    }
+    assert(at(1) == at(8))
+    assert(at(8) == at(33))
+  }
+
   test("prefix sum is stable across partition counts") {
     val df = (1L to 999L).map(id => (id, (id * 31L) % 13L)).toDF("id", "v")
     def at(np: Int): Map[Long, Long] = {
