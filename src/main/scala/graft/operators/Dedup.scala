@@ -674,11 +674,12 @@ object Dedup {
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
       // Periodic lineage truncation: the convergence sum below already
-      // materializes every round, so the eager checkpoint adds no extra
-      // pass — it only swaps the nested-join plan for a scan of the
-      // materialized labels.
+      // materializes every round, so a LAZY checkpoint (round 15) rides
+      // that job — it swaps the nested-join plan for a scan of the
+      // materialized labels without the separate materialization job an
+      // eager checkpoint submits first.
       val next =
-        if (round % CheckpointEvery == 0) step.localCheckpoint(true)
+        if (round % CheckpointEvery == 0) step.localCheckpoint(false)
         else step.cache()
       // Labels only ever DECREASE, so Σrep is strictly monotone until
       // the fixpoint: an unchanged exact long sum ⇔ converged. One

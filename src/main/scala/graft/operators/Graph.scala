@@ -571,15 +571,24 @@ object Graph {
     // exchange count; measured 24.4 s -> 10.6 s steady on the sf1
     // rehearsal for this stage.
     val scored = e
-      .join(adj.select(col("a").as("u2"), col("nbrs").as("nbrs_u"),
-        col("wts").as("wts_u")).hint("shuffle_hash"), col("u") === col("u2"))
-      .join(adj.select(col("a").as("v2"), col("nbrs").as("nbrs_v"))
-        .hint("shuffle_hash"), col("v") === col("v2"))
+      .join(adj.select(col("a").as("u2"), col("nbrs").as("nbrs_u"))
+        .hint("shuffle_hash"), col("u") === col("u2"))
+      .join(adj.select(col("a").as("v2"), col("nbrs").as("nbrs_v"),
+        col("wts").as("wts_v")).hint("shuffle_hash"), col("v") === col("v2"))
       .select(col("u"), col("v"),
         graft.functions.SortedIntersectExpr
           .sortedIntersectCount(col("nbrs_u"), col("nbrs_v")).as("n_common"),
+        // Weights ride the V-SIDE build (round 15): a common neighbor
+        // w's weight depends on w ALONE, so Σ weight(w) over the
+        // intersection reads the aligned weights from EITHER side's
+        // array — value-identical. Taking them from the v side means
+        // the second join's STREAMED frame (every edge row, already
+        // loaded with the u-side id array) no longer ships wts_u
+        // through its exchange: the weight array arrives on the
+        // node-cardinality build side instead, halving the array
+        // bytes the heavy stream carries.
         graft.functions.SortedIntersectExpr
-          .sortedIntersectWeightSum(col("nbrs_u"), col("nbrs_v"), col("wts_u"))
+          .sortedIntersectWeightSum(col("nbrs_v"), col("nbrs_u"), col("wts_v"))
           .as("aa_scaled"))
       // Embedded edges only: the oracle's wedge join never produces an
       // edge with zero common neighbors, so scoring (and possibly
@@ -954,7 +963,15 @@ object Graph {
   def kCorePeel(spark: SparkSession, dir: String,
                 k: Int = 80, rounds: Int = 8): DataFrame =
       withoutAqe(spark) {
-    var edges = copurchaseEdges(spark, dir).localCheckpoint()
+    // LAZY checkpoints throughout the loop (round 15): each round has
+    // exactly one action — the counter aggregate — whose map side
+    // scans every partition of the round's graph, so it materializes
+    // the checkpoint blocks as a side effect. An EAGER checkpoint ran
+    // its own materialization job first: 2 driver round-trips per
+    // round where 1 suffices (the 8-vs-32-core scaling ratio of 1.05
+    // says per-round scheduling, not data, bounds this gate at the
+    // bench SF). Lineage is still cut the moment the blocks exist.
+    var edges = copurchaseEdges(spark, dir).localCheckpoint(false)
     // THE DEGREE FRAME IS THE ROUND'S WHOLE CONTROL STATE (round 12):
     // one endpoint-union aggregation per round yields BOTH the
     // survivor set for the NEXT peel (filter d ≥ k) and the CURRENT
@@ -1013,7 +1030,7 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v").hint("shuffle_hash"),
           Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by this round's counter job
       byV.unpersist()
       byV = degrees(next)
       val (nNodes, nEdges, nBelow) = counters(byV) // materializes byV too
