@@ -188,12 +188,17 @@ class TxTable(val root: String) {
     * one when commits are range-clustered (time, id band, partition).
     */
   def appendWithStats(df: DataFrame, statsCol: String): Long = {
-    val r = df.agg(org.apache.spark.sql.functions.min(statsCol),
-      org.apache.spark.sql.functions.max(statsCol)).head()
-    val stats =
-      if (r.isNullAt(0)) None // empty/all-null batch: no zone, never skipped
-      else Some((statsCol, r.getLong(0), r.getLong(1)))
+    // Zones come from the STAGED FILES' parquet footers (round 15):
+    // the write is the one unavoidable pass over the batch, and the
+    // footers already carry exact INT64 min/max — the former shape
+    // ran a separate aggregation job over the batch's whole lineage
+    // first, i.e. one extra full pass per commit at any scale. Footer
+    // merge is a driver-side metadata read (no job), value-identical
+    // (parquet INT64 stats are exact, all-null/empty batches surface
+    // as hasNonNullValue=false on every file → no zone, as before).
     val stage = stageData(df)
+    val stats = footerLongZones(df.sparkSession, stage, Seq(statsCol))
+      .get(statsCol).map { case (mn, mx) => (statsCol, mn, mx) }
     var attempt = latestVersion().getOrElse(0L) + 1
     while (!tryPublish(attempt, "append", Seq(stage), stats)) {
       attempt = latestVersion().getOrElse(0L) + 1
@@ -208,17 +213,14 @@ class TxTable(val root: String) {
     * multi-aggregate at commit time; all columns must be BIGINT.
     */
   def appendWithStatsMulti(df: DataFrame, statsCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{min, max, col}
     require(statsCols.nonEmpty, s"TxTable $root: statsCols must be non-empty")
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val zones = statsCols.flatMap { c =>
-      val mnI = r.fieldIndex(s"mn_$c")
-      if (r.isNullAt(mnI)) None // empty/all-null batch: no zone, never skipped
-      else Some((0, c, r.getLong(mnI), r.getLong(r.fieldIndex(s"mx_$c"))))
-    }
+    // Footer-derived zones, same as [[appendWithStats]] (round 15):
+    // one pass (the staged write) instead of aggregate-then-write.
     val stage = stageData(df)
+    val fz = footerLongZones(df.sparkSession, stage, statsCols)
+    val zones = statsCols.flatMap(c => fz.get(c).map {
+      case (mn, mx) => (0, c, mn, mx)
+    })
     var attempt = latestVersion().getOrElse(0L) + 1
     while (!tryPublish(attempt, "append", Seq(stage), zones = zones)) {
       attempt = latestVersion().getOrElse(0L) + 1
@@ -318,9 +320,20 @@ class TxTable(val root: String) {
     * files).
     */
   def appendWithBloom(df: DataFrame, bloomCol: String): Long = {
-    val n = df.count()
-    val bf = df.stat.bloomFilter(bloomCol, math.max(n, 1L), 0.03)
+    // Stage FIRST (round 15): the former shape computed the batch's
+    // whole lineage three times — count job, bloom-build job, staged
+    // write. Now the write is the only execution of the lineage; the
+    // exact row count comes from the staged footers (driver-side
+    // metadata, no job) and the filter builds from a read-back of the
+    // staged files. Bits are identical: same values (the staged rows),
+    // same expectedNumItems (footer row count == df.count()), same
+    // fpp, and BloomFilter insertion is order-invariant.
     val stage = stageData(df)
+    val n = footerRowCount(df.sparkSession, stage)
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, 0.03)
+      else df.sparkSession.read.parquet(stage)
+        .stat.bloomFilter(bloomCol, n, 0.03)
     var attempt = latestVersion().getOrElse(0L) + 1
     var published = false
     while (!published) {
@@ -947,11 +960,11 @@ class TxTable(val root: String) {
           st.dvs)
         .coalesce(math.max(targetPartitions, 1))
       val stage = stageData(compacted)
-      val r = spark.read.parquet(stage)
-        .agg(fmin(col(statsCol)), fmax(col(statsCol))).head()
-      val zones =
-        if (r.isNullAt(0)) Nil
-        else Seq((keep.length, statsCol, r.getLong(0), r.getLong(1)))
+      // Zone from the staged rewrite's parquet footers (round 15) —
+      // the read-back aggregation job is a metadata read now.
+      val zones = footerLongZones(spark, stage, Seq(statsCol)).toSeq.map {
+        case (_, (mn, mx)) => (keep.length, statsCol, mn, mx)
+      }
       if (tryPublish(head + 1, "overwrite", keep :+ stage,
           zones = zones, dvs = st.dvs)) return head + 1
       graft.TmpIO.deleteRecursively(new java.io.File(stage))
@@ -1023,24 +1036,27 @@ class TxTable(val root: String) {
       snap.withColumn("__zb", bucket)
         .repartition(n, col("__zb"))
         .write.partitionBy("__zb").parquet(stage.toString)
-      // Per-bucket zones: a ≤ n-row control-plane read (columnar scan
-      // of the stats columns over the staged rewrite).
-      val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-      val zs = spark.read.parquet(stage.toString)
-        .groupBy(col("__zb"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .sortBy(_.getAs[Int]("__zb"))
-      val bucketDirs = zs.map(row =>
-        stage.resolve(s"__zb=${row.getAs[Int]("__zb")}").toString).toSeq
-      val zones = zs.zipWithIndex.flatMap { case (row, i) =>
-        statsCols.flatMap { c =>
-          val mnI = row.fieldIndex(s"mn_$c")
-          if (row.isNullAt(mnI)) None // all-null bucket: no zone, never skipped
-          else Some((i, c, row.getLong(mnI), row.getLong(row.fieldIndex(s"mx_$c"))))
-        }
-      }.toSeq
+      // Per-bucket zones from each bucket dir's parquet footers
+      // (round 15): the former ≤ n-row stats read-back was still a
+      // full columnar scan job over the staged rewrite; the footers
+      // carry the same exact INT64 min/max at zero jobs. Bucket dirs
+      // come from the staged layout itself (empty buckets write no
+      // dir, exactly the rows the groupBy produced).
+      val bucketDirs = {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(stage)
+        try ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("__zb="))
+          .toSeq
+          .sortBy(_.stripPrefix("__zb=").toInt)
+          .map(d => stage.resolve(d).toString)
+        finally ls.close()
+      }
+      val zones = bucketDirs.zipWithIndex.flatMap { case (d, i) =>
+        val fz = footerLongZones(spark, d, statsCols)
+        statsCols.flatMap(c => fz.get(c).map { case (mn, mx) => (i, c, mn, mx) })
+      }
       if (tryPublish(head + 1, "overwrite", bucketDirs, zones = zones))
         return head + 1
       // Lost to a concurrent commit: the rewrite is stale — drop it
@@ -1326,6 +1342,70 @@ class TxTable(val root: String) {
     val stage = dataDir.resolve(java.util.UUID.randomUUID().toString)
     df.write.parquet(stage.toString)
     stage.toString
+  }
+
+  /** Parquet footers of a staged dir, driver-side (no Spark job). */
+  private def stageFooters(spark: SparkSession, stage: String)
+      : Seq[org.apache.parquet.hadoop.metadata.ParquetMetadata] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(stage)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      }
+  }
+
+  /** Exact row count of a staged dir from its footers (no job). */
+  private def footerRowCount(spark: SparkSession, stage: String): Long = {
+    import scala.jdk.CollectionConverters._
+    stageFooters(spark, stage)
+      .flatMap(_.getBlocks.asScala.map(_.getRowCount)).sum
+  }
+
+  /** Exact per-column (min, max) of the named INT64 columns over a
+    * staged dir, merged across files/row-groups from the parquet
+    * FOOTERS alone — the same values a min/max aggregation over the
+    * batch returns (INT64 statistics are exact, never truncated), at
+    * zero Spark jobs. Columns absent, non-INT64, or with no non-null
+    * value in any file are OMITTED from the result (→ no zone, the
+    * pre-round-15 behavior for empty/all-null batches).
+    */
+  private def footerLongZones(spark: SparkSession, stage: String,
+                              cols: Seq[String]): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val want = cols.toSet
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var nonLong = Set.empty[String]
+    stageFooters(spark, stage).foreach { md =>
+      md.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (want.contains(name)) {
+            if (c.getPrimitiveType.getPrimitiveTypeName !=
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+              nonLong += name
+            else {
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                acc.get(name) match {
+                  case Some((a, z)) =>
+                    acc(name) = (math.min(a, mn), math.max(z, mx))
+                  case None => acc(name) = (mn, mx)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    (acc -- nonLong).toMap
   }
 
   /** Stage the batch invisibly, then publish with create-exclusive

@@ -123,6 +123,53 @@ class TxTableSpec extends SparkSpec {
     } finally TmpIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("footer-derived zones: exact min/max boundaries, null/empty edges, bloom bit parity") {
+    val (dir, t) = freshTable()
+    try {
+      // Mixed batch with negatives and nulls: the zone must be the
+      // exact non-null (min, max) = (-3, 42) — pinned at BOTH
+      // boundaries via range pruning (round 15: zones now come from
+      // the staged parquet footers, not a pre-write aggregate job).
+      t.appendWithStats(
+        Seq(Some(5L), Some(-3L), Some(42L), None).toDF("k"), "k")
+      assert(t.resolveDirsRange("k", 42L, 100L).size == 1)  // max inclusive
+      assert(t.resolveDirsRange("k", 43L, 100L).isEmpty)    // just past max
+      assert(t.resolveDirsRange("k", -10L, -3L).size == 1)  // min inclusive
+      assert(t.resolveDirsRange("k", -10L, -4L).isEmpty)    // just below min
+      // All-null batch: no zone — every range must keep the dir.
+      t.appendWithStats(Seq(Option.empty[Long]).toDF("k"), "k")
+      assert(t.resolveDirsRange("k", 1000L, 2000L).size == 1)
+      // Multi-column: per-column exact zones from one staged dir.
+      val (_, t2) = (dir, new TxTable(s"$dir/t2"))
+      t2.appendWithStatsMulti(
+        Seq((1L, 100L), (9L, 7L)).toDF("a", "b"), Seq("a", "b"))
+      assert(t2.resolveDirsRange("a", 9L, 9L).size == 1)
+      assert(t2.resolveDirsRange("a", 10L, 99L).isEmpty)
+      assert(t2.resolveDirsRange("b", 100L, 100L).size == 1)
+      assert(t2.resolveDirsRange("b", 101L, 999L).isEmpty)
+      // Bloom sidecar bits are unchanged by the stage-first shape:
+      // same values, same exact count, same fpp ⇒ byte-identical
+      // filter vs building it straight off the input frame.
+      val (_, t3) = (dir, new TxTable(s"$dir/t3"))
+      val df = (0L until 500L).toDF("k")
+      t3.appendWithBloom(df, "k")
+      val sidecars = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$dir/t3/_txlog")).iterator()
+      val sidecar = {
+        import scala.jdk.CollectionConverters._
+        sidecars.asScala.filter(_.toString.endsWith(".bloom")).toSeq.head
+      }
+      val got = java.nio.file.Files.readAllBytes(sidecar)
+      val want = {
+        val bos = new java.io.ByteArrayOutputStream()
+        df.stat.bloomFilter("k", 500L, 0.03).writeTo(bos)
+        bos.toByteArray
+      }
+      assert(java.util.Arrays.equals(got, want),
+        "footer-count/staged-read bloom bits differ from direct build")
+    } finally TmpIO.deleteRecursively(new java.io.File(dir))
+  }
+
   test("zone maps: range reads open only overlapping dirs; answers stay exact") {
     val (dir, t) = freshTable()
     try {
